@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the engine.
+
+Scale posture: these settings are chosen so the same logical plans that pass
+correctness at sf0.01 remain the plans you'd want on a 1000-executor cluster
+at 100 TB — AQE for runtime re-planning (coalescing post-shuffle partitions,
+skew-join splitting), generous broadcast threshold for dim tables, Arrow for
+any pandas-exchange path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "dbt-pro3-spark") -> SparkSession:
+    """Create (or get) the tuned local SparkSession.
+
+    local[N] in tests / bench; on a real cluster the same confs apply
+    (master comes from spark-submit instead).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    shuffle = os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(max(int(cpus), 8)))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs defensively.
+
+    The driver hands us ITS SparkSession; semantics-critical confs
+    (UTC timezone so date_trunc/year agree with the DuckDB oracle on the
+    shared parquet instants, AQE on) are (re)applied here because they are
+    runtime-mutable.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    return spark

@@ -1,0 +1,84 @@
+"""Source readers.
+
+Mirrors the reference's source surface (SURVEY.md §2.A):
+- cataloged raw-table scan      -> ``load``               (sources.yml:4-16)
+- Auto Loader file metadata     -> ``read_with_file_metadata``
+                                   (models/bronze/claims_bronze.sql:41-42)
+- Auto Loader ``_rescued_data`` -> ``read_csv_rescued``
+                                   (models/bronze/policies_bronze.sql:38)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver-provided parquet table.
+
+    Parquet scans give Catalyst predicate pushdown + column pruning for free;
+    never cache here — let each query prune its own columns.
+    """
+    tune(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_with_file_metadata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + persist ingestion-lineage columns.
+
+    Spark's hidden ``_metadata`` struct replaces Databricks Auto Loader's
+    file-path/mtime columns (reference claims_bronze.sql:41-42).
+    """
+    df = load(spark, sf_dir, name)
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("source_file_path"),
+        F.col("_metadata.file_modification_time").alias("source_file_time"),
+    )
+
+
+def read_csv_rescued(
+    spark: SparkSession, path: str, schema: str, rescued_col: str = "_rescued_data"
+) -> DataFrame:
+    """CSV read with malformed-row capture.
+
+    PERMISSIVE mode + columnNameOfCorruptRecord reproduces Auto Loader's
+    ``_rescued_data`` semantics (reference policies_bronze.sql:38): bad rows
+    land whole in the rescue column instead of failing the read.
+    """
+    tune(spark)
+    return (
+        spark.read.schema(f"{schema}, {rescued_col} STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", rescued_col)
+        .option("header", "true")
+        .csv(path)
+    )
+
+
+def parse_json_rescued(df: DataFrame, json_col: str, schema: str) -> DataFrame:
+    """from_json with corrupt-record capture — the in-flight twin of
+    ``read_csv_rescued`` for JSON payload columns."""
+    full_schema = f"{schema}, _rescued_data STRING"
+    parsed = F.from_json(
+        F.col(json_col),
+        full_schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_rescued_data"},
+    )
+    return df.withColumn("_parsed", parsed)

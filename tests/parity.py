@@ -1,0 +1,104 @@
+"""Local stand-in for the driver's oracle comparison.
+
+Mimics CORRECTNESS checking: row count, sorted column names, and an
+order-insensitive comparison of values (floats via isclose so we catch real
+semantic diffs, not IEEE noise — the queries themselves round terminal floats
+so the driver's exact hash should also match).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from decimal import Decimal
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, Decimal):
+        return ("dec", str(v))
+    if isinstance(v, float):
+        return ("f", v)
+    if isinstance(v, int):
+        return ("i", int(v))
+    if isinstance(v, dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, dt.date):
+        return ("d", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return ("s", str(v))
+
+
+def _sort_key(row):
+    return tuple(
+        (x is None, repr(x)) for x in row
+    )
+
+
+def compare(spark_df, duck_con, sql: str, name: str = "?") -> list[str]:
+    """Return a list of mismatch descriptions (empty == parity)."""
+    errs: list[str] = []
+    srows = spark_df.collect()
+    scols = spark_df.columns
+    dres = duck_con.execute(sql)
+    dcols = [d[0] for d in dres.description]
+    drows = dres.fetchall()
+
+    if sorted(scols) != sorted(dcols):
+        errs.append(f"[{name}] columns differ: spark={sorted(scols)} duck={sorted(dcols)}")
+        return errs
+    if len(srows) != len(drows):
+        errs.append(f"[{name}] row count differs: spark={len(srows)} duck={len(drows)}")
+
+    order = sorted(range(len(scols)), key=lambda i: scols[i])
+    sidx = {c: i for i, c in enumerate(scols)}
+    didx = {c: i for i, c in enumerate(dcols)}
+    snorm = sorted(
+        (tuple(_norm_cell(r[sidx[scols[i]]]) for i in order) for r in srows),
+        key=_sort_key,
+    )
+    cols_sorted = sorted(scols)
+    dnorm = sorted(
+        (tuple(_norm_cell(r[didx[c]]) for c in cols_sorted) for r in drows),
+        key=_sort_key,
+    )
+    for i, (a, b) in enumerate(zip(snorm, dnorm)):
+        if not _rows_eq(a, b):
+            errs.append(f"[{name}] row {i} differs (cols {cols_sorted}):\n  spark={a}\n  duck ={b}")
+            if len(errs) > 5:
+                break
+    return errs
+
+
+def _cell_eq(x, y) -> bool:
+    if x is None or y is None:
+        return x is None and y is None
+    if isinstance(x, tuple) and isinstance(y, tuple) and x and y:
+        if x[0] == "f" or y[0] == "f" or x[0] == "i" or y[0] == "i":
+            # numeric kinds compare cross-type with tolerance
+            if x[0] in ("f", "i", "dec") and y[0] in ("f", "i", "dec"):
+                a = float(x[1]) if x[0] != "dec" else float(Decimal(x[1]))
+                b = float(y[1]) if y[0] != "dec" else float(Decimal(y[1]))
+                return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+        if x[0] == "dec" and y[0] == "dec":
+            return Decimal(x[1]) == Decimal(y[1])
+        if x[0] != y[0]:
+            return False
+        if isinstance(x[1], tuple):
+            return _rows_eq(x[1], y[1])
+        return x[1] == y[1]
+    if isinstance(x, tuple) and isinstance(y, tuple):
+        return _rows_eq(x, y)
+    return x == y
+
+
+def _rows_eq(a, b) -> bool:
+    if not isinstance(a, tuple) or not isinstance(b, tuple):
+        return _cell_eq(a, b)
+    if len(a) != len(b):
+        return False
+    return all(_cell_eq(x, y) for x, y in zip(a, b))
