@@ -22,6 +22,19 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
+
+def dround(expr: str, n: int) -> str:
+    """DuckDB SQL for Spark-compatible ROUND(expr, n) on doubles.
+
+    Spark's F.round on a double is BigDecimal.valueOf(x).setScale(n, HALF_UP),
+    i.e. HALF_UP applied to the SHORTEST decimal representation of x. Neither
+    DuckDB's round() (floating multiply, off-by-one-ulp errors) nor its direct
+    double->DECIMAL cast reproduces that. Its double->VARCHAR cast *is* the
+    shortest representation, and VARCHAR->DECIMAL parses with ties away from
+    zero — together exactly Spark's semantics.
+    """
+    return f"CAST(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,{n})) AS DOUBLE)"
+
 _LOADED = False
 
 

@@ -19,19 +19,19 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import month_bucket, safe_div
 from ..sources.readers import load
-from . import register
+from . import dround, register
 
-_ORACLE = """
+_ORACLE = f"""
 WITH om AS (
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS report_month,
            COUNT(DISTINCT o_custkey) AS active_customers,
            COUNT(*) AS order_count,
-           ROUND(SUM(o_totalprice), 2) AS total_order_value
+           {dround('SUM(o_totalprice)', 2)} AS total_order_value
     FROM orders GROUP BY 1
 ), lm AS (
     SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS report_month,
            COUNT(*) AS lineitem_count,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+           {dround('SUM(l_extendedprice * (1 - l_discount))', 2)} AS total_revenue
     FROM lineitem GROUP BY 1
 ), joined AS (
     SELECT COALESCE(om.report_month, lm.report_month) AS report_month,
@@ -43,14 +43,14 @@ WITH om AS (
     FROM om FULL OUTER JOIN lm ON om.report_month = lm.report_month
 ), enriched AS (
     SELECT *,
-           ROUND(total_revenue / NULLIF(CAST(total_order_value AS DOUBLE), 0), 6) AS revenue_ratio,
+           {dround('total_revenue / NULLIF(CAST(total_order_value AS DOUBLE), 0)', 6)} AS revenue_ratio,
            LAG(total_revenue, 12) OVER (ORDER BY report_month) AS prev_year_revenue
     FROM joined
 )
 SELECT report_month, active_customers, order_count, total_order_value,
        lineitem_count, total_revenue, revenue_ratio, prev_year_revenue,
        CASE WHEN prev_year_revenue > 0
-            THEN ROUND((total_revenue - prev_year_revenue) / prev_year_revenue * 100, 4)
+            THEN {dround('(total_revenue - prev_year_revenue) / prev_year_revenue * 100', 4)}
        END AS yoy_growth_pct
 FROM enriched
 ORDER BY report_month DESC

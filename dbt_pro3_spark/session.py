@@ -52,4 +52,7 @@ def tune(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # events.parquet stores INT64 TIMESTAMP(NANOS) which the vectorized
+    # reader rejects; read as long and convert in the loader instead.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

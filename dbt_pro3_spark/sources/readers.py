@@ -36,7 +36,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     never cache here — let each query prune its own columns.
     """
     tune(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosecond parquet timestamp read as long (see session.tune);
+        # integer-DIV to micros matches DuckDB's ns->us truncation
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def read_with_file_metadata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
