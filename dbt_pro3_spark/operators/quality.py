@@ -24,15 +24,15 @@ def dq_flags(df: DataFrame, flags: dict[str, Column]) -> DataFrame:
 
 
 def test_not_null(df: DataFrame, column: str) -> DataFrame:
-    """One row: (column, violations) — count of NULLs in ``column``."""
+    """One row: (column_name, violations) — count of NULLs in ``column``."""
     return df.filter(F.col(column).isNull()).agg(
-        F.lit(column).alias("column"),
+        F.lit(column).alias("column_name"),
         F.count(F.lit(1)).alias("violations"),
     )
 
 
 def test_unique(df: DataFrame, column: str) -> DataFrame:
-    """One row: (column, violations) — count of duplicated key values.
+    """One row: (column_name, violations) — count of duplicated key values.
 
     dbt compiles unique tests to GROUP BY key HAVING count(*) > 1 (SURVEY §3
     entry point 2); this is that plan, with a map-side partial count before
@@ -45,6 +45,6 @@ def test_unique(df: DataFrame, column: str) -> DataFrame:
         .filter(F.col("n") > 1)
     )
     return dupes.agg(
-        F.lit(column).alias("column"),
+        F.lit(column).alias("column_name"),
         F.count(F.lit(1)).alias("violations"),
     )
