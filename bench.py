@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries.
+
+Runs a representative slice of the registry at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], forcing full execution
+through the noop sink (no driver-side collect), and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_exec_summary",
+    "join_three_way_chain",
+    "join_full_outer",
+    "agg_groupby_multikey",
+    "agg_sum_avg_min_max",
+    "agg_count_distinct",
+    "win_row_number_dedup",
+    "win_lag_12_partitioned",
+    "cte_pipeline",
+    "ext_json_extract",
+    "ext_window_tumbling",
+    "ext_session_window",
+    "ext_dedup_exact",
+    "ext_dedup_ngram_jaccard",
+    "ext_topk_cosine",
+    "ext_text_quality",
+    "ext_text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from dbt_pro3_spark.queries import all_queries
+    from dbt_pro3_spark.session import get_spark
+
+    spark = get_spark("dbt-pro3-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    # JVM/codegen warmup on the flagship, untimed
+    run("flagship_exec_summary")
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(run(name), 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

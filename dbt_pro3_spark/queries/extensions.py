@@ -1,1 +1,389 @@
-"""placeholder — filled in incrementally."""
+"""SURVEY.md §2.K extension queries: JSON, event-time windows, streaming,
+dedup family, similarity search, text analysis, multimodal plumbing.
+
+Oracle discipline as everywhere: identical aliases, dround for float
+terminals, thresholds applied to ROUNDED values so the cut is reproducible.
+Keys without oracles (LSH, streaming, Pandas-UDF stubs) get rows-only checks
+by design — the driver records which.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ext import dedup as ded
+from ..ext import multimodal as mm
+from ..ext import similarity as sim
+from ..ext import text as tx
+from ..sources.readers import load
+from ..streaming.watermark import windowed_stream_counts
+from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
+from . import dround, register
+
+STOPWORDS_SQL = "('the','a','an','and','of','to','in','is','on','for')"
+
+
+# ------------------------------------------------------------ JSON / events
+
+@register(
+    "ext_json_extract",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (events.props) via get_json_object — stays in
+    codegen; from_json with a schema is the bulk-parse variant
+    (src_rescued_data)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "ext_window_tumbling",
+    f"""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           COUNT(*) AS n_events,
+           {dround('SUM(value)', 2)} AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def ext_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling event-time windows (F.window in batch mode; same
+    expression streams unchanged). Epoch-aligned like DuckDB time_bucket."""
+    return tumbling_agg(load(spark, sf_dir, "events"), "ts", "10 minutes")
+
+
+@register(
+    "ext_window_sliding",
+    """
+    WITH buckets AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events FROM buckets GROUP BY window_start
+    """,
+)
+def ext_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding by 5 — each event lands in exactly 2
+    windows; the oracle materializes both bucket memberships explicitly."""
+    return sliding_agg(load(spark, sf_dir, "events"), "ts", "10 minutes", "5 minutes")
+
+
+@register(
+    "ext_session_window",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           {dround('SUM(value)', 2)} AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def ext_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization (F.session_window). The oracle is the
+    classic gaps-and-islands formulation — new session when the gap to the
+    previous event is >= the gap (session windows are half-open)."""
+    return session_agg(load(spark, sf_dir, "events"), "ts", "30 minutes", "user_id")
+
+
+@register("ext_watermark_stream")  # rows-only: streaming semantics, no SQL twin
+def ext_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream + event-time watermark + tumbling count, availableNow
+    trigger, memory sink. Append mode drops windows the final watermark
+    hasn't passed — deliberately different from the batch result (bounded
+    state is the point)."""
+    return windowed_stream_counts(spark, f"{sf_dir}/events.parquet")
+
+
+# ------------------------------------------------------------------- dedup
+
+@register(
+    "ext_dedup_exact",
+    """
+    SELECT md5(lower(trim(text))) AS text_hash,
+           MIN(doc_id) AS kept_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on md5 of normalized text — shuffle the 32-byte
+    hash, never the document (the 100 TB shape)."""
+    return ded.exact_dedup(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("ext_dedup_fuzzy")  # rows-only: MinHash banding has no SQL twin
+def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (pyspark.ml HashingTF +
+    MinHashLSH, seeded). Banding keeps the pair space sub-quadratic."""
+    return ded.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+@register("ext_dedup_simhash")  # rows-only: bit-vote fingerprint, no SQL twin
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit sign-vote signature, byte-band
+    candidate generation, exact hamming verify — all DataFrame ops."""
+    return ded.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=6)
+
+
+@register(
+    "ext_dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(l) - 2),
+                                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+        FROM toks
+    ), counts AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common_shingles
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT doc_a, doc_b, common_shingles,
+           {dround('CAST(common_shingles AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common_shingles AS DOUBLE)', 6)} AS jaccard
+    FROM pairs
+    JOIN counts na ON doc_a = na.doc_id
+    JOIN counts nb ON doc_b = nb.doc_id
+    """,
+)
+def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup scoring, block-then-verify: the
+    shingle-equality join is the blocking step (pairs sharing ≥2 shingles),
+    then exact Jaccard from per-doc shingle counts."""
+    return ded.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, min_common=2
+    )
+
+
+@register(
+    "ext_dedup_embedding",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {dround('list_cosine_similarity(a.v, b.v)', 6)} AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {dround('list_cosine_similarity(a.v, b.v)', 6)} >= 0.4
+    """,
+)
+def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold on the ROUNDED cosine so
+    the cut is float-stable). Baseline O(n²) verify; the LSH bucket path
+    (ext_ann_lsh) is the scale route."""
+    return ded.embedding_near_pairs(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+
+
+# -------------------------------------------------------------- similarity
+
+@register(
+    "ext_topk_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT query_id, vec_id,
+               {dround('list_cosine_similarity(qv, v)', 6)} AS cosine
+        FROM q JOIN e ON vec_id <> query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def ext_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k cosine: broadcast the (small) query side,
+    scan the corpus once, window-rank per query on the rounded score."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.topk_bruteforce(queries, emb, k=5).select("query_id", "vec_id", "cosine", "rk")
+
+
+@register("ext_ann_lsh")  # rows-only: approximate by construction
+def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-random-projection LSH buckets (deterministic seeded
+    hyperplanes): candidates only within the query's bucket — the
+    sub-linear scale path for 100 TB similarity search."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.topk_lsh(queries, emb, k=5, bits=4).select("query_id", "vec_id", "cosine", "rk")
+
+
+# ----------------------------------------------------------- text analysis
+
+@register(
+    "ext_text_tokenize",
+    """
+    SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def ext_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: tokenize → explode → term/document
+    frequencies (the TF/DF pass every text pipeline starts with)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "ext_text_langid",
+    r"""
+    SELECT doc_id, lang AS lang_declared,
+           CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+                WHEN regexp_matches(text, '[\x{ac00}-\x{d7af}]') THEN 'ko'
+                WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+                WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+                WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+                WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+                ELSE 'en' END AS lang_pred
+    FROM documents
+    """,
+)
+def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic over character classes (declared lang kept
+    alongside for comparison). Deliberately SQL-expressible so the oracle
+    replicates it exactly; a production lang-id swaps in an n-gram model
+    behind the same column contract."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        tx.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "ext_text_quality",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, length(text) AS n_chars_calc,
+               list_filter(string_split(text, ' '), x -> x <> '') AS l
+        FROM documents
+    ), feat AS (
+        SELECT doc_id, n_chars_calc,
+               len(l) AS n_tokens,
+               CAST(list_sum(list_transform(l, x -> len(x))) AS DOUBLE)
+                   / NULLIF(CAST(len(l) AS DOUBLE), 0) AS avg_len,
+               CAST(len(list_filter(l, x -> lower(x) IN {STOPWORDS_SQL})) AS DOUBLE)
+                   / NULLIF(CAST(len(l) AS DOUBLE), 0) AS stop_ratio
+        FROM toks
+    )
+    SELECT doc_id, n_chars_calc, n_tokens,
+           {dround('avg_len', 6)} AS avg_token_len,
+           {dround('stop_ratio', 6)} AS stopword_ratio,
+           {dround('''CASE WHEN n_tokens BETWEEN 50 AND 5000 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.2 AS DOUBLE) END
+             + CASE WHEN stop_ratio > 0.02 AND stop_ratio < 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN avg_len > 2.5 AND avg_len < 12 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END''', 2)} AS quality_score
+    FROM feat
+    """,
+)
+def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length/token/stopword statistics folded
+    into a composite score — the standard corpus-filtering features, all as
+    narrow array expressions (no shuffle, no UDF)."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.quality_features(docs).select(
+        "doc_id", "n_chars_calc", "n_tokens", "avg_token_len", "stopword_ratio", "quality_score"
+    )
+
+
+@register(
+    "ext_text_token_count",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS subword_tokens
+    FROM documents
+    """,
+)
+def ext_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    pre-tokenization regex (alpha runs | digit runs | single symbol) — the
+    cost estimate every training-data pipeline carries per document."""
+    docs = load(spark, sf_dir, "documents")
+    ws, bpe = tx.token_counts(F.col("text"))
+    return docs.select("doc_id", ws.alias("ws_tokens"), bpe.alias("subword_tokens"))
+
+
+@register(
+    "ext_text_fingerprint",
+    """
+    WITH toks AS (
+        SELECT doc_id, text, string_split(text, ' ') AS l FROM documents
+    )
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp_md5,
+           list_aggregate(
+               list_transform(generate_series(1, len(l) - 2),
+                              i -> md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2])),
+               'min') AS fp_min_shingle
+    FROM toks
+    """,
+)
+def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-text md5 + min-shingle-hash (one
+    MinHash permutation — winnowing-lite), both as narrow expressions."""
+    return tx.fingerprint(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# -------------------------------------------------------------- multimodal
+
+@register("ext_mm_decode")  # rows-only: Pandas-UDF stub decode, no SQL twin
+def ext_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload + metadata struct →
+    Arrow-batched mapInPandas feature extraction (STUB decoder — see
+    ext/multimodal.py; schema/batching/partitioning are the real thing)."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_features(mm.attach_binary(docs))
+
+
+@register(
+    "ext_mm_frame_sample",
+    """
+    SELECT doc_id,
+           unnest(generate_series(0, CAST(floor(n_chars / 100.0) AS INTEGER))) AS frame_idx,
+           unnest(generate_series(0, CAST(floor(n_chars / 100.0) AS INTEGER))) * 100 AS frame_offset
+    FROM documents
+    """,
+)
+def ext_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame/chunk sampling over media length metadata —
+    sequence + explode fan-out, one row per frame offset."""
+    return mm.frame_sample(load(spark, sf_dir, "documents"), "doc_id", "n_chars", 100)
