@@ -1,0 +1,328 @@
+"""Beyond-reference relational coverage.
+
+SURVEY.md §2 notes these operator families are ABSENT from the reference
+(no semi/anti joins §2.D, no set operations §2.H, no grouping sets /
+percentiles / stddev §2.E, no RANK/NTILE/frames §2.F, no LIMIT §2.G) but
+are table stakes for an engine users would actually switch to — and all are
+stock Spark. Each gets the same oracle treatment as the core keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import month_bucket
+from ..sources.readers import load
+from . import dround, register
+
+
+# ------------------------------------------------------- semi / anti joins
+
+@register(
+    "join_left_semi",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: customers having at least one finished order. No fan-out,
+    no duplicate rows — and Spark never materializes the right side's
+    payload columns."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_left_anti",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders at all — the orphan/uncovered-key
+    audit every pipeline needs."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ------------------------------------------------------------ set operations
+
+@register(
+    "setop_union_all",
+    """
+    SELECT c_custkey AS entity_key, 'customer' AS entity_kind FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_key, 'supplier' AS entity_kind FROM supplier
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL by name (unionByName — positional union is a silent-bug
+    factory once schemas drift)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"), F.lit("customer").alias("entity_kind")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"), F.lit("supplier").alias("entity_kind")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "setop_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — nations having both customers and suppliers."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — nations with customers but no suppliers.
+
+    subtract() is EXCEPT DISTINCT; exceptAll() is bag semantics (removes one
+    occurrence per match) and would be wrong here."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# --------------------------------------------------- grouping sets / stats
+
+@register(
+    "agg_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           {dround('SUM(l_extendedprice)', 2)} AS gross
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag, flag+status, grand total) in one
+    pass — one shuffle, grouping-set expansion handled by Catalyst."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations in one pass."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "agg_percentile",
+    f"""
+    SELECT l_returnflag,
+           {dround('quantile_cont(l_extendedprice, 0.5)', 4)} AS median_price,
+           {dround('quantile_cont(l_extendedprice, 0.9)', 4)} AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont). At 100 TB prefer approx_percentile — exact requires a
+    per-group sort; documented tradeoff, exact here for the oracle."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        )
+    )
+
+
+@register(
+    "agg_stddev",
+    f"""
+    SELECT l_returnflag,
+           {dround('stddev_samp(l_discount)', 6)} AS discount_stddev,
+           {dround('var_samp(l_discount)', 6)} AS discount_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev/variance per group."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_discount"), 6).alias("discount_stddev"),
+            F.round(F.var_samp("l_discount"), 6).alias("discount_var"),
+        )
+    )
+
+
+# ------------------------------------------------------ ranking / frames
+
+@register(
+    "win_rank_dense_ntile",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+           DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_dense_rank,
+           NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_quartile
+    FROM customer
+    """,
+)
+def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK / NTILE with a full tiebreak so the ordering (and
+    therefore every ranking function) is deterministic."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+    )
+
+
+@register(
+    "win_running_sum",
+    f"""
+    WITH monthly AS (
+        SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+               {dround('SUM(o_totalprice)', 2)} AS monthly_value
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, order_month, monthly_value,
+           {dround('''SUM(monthly_value) OVER (PARTITION BY o_orderpriority ORDER BY order_month
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''', 2)} AS running_value
+    FROM monthly
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with an explicit ROWS frame over a unique per-partition
+    ordering (cumulative revenue per priority)."""
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", month_bucket(F.col("o_orderdate")).alias("order_month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("monthly_value"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("order_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "o_orderpriority",
+        "order_month",
+        "monthly_value",
+        F.round(F.sum("monthly_value").over(w), 2).alias("running_value"),
+    )
+
+
+@register(
+    "win_first_last_value",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS event_day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, event_day, n,
+           FIRST_VALUE(n) OVER (PARTITION BY event_type ORDER BY event_day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_day_n,
+           LAST_VALUE(n)  OVER (PARTITION BY event_type ORDER BY event_day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_day_n
+    FROM daily
+    """,
+)
+def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE with the full-partition frame (the default
+    frame's LAST_VALUE-of-current-row trap, avoided explicitly)."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("event_day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_day")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return daily.select(
+        "event_type",
+        "event_day",
+        "n",
+        F.first("n").over(w).alias("first_day_n"),
+        F.last("n").over(w).alias("last_day_n"),
+    )
+
+
+# ----------------------------------------------------------- limit / top-k
+
+@register(
+    "sort_limit_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by value with id tiebreak. Spark compiles ORDER BY+LIMIT to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ------------------------------------------------- full medallion pipeline
+
+@register("pipeline_medallion")  # rows-only: runs on generated fixtures, not sf tables
+def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    """End-to-end run of the 12-model insurance medallion DAG on the
+    deterministic fixtures (bronze -> silver -> gold with audit hooks and
+    schema tests); returns gold_customer_360. The full-output golden
+    comparison against an independent DuckDB replication lives in
+    tests/test_pipeline.py."""
+    from ..pipeline import build_registry
+    from ..pipeline.fixtures import raw_tables
+
+    raw = raw_tables(spark, seed=42, scale=0.2)
+    result = build_registry(raw).run(spark)
+    assert not result.test_failures, result.test_failures
+    return result.outputs["gold_customer_360"]
