@@ -58,6 +58,7 @@ def _load_all() -> None:
     from . import core_scan  # noqa: F401
     from . import core_relational  # noqa: F401
     from . import core_extra  # noqa: F401
+    from . import composites  # noqa: F401
     from . import extensions  # noqa: F401
     _LOADED = True
 

@@ -326,3 +326,27 @@ def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: 
     result = build_registry(raw).run(spark)
     assert not result.test_failures, result.test_failures
     return result.outputs["gold_customer_360"]
+
+
+@register(
+    "join_salted_skew",
+    """
+    SELECT user_id % 10 AS user_bucket, COUNT(*) AS n_events
+    FROM events JOIN (SELECT DISTINCT user_id FROM events) d USING (user_id)
+    GROUP BY 1
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (operators.scale.salted_join): the big side is
+    salted into 8 sub-keys, the small side replicated 8x, so a hot key
+    spreads over 8 tasks. The oracle is the UNSALTED equivalent join —
+    proving salting changes the shuffle layout, never the result."""
+    from ..operators.scale import salted_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = load(spark, sf_dir, "events").select("user_id").distinct()
+    return (
+        salted_join(ev, dim, "user_id", salt_buckets=8)
+        .groupBy(F.pmod("user_id", F.lit(10)).alias("user_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

