@@ -35,6 +35,12 @@ HEADLINE = [
     "ext_topk_cosine",
     "ext_text_quality",
     "ext_text_fingerprint",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_returned_item_ranking",
+    "join_range_interval",
+    "agg_rollup",
+    "win_rank_dense_ntile",
 ]
 
 

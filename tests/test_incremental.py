@@ -1,0 +1,60 @@
+"""Incremental materialization: two overlapping batches must converge to the
+same state as a full refresh over their union."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from dbt_pro3_spark.operators.windows import dedup_latest
+from dbt_pro3_spark.plans.incremental import read_incremental, write_incremental
+from dbt_pro3_spark.sources.readers import load
+
+from .conftest import SF_DIR
+
+BASE = "/root/repo/.scratch/incremental_events"
+
+
+def test_merge_latest_converges_to_full_refresh(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "event_type", "ts", "value")
+    # batch 1: first 20 days; batch 2: day 10 onward with bumped values for
+    # the overlap (simulating late corrections)
+    b1 = ev.filter(F.col("ts") < "2024-01-21")
+    b2 = ev.filter(F.col("ts") >= "2024-01-10").withColumn(
+        "value", F.col("value") + 1000
+    )
+
+    write_incremental(spark, BASE, b1, "merge_latest", unique_key="event_id", order_col="ts")
+    state = write_incremental(
+        spark, BASE, b2, "merge_latest", unique_key="event_id", order_col="ts"
+    )
+
+    # expected: full-refresh union with batch-2 rows winning the overlap
+    expected = dedup_latest(
+        b1.withColumn("__src", F.lit(0)).unionByName(b2.withColumn("__src", F.lit(1))),
+        keys=["event_id"],
+        order_desc=["ts", "__src"],
+    ).drop("__src")
+
+    got = sorted(map(tuple, state.collect()))
+    want = sorted(map(tuple, expected.collect()))
+    assert got == want
+    # overlap rows must carry batch-2's corrected values
+    overlap_val = state.filter(
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-21")
+    ).agg(F.min("value")).collect()[0][0]
+    assert overlap_val >= 1000
+
+
+def test_append_mode_accumulates(spark):
+    base = "/root/repo/.scratch/incremental_append"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = load(spark, SF_DIR, "events").select("event_id", "ts")
+    b1 = ev.filter(F.col("ts") < "2024-01-10")
+    b2 = ev.filter(F.col("ts") >= "2024-01-10")
+    write_incremental(spark, base, b1, "append")
+    state = write_incremental(spark, base, b2, "append")
+    assert state.count() == ev.count()
+    assert read_incremental(spark, base).count() == ev.count()
