@@ -152,15 +152,19 @@ def ngram_jaccard_pairs(
 
     Block-then-verify: the shingle-equality join IS the blocking step.
     Output: (doc_a, doc_b, common_shingles, jaccard)."""
+    # join on the 8-byte xxhash64 of the shingle, not the shingle string —
+    # the candidate-join shuffle carries fixed-size keys (collision odds
+    # ~2^-64 per pair; immaterial vs the string-shuffle cost at scale)
     sh = (
         df.select(F.col(id_col).alias("doc_id_"), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
-        .dropDuplicates(["doc_id_", "shingle"])
+        .select("doc_id_", F.xxhash64("shingle").alias("sh_h"))
+        .dropDuplicates(["doc_id_", "sh_h"])
     )
     counts = sh.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id_").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id_").alias("doc_b"), "shingle")
+    a = sh.select(F.col("doc_id_").alias("doc_a"), "sh_h")
+    b = sh.select(F.col("doc_id_").alias("doc_b"), "sh_h")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "sh_h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common_shingles"))

@@ -351,7 +351,7 @@ def agg_conditional_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_conditional_sum",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_deep_discount
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_deep_discount
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -642,7 +642,7 @@ def dq_filter_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            {dround('l_extendedprice * (1 - l_discount)', 2)} AS gross_revenue,
            {dround('l_extendedprice * l_discount', 2)} AS discount_amount,
            {dround('l_extendedprice * (1 - l_discount) * l_tax', 2)} AS tax_amount,
-           year(l_shipdate) AS ship_year,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
            CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_returned
     FROM lineitem
     """,

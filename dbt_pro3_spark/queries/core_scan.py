@@ -464,7 +464,7 @@ def str_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date_year_diff_age",
     """
     SELECT o_orderkey,
-           year(current_date) - year(o_orderdate) AS order_age_years
+           CAST(year(current_date) - year(o_orderdate) AS INTEGER) AS order_age_years
     FROM orders
     """,
 )
@@ -482,7 +482,7 @@ def date_year_diff_age(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date_datediff",
     """
     SELECT l_orderkey, l_linenumber,
-           datediff('day', o_orderdate, l_shipdate) AS ship_delay_days
+           CAST(datediff('day', o_orderdate, l_shipdate) AS INTEGER) AS ship_delay_days
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     """,
 )

@@ -9,6 +9,7 @@ by design — the driver records which.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,7 +31,7 @@ STOPWORDS_SQL = "('the','a','an','and','of','to','in','is','on','for')"
     "ext_json_extract",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
            COUNT(*) AS n_events
     FROM events GROUP BY event_type
     """,
@@ -293,12 +294,12 @@ def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_text_quality",
     f"""
     WITH toks AS (
-        SELECT doc_id, length(text) AS n_chars_calc,
+        SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_calc,
                list_filter(string_split(text, ' '), x -> x <> '') AS l
         FROM documents
     ), feat AS (
         SELECT doc_id, n_chars_calc,
-               len(l) AS n_tokens,
+               CAST(len(l) AS INTEGER) AS n_tokens,
                CAST(list_sum(list_transform(l, x -> len(x))) AS DOUBLE)
                    / NULLIF(CAST(len(l) AS DOUBLE), 0) AS avg_len,
                CAST(len(list_filter(l, x -> lower(x) IN {STOPWORDS_SQL})) AS DOUBLE)
@@ -328,8 +329,8 @@ def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_text_token_count",
     r"""
     SELECT doc_id,
-           len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS subword_tokens
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS subword_tokens
     FROM documents
     """,
 )
@@ -378,8 +379,8 @@ def ext_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_mm_frame_sample",
     """
     SELECT doc_id,
-           unnest(generate_series(0, CAST(floor(n_chars / 100.0) AS INTEGER))) AS frame_idx,
-           unnest(generate_series(0, CAST(floor(n_chars / 100.0) AS INTEGER))) * 100 AS frame_offset
+           CAST(unnest(generate_series(0, CAST(floor(n_chars / 100.0) AS INTEGER))) AS INTEGER) AS frame_idx,
+           CAST(unnest(generate_series(0, CAST(floor(n_chars / 100.0) AS INTEGER))) * 100 AS INTEGER) AS frame_offset
     FROM documents
     """,
 )
@@ -418,3 +419,52 @@ def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import stream_dedup
 
     return stream_dedup(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "ext_topk_cosine_pandas",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT query_id, vec_id,
+               {dround('list_cosine_similarity(qv, v)', 6)} AS cosine
+        FROM q JOIN e ON vec_id <> query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def ext_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-k cosine computed through a VECTORIZED Arrow pandas_udf
+    (numpy batch math) instead of JVM fold expressions — demonstrating the
+    sanctioned Python escape hatch: Arrow-batched, columnar, still
+    oracle-exact after scale-6 rounding. ~10-100x faster than row-at-a-time
+    Python UDFs; use only when built-ins can't express the math."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import Window
+
+    @pandas_udf("double")
+    def cos(q: pd.Series, v: pd.Series) -> pd.Series:
+        qa = np.stack(q.to_numpy()).astype(np.float64)
+        va = np.stack(v.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", qa, va)
+        den = np.linalg.norm(qa, axis=1) * np.linalg.norm(va, axis=1)
+        return pd.Series(num / den)
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cos("qv", "v"), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
