@@ -1,0 +1,111 @@
+"""IVF-style approximate nearest neighbor search.
+
+The second of the two classic ANN scale paths (the other is sign-LSH in
+similarity.py): partition the corpus into Voronoi cells around centroids,
+then search only the query's nearest cell(s).
+
+Centroids here are learned with a few deterministic Lloyd iterations over a
+seeded sample — collected to the driver ONLY for the centroid set (k
+vectors, bytes), never the corpus. Assignment is a pure Column expression:
+the centroid matrix is baked into the plan as literals, so cell assignment
+is a narrow map over the corpus (no shuffle, no UDF), exactly how an IVF
+index builds at 100 TB (one pass to assign, shuffle by cell only if
+physically clustering the layout).
+
+nprobe > 1 trades cost for recall by scanning several nearest cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import as_double, cosine, l2_norm, with_norm
+
+
+def _dist2_to(vec: Column, centroid: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def train_centroids(
+    df: DataFrame, vec_col: str = "embedding", k: int = 16, iters: int = 5, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic mini k-means: seeded init from a collected sample,
+    Lloyd iterations computed distributedly (groupBy cell -> mean), only
+    the k centroids ever reach the driver."""
+    x = with_norm(df, vec_col).select("_v")
+    sample = np.array(
+        [r["_v"] for r in x.limit(2048).collect()], dtype=np.float64
+    )
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        assigned = _assign_cells(x, cents.tolist(), "_v")
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col("_v"), i + 1)).alias(f"m{i}")
+                    for i in range(cents.shape[1])
+                ]
+            )
+            .collect()
+        )
+        for row in means:
+            cents[row["cell"]] = [row[f"m{i}"] for i in range(cents.shape[1])]
+    return cents.tolist()
+
+
+def _assign_cells(df: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
+    """Nearest-centroid cell id as a pure expression (argmin over k dist2)."""
+    dists = F.array(*[_dist2_to(F.col(vec_col), c) for c in centroids])
+    cell = F.array_position(dists, F.array_min(dists)).cast("int") - 1
+    return df.withColumn("cell", cell)
+
+
+def topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Search only the ``nprobe`` nearest cells per query.
+
+    Output matches topk_bruteforce's shape: (query_id, vec_id, cosine, rk).
+    """
+    c = _assign_cells(with_norm(corpus, vec_col), centroids, "_v").select(
+        id_col, "_v", "_norm", "cell"
+    )
+    qn = with_norm(queries, vec_col)
+    dists = F.array(*[_dist2_to(F.col("_v"), cen) for cen in centroids])
+    # nprobe nearest cells: sort (dist, idx) pairs structurally
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
+    probed = F.slice(F.array_sort(pairs), 1, nprobe)
+    q = qn.select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qnorm"),
+        F.explode(F.transform(probed, lambda p: p.getField("i").cast("int"))).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                cosine(F.col("_qv"), F.col("_qnorm"), F.col("_v"), F.col("_norm")), round_to
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -38,15 +38,27 @@ def _current_version(base: str) -> str | None:
         return f.read().strip()
 
 
-def _swap_to(base: str, version: str) -> None:
+def _swap_to(base: str, version: str, retain: int = 1) -> None:
+    """Atomically point readers at ``version``; prune superseded versions
+    OLDER than the ``retain`` most recent ones.
+
+    Retention matters for lazy readers: a DataFrame returned by a previous
+    apply still reads its version directory — deleting it immediately would
+    break that reader mid-plan (Delta's VACUUM-retention tradeoff, found
+    the hard way). retain=1 keeps exactly the previous version alive.
+    """
     ptr = os.path.join(base, _POINTER)
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:
         f.write(version)
     os.replace(tmp, ptr)  # atomic on POSIX
-    # prune superseded versions
-    for d in os.listdir(base):
-        if d.startswith("v_") and d != version:
+    versions = sorted(
+        (d for d in os.listdir(base) if d.startswith("v_")),
+        key=lambda d: int(d[2:]),
+    )
+    keep = set(versions[-(retain + 1):]) | {version}
+    for d in versions:
+        if d not in keep:
             shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
 

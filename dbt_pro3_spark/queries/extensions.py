@@ -468,3 +468,19 @@ def ext_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+@register("ext_ann_ivf")  # rows-only: approximate by construction
+def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic mini-kmeans centroids (only k vectors ever
+    reach the driver), nearest-cell assignment as a pure expression over
+    centroid literals, nprobe-cell candidate search + exact rerank. The
+    cell-partitioned twin of ext_ann_lsh (ext/ivf.py)."""
+    from ..ext.ivf import topk_ivf, train_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, k=16, iters=3, seed=42)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return topk_ivf(queries, emb, cents, k=5, nprobe=2).select(
+        "query_id", "vec_id", "cosine", "rk"
+    )
