@@ -1,0 +1,89 @@
+"""Near-duplicate clustering: connected components over candidate pairs.
+
+Pair generation (MinHash/SimHash/Jaccard/embedding) answers "which documents
+look alike"; DEDUP needs "which one do we keep" — that's connected
+components over the pair graph, keeping e.g. the min doc id per component.
+
+Implementation: alternating large-star/small-star style min-label
+propagation — each iteration is two DataFrame joins (no RDDs, no
+graph library), label(v) <- min(label(v), min label of neighbors). The
+driver loop only checks a convergence COUNT per iteration; diameter of
+near-dup clusters is tiny in practice (dup groups are cliques-ish), so it
+converges in a handful of rounds. This is the standard scalable CC shape
+(Kiveris et al., "Connected Components in MapReduce and Beyond" — public
+algorithm, re-expressed on DataFrames).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Assign each node the MIN node id of its component.
+
+    Input: undirected edges (src, dst). Output: (node, component).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # candidate label per node: min over its own label and neighbors'
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            labels.alias("old")
+            .join(new_labels.alias("new"), "node")
+            .filter(F.col("old.component") != F.col("new.component"))
+            .count()
+        )
+        # localCheckpoint truncates the growing iterative lineage — without
+        # it each round re-derives all previous joins
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_representative(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Final dedup decision: one representative (min id) per near-dup
+    component; documents with no near-dup edge keep themselves.
+
+    Output: (doc_id, representative_id, is_kept)."""
+    comps = connected_components(pairs)
+    return (
+        df.select(id_col)
+        .join(comps, df[id_col] == comps.node, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("representative_id"),
+        )
+        .withColumn("is_kept", (F.col(id_col) == F.col("representative_id")).cast("int"))
+    )

@@ -220,3 +220,249 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("seconds_to_purchase"),
     )
+
+
+@register(
+    "q_promo_revenue",
+    f"""
+    SELECT {dround('''100.0 * SUM(CASE WHEN p_type = 'STANDARD'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+               / SUM(l_extendedprice * (1 - l_discount))''', 6)} AS standard_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share in one aggregate pass over
+    a month of shipments; the part dimension broadcasts."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "STANDARD", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("standard_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q_small_qty_revenue",
+    f"""
+    WITH part_avg AS (
+        SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {dround('SUM(l_extendedprice) / 7.0', 2)} AS avg_yearly
+    FROM lineitem JOIN part_avg ON l_partkey = pk
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average decorrelated into a
+    pre-aggregate + join — the manual form of Catalyst's own subquery
+    decorrelation, explicit so the plan is one scan + one reuse."""
+    li = load(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q_large_orders",
+    f"""
+    WITH big AS (
+        SELECT l_orderkey AS bk, {dround('SUM(l_quantity)', 2)} AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+           o_totalprice, total_qty
+    FROM orders JOIN big ON o_orderkey = bk
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped sum, then enrich the (small)
+    qualifying set — aggregate-first keeps the join input tiny."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("bk"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.bk)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_disjunctive_pred",
+    f"""
+    SELECT {dround('SUM(l_extendedprice * (1 - l_discount))', 2)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 40)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+)
+def q_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst extracts
+    the common join key and pushes per-side conjuncts into the scans; the
+    disjunction evaluates post-join in codegen."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q_priority_shipping",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority_items,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_priority_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority-class pivot per shipping status."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_priority_items"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_priority_items"),
+        )
+    )
+
+
+@register(
+    "q_min_cost_supplier",
+    f"""
+    WITH part_min AS (
+        SELECT l_partkey AS pk, MIN(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_partkey, p_brand, s_suppkey, s_name,
+           {dround('l_extendedprice', 2)} AS price
+    FROM lineitem
+    JOIN part_min ON l_partkey = pk AND l_extendedprice = min_price
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_size = 15
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN decorrelated into a per-key aggregate
+    rejoined on (key, min) — all rows achieving the minimum survive,
+    identically in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    pmin = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = load(spark, sf_dir, "supplier")
+    return (
+        li.join(
+            pmin,
+            (li.l_partkey == pmin.pk) & (li.l_extendedprice == pmin.min_price),
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+@register(
+    "q_regional_share",
+    f"""
+    WITH rev AS (
+        SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               SUM(l_extendedprice * (1 - l_discount)) AS region_revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, year(o_orderdate)
+    )
+    SELECT r_name, order_year,
+           {dround('region_revenue', 2)} AS region_revenue,
+           {dround('region_revenue / SUM(region_revenue) OVER (PARTITION BY order_year)', 6)} AS market_share
+    FROM rev
+    """,
+)
+def q_regional_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share = region revenue over a same-year window
+    total — aggregate once, then a window ratio over the (tiny) aggregate."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", F.year("o_orderdate").alias("order_year"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("region_revenue"))
+    )
+    w = Window.partitionBy("order_year")
+    return rev.select(
+        "r_name",
+        "order_year",
+        F.round("region_revenue", 2).alias("region_revenue"),
+        F.round(F.col("region_revenue") / F.sum("region_revenue").over(w), 6).alias(
+            "market_share"
+        ),
+    )

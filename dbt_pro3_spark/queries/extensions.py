@@ -484,3 +484,82 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf(queries, emb, cents, k=5, nprobe=2).select(
         "query_id", "vec_id", "cosine", "rk"
     )
+
+
+@register("ext_dedup_clusters")  # rows-only: iterative algorithm, no SQL twin
+def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup DECISION: n-gram Jaccard candidate pairs ->
+    connected components (DataFrame-join min-label propagation,
+    ext/cluster.py) -> one kept representative per near-dup cluster.
+    Returns (doc_id, representative_id, is_kept)."""
+    from ..ext.cluster import dedup_keep_representative
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ded.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, min_common=2).filter(
+        F.col("jaccard") >= 0.02
+    )
+    return dedup_keep_representative(docs, pairs, "doc_id")
+
+
+@register("ext_stream_foreachbatch_merge")  # rows-only: streaming sink integration
+def ext_stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming -> incremental-store integration: readStream over events,
+    foreachBatch merges each micro-batch into the version-pointer store
+    (plans/incremental.py) keyed by event_id — the local stand-in for
+    'stream into a Delta table with MERGE'. Returns the final table state."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..plans.incremental import read_incremental, write_incremental
+    from ..streaming.stateful import _events_stream
+
+    base = "/root/repo/.scratch/stream_merge_" + _os.path.basename(sf_dir.rstrip("/"))
+    _shutil.rmtree(base, ignore_errors=True)
+
+    def merge_batch(batch_df, batch_id):  # noqa: ARG001
+        write_incremental(
+            batch_df.sparkSession, base, batch_df,
+            "merge_latest", unique_key="event_id", order_col="ts",
+        )
+
+    stream = _events_stream(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", base + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _shutil.rmtree(base + "_ckpt", ignore_errors=True)
+    return read_incremental(spark, base)
+
+
+@register("src_csv_rescued")  # rows-only: exercises the CSV malformed-row path
+def src_csv_rescued(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real CSV ingestion with Auto-Loader-style rescued-data capture
+    (sources.read_csv_rescued): write a CSV containing deliberately
+    malformed rows, read PERMISSIVE with a rescue column, return per-row
+    parse status. Malformed rows land whole in _rescued_data instead of
+    failing the read (policies_bronze.sql:38 semantics)."""
+    import os as _os
+
+    from ..sources.readers import read_csv_rescued
+
+    base = "/root/repo/.scratch/csv_rescued_" + _os.path.basename(sf_dir.rstrip("/"))
+    _os.makedirs(base, exist_ok=True)
+    with open(f"{base}/data.csv", "w") as f:
+        f.write("id,amount,label\n")
+        f.write("1,10.5,ok\n")
+        f.write("2,20.25,ok\n")
+        f.write("3,not_a_number,bad_amount\n")
+        f.write("4,40.0,ok\n")
+        f.write("5,,null_amount\n")
+    df = read_csv_rescued(spark, base, "id INT, amount DOUBLE, label STRING")
+    return df.select(
+        "id",
+        "amount",
+        "label",
+        F.col("_rescued_data").isNotNull().cast("int").alias("was_rescued"),
+    )
