@@ -19,7 +19,7 @@ from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_CORRECTNESS = "/root/testdata/sf0.01"
+SF_CORRECTNESS = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 SF_SMOKE = "/root/testdata/sf0.001"
 TABLES = [
     "region", "nation", "customer", "supplier", "part",

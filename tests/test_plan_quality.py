@@ -1,0 +1,56 @@
+"""Plan-quality regression guard: every oracle-keyed query's physical plan
+is scanned for red flags. A query can pass value-parity with a terrible
+plan — this test is what keeps the plans the ones we'd want at 100 TB.
+
+- No CartesianProduct anywhere (the scalar 1x1 cross join compiles to a
+  broadcast nested-loop, which is fine and expected).
+- Non-equi pair joins (cosine/topk) must broadcast one side — a
+  CartesianProduct there would be the O(n²) disaster shape.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from dbt_pro3_spark.queries import all_oracle, all_queries
+
+from .conftest import SF_DIR
+
+_QUERIES = all_queries()
+# lazy-plan keys only: oracle-keyed queries return unexecuted DataFrames
+_PLAN_KEYS = sorted(set(all_oracle()))
+
+
+def plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", _PLAN_KEYS)
+def test_no_cartesian_product(spark, name):
+    p = plan_str(_QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in p, f"{name} plans a CartesianProduct:\n{p[:2000]}"
+
+
+def test_pushdown_reaches_scans(spark):
+    """Spot-proof that selective filters reach the parquet scans."""
+    cases = {
+        "pred_between": "GreaterThanOrEqual(p_size,10)",
+        "q_shipping_priority": "EqualTo(c_mktsegment,BUILDING)",
+        "q_returned_item_ranking": "EqualTo(l_returnflag,R)",
+    }
+    for name, fragment in cases.items():
+        p = plan_str(_QUERIES[name](spark, SF_DIR))
+        assert fragment in p, f"{name}: pushed filter missing\n{p[:2000]}"
+
+
+def test_column_pruning_reaches_scans(spark):
+    """The flagship reads exactly the columns it needs from each table."""
+    p = plan_str(_QUERIES["flagship_exec_summary"](spark, SF_DIR))
+    assert "ReadSchema: struct<o_custkey:bigint,o_totalprice:double,o_orderdate" in p
+    assert "ReadSchema: struct<l_extendedprice:double,l_discount:double,l_shipdate" in p
