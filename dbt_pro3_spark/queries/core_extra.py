@@ -350,3 +350,107 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.pmod("user_id", F.lit(10)).alias("user_bucket"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# ------------------------------------------------------ reshaping / sampling
+
+@register(
+    "agg_pivot",
+    """
+    SELECT l_returnflag,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with explicit value list (always name the pivot values — the
+    inferred-values form needs an extra distinct pass over the data)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .count()
+    )
+
+
+@register(
+    "reshape_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric, l_extendedprice AS amount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt wide metrics to long form — one narrow expand, the
+    layout normalization step feature stores want."""
+    return load(spark, sf_dir, "lineitem").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "amount",
+    )
+
+
+@register(
+    "sample_deterministic",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 sample by content hash — unlike rand()-based
+    sampling this is reproducible across engines, runs, and partitionings
+    (the only sane sampling for pipelines that must be replayable)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_custkey", "o_totalprice").filter(
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")).substr(1, 1) == "0"
+    )
+
+
+@register(
+    "profile_table",
+    """
+    SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler in long form: rows/nulls/distincts/min/max per
+    column — the data-quality sweep run before trusting any new source.
+    One aggregate pass per column batched into a single union plan."""
+    o = load(spark, sf_dir, "orders")
+
+    def profile(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_value"),
+            F.max(col).cast("string").alias("max_value"),
+        )
+
+    return (
+        profile("o_custkey")
+        .unionByName(profile("o_totalprice"))
+        .unionByName(profile("o_orderstatus"))
+    )
