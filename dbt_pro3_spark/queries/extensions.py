@@ -563,3 +563,65 @@ def src_csv_rescued(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("_rescued_data").isNotNull().cast("int").alias("was_rescued"),
     )
+
+
+@register(
+    "ext_text_edit_distance",
+    """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS INTEGER) AS edit_distance
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 15 AND b.doc_id < 15
+    """,
+)
+def ext_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Levenshtein edit distance on document prefixes — the
+    character-level fuzzy matcher (record linkage, typo-tolerant joins).
+    O(len^2) per pair: bound the compared prefix and the pair set; at scale
+    block with fingerprints first, edit-distance only the candidates."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 15)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 80).alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 80).alias("tb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.levenshtein("ta", "tb").alias("edit_distance"))
+    )
+
+
+@register(
+    "ext_privacy_pseudonymize",
+    """
+    SELECT sha256(CAST(c_custkey AS VARCHAR) || ':pepper') AS customer_token,
+           CASE WHEN length(c_name) > 4
+                THEN substr(c_name, 1, 2) || repeat('*', length(c_name) - 4)
+                     || substr(c_name, length(c_name) - 1, 2)
+                ELSE '****' END AS name_masked,
+           c_mktsegment, c_acctbal
+    FROM customer
+    """,
+)
+def ext_privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization pass for training-data prep: stable keyed token via
+    peppered SHA-256 (joinable across tables, unlinkable without the
+    pepper), plus positional masking of the display name. Pure expressions —
+    the pattern applies per-column at any scale."""
+    c = load(spark, sf_dir, "customer")
+    n = F.col("c_name")
+    ln = F.length(n)
+    return c.select(
+        F.sha2(F.concat(F.col("c_custkey").cast("string"), F.lit(":pepper")), 256).alias(
+            "customer_token"
+        ),
+        F.when(
+            ln > 4,
+            F.concat(
+                F.substring(n, 1, 2),
+                F.repeat(F.lit("*"), (ln - 4).cast("int")),
+                n.substr(ln - 1, F.lit(2)),
+            ),
+        )
+        .otherwise("****")
+        .alias("name_masked"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
