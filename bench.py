@@ -41,6 +41,11 @@ HEADLINE = [
     "join_range_interval",
     "agg_rollup",
     "win_rank_dense_ntile",
+    # round-2 additions (keep the 23 keys above stable for r/r comparison)
+    "scan_partition_pruned",
+    "ext_dedup_embedding",
+    "ext_dedup_simhash",
+    "ext_text_edit_distance_blocked",
 ]
 
 

@@ -78,17 +78,33 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
-    """32-bit SimHash per document: per-token xxhash64, sign-votes per bit.
+    """32-bit SimHash per document: per-token hash, sign-votes per bit.
 
     explode → one groupBy(doc) with `bits` conditional sums — a single
     shuffle keyed by doc id; reassembly is plain integer arithmetic.
+
+    The per-token hash is the first 32 bits of md5 (decoded nibble-by-nibble
+    from the hex string) rather than xxhash64: md5's hex output is
+    bit-identical across engines, which makes the whole fingerprint
+    DuckDB-oracle-checkable. Hash quality is equivalent for sign-voting.
     """
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    hashed = toks.withColumn("h", F.xxhash64("tok"))
-    votes = hashed.groupBy(id_col).agg(
+    hashed = toks.withColumn("hh", F.md5(F.col("tok").cast("binary")))
+    # nibble i (1-based hex char) -> 0..15; bit b of the 32-bit value lives in
+    # nibble 8 - b//4 (char 1 = most-significant nibble), bit b%4
+    nibs = hashed.select(
+        id_col,
+        *[
+            F.expr(f"instr('0123456789abcdef', substr(hh, {i}, 1)) - 1").alias(f"n{i}")
+            for i in range(1, 9)
+        ],
+    )
+    votes = nibs.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.expr(f"(n{8 - b // 4} >> {b % 4}) & 1") == 1, 1
+                ).otherwise(-1)
             ).alias(f"b{b}")
             for b in range(bits)
         ]
@@ -100,11 +116,22 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 6
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 32-bit signature into 4 bytes;
-    pairs sharing ANY byte are candidates (pigeonhole: hamming ≤ 3 over 4
-    bands guarantees a shared band); verify with exact bit_count(xor)."""
+    pairs sharing ANY byte are candidates; verify with exact bit_count(xor).
+
+    Default max_hamming=3 matches the banding's pigeonhole guarantee: a
+    pair differing in ≤3 bits MUST agree on at least one of the 4 byte
+    bands, so recall is exactly 1 at that radius. Asking for a larger
+    max_hamming with this band layout would silently drop pairs whose
+    differing bits straddle all four bands — raise the band count (b+1
+    bands guarantee hamming ≤ b) rather than the radius."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-byte banding only guarantees recall for hamming <= 3; "
+            f"got max_hamming={max_hamming}. Use more bands for a larger radius."
+        )
     sigs = simhash(df, id_col, text_col)
     bands = sigs.select(
         id_col,
@@ -133,7 +160,7 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "sig_a", "sig_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    ham = F.expr("bit_count(sig_a ^ sig_b)")
+    ham = F.expr("bit_count(sig_a ^ sig_b)").cast("int")
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
@@ -147,11 +174,24 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     min_common: int = 2,
+    max_df: int = 16,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs sharing ≥ min_common shingles.
 
-    Block-then-verify: the shingle-equality join IS the blocking step.
-    Output: (doc_a, doc_b, common_shingles, jaccard)."""
+    Block-then-verify with a STOP-SHINGLE CAP (the standard fix for
+    hot-shingle skew): shingles whose document frequency exceeds ``max_df``
+    are excluded from CANDIDATE GENERATION only — a shingle shared by
+    thousands of documents is boilerplate and contributes O(df²) candidate
+    pairs while carrying no near-dup signal. The verify stage then counts
+    common shingles over the FULL shingle sets of the surviving candidate
+    pairs, so reported common_shingles/jaccard are exact. A pair is missed
+    only if EVERY shingle it shares is hotter than max_df — at that point
+    the overlap is pure boilerplate by definition. The cap bounds the
+    candidate join at sum_sh(min(df, max_df)²) pair-rows regardless of
+    corpus size; without it one viral shingle is a quadratic blow-up.
+
+    Output: (doc_a, doc_b, common_shingles, jaccard).
+    """
     # join on the 8-byte xxhash64 of the shingle, not the shingle string —
     # the candidate-join shuffle carries fixed-size keys (collision odds
     # ~2^-64 per pair; immaterial vs the string-shuffle cost at scale)
@@ -161,11 +201,26 @@ def ngram_jaccard_pairs(
         .dropDuplicates(["doc_id_", "sh_h"])
     )
     counts = sh.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id_").alias("doc_a"), "sh_h")
-    b = sh.select(F.col("doc_id_").alias("doc_b"), "sh_h")
-    common = (
+    # hot-shingle list is tiny (only shingles with df > max_df) -> broadcast
+    # anti-join; the candidate join never sees a hot key
+    hot = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df_")).filter(
+        F.col("df_") > max_df
+    ).select("sh_h")
+    capped = sh.join(F.broadcast(hot), "sh_h", "left_anti")
+    a = capped.select(F.col("doc_id_").alias("doc_a"), "sh_h")
+    b = capped.select(F.col("doc_id_").alias("doc_b"), "sh_h")
+    cand = (
         a.join(b, "sh_h")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # verify: exact common-shingle count over FULL shingle sets, candidates only
+    sa = sh.select(F.col("doc_id_").alias("doc_a"), "sh_h")
+    sb = sh.select(F.col("doc_id_").alias("doc_b"), "sh_h")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh_h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common_shingles"))
         .filter(F.col("common_shingles") >= min_common)
@@ -188,17 +243,87 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_near_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    bands: int = 4,
+    bits_per_band: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via banded sign-LSH blocking + exact verify.
+
+    The 100 TB shape: ``bands`` independent sign-random-projection tables of
+    ``bits_per_band`` bits each; a pair is a CANDIDATE iff it collides in at
+    least one band (classic OR-of-bands LSH). Candidates then get an exact
+    rounded-cosine verify. No all-pairs join anywhere — each band join is an
+    equi-join on its bucket id, so both sides hash-partition by bucket and
+    the pair space shrinks ~2^bits_per_band-fold per band.
+
+    Recall math (sign-LSH): a pair at angle θ collides in one band with
+    p = (1 - θ/π)^bits_per_band, overall 1-(1-p)^bands. Recall 1 is NOT
+    attainable for low thresholds: on the driver's random 64-dim corpus the
+    pairs at cosine ≈ 0.4 (θ ≈ 66°) are the tail of the random-pair
+    distribution — measured: no planted high-cosine dups, qualifying pairs
+    form a continuum 0.40-0.51 — and any exact sub-quadratic blocking at
+    that radius would have to block nearly the whole space. So this operator
+    *defines* its semantics as blocking+verify (the oracle replicates the
+    bands bit-for-bit and is hash-checked); crank bands/bits for the
+    recall/cost point your threshold needs — at real near-dup thresholds
+    (≥0.9, θ ≤ 26°) p ≈ 0.55/band at 4 bits and 8 bands give recall ≈ 0.99.
+    """
+    from .similarity import dot, hyperplanes
+
+    planes = hyperplanes(dim, bands * bits_per_band, seed)
+    e = with_norm(df, vec_col)
+    bcols = []
+    for t in range(bands):
+        b = F.lit(0)
+        for j in range(bits_per_band):
+            lit = F.array(*[F.lit(float(x)) for x in planes[t * bits_per_band + j]])
+            b = b + (dot(F.col("_v"), lit) > 0).cast("int") * (2 ** j)
+        bcols.append(b.alias(f"band{t}"))
+    eb = e.select(F.col(id_col), F.col("_v"), F.col("_norm"), *bcols)
+    cand = None
+    for t in range(bands):
+        a = eb.select(F.col(id_col).alias("vec_a"), F.col(f"band{t}").alias("bk"))
+        bb = eb.select(F.col(id_col).alias("vec_b"), F.col(f"band{t}").alias("bk"))
+        c = (
+            a.join(bb, "bk")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.dropDuplicates(["vec_a", "vec_b"])
+    ea = eb.select(F.col(id_col).alias("vec_a"), F.col("_v").alias("va"), F.col("_norm").alias("na"))
+    ebd = eb.select(F.col(id_col).alias("vec_b"), F.col("_v").alias("vb"), F.col("_norm").alias("nb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(ebd, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("na"), F.col("vb"), F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ threshold, id-ordered.
+    """Embedding near-dup pairs: cosine ≥ threshold, id-ordered — EXACT
+    all-pairs baseline (the verify-stage primitive; O(n²)/2 by definition).
 
-    Self-join is O(n²)/2 — correct baseline; at corpus scale route through
-    similarity.topk_lsh buckets first. Threshold applies to the ROUNDED
-    cosine so the cut is reproducible bit-for-bit by the oracle."""
+    Use embedding_near_pairs_lsh as the corpus-scale entry point; keep this
+    for bounded verify stages and as the recall oracle for tuning LSH
+    parameters. Threshold applies to the ROUNDED cosine so the cut is
+    reproducible bit-for-bit by the oracle."""
     e = with_norm(df, vec_col).select(id_col, "_v", "_norm")
     a = e.select(
         F.col(id_col).alias("vec_a"), F.col("_v").alias("va"), F.col("_norm").alias("na")

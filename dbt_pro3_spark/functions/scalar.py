@@ -38,8 +38,14 @@ def age_years(dob: Column) -> Column:
 
 
 def full_name(first: Column, last: Column) -> Column:
-    """CONCAT(first, ' ', last) (customers_silver.sql:47)."""
-    return F.concat_ws(" ", first, last)
+    """CONCAT(first, ' ', last) (customers_silver.sql:47).
+
+    Uses F.concat, NOT concat_ws: the reference's CONCAT null-propagates
+    (NULL last_name -> NULL full_name), while concat_ws would silently skip
+    NULLs and return 'First'. pipeline/silver.py relies on the same
+    semantics.
+    """
+    return F.concat(first, F.lit(" "), last)
 
 
 def month_bucket(c: Column) -> Column:

@@ -37,7 +37,17 @@ def salted_join(
     partitions. small side: exploded S times (one row per salt value).
     Result == plain ``big.join(small, key, how)`` with the salt columns
     dropped; the equality is oracle-checked in the query registry.
+
+    Only ``inner`` and ``left`` (outer from the big side) are equivalent
+    under salting: replicating the small side S times would surface
+    unmatched small rows S times in right/full joins, and left_semi /
+    left_anti change semantics too, so those are rejected.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only (got {how!r}): "
+            "replicating the small side breaks right/full/semi/anti joins"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
     big_salted = big.withColumn("__salt", salt.cast("int"))
     small_salted = small.withColumn(

@@ -323,9 +323,15 @@ def gold_claims_operations(
 
 
 def gold_executive_summary(
-    policies_silver: DataFrame, claims_silver: DataFrame
+    policies_silver: DataFrame, claims_silver: DataFrame, run_ts: str | None = None
 ) -> DataFrame:
-    """gold_executive_summary.sql:21-146."""
+    """gold_executive_summary.sql:21-146.
+
+    ``created_at`` mirrors the reference's CURRENT_TIMESTAMP() metadata
+    column (gold_executive_summary.sql:145); like silver's processed_at it
+    is populated from the injected ``run_ts`` literal when given so runs
+    are deterministic (falls back to current_timestamp otherwise).
+    """
     mf = (
         policies_silver.filter(F.col("invalid_premium_amount_flag") == 0)
         .groupBy(F.date_trunc("month", F.col("start_date")).alias("report_period"))
@@ -412,4 +418,7 @@ def gold_executive_summary(
         .otherwise("Concerning")
         .alias("performance_category"),
         F.current_date().alias("report_date"),
+        (
+            F.lit(run_ts).cast("timestamp") if run_ts is not None else F.current_timestamp()
+        ).alias("created_at"),
     ).orderBy(F.desc("report_period"))

@@ -90,6 +90,10 @@ def build_registry(raw: dict[str, DataFrame], run_ts: str = DEFAULT_RUN_TS) -> M
         "gold_executive_summary",
         deps=("policies_silver", "claims_silver"),
         layer="gold",
-    )(lambda s, ref: gd.gold_executive_summary(ref("policies_silver"), ref("claims_silver")))
+    )(
+        lambda s, ref: gd.gold_executive_summary(
+            ref("policies_silver"), ref("claims_silver"), run_ts
+        )
+    )
 
     return reg

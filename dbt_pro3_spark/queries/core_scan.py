@@ -155,8 +155,8 @@ def ref_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
            CAST(l_linenumber AS INTEGER) AS l_linenumber,
-           CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS l_extendedprice,
+           CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS l_quantity,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS l_extendedprice,
            CAST(l_discount AS DOUBLE) AS l_discount,
            CAST(l_tax AS DOUBLE) AS l_tax,
            CAST(l_returnflag AS VARCHAR) AS l_returnflag,
@@ -168,8 +168,16 @@ def ref_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def proj_typed_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bronze full-width typed projection — CAST every column to an explicit
     type (customers_bronze.sql:23-41 pattern; DECIMAL(18,2) money as at
-    policies_bronze.sql:27-29)."""
-    return typed_cast(
+    policies_bronze.sql:27-29).
+
+    The DECIMAL(18,2) money casts are the semantics being demonstrated; the
+    final output re-casts them to DOUBLE (both here and in the oracle SQL)
+    because Decimal stringification ("17.00" vs "17.0") differs between
+    Spark and DuckDB in the driver's value-hash canonicalization even when
+    every value is identical (CORRECTNESS_r01 proj_typed_cast: rows+schema
+    matched, hash did not).
+    """
+    df = typed_cast(
         load(spark, sf_dir, "lineitem"),
         {
             "l_orderkey": "bigint",
@@ -182,6 +190,9 @@ def proj_typed_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linestatus": "string",
             "l_shipdate": "date",
         },
+    )
+    return df.withColumn("l_quantity", F.col("l_quantity").cast("double")).withColumn(
+        "l_extendedprice", F.col("l_extendedprice").cast("double")
     )
 
 

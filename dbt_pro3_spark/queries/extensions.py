@@ -141,16 +141,58 @@ def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ded.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
-@register("ext_dedup_simhash")  # rows-only: bit-vote fingerprint, no SQL twin
+def _simhash_oracle() -> str:
+    """DuckDB twin of ext/dedup.py simhash_near_pairs: md5-nibble 32-bit
+    SimHash, 4 byte-bands, hamming ≤ 3 verify. Generated (32 sum-cases)."""
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (n{8 - b // 4} >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(32)
+    )
+    sig = " + ".join(f"(CASE WHEN b{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(32))
+    nibs = ",\n               ".join(
+        f"instr('0123456789abcdef', substr(hh, {i}, 1)) - 1 AS n{i}" for i in range(1, 9)
+    )
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), h AS (
+        SELECT doc_id, md5(tok) AS hh FROM tk WHERE tok <> ''
+    ), nib AS (
+        SELECT doc_id,
+               {nibs}
+        FROM h
+    ), votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM nib GROUP BY doc_id
+    ), sig AS (
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+    ), bands AS (
+        SELECT doc_id, simhash, i.band, (simhash >> (8 * i.band)) & 255 AS val
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) i
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sig_a, b.simhash AS sig_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """
+
+
+@register("ext_dedup_simhash", _simhash_oracle())
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit sign-vote signature, byte-band
-    candidate generation, exact hamming verify — all DataFrame ops."""
-    return ded.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=6)
+    """SimHash near-dup pairs: 32-bit md5-nibble sign-vote signature,
+    4-byte-band candidate generation (pigeonhole recall=1 at hamming ≤ 3),
+    exact bit_count(xor) verify — all DataFrame ops, fully oracle-checked
+    because the md5-derived hash is bit-identical across engines."""
+    return ded.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
 
 
-@register(
-    "ext_dedup_ngram_jaccard",
-    f"""
+# Capped block-then-verify n-gram-Jaccard pair SQL — shared by
+# ext_dedup_ngram_jaccard and (as the edge generator) ext_dedup_clusters.
+_NGRAM_JACCARD_SQL = f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS l FROM documents
     ), sh AS (
@@ -160,9 +202,18 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks
     ), counts AS (
         SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), hot AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 16
+    ), capped AS (
+        SELECT doc_id, shingle FROM sh ANTI JOIN hot USING (shingle)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ), pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common_shingles
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        SELECT doc_a, doc_b, COUNT(*) AS common_shingles
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_a
+        JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
         GROUP BY 1, 2 HAVING COUNT(*) >= 2
     )
     SELECT doc_a, doc_b, common_shingles,
@@ -170,19 +221,79 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs
     JOIN counts na ON doc_a = na.doc_id
     JOIN counts nb ON doc_b = nb.doc_id
-    """,
-)
+"""
+
+
+@register("ext_dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup scoring, block-then-verify: the
-    shingle-equality join is the blocking step (pairs sharing ≥2 shingles),
-    then exact Jaccard from per-doc shingle counts."""
+    """Word-3-gram Jaccard near-dup scoring, block-then-verify with a
+    stop-shingle cap (df > 16 shingles are boilerplate and excluded from
+    candidate generation; exact common counts/jaccard still computed over
+    full shingle sets — see ext/dedup.py ngram_jaccard_pairs). The oracle
+    replicates the capped semantics so parity holds at every scale factor,
+    not just the ones where the cap never binds."""
     return ded.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, min_common=2
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, min_common=2, max_df=16
+    )
+
+
+def _embedding_lsh_oracle(bands: int = 4, bits_per_band: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of ded.embedding_near_pairs_lsh: identical hyperplane
+    literals, identical band buckets, identical rounded-cosine verify."""
+    from ..ext.similarity import hyperplanes
+
+    planes = hyperplanes(dim, bands * bits_per_band)
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    band_exprs = []
+    for t in range(bands):
+        bits = " + ".join(
+            f"{2 ** j} * (CASE WHEN list_dot_product(v, {arr(planes[t * bits_per_band + j])}) > 0 THEN 1 ELSE 0 END)"
+            for j in range(bits_per_band)
+        )
+        band_exprs.append(f"({bits}) AS band{t}")
+    band_joins = "\n        UNION ALL\n        ".join(
+        f"SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b FROM b a JOIN b b2 "
+        f"ON a.band{t} = b2.band{t} AND a.vec_id < b2.vec_id"
+        for t in range(bands)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+        SELECT vec_id, v,
+               {", ".join(band_exprs)}
+        FROM e
+    ), cand AS (
+        SELECT DISTINCT vec_a, vec_b FROM (
+        {band_joins}
+        ) u
+    )
+    SELECT vec_a, vec_b,
+           {dround('list_cosine_similarity(ea.v, eb.v)', 6)} AS cosine
+    FROM cand
+    JOIN e ea ON cand.vec_a = ea.vec_id
+    JOIN e eb ON cand.vec_b = eb.vec_id
+    WHERE {dround('list_cosine_similarity(ea.v, eb.v)', 6)} >= 0.4
+    """
+
+
+@register("ext_dedup_embedding", _embedding_lsh_oracle())
+def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, banded sign-LSH blocking + exact
+    rounded-cosine verify (ded.embedding_near_pairs_lsh) — no all-pairs
+    join in the plan; each band join is an equi-join on a bucket id. The
+    oracle replicates the hyperplanes/bands bit-for-bit, so the approximate
+    operator itself is hash-checked, not just its exact twin."""
+    return ded.embedding_near_pairs_lsh(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.4, bands=4, bits_per_band=4,
     )
 
 
 @register(
-    "ext_dedup_embedding",
+    "ext_dedup_embedding_exact",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -191,10 +302,11 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {dround('list_cosine_similarity(a.v, b.v)', 6)} >= 0.4
     """,
 )
-def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold on the ROUNDED cosine so
-    the cut is float-stable). Baseline O(n²) verify; the LSH bucket path
-    (ext_ann_lsh) is the scale route."""
+def ext_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT embedding-cosine pair join (O(n²)/2 verify-stage primitive,
+    deliberately bounded-scope): the recall oracle against which the LSH
+    variant's parameters are tuned. Threshold on the ROUNDED cosine so the
+    cut is float-stable."""
     return ded.embedding_near_pairs(
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
     )
@@ -486,12 +598,37 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_dedup_clusters")  # rows-only: iterative algorithm, no SQL twin
+@register(
+    "ext_dedup_clusters",
+    f"""
+    WITH RECURSIVE jpairs AS ({_NGRAM_JACCARD_SQL}),
+    fpairs AS (
+        SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= 0.02
+    ), edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM fpairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM fpairs
+    ), reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ), comp AS (
+        SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS representative_id,
+           CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
 def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup DECISION: n-gram Jaccard candidate pairs ->
     connected components (DataFrame-join min-label propagation,
     ext/cluster.py) -> one kept representative per near-dup cluster.
-    Returns (doc_id, representative_id, is_kept)."""
+    Returns (doc_id, representative_id, is_kept). Oracle: transitive
+    closure via DuckDB recursive CTE, component = min reachable node —
+    independent algorithm, same fixpoint (also cross-checked against a
+    union-find in tests/test_cluster.py)."""
     from ..ext.cluster import dedup_keep_representative
 
     docs = load(spark, sf_dir, "documents")
@@ -584,6 +721,47 @@ def ext_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 80).alias("tb"))
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.levenshtein("ta", "tb").alias("edit_distance"))
+    )
+
+
+@register(
+    "ext_text_edit_distance_blocked",
+    """
+    WITH toks AS (
+        SELECT doc_id, text, string_split(text, ' ') AS l FROM documents
+    ), fp AS (
+        SELECT doc_id, text,
+               list_aggregate(
+                   list_transform(generate_series(1, len(l) - 2),
+                                  i -> md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2])),
+                   'min') AS blk
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS INTEGER) AS edit_distance
+    FROM fp a JOIN fp b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    """,
+)
+def ext_text_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production edit-distance: block-then-verify. Block key is the
+    min-shingle-md5 fingerprint (one MinHash permutation — docs sharing it
+    collide with probability equal to their shingle Jaccard), so Levenshtein
+    runs only within blocks — an equi-join, never all-pairs. The bounded
+    pairwise twin (ext_text_edit_distance) is the demo/verify baseline."""
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.substring("text", 1, 80).alias("t80"),
+        F.array_min(
+            F.transform(tx.shingles(F.col("text"), 3), lambda s: F.md5(s.cast("binary")))
+        ).alias("blk"),
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("t80").alias("ta"), "blk")
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("t80").alias("tb"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.levenshtein("ta", "tb").alias("edit_distance"))
     )
 

@@ -290,7 +290,8 @@ SELECT report_period, new_policies, active_customers, total_claims,
             ELSE 0 END AS policy_growth_rate_yoy,
        CASE WHEN loss_ratio <= 0.6 THEN 'Excellent' WHEN loss_ratio <= 0.8 THEN 'Good'
             WHEN loss_ratio <= 1.0 THEN 'Acceptable' ELSE 'Concerning' END AS performance_category,
-       current_date AS report_date
+       current_date AS report_date,
+       CAST('{DEFAULT_RUN_TS}' AS TIMESTAMP) AS created_at
 FROM kpis
 """
 

@@ -54,3 +54,30 @@ def test_column_pruning_reaches_scans(spark):
     p = plan_str(_QUERIES["flagship_exec_summary"](spark, SF_DIR))
     assert "ReadSchema: struct<o_custkey:bigint,o_totalprice:double,o_orderdate" in p
     assert "ReadSchema: struct<l_extendedprice:double,l_discount:double,l_shipdate" in p
+
+
+def test_embedding_dedup_has_no_all_pairs_join(spark):
+    """ext_dedup_embedding must block through LSH band equi-joins — a
+    BroadcastNestedLoopJoin/CartesianProduct there is the O(n²) shape the
+    banding exists to avoid (the _exact twin is the only sanctioned one)."""
+    p = plan_str(_QUERIES["ext_dedup_embedding"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p, f"all-pairs join in plan:\n{p[:2000]}"
+
+
+def test_blocked_edit_distance_has_no_all_pairs_join(spark):
+    p = plan_str(_QUERIES["ext_text_edit_distance_blocked"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p, f"all-pairs join in plan:\n{p[:2000]}"
+
+
+def test_scan_partition_pruned_prunes(spark):
+    """The month predicate must land as a partition filter on the scan of
+    the partitioned materialization (1 of ~80 directories), not a row
+    filter after reading everything."""
+    df = _QUERIES["scan_partition_pruned"](spark, SF_DIR)
+    p = plan_str(df)
+    scans = [
+        ln for ln in p.splitlines() if "PartitionFilters" in ln and "o_month" in ln
+    ]
+    assert scans, f"partition filter on o_month missing:\n{p[:2000]}"

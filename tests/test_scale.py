@@ -108,3 +108,13 @@ def test_salted_join_how_modes(spark, how):
     plain = ev.join(dim, "user_id", how).count()
     salted = salted_join(ev, dim, "user_id", salt_buckets=4, how=how).count()
     assert plain == salted
+
+
+@pytest.mark.parametrize("how", ["right", "full", "left_semi", "left_anti"])
+def test_salted_join_rejects_nonequivalent_modes(spark, how):
+    """Replicating the small side S times breaks right/full/semi/anti
+    semantics — salted_join must refuse instead of silently diverging."""
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id").limit(10)
+    dim = load(spark, SF_DIR, "events").select("user_id").distinct().limit(5)
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(ev, dim, "user_id", salt_buckets=4, how=how)
