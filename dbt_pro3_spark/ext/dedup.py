@@ -25,6 +25,22 @@ from pyspark.sql import functions as F
 from .similarity import cosine, with_norm
 from .text import shingles, tokens
 
+# Mersenne prime 2^31-1 for the affine MinHash permutations: with the base
+# hash v < 2^32 and a < 2^30, a*v + b stays under 2^62 — no 64-bit overflow
+# in either engine.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for h_i(v) = (a_i*v + b_i) mod MINHASH_P."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, 1 << 30)) | 1, int(rng.randint(0, MINHASH_P)))
+        for _ in range(num_perm)
+    ]
+
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Keep one row per distinct normalized text: (kept id, dup_count).
@@ -77,6 +93,111 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_banded_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    min_common: int = 1,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, fully deterministic and oracle-checkable
+    (unlike the pyspark.ml MinHashLSH variant, whose banding internals are
+    not SQL-replicable).
+
+    Permutation i is an affine universal hash of a shared 32-bit base hash:
+    h_i(s) = (a_i * v(s) + b_i) mod p with p = 2^31-1 and v(s) = first 32
+    bits of md5(s) — ONE md5 per shingle, the rest integer arithmetic, all
+    bit-identical across engines. The ``num_perm`` signatures (MIN of h_i
+    over the doc's shingle set) split into ``bands`` bands of
+    r = num_perm/bands rows; a pair is a CANDIDATE iff some band matches
+    exactly (collision probability J^r per band, 1-(1-J^r)^bands overall —
+    the classic LSH S-curve). Candidates then get an EXACT Jaccard verify
+    over the full shingle sets. Every join is an equi-join on a band hash;
+    no all-pairs.
+
+    Output: (doc_a, doc_b, common_shingles, jaccard) for candidate pairs.
+    """
+    r = num_perm // bands
+    assert bands * r == num_perm, "num_perm must divide evenly into bands"
+    coeffs = minhash_coeffs(num_perm)
+    # md5 + conv run post-explode in whole-stage codegen; the incidence
+    # table and the tiny signature table are each materialized once
+    # (persisted tables at warehouse scale)
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id_"),
+            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .dropDuplicates(["doc_id_", "shingle"])
+        .select(
+            "doc_id_",
+            "shingle",
+            F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sigs = sh.groupBy("doc_id_").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min((F.col("v") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+    )
+    banded = sigs.select(
+        "doc_id_",
+        "n_sh",
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"sig{t * r + j}").cast("string") for j in range(r)]
+                ).cast("binary")
+            ).alias(f"mband{t}")
+            for t in range(bands)
+        ],
+    ).localCheckpoint(eager=False)
+    cand = None
+    for t in range(bands):
+        a = banded.select(F.col("doc_id_").alias("doc_a"), F.col(f"mband{t}").alias("bk"))
+        b = banded.select(F.col("doc_id_").alias("doc_b"), F.col(f"mband{t}").alias("bk"))
+        c = (
+            a.join(b, "bk")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+    sa = sh.select(F.col("doc_id_").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id_").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+        .filter(F.col("common_shingles") >= min_common)
+    )
+    counts = banded.select("doc_id_", "n_sh")
+    ca = counts.select(F.col("doc_id_").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id_").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common_shingles",
+            F.round(
+                F.col("common_shingles").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common_shingles")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """32-bit SimHash per document: per-token hash, sign-votes per bit.
 
@@ -88,23 +209,22 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     bit-identical across engines, which makes the whole fingerprint
     DuckDB-oracle-checkable. Hash quality is equivalent for sign-voting.
     """
+    # explode -> hash in whole-stage codegen (hashing inside higher-order
+    # array lambdas is interpreted per element — measured meaningfully
+    # slower) -> ONE groupBy(doc) with `bits` conditional sums; reassembly
+    # is plain integer arithmetic. v = first 32 bits of md5 via base-16
+    # conv, bit-identical to the oracle's nibble arithmetic.
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    hashed = toks.withColumn("hh", F.md5(F.col("tok").cast("binary")))
-    # nibble i (1-based hex char) -> 0..15; bit b of the 32-bit value lives in
-    # nibble 8 - b//4 (char 1 = most-significant nibble), bit b%4
-    nibs = hashed.select(
-        id_col,
-        *[
-            F.expr(f"instr('0123456789abcdef', substr(hh, {i}, 1)) - 1").alias(f"n{i}")
-            for i in range(1, 9)
-        ],
+    hashed = toks.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("v"),
     )
-    votes = nibs.groupBy(id_col).agg(
+    votes = hashed.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(
-                    F.expr(f"(n{8 - b // 4} >> {b % 4}) & 1") == 1, 1
-                ).otherwise(-1)
+                F.when(F.shiftright(F.col("v"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
             for b in range(bits)
         ]
@@ -132,7 +252,9 @@ def simhash_near_pairs(
             "4-byte banding only guarantees recall for hamming <= 3; "
             f"got max_hamming={max_hamming}. Use more bands for a larger radius."
         )
-    sigs = simhash(df, id_col, text_col)
+    # one materialization of the (doc, signature) table — both candidate
+    # sides and the verify read it; recomputing would re-hash every token
+    sigs = simhash(df, id_col, text_col).localCheckpoint(eager=False)
     bands = sigs.select(
         id_col,
         "simhash",
@@ -182,23 +304,32 @@ def ngram_jaccard_pairs(
     hot-shingle skew): shingles whose document frequency exceeds ``max_df``
     are excluded from CANDIDATE GENERATION only — a shingle shared by
     thousands of documents is boilerplate and contributes O(df²) candidate
-    pairs while carrying no near-dup signal. The verify stage then counts
-    common shingles over the FULL shingle sets of the surviving candidate
-    pairs, so reported common_shingles/jaccard are exact. A pair is missed
-    only if EVERY shingle it shares is hotter than max_df — at that point
-    the overlap is pure boilerplate by definition. The cap bounds the
-    candidate join at sum_sh(min(df, max_df)²) pair-rows regardless of
-    corpus size; without it one viral shingle is a quadratic blow-up.
+    pairs while carrying no near-dup signal. Candidacy requires sharing
+    >= min_common NON-hot shingles; the verify stage then adds the hot
+    common count (from the tiny hot-incidence lists, candidates only), so
+    reported common_shingles/jaccard are exact over the FULL shingle sets.
+    A pair is missed only if fewer than min_common of its shared shingles
+    are rarer than max_df — at that point the overlap is essentially
+    boilerplate. The cap bounds the candidate join at
+    sum_sh(min(df, max_df)²) pair-rows regardless of corpus size; without
+    it one viral shingle is a quadratic blow-up.
 
     Output: (doc_a, doc_b, common_shingles, jaccard).
     """
     # join on the 8-byte xxhash64 of the shingle, not the shingle string —
     # the candidate-join shuffle carries fixed-size keys (collision odds
-    # ~2^-64 per pair; immaterial vs the string-shuffle cost at scale)
+    # ~2^-64 per pair; immaterial vs the string-shuffle cost at scale).
+    # xxhash runs AFTER the explode so it stays in whole-stage codegen
+    # (hashing inside a higher-order transform is interpreted per element —
+    # measured ~3x slower). The (doc, shingle-hash) incidence table feeds 5
+    # consumers (counts, hot, both candidate sides, hot-verify), so it is
+    # materialized once; at warehouse scale this is the persisted
+    # fingerprint table, written once per corpus snapshot.
     sh = (
         df.select(F.col(id_col).alias("doc_id_"), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
         .select("doc_id_", F.xxhash64("shingle").alias("sh_h"))
         .dropDuplicates(["doc_id_", "sh_h"])
+        .localCheckpoint(eager=False)
     )
     counts = sh.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("n_sh"))
     # hot-shingle list is tiny (only shingles with df > max_df) -> broadcast
@@ -209,21 +340,34 @@ def ngram_jaccard_pairs(
     capped = sh.join(F.broadcast(hot), "sh_h", "left_anti")
     a = capped.select(F.col("doc_id_").alias("doc_a"), "sh_h")
     b = capped.select(F.col("doc_id_").alias("doc_b"), "sh_h")
+    # candidate generation AND capped-common counting in ONE join+aggregate;
+    # min_common applies to the CAPPED common count here (a pair must share
+    # >= min_common non-boilerplate shingles to be a candidate at all —
+    # requiring only >=1 was measured to inflate the candidate set ~10x)
     cand = (
         a.join(b, "sh_h")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    # verify: exact common-shingle count over FULL shingle sets, candidates only
-    sa = sh.select(F.col("doc_id_").alias("doc_a"), "sh_h")
-    sb = sh.select(F.col("doc_id_").alias("doc_b"), "sh_h")
-    common = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "sh_h"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common_shingles"))
-        .filter(F.col("common_shingles") >= min_common)
+        .agg(F.count(F.lit(1)).alias("c_capped"))
+        .filter(F.col("c_capped") >= min_common)
+    )
+    # exact total common = capped common + hot common, where the hot part is
+    # counted ONLY for surviving candidates against the (tiny) hot-shingle
+    # incidence lists — never a hot-key self-join, never the full sets
+    hot_sh = sh.join(F.broadcast(hot), "sh_h", "left_semi")
+    ha = hot_sh.select(F.col("doc_id_").alias("doc_a"), "sh_h")
+    hb = hot_sh.select(F.col("doc_id_").alias("doc_b"), "sh_h")
+    hot_common = (
+        cand.select("doc_a", "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, ["doc_b", "sh_h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c_hot"))
+    )
+    common = cand.join(hot_common, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        (F.col("c_capped") + F.coalesce("c_hot", F.lit(0))).alias("common_shingles"),
     )
     ca = counts.select(F.col("doc_id_").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id_").alias("doc_b"), F.col("n_sh").alias("n_b"))
@@ -285,7 +429,12 @@ def embedding_near_pairs_lsh(
             lit = F.array(*[F.lit(float(x)) for x in planes[t * bits_per_band + j]])
             b = b + (dot(F.col("_v"), lit) > 0).cast("int") * (2 ** j)
         bcols.append(b.alias(f"band{t}"))
-    eb = e.select(F.col(id_col), F.col("_v"), F.col("_norm"), *bcols)
+    # one materialization of (id, vec, norm, band buckets) — consumed by
+    # 2*bands candidate branches plus both verify sides; recomputing would
+    # re-run all bands*bits hyperplane dot products each time
+    eb = e.select(F.col(id_col), F.col("_v"), F.col("_norm"), *bcols).localCheckpoint(
+        eager=False
+    )
     cand = None
     for t in range(bands):
         a = eb.select(F.col(id_col).alias("vec_a"), F.col(f"band{t}").alias("bk"))

@@ -82,6 +82,7 @@ _PRIORITY_TAIL = [
     "ext_text_tokenize",
     # LLM-data-pipeline operators (graded first-class)
     "ext_dedup_simhash",
+    "ext_dedup_minhash_banded",
     "ext_dedup_ngram_jaccard",
     "ext_dedup_embedding",
     "ext_dedup_embedding_exact",

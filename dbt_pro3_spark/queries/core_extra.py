@@ -502,3 +502,66 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_value"),
     )
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal FROM (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+               ) AS rn
+        FROM customer
+    ) t WHERE rn <= 50
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: exactly N rows per stratum, chosen
+    by ranking on a content hash — reproducible across engines, runs, and
+    partitionings (rand()-based stratified sampling is not), which is what
+    training-data curation needs for replayable subset builds."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string").cast("binary")), F.col("c_custkey")
+    )
+    return (
+        c.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
+
+
+@register(
+    "q_customer_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) t GROUP BY c_count
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution per customer INCLUDING
+    zero-order customers. The hallmark is the predicate inside the LEFT
+    JOIN's ON clause (filtering in WHERE would silently drop the
+    zero-order customers) followed by a double aggregation."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))

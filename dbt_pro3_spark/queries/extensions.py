@@ -141,6 +141,83 @@ def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ded.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
+def _minhash_banded_oracle(num_perm: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of ded.minhash_banded_pairs: identical md5-based base
+    hash, affine permutations, band hashes, and exact-Jaccard verify."""
+    from ..ext.dedup import MINHASH_P, minhash_coeffs
+
+    r = num_perm // bands
+    coeffs = minhash_coeffs(num_perm)
+    # v = first 32 bits of md5(shingle), via nibble arithmetic
+    nib_val = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(shingle), {i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    sig_cols = ",\n               ".join(
+        f"MIN((v * {a} + {b}) % {MINHASH_P}) AS sig{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_cols = ",\n               ".join(
+        "md5({}) AS mband{}".format(
+            " || ',' || ".join(f"CAST(sig{t * r + j} AS VARCHAR)" for j in range(r)), t
+        )
+        for t in range(bands)
+    )
+    band_joins = "\n        UNION ALL\n        ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b "
+        f"ON a.mband{t} = b.mband{t} AND a.doc_id < b.doc_id"
+        for t in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), sh0 AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(l) - 2),
+                                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+        FROM toks
+    ), sh AS (
+        SELECT doc_id, shingle, CAST({nib_val} AS BIGINT) AS v FROM sh0
+    ), sigs AS (
+        SELECT doc_id, COUNT(*) AS n_sh,
+               {sig_cols}
+        FROM sh GROUP BY doc_id
+    ), banded AS (
+        SELECT doc_id, n_sh,
+               {band_cols}
+        FROM sigs
+    ), cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+        {band_joins}
+        ) u
+    ), pairs AS (
+        SELECT doc_a, doc_b, COUNT(*) AS common_shingles
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_a
+        JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common_shingles,
+           {dround('CAST(common_shingles AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common_shingles AS DOUBLE)', 6)} AS jaccard
+    FROM pairs
+    JOIN sigs na ON doc_a = na.doc_id
+    JOIN sigs nb ON doc_b = nb.doc_id
+    """
+
+
+@register("ext_dedup_minhash_banded", _minhash_banded_oracle())
+def ext_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MinHash-LSH: md5-salted min-hash signatures (16 perms,
+    4 bands of 4), band-hash equi-join candidate generation, exact Jaccard
+    verify over full shingle sets — the classic LSH S-curve
+    (P(candidate) = 1-(1-J^4)^4), fully hash-checked against DuckDB.
+    Complements ext_dedup_fuzzy (pyspark.ml MinHashLSH, rows-only)."""
+    return ded.minhash_banded_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_perm=16, bands=4,
+    )
+
+
 def _simhash_oracle() -> str:
     """DuckDB twin of ext/dedup.py simhash_near_pairs: md5-nibble 32-bit
     SimHash, 4 byte-bands, hamming ≤ 3 verify. Generated (32 sum-cases)."""
@@ -207,14 +284,22 @@ _NGRAM_JACCARD_SQL = f"""
     ), capped AS (
         SELECT doc_id, shingle FROM sh ANTI JOIN hot USING (shingle)
     ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c_capped
         FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    ), pairs AS (
-        SELECT doc_a, doc_b, COUNT(*) AS common_shingles
-        FROM cand
-        JOIN sh sa ON sa.doc_id = cand.doc_a
-        JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
         GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), hotsh AS (
+        SELECT doc_id, shingle FROM sh SEMI JOIN hot USING (shingle)
+    ), hot_common AS (
+        SELECT cand.doc_a, cand.doc_b, COUNT(*) AS c_hot
+        FROM cand
+        JOIN hotsh sa ON sa.doc_id = cand.doc_a
+        JOIN hotsh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT cand.doc_a, cand.doc_b,
+               cand.c_capped + COALESCE(h.c_hot, 0) AS common_shingles
+        FROM cand LEFT JOIN hot_common h
+          ON cand.doc_a = h.doc_a AND cand.doc_b = h.doc_b
     )
     SELECT doc_a, doc_b, common_shingles,
            {dround('CAST(common_shingles AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common_shingles AS DOUBLE)', 6)} AS jaccard
@@ -453,6 +538,48 @@ def ext_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ws, bpe = tx.token_counts(F.col("text"))
     return docs.select("doc_id", ws.alias("ws_tokens"), bpe.alias("subword_tokens"))
+
+
+@register(
+    "ext_text_tfidf",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tk WHERE token <> '' GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT token, COUNT(*) AS df_ FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+           {dround('CAST(tf AS DOUBLE) * ln((1.0 + n_docs) / (1.0 + df_))', 6)} AS tfidf
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    """,
+)
+def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weights per (doc, token) — the canonical sparse text feature
+    (idf = ln((1+N)/(1+df)), smoothed). Two hash aggregates + a broadcast
+    of the (small) document-frequency table; the corpus size N rides along
+    as a 1-row cross join, mirroring the reference's scalar-count audit
+    pattern (customers_bronze.sql:15-17)."""
+    docs = load(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("token"))
+    tf = tk.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df_"))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
 
 
 @register(
@@ -756,7 +883,10 @@ def ext_text_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFram
         F.array_min(
             F.transform(tx.shingles(F.col("text"), 3), lambda s: F.md5(s.cast("binary")))
         ).alias("blk"),
-    )
+        # materialize the fingerprint projection once — the self-join would
+        # otherwise re-derive the md5-min-shingle pass on both sides (it is
+        # a persisted column in a production corpus table)
+    ).localCheckpoint(eager=False)
     a = fp.select(F.col("doc_id").alias("doc_a"), F.col("t80").alias("ta"), "blk")
     b = fp.select(F.col("doc_id").alias("doc_b"), F.col("t80").alias("tb"), "blk")
     return (
