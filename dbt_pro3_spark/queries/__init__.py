@@ -60,6 +60,7 @@ def _load_all() -> None:
     from . import core_extra  # noqa: F401
     from . import composites  # noqa: F401
     from . import extensions  # noqa: F401
+    from . import correlated  # noqa: F401
     _LOADED = True
 
 
@@ -105,6 +106,7 @@ _PRIORITY_TAIL = [
     "ext_stream_foreachbatch_merge",
     "src_csv_rescued",
     "scan_partition_pruned",
+    "ext_asof_join",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

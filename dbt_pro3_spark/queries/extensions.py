@@ -933,3 +933,53 @@ def ext_privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "c_acctbal",
     )
+
+
+@register(
+    "ext_asof_join",
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    )
+    SELECT p.purchase_id, p.user_id, c.click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach the most recent prior (or simultaneous) click to
+    each purchase, per user — see ext/asof.py for the union+carry-forward
+    formulation (one shuffle on user_id, no range explosion). Ties on
+    click ts resolve to MAX(event_id) on both engines."""
+    from ..ext.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_id", "click_ts"],
+        right_tiebreak="click_id",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
