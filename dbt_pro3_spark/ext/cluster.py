@@ -30,10 +30,14 @@ def connected_components(
 
     Input: undirected edges (src, dst). Output: (node, component).
     """
+    # edges feed EVERY iteration's neighbor join — materialize once, or each
+    # round re-runs the entire upstream pair-generation pipeline (MinHash /
+    # shingle joins) from scratch
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("u").alias("node"))
@@ -47,24 +51,24 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        # one join carries BOTH the new label and the changed flag; the
+        # eager localCheckpoint materializes it (truncating the iterative
+        # lineage) so the convergence count below is a re-read, not a re-join
+        stepped = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
+                (F.col("nbr_component") < F.col("component"))
+                .cast("int")
+                .alias("_changed"),
             )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.alias("old")
-            .join(new_labels.alias("new"), "node")
-            .filter(F.col("old.component") != F.col("new.component"))
-            .count()
-        )
-        # localCheckpoint truncates the growing iterative lineage — without
-        # it each round re-derives all previous joins
-        labels = new_labels.localCheckpoint(eager=True)
+        changed = stepped.filter(F.col("_changed") == 1).limit(1).count()
+        labels = stepped.drop("_changed")
         if changed == 0:
             break
     return labels

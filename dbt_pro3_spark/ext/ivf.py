@@ -34,9 +34,12 @@ def _dist2_to(vec: Column, centroid: list[float]) -> Column:
 def train_centroids(
     df: DataFrame, vec_col: str = "embedding", k: int = 16, iters: int = 5, seed: int = 42
 ) -> list[list[float]]:
-    """Deterministic mini k-means: seeded init from a collected sample,
-    Lloyd iterations computed distributedly (groupBy cell -> mean), only
-    the k centroids ever reach the driver."""
+    """Deterministic mini k-means on a bounded sample (the FAISS-IVF
+    training recipe): ONE distributed action collects <= 2048 vectors, then
+    Lloyd iterations run driver-side in numpy over that sample. Cluster
+    ASSIGNMENT (the part proportional to corpus size) stays a distributed
+    argmin expression in _assign_cells; only k centroids and the sample
+    cross the driver boundary."""
     x = with_norm(df, vec_col).select("_v")
     sample = np.array(
         [r["_v"] for r in x.limit(2048).collect()], dtype=np.float64
@@ -44,19 +47,13 @@ def train_centroids(
     rng = np.random.RandomState(seed)
     cents = sample[rng.choice(len(sample), size=k, replace=False)]
     for _ in range(iters):
-        assigned = _assign_cells(x, cents.tolist(), "_v")
-        means = (
-            assigned.groupBy("cell")
-            .agg(
-                *[
-                    F.avg(F.element_at(F.col("_v"), i + 1)).alias(f"m{i}")
-                    for i in range(cents.shape[1])
-                ]
-            )
-            .collect()
-        )
-        for row in means:
-            cents[row["cell"]] = [row[f"m{i}"] for i in range(cents.shape[1])]
+        # dist2 matrix sample x centroids -> argmin cell -> per-cell mean
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cells = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[cells == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
     return cents.tolist()
 
 
