@@ -61,6 +61,7 @@ def _load_all() -> None:
     from . import composites  # noqa: F401
     from . import extensions  # noqa: F401
     from . import correlated  # noqa: F401
+    from . import llm_ops  # noqa: F401
     _LOADED = True
 
 
@@ -107,6 +108,12 @@ _PRIORITY_TAIL = [
     "src_csv_rescued",
     "scan_partition_pruned",
     "ext_asof_join",
+    "ext_text_pii_redact",
+    "ext_text_chunk",
+    "ext_data_split",
+    "ext_sample_per_group",
+    "ext_text_repetition",
+    "ext_docs_composition",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

@@ -466,3 +466,111 @@ def q_regional_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "market_share"
         ),
     )
+
+
+@register(
+    "q_nation_trade_volume",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {dround('SUM(volume)', 2)} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between a nation pair by ship
+    year. The OR-of-pairs predicate is decomposed Spark-side into an IN
+    filter on EACH nation dim BEFORE its broadcast join (2-row dims) plus a
+    residual n1 <> n2 — same result set, but the selective filters reach the
+    dimension scans instead of riding as a post-join OR, so the fact-table
+    probe rejects non-matching rows against 2-entry hash tables."""
+    pair = ["NATION_1", "NATION_2"]
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_product_profit",
+    """
+    SELECT nation, o_year,
+           CAST(SUM(CAST(CAST(amount AS VARCHAR) AS DECIMAL(38,4))) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity AS amount
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN part ON p_partkey = l_partkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation yearly profit on a part-name-filtered
+    slice (supply cost adapted to 0.6 * p_retailprice — the testdata has no
+    partsupp table; docstring-noted deviation, structure preserved). The
+    part filter lands on the part SCAN, shrinking the broadcast build side;
+    lineitem is probed once, orders joins on the shuffled fact key.
+
+    Float discipline: the profit expression SUBTRACTS two products
+    (cancellation amplifies summation-order noise past the 2-dp rounding
+    boundary — observed live), so each row's amount is rounded to
+    DECIMAL(38,4) via the shortest-repr string cast (bit-identical on both
+    engines) and summed EXACTLY in decimal; the output double needs no
+    post-sum rounding."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(amount.cast("string").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )

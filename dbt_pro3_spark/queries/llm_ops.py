@@ -1,0 +1,287 @@
+"""Training-data-pipeline operators beyond the §2.K core: PII redaction,
+document chunking, deterministic splits, quota sampling, repetition-quality,
+corpus composition reporting.
+
+All pure Column expressions (JVM-side, codegen-friendly, no UDFs); each key
+has an exact DuckDB oracle twin. Determinism discipline: anything that
+samples or orders does so by md5 of a key, never by rand(), so both engines
+produce bit-identical output and a re-run at 100 TB is reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..ext import text as tx
+from ..sources.readers import load
+from . import dround, register
+
+# --- shared regexes (Java regex and DuckDB RE2 agree on these constructs) ---
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+LONGNUM_RE = r"[0-9]{9,}"
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+# DuckDB: whitespace tokens of a single-space-joined text column
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _md5_32(expr: str) -> str:
+    """DuckDB SQL for the first 32 bits of md5(expr) as a BIGINT — the same
+    nibble arithmetic the dedup oracles use; bit-identical to Spark's
+    conv(substring(md5(x), 1, 8), 16, 10)."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"({terms})"
+
+
+def _spark_md5_32(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("bigint")
+
+
+@register(
+    "ext_text_pii_redact",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{LONGNUM_RE}')) AS INTEGER) AS n_longnums,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g'),
+               '{LONGNUM_RE}', '<NUM>', 'g') AS redacted_text
+    FROM documents
+    """,
+)
+def ext_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails, phone numbers, and long digit runs
+    replaced with typed placeholders, with per-category match counts kept
+    for audit. Narrow regexp expressions — no shuffle, whole-stage codegen;
+    the standard pre-training scrub (reference has no text ops at all —
+    this extends §2.K's text family)."""
+    t = F.col("text")
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(LONGNUM_RE), 0)).alias("n_longnums"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            ),
+            LONGNUM_RE,
+            "<NUM>",
+        ).alias("redacted_text"),
+    )
+
+
+@register(
+    "ext_text_chunk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS l FROM documents
+    ), sized AS (
+        SELECT doc_id, l, len(l) AS n,
+               CASE WHEN len(l) <= {CHUNK_TOKENS} THEN 0
+                    ELSE CAST(CEIL(CAST(len(l) - {CHUNK_TOKENS} AS DOUBLE) / {CHUNK_STRIDE}) AS INTEGER)
+               END AS last_chunk
+        FROM toks WHERE len(l) > 0
+    ), c AS (
+        SELECT doc_id, n, l, unnest(generate_series(0, last_chunk)) AS chunk_id
+        FROM sized
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(LEAST({CHUNK_TOKENS}, n - chunk_id * {CHUNK_STRIDE}) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(list_slice(l, chunk_id * {CHUNK_STRIDE} + 1,
+                                      chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ') AS chunk_text
+    FROM c
+    """,
+)
+def ext_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64 tokens, stride 48) — how long
+    documents become model-sized training samples. The chunk fan-out is
+    sequence+explode over array slices: one narrow expand, no shuffle, no
+    UDF; chunk starts step by stride until the final window reaches the
+    document tail (no fully-contained redundant tail chunk)."""
+    toks = tx.tokens(F.col("text"))
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", toks.alias("l"), F.size(toks).alias("n")
+    ).filter(F.col("n") > 0)
+    last_chunk = (
+        F.when(F.col("n") <= CHUNK_TOKENS, F.lit(0))
+        .otherwise(
+            F.ceil((F.col("n") - F.lit(CHUNK_TOKENS)).cast("double") / CHUNK_STRIDE)
+        )
+        .cast("int")
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE + 1
+    return (
+        sized.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), last_chunk)))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.col("n") - F.col("chunk_id") * CHUNK_STRIDE
+            )
+            .cast("int")
+            .alias("n_chunk_tokens"),
+            F.array_join(F.slice(F.col("l"), start, CHUNK_TOKENS), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+@register(
+    "ext_data_split",
+    f"""
+    WITH b AS (
+        SELECT doc_id, CAST({_md5_32("'doc:' || CAST(doc_id AS VARCHAR)")} % 100 AS INTEGER) AS bucket
+        FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def ext_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment: hash-bucket of the
+    document id (salted md5), never rand() — the split is stable across
+    runs, engines, and partitionings, and any worker can compute membership
+    locally (narrow, no shuffle). This is how corpus splits stay consistent
+    when the corpus is rebuilt at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        _spark_md5_32(F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))), F.lit(100)
+    ).cast("int")
+    return docs.select("doc_id", bucket.alias("bucket")).select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "ext_sample_per_group",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5('s:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def ext_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling: at most N documents per (lang, source) cell, chosen
+    by a deterministic hash order (md5 of the id — an unbiased but
+    reproducible shuffle within each cell). ONE shuffle on the cell key;
+    per-cell state is a bounded top-N, so a hot cell streams rather than
+    materializing. This is the domain-mix rebalancing step of a corpus
+    build."""
+    docs = load(spark, sf_dir, "documents")
+    order_key = F.md5(
+        F.concat(F.lit("s:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    w = Window.partitionBy("lang", "source").orderBy(order_key, F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "ext_text_repetition",
+    f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), per AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           {dround('CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)', 6)} AS distinct_ratio,
+           {dround('CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)', 6)} AS top_token_ratio,
+           CAST(CASE WHEN CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) > 0.125 THEN 1 ELSE 0 END AS INTEGER) AS rep_flag
+    FROM per GROUP BY doc_id
+    """,
+)
+def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality metrics (the Gopher-rules family): distinct
+    token ratio and top-token frequency ratio, with a repetition flag.
+    explode -> two aggregations both keyed by doc_id, so the second
+    groupBy reuses the first's hash partitioning — effectively one shuffle,
+    partial aggregation map-side."""
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top_ratio = F.max("c").cast("double") / F.sum("c").cast("double")
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"), 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(top_ratio, 6).alias("top_token_ratio"),
+        (top_ratio > 0.125).cast("int").alias("rep_flag"),
+    )
+
+
+@register(
+    "ext_docs_composition",
+    f"""
+    WITH per AS (
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           {dround('CAST(n_tokens AS DOUBLE) / SUM(CAST(n_tokens AS DOUBLE)) OVER ()', 6)} AS token_share
+    FROM per
+    """,
+)
+def ext_docs_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: documents and tokens per (lang, source)
+    cell plus each cell's share of total tokens — the mix dashboard every
+    corpus build is steered by. The token count is a narrow array length;
+    the only shuffle is the groupBy on the (low-cardinality) cell key; the
+    global-share window runs over the tiny aggregated result, not the
+    corpus."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tx.tokens(F.col("text")))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum(F.col("n_tokens").cast("double")).over(w),
+            6,
+        ).alias("token_share"),
+    )
