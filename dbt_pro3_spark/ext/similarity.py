@@ -39,7 +39,12 @@ def l2_norm(vec: Column) -> Column:
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Cast vec to double + attach its L2 norm (one narrow pass)."""
+    """Cast vec to double + attach its L2 norm (one narrow pass).
+
+    Deliberately NOT spread(): the per-row vector arithmetic (a few dozen
+    multiply-adds) is far lighter than token hashing, so forcing an extra
+    repartition shuffle costs more than the parallelism buys — measured
+    slower on every embedding path."""
     return df.withColumn("_v", as_double(F.col(vec_col))).withColumn("_norm", l2_norm(F.col("_v")))
 
 

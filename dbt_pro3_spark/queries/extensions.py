@@ -876,8 +876,10 @@ def ext_text_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFram
     collide with probability equal to their shingle Jaccard), so Levenshtein
     runs only within blocks — an equi-join, never all-pairs. The bounded
     pairwise twin (ext_text_edit_distance) is the demo/verify baseline."""
+    from ..sources.readers import spread
+
     docs = load(spark, sf_dir, "documents")
-    fp = docs.select(
+    fp = spread(docs.select("doc_id", "text")).select(
         "doc_id",
         F.substring("text", 1, 80).alias("t80"),
         F.array_min(

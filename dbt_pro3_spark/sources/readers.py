@@ -44,6 +44,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Redistribute a narrow input before CPU-heavy per-row work — ONLY when
+    the scan produced fewer partitions than the cluster has slots.
+
+    Single-file, single-row-group parquet (the driver's testdata) reads as
+    ONE partition, so everything before the first shuffle runs on one core
+    no matter how many executors exist. Token hashing / shingling /
+    vector math are exactly such pre-shuffle hot loops. The round-robin
+    repartition here costs one tiny shuffle of the projected columns and
+    buys full parallelism.
+
+    At warehouse scale this is a NO-OP by construction: a 100 TB table scan
+    arrives in thousands of splits (>= slots), so the condition never
+    fires — no gratuitous shuffle is added to real plans.
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_with_file_metadata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan + persist ingestion-lineage columns.
 
