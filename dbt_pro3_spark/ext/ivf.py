@@ -25,6 +25,8 @@ from .similarity import as_double, cosine, l2_norm, with_norm
 
 
 def _dist2_to(vec: Column, centroid: list[float]) -> Column:
+    # aggregate/zip_with fold, not an unrolled element_at sum — see
+    # similarity.dot for why (element_at re-inlines computed array children)
     lit = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
         F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x

@@ -29,6 +29,13 @@ def as_double(vec: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
+    """Dot product as an aggregate/zip_with fold.
+
+    Do NOT "optimize" this into an unrolled sum of element_at terms: when
+    the operand is a computed array (e.g. the _v cast column), codegen
+    inlines the array-producing expression into EVERY element_at — 64
+    terms re-evaluating a 64-element transform is a 64x blowup (measured
+    6x slower end-to-end). The lambda fold evaluates the array once."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
