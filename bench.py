@@ -46,6 +46,9 @@ HEADLINE = [
     "ext_dedup_embedding",
     "ext_dedup_simhash",
     "ext_text_edit_distance_blocked",
+    "ext_asof_join",
+    "ext_text_chunk",
+    "q_product_profit",
 ]
 
 
