@@ -114,6 +114,7 @@ _PRIORITY_TAIL = [
     "ext_sample_per_group",
     "ext_text_repetition",
     "ext_docs_composition",
+    "ext_stream_static_join",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

@@ -985,3 +985,29 @@ def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
+
+
+@register(
+    "ext_stream_static_join",
+    f"""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           {dround('SUM(value)', 2)} AS total_value
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def ext_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrich (streaming/stateful.py): events
+    readStream left-joined to the static customer dim per microbatch, then
+    the materialized sink is aggregated per segment. Deterministic (static
+    side fully available every batch), so it is oracle-checked — the only
+    streaming key that can be."""
+    from ..streaming.stateful import stream_static_enrich
+
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream_static_enrich(spark, f"{sf_dir}/events.parquet", dim)
+    return enriched.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

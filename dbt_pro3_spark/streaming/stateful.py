@@ -121,3 +121,19 @@ def stream_dedup(spark: SparkSession, events_path: str) -> DataFrame:
         "event_id", "user_id", "event_type", "ts"
     )
     return _run_to_memory(deduped, "append")
+
+
+def stream_static_enrich(
+    spark: SparkSession, events_path: str, dim: DataFrame
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a (broadcast)
+    static dimension — the profile-lookup shape of every clickstream
+    pipeline. Stateless on the stream side (no watermark needed: the static
+    side is fully available each microbatch, Spark re-broadcasts it), so
+    the result is deterministic and batch-equivalent — unlike the other
+    streaming keys this one carries a full DuckDB oracle."""
+    ev = _events_stream(spark, events_path)
+    enriched = ev.join(
+        F.broadcast(dim), ev.user_id == dim.c_custkey, "left"
+    ).select("event_id", "user_id", "event_type", "value", "c_mktsegment")
+    return _run_to_memory(enriched, "append")

@@ -98,3 +98,55 @@ def test_asof_plan_single_shuffle(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan
     # one Exchange node in the numbered-node detail section
     assert plan.count(") Exchange") == 1, plan
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Property check: on randomized (key, ts) sets the union+carry-forward
+    formulation must agree with pandas.merge_asof (direction='backward',
+    allow_exact_matches=True) after resolving ties to the max tiebreak."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    for trial in range(3):
+        n_l, n_r = 200, 150
+        lpd = pd.DataFrame(
+            {
+                "k": rng.randint(0, 8, n_l),
+                "lts": rng.randint(0, 5000, n_l).astype("datetime64[s]"),
+                "lid": np.arange(n_l),
+            }
+        )
+        rpd = pd.DataFrame(
+            {
+                "k": rng.randint(0, 8, n_r),
+                "rts": rng.randint(0, 5000, n_r).astype("datetime64[s]"),
+                "rid": np.arange(n_r),
+            }
+        )
+        # pandas tie-handling: merge_asof keeps the LAST right row among
+        # equal (k, rts); sorting by (rts, rid) makes that the max rid —
+        # the same winner asof_join's max-tiebreak picks
+        ref = pd.merge_asof(
+            lpd.sort_values(["lts", "lid"]),
+            rpd.sort_values(["rts", "rid"]),
+            left_on="lts",
+            right_on="rts",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        expected = {
+            int(r.lid): (None if pd.isna(r.rid) else int(r.rid)) for r in ref.itertuples()
+        }
+        out = asof_join(
+            spark.createDataFrame(lpd),
+            spark.createDataFrame(rpd),
+            on="k",
+            left_ts="lts",
+            right_ts="rts",
+            right_payload=["rid", "rts"],
+            right_tiebreak="rid",
+        ).collect()
+        got = {r["lid"]: (None if r["rid"] is None else int(r["rid"])) for r in out}
+        assert got == expected, f"trial {trial}: asof_join deviates from merge_asof"
