@@ -98,3 +98,46 @@ def frame_sample(
         "frame_idx",
         (F.col("frame_idx") * frame_size).alias("frame_offset"),
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, payload binary, width int, height int, n_bytes int"
+)
+
+
+def resize_stub(binary_df: DataFrame, width: int = 16, height: int = 8) -> DataFrame:
+    """STUB image-resize: binary -> binary Arrow-batched transform with the
+    metadata updated to the target geometry.
+
+    The stub "resamples" by tiling/truncating the payload to width*height
+    bytes (deterministic); a real implementation swaps in
+    PIL.Image.resize / cv2.resize inside the same batch iterator. What is
+    REAL and scale-shaped: payload stays binary end-to-end (never decoded
+    to driver), batches stream through Arrow, output schema is explicit,
+    partitioning is inherited (narrow — no shuffle)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def rs(b: bytes) -> bytes:
+                if not b:
+                    return bytes(target)
+                reps = (target + len(b) - 1) // len(b)
+                return (b * reps)[:target]
+
+            out = pdf["payload"].map(rs)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": out.map(len).astype("int32"),
+                }
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -115,6 +115,9 @@ _PRIORITY_TAIL = [
     "ext_text_repetition",
     "ext_docs_composition",
     "ext_stream_static_join",
+    "ext_approx_distinct",
+    "ext_approx_quantile",
+    "ext_mm_resize",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

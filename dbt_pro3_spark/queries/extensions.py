@@ -1011,3 +1011,65 @@ def ext_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register("ext_approx_distinct")  # rows-only: HLL++ sketch has no SQL twin
+def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality per event_type (approx_count_distinct,
+    rsd 1%). THE count-distinct at 100 TB: fixed-size sketch per group,
+    map-side mergeable — one narrow shuffle of sketches instead of a
+    two-phase exact distinct over every key. Error bound asserted against
+    the exact count in tests/test_approx_sketches.py; rows-only here
+    because DuckDB's HLL implementation differs."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("ext_approx_quantile")  # rows-only: GK sketch has no SQL twin
+def ext_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles of order value per priority
+    (percentile_approx, accuracy 1000) — the mergeable Greenwald-Khanna
+    sketch that replaces exact sort-based percentiles at scale. Accuracy
+    bound asserted vs the exact percentile in
+    tests/test_approx_sketches.py."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 1000).alias("pct"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).select(
+        "o_orderpriority",
+        F.round(F.element_at("pct", 1), 2).alias("p50"),
+        F.round(F.element_at("pct", 2), 2).alias("p95"),
+        F.round(F.element_at("pct", 3), 2).alias("p99"),
+        "n_orders",
+    )
+
+
+@register(
+    "ext_mm_resize",
+    """
+    WITH b AS (SELECT doc_id, encode(text) AS payload FROM documents)
+    SELECT doc_id, 16 AS width, 8 AS height, CAST(128 AS INTEGER) AS n_bytes,
+           substr(repeat(hex(payload),
+                         CAST(CEIL(128.0 / octet_length(payload)) AS INTEGER)),
+                  1, 256) AS payload_hex
+    FROM b
+    """,
+)
+def ext_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (ext/multimodal.py resize_stub): binary ->
+    binary mapInPandas with geometry metadata. The stub resample
+    (tile/truncate to width*height bytes) is deterministic, so even this
+    Pandas-UDF path is oracle-checked — the payload is compared in hex
+    (DuckDB can repeat but not slice blobs; 2 hex chars per byte)."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.resize_stub(mm.attach_binary(docs)).select(
+        "doc_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.hex("payload").alias("payload_hex"),
+    )

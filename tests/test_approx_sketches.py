@@ -1,0 +1,55 @@
+"""Error-bound verification for the sketch-based approximate operators.
+
+These keys are rows-only in the driver's oracle check (HLL++/GK sketches
+aren't replicable in DuckDB); THIS is their correctness evidence — the
+approximation must land within its advertised bound of the exact answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_pro3_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_distinct_error_bound(spark):
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in all_queries()["ext_approx_distinct"](spark, SF).collect()
+    }
+    from dbt_pro3_spark.sources.readers import load
+
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in load(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, approx in got.items():
+        rel = abs(approx - exact[k]) / exact[k]
+        # rsd 1% => 5 sigma headroom; deterministic given the data
+        assert rel <= 0.05, f"{k}: approx {approx} vs exact {exact[k]} (rel {rel:.3f})"
+
+
+def test_approx_quantile_error_bound(spark):
+    from dbt_pro3_spark.sources.readers import load
+
+    got = {
+        r["o_orderpriority"]: (r["p50"], r["p95"], r["p99"])
+        for r in all_queries()["ext_approx_quantile"](spark, SF).collect()
+    }
+    exact_rows = (
+        load(spark, SF, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.expr("percentile(o_totalprice, array(0.5, 0.95, 0.99))").alias("pct"))
+        .collect()
+    )
+    for r in exact_rows:
+        for i, (a, e) in enumerate(zip(got[r["o_orderpriority"]], r["pct"])):
+            # GK accuracy 1000 => rank error <= n/1000; translate loosely to
+            # a 2% value tolerance on this smooth distribution
+            assert abs(a - e) / e <= 0.02, (r["o_orderpriority"], i, a, e)
