@@ -118,6 +118,7 @@ _PRIORITY_TAIL = [
     "ext_approx_distinct",
     "ext_approx_quantile",
     "ext_mm_resize",
+    "scan_zorder_key",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

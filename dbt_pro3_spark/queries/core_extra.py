@@ -565,3 +565,45 @@ def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def _zorder_sql(xcol: str, ycol: str, bits: int = 16) -> str:
+    """DuckDB bit-interleave: z = sum_i x_i<<2i | y_i<<(2i+1)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xcol} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "scan_zorder_key",
+    f"""
+    SELECT l_partkey, l_suppkey,
+           CAST({_zorder_sql('(l_partkey % 65536)', '(l_suppkey % 65536)')} AS BIGINT) AS zval
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def scan_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the low 16 bits of two
+    join/filter keys into one sort key. Writing a table
+    sortWithinPartitions(zval) co-locates rows that are close in BOTH key
+    dimensions, so parquet row-group min/max stats prune scans for
+    predicates on EITHER column — the multi-dimensional clustering trick
+    behind Delta OPTIMIZE ZORDER, here as a pure Column expression (32
+    shift-mask-or terms, whole-stage codegen, no shuffle; the optional
+    re-sort is the only exchange). Single-row-group local files can't
+    demonstrate the pruning payoff, so this key verifies the z-value
+    arithmetic bit-for-bit against the oracle instead."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    x = F.pmod(F.col("l_partkey"), F.lit(65536))
+    y = F.pmod(F.col("l_suppkey"), F.lit(65536))
+    z = F.lit(0).cast("bigint")
+    for i in range(16):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("bigint"), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)).cast("bigint"), 2 * i + 1)
+        )
+    return li.select("l_partkey", "l_suppkey", z.alias("zval"))
