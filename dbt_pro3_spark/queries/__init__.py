@@ -32,8 +32,29 @@ def dround(expr: str, n: int) -> str:
     double->DECIMAL cast reproduces that. Its double->VARCHAR cast *is* the
     shortest representation, and VARCHAR->DECIMAL parses with ties away from
     zero — together exactly Spark's semantics.
+
+    One DuckDB quirk (found by tests/test_round_parity.py fuzzing): the
+    VARCHAR->DECIMAL parser mis-rounds NEGATIVE-exponent scientific-notation
+    strings when the target scale is small ('5.96e-08' -> DECIMAL(38,2)
+    gives 0.01, not 0.00). DuckDB prints scientific notation only below
+    1e-4, so tiny magnitudes take a two-step path instead: parse at scale
+    25 (exact for every double down to ~1e-9, and safely zero below — no
+    scale-<=6 tie boundary is reachable from |x| < 1e-4 parse error), then
+    decimal ROUND (ties away from zero == Java HALF_UP). Positive-exponent
+    scientific strings parse correctly and stay on the plain path.
+
+    A second quirk (same fuzz): DuckDB's DECIMAL->DOUBLE cast is not
+    correctly rounded once the scaled integer needs > 53 bits (1e15 + 0.5
+    at scale 2 comes back ...0.4); Java's BigDecimal.doubleValue IS
+    correctly rounded. So the final conversion goes DECIMAL -> VARCHAR
+    (exact digits) -> DOUBLE (strtod, correctly rounded) on both paths.
     """
-    return f"CAST(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,{n})) AS DOUBLE)"
+    plain = f"CAST(CAST(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,{n})) AS VARCHAR) AS DOUBLE)"
+    tiny = (
+        f"CAST(CAST(ROUND(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,25)), {n})"
+        f" AS VARCHAR) AS DOUBLE)"
+    )
+    return f"(CASE WHEN ABS({expr}) < 0.0001 THEN {tiny} ELSE {plain} END)"
 
 _LOADED = False
 
