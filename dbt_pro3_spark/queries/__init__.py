@@ -140,6 +140,7 @@ _PRIORITY_TAIL = [
     "ext_approx_quantile",
     "ext_mm_resize",
     "scan_zorder_key",
+    "ext_stream_session_timeout",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

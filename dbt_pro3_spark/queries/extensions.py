@@ -1073,3 +1073,15 @@ def ext_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.hex("payload").alias("payload_hex"),
     )
+
+
+@register("ext_stream_session_timeout")  # rows-only: stateful timeout semantics
+def ext_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMEOUT
+    (streaming/stateful.py sessionize_with_timeout): the engine emits each
+    session when the watermark passes its gap — bounded state, emit-once.
+    Batch-consistency with ext_session_window is asserted in
+    tests/test_streaming_sessions.py."""
+    from ..streaming.stateful import sessionize_with_timeout
+
+    return sessionize_with_timeout(spark, f"{sf_dir}/events.parquet")

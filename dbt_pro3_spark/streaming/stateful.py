@@ -137,3 +137,88 @@ def stream_static_enrich(
         F.broadcast(dim), ev.user_id == dim.c_custkey, "left"
     ).select("event_id", "user_id", "event_type", "value", "c_mktsegment")
     return _run_to_memory(enriched, "append")
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, closed_by_timeout boolean"
+)
+SESSION_STATE_SCHEMA = "start_us bigint, end_us bigint, n bigint"
+
+
+def sessionize_with_timeout(
+    spark: SparkSession, events_path: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMEOUT state: per-user session
+    state (start, end, count) is extended by in-gap events and EMITTED BY
+    THE ENGINE when the watermark passes end + gap — the state-store
+    pattern F.session_window can't express once per-session custom logic is
+    needed (e.g. emit-once with a closure reason). State is bounded: one
+    (user, open-session) row, reclaimed at timeout; exactly the
+    applyInPandasWithState timeout contract a production sessionizer uses.
+
+    With the availableNow trigger the final watermark closes every session,
+    so the batch-observable output is one row per (user, gap-session) —
+    counts line up with ext_session_window's batch sessionization (asserted
+    in tests/test_streaming_sessions.py)."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        gap_us = gap_minutes * 60 * 1_000_000
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                    "closed_by_timeout": [True],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        ts_us = rows["ts"].astype("int64") // 1000  # ns -> us
+        ts_us = ts_us.sort_values()
+        out = []
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us, end_us, n = None, None, 0
+        for t in ts_us:
+            if start_us is None:
+                start_us, end_us, n = int(t), int(t), 1
+            elif t - end_us < gap_us:
+                end_us, n = max(end_us, int(t)), n + 1
+            else:
+                out.append((start_us, end_us, n, False))
+                start_us, end_us, n = int(t), int(t), 1
+        state.update((start_us, end_us, n))
+        state.setTimeoutTimestamp(end_us // 1000 + gap_minutes * 60 * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in out],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _, _ in out],
+                    "n_events": [n_ for _, _, n_, _ in out],
+                    "closed_by_timeout": [c for _, _, _, c in out],
+                }
+            )
+
+    stream = (
+        _events_stream(spark, events_path)
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return _run_to_memory(stream, "append")
