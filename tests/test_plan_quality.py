@@ -81,3 +81,32 @@ def test_scan_partition_pruned_prunes(spark):
         ln for ln in p.splitlines() if "PartitionFilters" in ln and "o_month" in ln
     ]
     assert scans, f"partition filter on o_month missing:\n{p[:2000]}"
+
+
+def test_chunk_prunes_and_stays_narrow(spark):
+    """ext_text_chunk must read ONLY (doc_id, text) — pruning pushes
+    through the sequence/explode fan-out — and must not shuffle (the chunk
+    expansion is a narrow transform)."""
+    p = plan_str(_QUERIES["ext_text_chunk"](spark, SF_DIR))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p, p[:1500]
+    assert ") Exchange" not in p, f"chunking should be shuffle-free:\n{p[:1500]}"
+
+
+def test_pii_redact_stays_narrow(spark):
+    """Regex scrub is a pure map — no Exchange anywhere in the plan."""
+    p = plan_str(_QUERIES["ext_text_pii_redact"](spark, SF_DIR))
+    assert ") Exchange" not in p, p[:1500]
+
+
+def test_repetition_single_shuffle(spark):
+    """Both aggregations key on doc_id, so the second reuses the first's
+    hash partitioning: exactly one Exchange (plus none for the scan)."""
+    p = plan_str(_QUERIES["ext_text_repetition"](spark, SF_DIR))
+    n_exchange = p.count(") Exchange")
+    assert n_exchange <= 2, f"expected <=2 exchanges (spread + doc_id), got {n_exchange}:\n{p[:2000]}"
+
+
+def test_zorder_key_stays_narrow(spark):
+    p = plan_str(_QUERIES["scan_zorder_key"](spark, SF_DIR))
+    assert ") Exchange" not in p, p[:1500]
+    assert "PushedFilters: [IsNotNull(l_linenumber), EqualTo(l_linenumber,1)]" in p, p[:1500]
