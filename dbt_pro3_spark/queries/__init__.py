@@ -141,6 +141,7 @@ _PRIORITY_TAIL = [
     "ext_mm_resize",
     "scan_zorder_key",
     "ext_stream_session_timeout",
+    "ext_text_bm25",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

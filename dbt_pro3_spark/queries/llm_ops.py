@@ -285,3 +285,85 @@ def ext_docs_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("token_share"),
     )
+
+
+BM25_TERMS = ["spark", "table", "merge"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "ext_text_bm25",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(AVG(dl) AS DOUBLE) AS avgdl,
+               CAST(COUNT(*) AS DOUBLE) AS n_docs
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        WHERE tok IN ({", ".join("'" + t + "'" for t in BM25_TERMS)})
+        GROUP BY doc_id, tok
+    ), df AS (
+        SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+    ), scored AS (
+        SELECT tf.doc_id,
+               SUM(
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * ({BM25_K1} + 1.0))
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+               ) AS score
+        FROM tf
+        JOIN df ON tf.tok = df.tok
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ), ranked AS (
+        SELECT doc_id, {dround('score', 6)} AS bm25,
+               ROW_NUMBER() OVER (ORDER BY {dround('score', 6)} DESC, doc_id) AS rk
+        FROM scored
+    )
+    SELECT doc_id, bm25, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 20
+    """,
+)
+def ext_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) — the lexical-search
+    primitive of corpus curation (find documents about X to up/downsample).
+
+    Plan shape at 100 TB: the token explode filters to the QUERY TERMS
+    before any shuffle (a 3-element IN — the postings restriction), so the
+    per-term tf aggregation shuffles only matching (doc, term) rows. Doc
+    lengths aggregate once; idf and avgdl are 1-row/3-row broadcasts.
+    Ranking sorts only the scored subset (docs containing >=1 term), and
+    ties break on doc_id so the top-20 cut is deterministic on both
+    engines (scores compared after 6-dp rounding)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").cast("double").alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("bm25"), F.col("doc_id"))))
+        .filter(F.col("rk") <= 20)
+    )
