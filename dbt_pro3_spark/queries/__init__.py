@@ -142,6 +142,7 @@ _PRIORITY_TAIL = [
     "scan_zorder_key",
     "ext_stream_session_timeout",
     "ext_text_bm25",
+    "src_jsonl_parse",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

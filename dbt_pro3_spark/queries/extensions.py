@@ -1085,3 +1085,41 @@ def ext_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import sessionize_with_timeout
 
     return sessionize_with_timeout(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "src_jsonl_parse",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events
+    WHERE event_id < 1000
+    GROUP BY event_type
+    """,
+)
+def src_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source ingestion: stage a slice of events as .jsonl, read
+    it back with spark.read.json under an EXPLICIT schema (schema inference
+    is a full extra pass at 100 TB — never ship it), and aggregate. The
+    oracle reads the same rows from the parquet table, proving the
+    round-trip is lossless. Exercises the third source format next to
+    parquet and rescued CSV."""
+    import os as _os
+
+    base = "/root/repo/.scratch/jsonl_" + _os.path.basename(sf_dir.rstrip("/"))
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    ev.select("event_id", "event_type", "props").coalesce(1).write.mode(
+        "overwrite"
+    ).json(base)
+    back = spark.read.schema("event_id BIGINT, event_type STRING, props STRING").json(
+        base
+    )
+    return (
+        back.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
