@@ -118,3 +118,16 @@ def test_salted_join_rejects_nonequivalent_modes(spark, how):
     dim = load(spark, SF_DIR, "events").select("user_id").distinct().limit(5)
     with pytest.raises(ValueError, match="inner"):
         salted_join(ev, dim, "user_id", salt_buckets=4, how=how)
+
+
+def test_spread_is_noop_on_well_partitioned_input(spark):
+    """spread() must add NO exchange when the input already has >= slots
+    partitions (the 100 TB case — real scans arrive in thousands of
+    splits), and must repartition single-split inputs (the local case)."""
+    from dbt_pro3_spark.sources.readers import spread
+
+    wide = spark.range(0, 1000, 1, 64)
+    assert spread(wide) is wide, "spread added a shuffle to a wide input"
+    narrow = spark.range(0, 1000, 1, 1)
+    out = spread(narrow)
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
