@@ -607,3 +607,57 @@ def scan_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)).cast("bigint"), 2 * i + 1)
         )
     return li.select("l_partkey", "l_suppkey", z.alias("zval"))
+
+
+@register(
+    "win_cume_percent_rank",
+    f"""
+    SELECT c_custkey, c_mktsegment,
+           {dround('PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)', 6)} AS bal_percent_rank,
+           {dround('CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)', 6)} AS bal_cume_dist
+    FROM customer
+    """,
+)
+def win_cume_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank, cume_dist) per segment —
+    completes the ranking-family coverage (§2.F lists rank/dense_rank/ntile
+    already). Deterministic ORDER BY tiebreak on the PK so both engines
+    agree on equal balances; one window sort per partition key."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("bal_percent_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+@register(
+    "q_shipmode_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY THEN 1 END) AS late_lines,
+           COUNT(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 45 DAY THEN 1 END) AS ontime_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the testdata has no l_shipmode/commitdate,
+    so the breakdown is late-vs-ontime per order priority at a 45-day SLA —
+    the conditional-count-over-join structure is Q12's). One shuffle on the
+    join key; the conditional counts aggregate map-side."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(late, 1)).alias("late_lines"),
+            F.count(F.when(~late, 1)).alias("ontime_lines"),
+        )
+    )
