@@ -143,6 +143,8 @@ _PRIORITY_TAIL = [
     "ext_stream_session_timeout",
     "ext_text_bm25",
     "src_jsonl_parse",
+    "ext_scd2_snapshot",
+    "ext_incremental_merge",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

@@ -1123,3 +1123,114 @@ def src_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
         )
     )
+
+
+@register(
+    "ext_scd2_snapshot",
+    """
+    WITH b1 AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer WHERE c_custkey < 600
+    ), b2_changed AS (
+        SELECT c_custkey FROM b1 WHERE c_custkey % 3 = 0
+    )
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           TIMESTAMP '2024-01-01' AS valid_from,
+           TIMESTAMP '2024-02-01' AS valid_to,
+           CAST(0 AS INTEGER) AS is_current
+    FROM b1 WHERE c_custkey IN (SELECT c_custkey FROM b2_changed)
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal * 2,
+           TIMESTAMP '2024-02-01', NULL, CAST(1 AS INTEGER)
+    FROM b1 WHERE c_custkey IN (SELECT c_custkey FROM b2_changed)
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           TIMESTAMP '2024-01-01', NULL, CAST(1 AS INTEGER)
+    FROM b1 WHERE c_custkey NOT IN (SELECT c_custkey FROM b2_changed)
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           TIMESTAMP '2024-02-01', NULL, CAST(1 AS INTEGER)
+    FROM customer WHERE c_custkey >= 600 AND c_custkey < 700
+    """,
+)
+def ext_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 snapshot materialization (plans/snapshot.py — dbt's
+    `snapshot` with the "check" strategy): two deterministic batches over
+    customer (batch 2 doubles every 3rd key's balance and adds keys
+    600-699), returning the full history with validity windows. The oracle
+    derives the expected history directly in SQL: closed version + current
+    version for changed keys, one open version otherwise. Runs through the
+    REAL versioned-parquet store (atomic version-pointer swap, the local
+    stand-in for a Delta/Iceberg MERGE), wiped per run for idempotency."""
+    import os as _os
+    import shutil as _sh
+
+    from ..plans.snapshot import apply_snapshot
+
+    base = "/root/repo/.scratch/scd2_" + _os.path.basename(sf_dir.rstrip("/"))
+    _sh.rmtree(base, ignore_errors=True)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    b1 = c.filter(F.col("c_custkey") < 600)
+    apply_snapshot(spark, base, b1, "c_custkey", ["c_acctbal"], "2024-01-01")
+    b2 = (
+        c.filter(F.col("c_custkey") < 700)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                (F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") < 600),
+                F.col("c_acctbal") * 2,
+            ).otherwise(F.col("c_acctbal")),
+        )
+    )
+    hist = apply_snapshot(spark, base, b2, "c_custkey", ["c_acctbal"], "2024-02-01")
+    return hist.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+@register(
+    "ext_incremental_merge",
+    f"""
+    WITH store AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id >= 2500 THEN value * 2 ELSE value END AS value
+        FROM events WHERE event_id < 7500
+    )
+    SELECT event_type, COUNT(*) AS n_rows, {dround('SUM(value)', 2)} AS total_value
+    FROM store GROUP BY event_type
+    """,
+)
+def ext_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental `merge_latest` materialization (plans/incremental.py —
+    dbt's incremental model with unique_key, i.e. MERGE WHEN MATCHED
+    UPDATE): batch 1 loads event_id < 5000, batch 2 upserts 2500-7499 with
+    doubled values and a newer order stamp. Final store = old rows below
+    2500, batch-2 rows above — exactly what the oracle derives set-wise.
+    Exercises the versioned store (atomic pointer swap) through the BATCH
+    path; ext_stream_foreachbatch_merge is its streaming twin."""
+    import os as _os
+    import shutil as _sh
+
+    from ..plans.incremental import read_incremental, write_incremental
+
+    base = "/root/repo/.scratch/incr_merge_" + _os.path.basename(sf_dir.rstrip("/"))
+    _sh.rmtree(base, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    b1 = ev.filter(F.col("event_id") < 5000).withColumn("batch_no", F.lit(1))
+    write_incremental(spark, base, b1, "merge_latest", "event_id", "batch_no")
+    b2 = (
+        ev.filter((F.col("event_id") >= 2500) & (F.col("event_id") < 7500))
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("batch_no", F.lit(2))
+    )
+    write_incremental(spark, base, b2, "merge_latest", "event_id", "batch_no")
+    store = read_incremental(spark, base)
+    return store.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
