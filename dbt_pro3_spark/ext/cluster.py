@@ -100,3 +100,53 @@ def dedup_keep_representative(
         )
         .withColumn("is_kept", (F.col(id_col) == F.col("representative_id")).cast("int"))
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an undirected pair graph — the template for iterative
+    DataFrame algorithms beyond connected components.
+
+    Synchronous power iteration: rank(v) <- (1-d)/N + d * sum over
+    neighbors u of rank(u)/deg(u). Each round is ONE join + ONE groupBy
+    (shuffle keyed by node), with the same iterative-lineage discipline as
+    connected_components: edges and degrees materialize once, each round's
+    ranks localCheckpoint so round k+1 reads a table, not a k-deep plan.
+    Fixed iteration count keeps it deterministic (no driver-side
+    convergence read needed); rows-only in the driver check (float sums
+    across engines differ in ulps), cross-checked against a numpy power
+    iteration in tests/test_cluster.py.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(eager=True)
+    contrib_src = edges.join(deg, "u")
+    for _ in range(iters):
+        contribs = (
+            contrib_src.join(ranks, contrib_src.u == ranks.node)
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + damping * F.coalesce("in_sum", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 8).alias("rank"))

@@ -145,6 +145,7 @@ _PRIORITY_TAIL = [
     "src_jsonl_parse",
     "ext_scd2_snapshot",
     "ext_incremental_merge",
+    "ext_graph_pagerank",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

@@ -1234,3 +1234,20 @@ def ext_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register("ext_graph_pagerank")  # rows-only: iterative float algorithm
+def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup candidate graph (ext/cluster.py
+    pagerank): which documents sit at the center of duplication clusters —
+    a dedup-priority signal. 5 synchronous power iterations, one
+    join+groupBy shuffle per round, edge/degree tables materialized once.
+    Cross-checked against numpy power iteration in tests/test_cluster.py;
+    rows-only here (iterative float sums have no stable SQL twin)."""
+    from ..ext.cluster import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ded.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, min_common=2).filter(
+        F.col("jaccard") >= 0.02
+    )
+    return pagerank(pairs)

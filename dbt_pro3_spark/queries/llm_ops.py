@@ -340,8 +340,12 @@ def ext_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking sorts only the scored subset (docs containing >=1 term), and
     ties break on doc_id so the top-20 cut is deterministic on both
     engines (scores compared after 6-dp rounding)."""
+    from ..sources.readers import spread
+
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    toks = spread(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
         F.avg("dl").cast("double").alias("avgdl"),

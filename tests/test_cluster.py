@@ -49,3 +49,34 @@ def test_dedup_keep_representative(spark):
     assert out[6] == (6, 1) and out[7] == (6, 0)
     # untouched docs keep themselves
     assert out[0] == (0, 1) and out[2] == (2, 1) and out[4] == (4, 1)
+
+
+def test_pagerank_matches_numpy(spark):
+    """5-iteration DataFrame PageRank must match a numpy power iteration on
+    the same edge list to float tolerance."""
+    import numpy as np
+
+    from dbt_pro3_spark.ext.cluster import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (0, 5), (5, 6), (6, 0)]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {r["node"]: r["rank"] for r in pagerank(pairs).collect()}
+
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    nodes = sorted({x for e in und for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for u, _ in und:
+        deg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, 0.15 / n)
+        for u, v in und:
+            nxt[idx[v]] += 0.85 * r[idx[u]] / deg[idx[u]]
+        r = nxt
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-6, (node, got[node], r[idx[node]])
