@@ -146,6 +146,7 @@ _PRIORITY_TAIL = [
     "ext_scd2_snapshot",
     "ext_incremental_merge",
     "ext_graph_pagerank",
+    "ext_sketch_merge",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

@@ -1251,3 +1251,25 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard") >= 0.02
     )
     return pagerank(pairs)
+
+
+@register("ext_sketch_merge")  # rows-only: DataSketches binary sketches
+def ext_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch pattern (Spark 4 DataSketches HLL): build ONE
+    sketch per (event_type) group with hll_sketch_agg, then hll_union_agg
+    them into a global distinct-user estimate WITHOUT rescanning the data.
+    This is how incremental/rollup distinct counting works at 100 TB: the
+    per-partition sketch table is tiny, mergeable across days/partitions,
+    and never re-reads raw events. Error bound asserted vs exact counts in
+    tests/test_approx_sketches.py."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    per_rows = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    total = per_type.agg(
+        F.lit("__ALL__").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    return per_rows.unionByName(total)

@@ -53,3 +53,27 @@ def test_approx_quantile_error_bound(spark):
             # GK accuracy 1000 => rank error <= n/1000; translate loosely to
             # a 2% value tolerance on this smooth distribution
             assert abs(a - e) / e <= 0.02, (r["o_orderpriority"], i, a, e)
+
+
+def test_sketch_merge_error_bound(spark):
+    """Per-group estimates AND the merged global estimate must land within
+    5% of the exact distinct counts — merging sketches must not lose
+    accuracy vs sketching the union directly."""
+    from dbt_pro3_spark.sources.readers import load
+
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in all_queries()["ext_sketch_merge"](spark, SF).collect()
+    }
+    ev = load(spark, SF, "events")
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+    exact["__ALL__"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, approx in got.items():
+        rel = abs(approx - exact[k]) / exact[k]
+        assert rel <= 0.05, f"{k}: approx {approx} vs exact {exact[k]}"
