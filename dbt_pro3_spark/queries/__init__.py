@@ -147,6 +147,7 @@ _PRIORITY_TAIL = [
     "ext_incremental_merge",
     "ext_graph_pagerank",
     "ext_sketch_merge",
+    "ext_dedup_keep_best",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

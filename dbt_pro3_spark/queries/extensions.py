@@ -1273,3 +1273,91 @@ def ext_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
     )
     return per_rows.unionByName(total)
+
+
+@register(
+    "ext_dedup_keep_best",
+    f"""
+    WITH RECURSIVE jpairs AS ({_NGRAM_JACCARD_SQL}),
+    fpairs AS (
+        SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= 0.02
+    ), edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM fpairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM fpairs
+    ), reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ), comp AS (
+        SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    ), toksq AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+        FROM documents
+    ), feat AS (
+        SELECT doc_id,
+               CAST(len(l) AS INTEGER) AS n_tokens,
+               CAST(list_sum(list_transform(l, x -> len(x))) AS DOUBLE)
+                   / NULLIF(CAST(len(l) AS DOUBLE), 0) AS avg_len,
+               CAST(len(list_filter(l, x -> lower(x) IN {STOPWORDS_SQL})) AS DOUBLE)
+                   / NULLIF(CAST(len(l) AS DOUBLE), 0) AS stop_ratio
+        FROM toksq
+    ), q AS (
+        SELECT doc_id,
+               {dround('''CASE WHEN n_tokens BETWEEN 50 AND 5000 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.2 AS DOUBLE) END
+                 + CASE WHEN stop_ratio > 0.02 AND stop_ratio < 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                 + CASE WHEN avg_len > 2.5 AND avg_len < 12 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END''', 2)} AS quality_score
+        FROM feat
+    ), labeled AS (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS component,
+               q.quality_score
+        FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.node
+        JOIN q ON q.doc_id = d.doc_id
+    ), ranked AS (
+        SELECT doc_id, component, quality_score,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY quality_score DESC, doc_id) AS rk
+        FROM labeled
+    )
+    SELECT doc_id, component, quality_score,
+           CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+    FROM ranked
+    """,
+)
+def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup DECISION — the capstone pipeline: near-dup
+    candidate pairs (stop-shingle-capped n-gram Jaccard) -> connected
+    components -> keep the HIGHEST-QUALITY document per cluster (composite
+    quality score, doc_id tiebreak), not merely the smallest id. This is
+    what production corpus dedup actually ships: when several sources carry
+    the same article, the cleanest copy survives. One extra broadcast-sized
+    join + per-component window on top of ext_dedup_clusters; oracle =
+    recursive-CTE closure + the quality formula + the same argmax."""
+    from ..ext.cluster import connected_components
+    from ..ext.text import quality_features
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ded.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, min_common=2).filter(
+        F.col("jaccard") >= 0.02
+    )
+    comps = connected_components(pairs)
+    q = quality_features(docs).select("doc_id", "quality_score")
+    labeled = (
+        docs.select("doc_id")
+        .join(comps, docs.doc_id == comps.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+        .join(q, "doc_id")
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("quality_score"), F.col("doc_id"))
+    return labeled.select(
+        "doc_id",
+        "component",
+        "quality_score",
+        (F.row_number().over(w) == 1).cast("int").alias("is_kept"),
+    )
