@@ -574,3 +574,36 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_profit")
         )
     )
+
+
+@register(
+    "q_forecast_revenue",
+    f"""
+    SELECT {dround('SUM(l_extendedprice * l_discount)', 2)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-scalar-aggregate query. All
+    three predicates push to the parquet scan (PushedFilters shows the
+    shipdate range, discount range and quantity bound); the plan is a
+    single narrow pass — partial sums per partition, one 1-row exchange
+    for the final sum, no groupBy shuffle at any scale. Discount values
+    are discrete hundredths in the data, so BETWEEN on doubles is exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )

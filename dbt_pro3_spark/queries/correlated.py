@@ -250,3 +250,108 @@ def win_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_7d"),
         F.round(F.sum("value").over(w), 2).alias("value_7d"),
     )
+
+
+@register(
+    "q_supplier_part_count",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 7, 10, 14, 23, 25, 28, 38, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each part class,
+    excluding a NOT-IN set of suppliers (Q16's complaint subquery, adapted
+    to negative account balance — the testdata has no s_comment; the
+    partsupp relationship is adapted to observed lineitem part-supplier
+    pairs). NOT IN over a non-nullable key decorrelates to a LEFT ANTI
+    join; the excluded set is tiny so it broadcasts. part filters land on
+    the part scan, the part join broadcasts, and the distinct count is the
+    standard two-phase expand — the only fact shuffle."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 14, 23, 25, 28, 38, 45))
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_dominant_supplier",
+    """
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND p_name LIKE 'small%'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    part_tot AS (
+        SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11'))
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM shipped JOIN part_tot USING (l_partkey)
+          WHERE qty > 0.5 * total_qty
+      )
+    """,
+)
+def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subqueries — suppliers (in a nation set)
+    who shipped more than half a part's yearly volume of a name-filtered
+    part (Q20's availqty>half-shipped threshold adapted to dominant-share;
+    the testdata has no partsupp/availqty — structure preserved: inner
+    per-(part,supplier) aggregate, correlated per-part scalar threshold,
+    IN chained into the supplier scan).
+
+    Plan: part-name filter broadcasts into the fact scan before the
+    aggregate; per-pair and per-part aggregates share one shuffle on
+    l_partkey (AQE reuses the partitioning); both IN-subqueries
+    decorrelate to semi-joins — the nation one against a broadcast 3-row
+    set, the qualifying-supplier one against an already-small aggregate.
+    Quantities are integral doubles, so the half-share comparison is exact
+    on both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    part_tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    qualifying = (
+        shipped.join(part_tot, "l_partkey")
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    nkeys = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+        .select("n_nationkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(nkeys), s.s_nationkey == nkeys.n_nationkey, "left_semi")
+        .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )

@@ -371,3 +371,147 @@ def ext_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("bm25"), F.col("doc_id"))))
         .filter(F.col("rk") <= 20)
     )
+
+
+DECON_N = 4  # n-gram width; production decontamination uses 8-13 (see docstring)
+
+PACK_CTX = 512  # context-window token budget
+PACK_BUCKET = 256  # docs per prefix-sum bucket
+
+
+@register(
+    "ext_text_decontaminate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS l FROM documents
+    ), sized AS (
+        SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) >= {DECON_N}
+    ), pos AS (
+        SELECT doc_id, l, unnest(generate_series(1, n - {DECON_N - 1})) AS i FROM sized
+    ), grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(l, i, i + {DECON_N - 1}), ' ') AS gram
+        FROM pos
+    ), bench AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+    ), doc_tot AS (
+        SELECT doc_id, COUNT(*) AS n_grams FROM grams WHERE doc_id % 97 <> 0 GROUP BY doc_id
+    ), hits AS (
+        SELECT g.doc_id, COUNT(*) AS n_shared
+        FROM grams g JOIN bench USING (gram)
+        WHERE g.doc_id % 97 <> 0
+        GROUP BY g.doc_id
+    )
+    SELECT h.doc_id, n_shared, n_grams,
+           {dround('CAST(n_shared AS DOUBLE) / n_grams', 4)} AS contamination
+    FROM hits h JOIN doc_tot t ON h.doc_id = t.doc_id
+    """,
+)
+def ext_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram-collision method):
+    flag training documents sharing any token n-gram with a held-out eval
+    set, reporting shared-gram count and contamination share per document.
+    The eval set is deterministically carved from the corpus (doc_id % 97)
+    so both engines see the identical benchmark; production pipelines use
+    8-13-grams — the synthetic corpus's word entropy makes 4 the
+    discriminating width here, and the width is a module constant.
+
+    Scale shape: per-document DISTINCT n-grams via sequence+explode (one
+    narrow expand, no lambda-HOF in the hot path), benchmark side reduced
+    to a DISTINCT gram set — eval suites are tiny relative to the corpus,
+    so the contamination join BROADCASTS; the only fact shuffle is the
+    per-doc distinct/count aggregation, keyed by (doc_id, gram) md5-width
+    not document text."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    sized = docs.select("doc_id", toks.alias("l"), F.size(toks).alias("n")).filter(
+        F.col("n") >= DECON_N
+    )
+    grams = (
+        sized.withColumn(
+            "i", F.explode(F.sequence(F.lit(1), F.col("n") - (DECON_N - 1)))
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.slice(F.col("l"), F.col("i"), DECON_N), " ").alias("gram"),
+        )
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    doc_tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return hits.join(doc_tot, "doc_id").select(
+        "doc_id",
+        "n_shared",
+        "n_grams",
+        F.round(F.col("n_shared").cast("double") / F.col("n_grams"), 4).alias(
+            "contamination"
+        ),
+    )
+
+
+@register(
+    "ext_text_pack",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents
+    ), t AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS cum_before
+        FROM toks WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, cum_before,
+           CAST(FLOOR(cum_before / {PACK_CTX}) AS BIGINT) AS pack_first,
+           CAST(FLOOR((cum_before + n_tokens - 1) / {PACK_CTX}) AS BIGINT) AS pack_last,
+           CAST(FLOOR((cum_before + n_tokens - 1) / {PACK_CTX})
+                - FLOOR(cum_before / {PACK_CTX}) + 1 AS BIGINT) AS n_packs
+    FROM t
+    """,
+)
+def ext_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): documents are concatenated in
+    deterministic doc_id order and cut into fixed {PACK_CTX}-token context
+    windows — each document reports the pack range it lands in. This is
+    the standard pre-training batching transform (every token position is
+    used exactly once; documents may straddle pack boundaries).
+
+    The global token prefix-sum is computed DISTRIBUTED, not with a
+    single-partition window: doc_id-range buckets get a partitioned local
+    cumsum, bucket subtotals (corpus_size / {PACK_BUCKET} rows) get a tiny
+    ordered offset scan, and the broadcast offsets join back — the same
+    two-level scan a 1000-executor prefix sum uses. The only ordered
+    global window runs over the subtotal rows, bounded by n_docs/{PACK_BUCKET},
+    never the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    sized = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    sized = sized.withColumn("bucket", F.floor(F.col("doc_id") / PACK_BUCKET))
+    w_local = Window.partitionBy("bucket").orderBy("doc_id")
+    local = sized.withColumn(
+        "local_before", F.sum("n_tokens").over(w_local) - F.col("n_tokens")
+    )
+    subtot = sized.groupBy("bucket").agg(F.sum("n_tokens").alias("tot"))
+    w_bucket = Window.orderBy("bucket")
+    offsets = subtot.withColumn(
+        "offset", (F.sum("tot").over(w_bucket) - F.col("tot")).cast("bigint")
+    ).select("bucket", "offset")
+    packed = local.join(F.broadcast(offsets), "bucket").withColumn(
+        "cum_before", (F.col("offset") + F.col("local_before")).cast("bigint")
+    )
+    pack_first = F.floor(F.col("cum_before") / PACK_CTX)
+    pack_last = F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / PACK_CTX)
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "cum_before",
+        pack_first.cast("bigint").alias("pack_first"),
+        pack_last.cast("bigint").alias("pack_last"),
+        (pack_last - pack_first + 1).cast("bigint").alias("n_packs"),
+    )
