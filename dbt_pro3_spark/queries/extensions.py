@@ -651,6 +651,17 @@ def ext_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_view_purchase_join(spark, f"{sf_dir}/events.parquet")
 
 
+@register("ext_stream_outer_join")  # rows-only: watermark-timed null-padding
+def ext_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — unmatched views are
+    null-padded only once the watermark proves no purchase can still
+    match. Batch-equivalence (modulo the un-flushable tail past the final
+    watermark) asserted in tests/test_streaming_batch_consistency.py."""
+    from ..streaming.stateful import stream_stream_left_outer_join
+
+    return stream_stream_left_outer_join(spark, f"{sf_dir}/events.parquet")
+
+
 @register("ext_stream_dedup")  # rows-only: bounded-state streaming dedup
 def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark on event_id — streaming exact dedup

@@ -222,3 +222,39 @@ def sessionize_with_timeout(
         )
     )
     return _run_to_memory(stream, "append")
+
+
+def stream_stream_left_outer_join(spark: SparkSession, events_path: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every view is emitted —
+    matched views as soon as the purchase arrives, UNMATCHED views only
+    once the watermark passes their join-eligibility horizon (view_ts +
+    30 min + 1 h delay), when the engine can prove no future purchase can
+    match and null-pads them. This is the semantically hard outer-join
+    shape: correctness depends on state eviction timing, not just the
+    predicate. State is bounded on both sides by the watermark; the final
+    no-data microbatch (spark.sql.streaming.noDataMicroBatches.enabled,
+    on by default) flushes the last unmatched rows so an availableNow run
+    is batch-equivalent (asserted in tests/test_streaming_batch_consistency.py)."""
+    ev = _events_stream(spark, events_path)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_event_id"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("user_id", "view_event_id", "purchase_event_id", "view_ts", "purchase_ts")
+    return _run_to_memory(joined, "append")
