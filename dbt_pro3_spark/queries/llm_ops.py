@@ -515,3 +515,66 @@ def ext_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_last.cast("bigint").alias("pack_last"),
         (pack_last - pack_first + 1).cast("bigint").alias("n_packs"),
     )
+
+
+QF_PCT = 0.3  # per-language quality percentile cut
+
+_STOPWORDS_SQL = "('the','a','an','and','of','to','in','is','on','for')"
+
+_SCORE_SQL = """CASE WHEN n_tokens BETWEEN 50 AND 5000 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.2 AS DOUBLE) END
+             + CASE WHEN stop_ratio > 0.02 AND stop_ratio < 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN avg_len > 2.5 AND avg_len < 12 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"""
+
+
+@register(
+    "ext_quality_filter",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_TOKS_SQL} AS l
+        FROM documents
+    ), feat AS (
+        SELECT doc_id, lang,
+               len(l) AS n_tokens,
+               CAST(list_sum(list_transform(l, x -> len(x))) AS DOUBLE)
+                   / NULLIF(CAST(len(l) AS DOUBLE), 0) AS avg_len,
+               CAST(len(list_filter(l, x -> lower(x) IN {_STOPWORDS_SQL})) AS DOUBLE)
+                   / NULLIF(CAST(len(l) AS DOUBLE), 0) AS stop_ratio
+        FROM toks
+    ), scored AS (
+        SELECT doc_id, lang, {dround(_SCORE_SQL, 2)} AS quality_score
+        FROM feat
+    ), cuts AS (
+        SELECT lang, {dround(f'quantile_cont(quality_score, {QF_PCT})', 6)} AS cut
+        FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.quality_score, c.cut
+    FROM scored s JOIN cuts c ON s.lang = c.lang
+    WHERE s.quality_score >= c.cut
+    """,
+)
+def ext_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based quality filtering, stratified by language: each
+    language keeps only documents at or above its own P30 quality score —
+    per-language cuts avoid the cross-lingual bias a single global
+    threshold introduces (low-resource languages would be wiped out by an
+    en-calibrated cut). The Gopher/C4-style curation pass, composed from
+    ext_text_quality's features.
+
+    Scale shape: scoring is narrow; the per-language percentile is one
+    tiny aggregate (rows == languages) broadcast back over the corpus —
+    no corpus re-shuffle. Both engines interpolate the same continuous
+    percentile (Spark percentile == DuckDB quantile_cont) over the same
+    2-dp-discrete scores, and membership is decided on 6-dp-rounded cuts,
+    so the kept set is bit-identical."""
+    from ..ext.text import quality_features
+
+    docs = load(spark, sf_dir, "documents")
+    scored = quality_features(docs).select("doc_id", "lang", "quality_score")
+    cuts = scored.groupBy("lang").agg(
+        F.round(F.expr(f"percentile(quality_score, {QF_PCT})"), 6).alias("cut")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .filter(F.col("quality_score") >= F.col("cut"))
+        .select("doc_id", "lang", "quality_score", "cut")
+    )
