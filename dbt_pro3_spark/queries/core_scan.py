@@ -604,3 +604,50 @@ def cast_inline_double(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("custkey_density")
         )
     )
+
+
+@register(
+    "src_schema_evolution",
+    """
+    SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN '<pre-evolution>'
+                ELSE o_orderpriority END AS priority,
+           COUNT(*) AS n_orders,
+           CAST(CAST(CAST(SUM(o_totalprice) AS VARCHAR) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution via mergeSchema: the table's early files
+    were written WITHOUT o_orderpriority (the column was added later — the
+    drift every long-lived lakehouse table accumulates); a mergeSchema
+    read unions the file schemas and null-fills the missing column in old
+    files. The oracle recomputes the same drift directly from the source
+    table, proving the evolved read loses nothing.
+
+    At scale: mergeSchema's footer reconciliation is a one-time planning
+    cost (driver reads footers in parallel); the scan itself stays
+    columnar and pruned. Production tables pin the merged schema in a
+    catalog instead of re-inferring per query — this key demonstrates the
+    read path works when they haven't."""
+    base = os.path.join(
+        SCRATCH, os.path.basename(sf_dir.rstrip("/")), "orders_evolved"
+    )
+    o = load(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < "1997-01-01").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderdate") >= "1997-01-01").select(
+        "o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(base, "v1"))
+    new.write.mode("overwrite").parquet(os.path.join(base, "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "v1"), os.path.join(base, "v2")
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").cast("string").cast("decimal(38,2)").cast("double").alias("total_value"),
+    )
