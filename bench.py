@@ -49,6 +49,11 @@ HEADLINE = [
     "ext_asof_join",
     "ext_text_chunk",
     "q_product_profit",
+    # round-2 tail additions
+    "ext_text_decontaminate",
+    "ext_text_pack",
+    "ext_quality_filter",
+    "q_forecast_revenue",
 ]
 
 

@@ -148,6 +148,13 @@ _PRIORITY_TAIL = [
     "ext_graph_pagerank",
     "ext_sketch_merge",
     "ext_dedup_keep_best",
+    "ext_text_decontaminate",
+    "ext_text_pack",
+    "ext_quality_filter",
+    "ext_stream_outer_join",
+    "src_schema_evolution",
+    "ext_embed_centroids",
+    "ext_mixture_resample",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

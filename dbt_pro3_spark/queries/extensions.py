@@ -1372,3 +1372,33 @@ def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         (F.row_number().over(w) == 1).cast("int").alias("is_kept"),
     )
+
+
+@register(
+    "ext_embed_centroids",
+    f"""
+    SELECT label, CAST(pos - 1 AS INTEGER) AS dim, {dround('AVG(x)', 5)} AS centroid
+    FROM (
+        SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def ext_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in tidy (label, dim, value) form —
+    the building block of k-means/IVF training, per-class drift
+    monitoring, and embedding-space diagnostics. posexplode fans each
+    vector into (dim, component) rows; one hash aggregate on (label, dim)
+    computes the means — cardinality is labels x dims regardless of
+    corpus size, partial aggregation absorbs the fan-out map-side, so the
+    shuffle stays tiny at 100 TB. Component floats widen to double
+    identically on both engines; means rounded at 5 dp (vectors are
+    float32 — ~7 significant digits)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 5).alias("centroid"))
+    )

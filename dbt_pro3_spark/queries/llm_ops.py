@@ -578,3 +578,55 @@ def ext_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality_score") >= F.col("cut"))
         .select("doc_id", "lang", "quality_score", "cut")
     )
+
+
+@register(
+    "ext_mixture_resample",
+    f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               0.5 + (CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INTEGER) % 4) * 0.75 AS wt,
+               {_md5_32("CAST(doc_id AS VARCHAR)")} / 4294967296.0 AS u
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source,
+               CAST(FLOOR(wt) + CASE WHEN u < wt - FLOOR(wt) THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        FROM w
+    )
+    SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch
+    FROM c WHERE n_copies > 0
+    """,
+)
+def ext_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture resampling: each source gets an epoch weight (here
+    derived from the source id -> {{0.5, 1.25, 2.0, 2.75}} so both engines
+    share it without a literal map) and every document is emitted
+    floor(weight) times plus one more with probability frac(weight) —
+    gated by a DETERMINISTIC per-document hash, not rand(), so the
+    realized mixture is reproducible run-to-run and engine-to-engine.
+    This is how pre-training mixtures (epochs per source) are actually
+    materialized; downweighted sources (wt < 1) subsample, upweighted
+    ones repeat.
+
+    Scale shape: narrow expressions + one explode — no shuffle at all;
+    the hash gate u < frac(wt) compares exact dyadic rationals
+    (md5_32/2^32) against exact quarter fractions, so membership can
+    never flip between engines."""
+    docs = load(spark, sf_dir, "documents")
+    num = F.regexp_extract(F.col("source"), r"src([0-9]+)", 1).cast("int")
+    wt = F.lit(0.5) + (num % 4).cast("double") * 0.75
+    u = _spark_md5_32(F.col("doc_id").cast("string")) / F.lit(4294967296.0)
+    n_copies = (
+        F.floor(wt) + F.when(u < wt - F.floor(wt), F.lit(1)).otherwise(F.lit(0))
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", "source", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))).alias(
+                "epoch"
+            ),
+        )
+    )
