@@ -155,6 +155,9 @@ _PRIORITY_TAIL = [
     "src_schema_evolution",
     "ext_embed_centroids",
     "ext_mixture_resample",
+    "ext_dedup_incremental",
+    "ext_text_vocab",
+    "ext_text_bpe_pairs",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

@@ -630,3 +630,123 @@ def ext_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ext_dedup_incremental",
+    """
+    WITH store AS (
+        SELECT DISTINCT md5(lower(trim(text))) AS text_hash
+        FROM documents WHERE doc_id % 5 <> 0
+    ), batch AS (
+        SELECT doc_id, md5(lower(trim(text))) AS text_hash
+        FROM documents WHERE doc_id % 5 = 0
+    ), novel AS (
+        SELECT b.doc_id, b.text_hash
+        FROM batch b LEFT JOIN store s ON b.text_hash = s.text_hash
+        WHERE s.text_hash IS NULL
+    )
+    SELECT text_hash, MIN(doc_id) AS kept_id, COUNT(*) AS batch_dup_count
+    FROM novel GROUP BY text_hash
+    """,
+)
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW ingest batch (doc_id % 5 = 0 plays the
+    fresh crawl) is deduplicated against the fingerprint STORE of
+    everything already ingested, then within itself — the production
+    corpus-refresh shape, where re-hashing the historical corpus per
+    batch would be quadratic-over-time. Only 16-byte hashes flow: the
+    store side is a DISTINCT hash projection (at 100 TB this is the
+    persisted fingerprint table, not a rescan), the anti-join shuffles
+    hash keys only, and the within-batch dedup reuses the same hash
+    partitioning — AQE collapses the two exchanges."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    store = (
+        docs.filter(F.col("doc_id") % 5 != 0).select(h.alias("text_hash")).distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", h.alias("text_hash")
+    )
+    return (
+        batch.join(store, "text_hash", "left_anti")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("kept_id"),
+            F.count(F.lit(1)).alias("batch_dup_count"),
+        )
+    )
+
+
+VOCAB_K = 100
+
+
+@register(
+    "ext_text_vocab",
+    f"""
+    SELECT tok, COUNT(*) AS freq
+    FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT {VOCAB_K}
+    """,
+)
+def ext_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary extraction: top-{VOCAB_K} tokens by frequency with
+    a deterministic token tiebreak — the input to tokenizer training and
+    OOV analysis. explode + hash aggregate with map-side partial counts
+    (the shuffle carries one row per DISTINCT token per partition, not
+    per occurrence), then ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.col("tok"))
+        .limit(VOCAB_K)
+    )
+
+
+@register(
+    "ext_text_bpe_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS l FROM documents
+    ), pairs AS (
+        SELECT l[i] AS left_tok, l[i + 1] AS right_tok
+        FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM toks
+              WHERE len(l) >= 2)
+    )
+    SELECT left_tok, right_tok, COUNT(*) AS freq
+    FROM pairs
+    GROUP BY left_tok, right_tok
+    ORDER BY freq DESC, left_tok, right_tok
+    LIMIT {VOCAB_K}
+    """,
+)
+def ext_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair frequency counting — the inner statistic of BPE merge
+    selection (which symbol pair to merge next) and of collocation
+    mining. Pair fan-out is sequence+explode over (i, i+1) positions —
+    narrow, no UDF; the aggregate shuffles one row per distinct pair per
+    partition thanks to partial aggregation, and top-{VOCAB_K} is a
+    per-partition heap. At tokenizer-training scale the distinct-pair
+    space, not the corpus, bounds the shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    sized = docs.select(toks.alias("l"), F.size(toks).alias("n")).filter(
+        F.col("n") >= 2
+    )
+    pairs = sized.withColumn(
+        "i", F.explode(F.sequence(F.lit(1), F.col("n") - 1))
+    ).select(
+        F.element_at(F.col("l"), F.col("i")).alias("left_tok"),
+        F.element_at(F.col("l"), F.col("i") + 1).alias("right_tok"),
+    )
+    return (
+        pairs.groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.col("left_tok"), F.col("right_tok"))
+        .limit(VOCAB_K)
+    )
