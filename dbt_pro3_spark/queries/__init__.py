@@ -158,6 +158,8 @@ _PRIORITY_TAIL = [
     "ext_dedup_incremental",
     "ext_text_vocab",
     "ext_text_bpe_pairs",
+    "src_orc_roundtrip",
+    "sink_partition_overwrite",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

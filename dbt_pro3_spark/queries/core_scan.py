@@ -651,3 +651,75 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_totalprice").cast("string").cast("decimal(38,2)").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "src_orc_roundtrip",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(CAST(CAST(SUM(o_totalprice) AS VARCHAR) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format support: write orders as ORC, read it back, aggregate
+    the read-back copy — proves the second columnar format end-to-end
+    (schema, predicate pushdown and column pruning work the same as
+    parquet through the native ORC reader). The oracle aggregates the
+    source table: the round trip must be lossless."""
+    path = os.path.join(SCRATCH, os.path.basename(sf_dir.rstrip("/")), "orders_orc")
+    load(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").cast("string").cast("decimal(38,2)").cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "sink_partition_overwrite",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                        THEN o_totalprice * 0.9 ELSE o_totalprice END) AS VARCHAR)
+                 AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — the backfill primitive: a
+    status-partitioned table gets ONE partition ('F') rewritten (here
+    with a 10% price adjustment) while every other partition's files are
+    left untouched; the read-back aggregate proves surgical replacement.
+    partitionOverwriteMode=dynamic replaces only partitions present in
+    the written DataFrame — at 100 TB this is how a single bad day/region
+    is repaired without rewriting the table."""
+    path = os.path.join(
+        SCRATCH, os.path.basename(sf_dir.rstrip("/")), "orders_by_status"
+    )
+    o = load(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    fixed = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 0.9)
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").cast("string").cast("decimal(38,2)").cast("double").alias("total_value"),
+        )
+    )
