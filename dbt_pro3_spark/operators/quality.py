@@ -48,3 +48,35 @@ def test_unique(df: DataFrame, column: str) -> DataFrame:
         F.lit(column).alias("column_name"),
         F.count(F.lit(1)).alias("violations"),
     )
+
+
+def test_accepted_values(df: DataFrame, column: str, values: list[str]) -> DataFrame:
+    """One row: (column_name, violations) — count of rows whose value is
+    outside the accepted set. dbt ``accepted_values`` (not used by the
+    reference's schema files, which stop at not_null/unique — this
+    completes the standard dbt test quartet). NULLs are not violations,
+    matching dbt's compiled SQL (NOT IN is null-rejecting there too)."""
+    return df.filter(
+        F.col(column).isNotNull() & ~F.col(column).isin(values)
+    ).agg(
+        F.lit(column).alias("column_name"),
+        F.count(F.lit(1)).alias("violations"),
+    )
+
+
+def test_relationships(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
+) -> DataFrame:
+    """One row: (column_name, violations) — count of child rows whose FK
+    has no parent (dbt ``relationships``). Compiled to a LEFT ANTI join:
+    only keys travel, the parent side reduces to a distinct-key
+    projection, and Catalyst broadcasts it when small."""
+    orphans = child.filter(F.col(child_key).isNotNull()).join(
+        parent.select(F.col(parent_key).alias("__pk")).distinct(),
+        F.col(child_key) == F.col("__pk"),
+        "left_anti",
+    )
+    return orphans.agg(
+        F.lit(child_key).alias("column_name"),
+        F.count(F.lit(1)).alias("violations"),
+    )

@@ -160,6 +160,8 @@ _PRIORITY_TAIL = [
     "ext_text_bpe_pairs",
     "src_orc_roundtrip",
     "sink_partition_overwrite",
+    "test_accepted_values",
+    "test_relationships",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

@@ -712,3 +712,44 @@ def q_audit_rowcount_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit_row(
         spark, li, li.filter(F.col("l_quantity") > 0), dataset="lineitem", layer="silver"
     )
+
+
+@register(
+    "test_accepted_values",
+    """
+    SELECT 'event_type' AS column_name, COUNT(*) AS violations
+    FROM events
+    WHERE event_type IS NOT NULL
+      AND event_type NOT IN ('view', 'click', 'purchase', 'signup')
+    """,
+)
+def q_test_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt accepted_values test: 'error' events are outside the declared
+    domain of the fact feed, so the violation count is non-zero — the
+    test demonstrably catches out-of-domain values."""
+    from ..operators.quality import test_accepted_values
+
+    return test_accepted_values(
+        load(spark, sf_dir, "events"), "event_type", ["view", "click", "purchase", "signup"]
+    )
+
+
+@register(
+    "test_relationships",
+    """
+    SELECT 'o_custkey' AS column_name, COUNT(*) AS violations
+    FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+    """,
+)
+def q_test_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt relationships (FK-integrity) test compiled to a LEFT ANTI join
+    on distinct parent keys; zero violations on this data — the referential
+    cleanliness is the asserted fact."""
+    from ..operators.quality import test_relationships
+
+    return test_relationships(
+        load(spark, sf_dir, "orders"), "o_custkey",
+        load(spark, sf_dir, "customer"), "c_custkey",
+    )

@@ -1,0 +1,43 @@
+"""The dbt schema-test quartet must actually DETECT violations — each
+operator is exercised on a fixture that contains some."""
+
+from __future__ import annotations
+
+from dbt_pro3_spark.operators.quality import (
+    test_accepted_values as accepted_values_check,
+    test_not_null as not_null_check,
+    test_relationships as relationships_check,
+    test_unique as unique_check,
+)
+
+
+def _one(df):
+    r = df.collect()
+    assert len(r) == 1
+    return r[0]["violations"]
+
+
+def test_not_null_counts_nulls(spark):
+    df = spark.createDataFrame([(1,), (None,), (None,)], "k int")
+    assert _one(not_null_check(df, "k")) == 2
+
+
+def test_unique_counts_duplicated_keys(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,), (2,), (2,), (3,)], "k int")
+    # two distinct keys are duplicated (1 and 2) — dbt counts keys, not rows
+    assert _one(unique_check(df, "k")) == 2
+
+
+def test_accepted_values_flags_out_of_domain(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("zzz",), (None,)], "v string"
+    )
+    # NULL is not a violation (dbt's NOT IN is null-rejecting too)
+    assert _one(accepted_values_check(df, "v", ["a", "b"])) == 1
+
+
+def test_relationships_counts_orphans(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,), (9,), (None,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    # two rows point at missing parent 9; NULL FK is not a violation
+    assert _one(relationships_check(child, "fk", parent, "pk")) == 2
