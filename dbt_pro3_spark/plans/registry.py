@@ -33,10 +33,17 @@ class Model:
     fn: Callable[..., DataFrame]  # fn(spark, ref) -> DataFrame
     deps: tuple[str, ...] = ()
     layer: str = "default"
-    # tests: list of (kind, column) with kind in {"not_null", "unique"}
-    tests: tuple[tuple[str, str], ...] = ()
+    # tests: (kind, column) with kind in {"not_null", "unique"}, or
+    # ("accepted_values", column, values_tuple), or
+    # ("relationships", column, (parent_model_name, parent_key))
+    tests: tuple[tuple, ...] = ()
     materialize_path: str | None = None
     partition_by: tuple[str, ...] = ()
+    # dbt materialization matrix: "table" (parquet write + read-back, set
+    # via materialize_path), "view" (temp-view registration — recomputed
+    # per query like a SQL view), or "ephemeral" (default: stays a lazy
+    # DataFrame; Catalyst inlines it into downstream plans for free)
+    materialization: str = "ephemeral"
 
 
 @dataclass
@@ -57,13 +64,20 @@ class ModelRegistry:
         name: str,
         deps: tuple[str, ...] = (),
         layer: str = "default",
-        tests: tuple[tuple[str, str], ...] = (),
+        tests: tuple[tuple, ...] = (),
         materialize_path: str | None = None,
         partition_by: tuple[str, ...] = (),
+        materialization: str | None = None,
     ):
         def deco(fn: Callable[..., DataFrame]):
+            mat = materialization or ("table" if materialize_path else "ephemeral")
+            if mat not in ("table", "view", "ephemeral"):
+                raise ValueError(f"unknown materialization {mat!r}")
+            if mat == "table" and not materialize_path:
+                raise ValueError(f"model {name!r}: table materialization needs a path")
             self._models[name] = Model(
-                name, fn, tuple(deps), layer, tuple(tests), materialize_path, tuple(partition_by)
+                name, fn, tuple(deps), layer, tuple(tests), materialize_path,
+                tuple(partition_by), mat,
             )
             return fn
 
@@ -128,6 +142,10 @@ class ModelRegistry:
                     writer = writer.partitionBy(*m.partition_by)
                 writer.parquet(m.materialize_path)
                 df = spark.read.parquet(m.materialize_path)
+            elif m.materialization == "view":
+                # dbt "view": named, catalog-visible, recomputed per query
+                df.createOrReplaceTempView(m.name)
+                df = spark.table(m.name)
             with lock:
                 result.outputs[name] = df
             # post-hook: audit row of source/target counts (dbt_logs schema,
@@ -155,10 +173,14 @@ class ModelRegistry:
                 with ThreadPoolExecutor(max_workers=threads) as pool:
                     list(pool.map(build, wave))
 
-        # dbt-test equivalents (SURVEY §3 entry point 2)
+        # dbt-test equivalents (SURVEY §3 entry point 2; the full quartet —
+        # the reference declares only not_null/unique)
+        from ..operators.quality import test_accepted_values, test_relationships
+
         for m in self._models.values():
             df = result.outputs[m.name]
-            for kind, column in m.tests:
+            for spec in m.tests:
+                kind, column = spec[0], spec[1]
                 if kind == "not_null":
                     bad = df.filter(F.col(column).isNull()).count()
                 elif kind == "unique":
@@ -169,6 +191,15 @@ class ModelRegistry:
                         .filter(F.col("count") > 1)
                         .count()
                     )
+                elif kind == "accepted_values":
+                    bad = test_accepted_values(df, column, list(spec[2])).collect()[0][
+                        "violations"
+                    ]
+                elif kind == "relationships":
+                    parent_name, parent_key = spec[2]
+                    bad = test_relationships(
+                        df, column, result.outputs[parent_name], parent_key
+                    ).collect()[0]["violations"]
                 else:
                     raise ValueError(f"unknown test kind {kind!r}")
                 if bad:

@@ -41,3 +41,38 @@ def test_relationships_counts_orphans(spark):
     parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
     # two rows point at missing parent 9; NULL FK is not a violation
     assert _one(relationships_check(child, "fk", parent, "pk")) == 2
+
+
+def test_registry_view_materialization_and_test_quartet(spark):
+    """A mini-DAG exercising all three materializations and all four
+    declared test kinds, including a deliberately failing one."""
+    from dbt_pro3_spark.plans.registry import ModelRegistry
+
+    reg = ModelRegistry()
+
+    @reg.model("dim", tests=(("unique", "k"), ("not_null", "k")))
+    def dim(spark, ref):
+        return spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+
+    @reg.model(
+        "fact",
+        deps=("dim",),
+        materialization="view",
+        tests=(
+            ("accepted_values", "v", ("a", "b")),
+            ("relationships", "fk", ("dim", "k")),
+        ),
+    )
+    def fact(spark, ref):
+        base = spark.createDataFrame([(1, "a"), (9, "zzz")], "fk int, v string")
+        return base.join(ref("dim"), base.fk == ref("dim").k, "left").select(
+            "fk", base.v
+        )
+
+    result = reg.run(spark, run_ts="2026-01-01T00:00:00")
+    # the view is catalog-visible and queryable by name
+    assert spark.table("fact").count() == 2
+    # both declared fact tests catch their violation ('zzz' out of domain,
+    # fk=9 orphaned); the dim tests pass
+    kinds = {f.split(":")[1].split("=")[0] for f in result.test_failures}
+    assert kinds == {"accepted_values", "relationships"}
