@@ -141,3 +141,42 @@ def resize_stub(binary_df: DataFrame, width: int = 16, height: int = 8) -> DataF
             )
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+AUDIO_FRAME = 32
+AUDIO_SCHEMA = "doc_id bigint, frame_id int, energy bigint, peak int"
+
+
+def audio_frames_stub(binary_df: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
+    """STUB audio framing: the payload plays a mono PCM-8 stream, cut into
+    fixed non-overlapping ``frame``-sample windows with per-frame energy
+    (sum) and peak statistics; trailing partial frames are dropped (the
+    torchaudio.load + unfold shape). Unlike decode_features (1:1), each
+    input row FANS OUT to many output rows inside the Pandas batch — the
+    second mapInPandas contract a real media pipeline needs. Swap the byte
+    loop for a real codec + numpy reshape and nothing else changes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[int] = []
+            frame_ids: list[int] = []
+            energies: list[int] = []
+            peaks: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for f in range(len(b) // frame):
+                    w = b[f * frame : (f + 1) * frame]
+                    doc_ids.append(int(doc_id))
+                    frame_ids.append(f)
+                    energies.append(int(sum(w)))
+                    peaks.append(int(max(w)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_id": pd.Series(frame_ids, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int32"),
+                }
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, schema=AUDIO_SCHEMA)

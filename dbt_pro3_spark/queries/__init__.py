@@ -162,6 +162,8 @@ _PRIORITY_TAIL = [
     "sink_partition_overwrite",
     "test_accepted_values",
     "test_relationships",
+    "ext_mm_audio_frames",
+    "sink_compaction",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

@@ -723,3 +723,37 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_totalprice").cast("string").cast("decimal(38,2)").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "sink_compaction",
+    """
+    SELECT CAST(64 AS INTEGER) AS n_files_before,
+           CAST(4 AS INTEGER) AS n_files_after,
+           COUNT(*) AS n_rows,
+           CAST(CAST(CAST(SUM(o_totalprice) AS VARCHAR) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+    FROM orders
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance op every streaming/
+    micro-batch sink eventually needs: a 64-way fragmented write is
+    compacted to 4 right-sized files with coalesce (narrow: no shuffle,
+    each output file concatenates input splits; use repartition instead
+    only when output skew matters more than the extra exchange). The
+    returned row carries the file counts plus a content aggregate the
+    oracle recomputes from the source — compaction must move bytes, never
+    change them. Actual on-disk file counts are asserted in
+    tests/test_scale.py."""
+    base = os.path.join(SCRATCH, os.path.basename(sf_dir.rstrip("/")), "orders_compaction")
+    o = load(spark, sf_dir, "orders")
+    o.repartition(64).write.mode("overwrite").parquet(os.path.join(base, "small"))
+    frag = spark.read.parquet(os.path.join(base, "small"))
+    frag.coalesce(4).write.mode("overwrite").parquet(os.path.join(base, "compact"))
+    compacted = spark.read.parquet(os.path.join(base, "compact"))
+    return compacted.agg(
+        F.lit(64).alias("n_files_before"),
+        F.lit(4).alias("n_files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_totalprice").cast("string").cast("decimal(38,2)").cast("double").alias("total_value"),
+    )

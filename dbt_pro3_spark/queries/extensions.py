@@ -1402,3 +1402,33 @@ def ext_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("x").cast("double")), 5).alias("centroid"))
     )
+
+
+@register(
+    "ext_mm_audio_frames",
+    """
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, CAST(FLOOR(length(text) / 32) * 32 AS BIGINT))) AS i
+        FROM documents WHERE length(text) >= 32
+    ), v AS (
+        SELECT doc_id, CAST(FLOOR((i - 1) / 32) AS INTEGER) AS frame_id,
+               ascii(substr(text, i, 1)) AS val
+        FROM pos
+    )
+    SELECT doc_id, frame_id,
+           CAST(SUM(val) AS BIGINT) AS energy,
+           CAST(MAX(val) AS INTEGER) AS peak
+    FROM v GROUP BY doc_id, frame_id
+    """,
+)
+def ext_mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing plumbing (ext/multimodal.py audio_frames_stub): the
+    binary payload framed into 32-sample windows with per-frame
+    energy/peak — a 1:N fan-out INSIDE the Arrow batch, the mapInPandas
+    contract real codecs need (decode_features is the 1:1 sibling). The
+    deterministic stub makes even this Pandas path oracle-checkable: the
+    payload is ASCII text bytes, so the oracle recomputes frames via
+    character-code arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.audio_frames_stub(mm.attach_binary(docs))

@@ -131,3 +131,21 @@ def test_spread_is_noop_on_well_partitioned_input(spark):
     narrow = spark.range(0, 1000, 1, 1)
     out = spread(narrow)
     assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_compaction_reduces_file_count(spark):
+    """sink_compaction's claimed file counts must be the on-disk truth."""
+    import glob
+    import os
+
+    from dbt_pro3_spark.queries import all_queries
+    from dbt_pro3_spark.queries.core_scan import SCRATCH
+
+    from .conftest import SF_DIR
+
+    all_queries()["sink_compaction"](spark, SF_DIR).collect()
+    base = os.path.join(SCRATCH, os.path.basename(SF_DIR.rstrip("/")), "orders_compaction")
+    small = glob.glob(os.path.join(base, "small", "part-*"))
+    compact = glob.glob(os.path.join(base, "compact", "part-*"))
+    assert len(small) == 64
+    assert len(compact) == 4
