@@ -605,13 +605,44 @@ def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- multimodal
 
-@register("ext_mm_decode")  # rows-only: Pandas-UDF stub decode, no SQL twin
+@register(
+    "ext_mm_decode",
+    """
+    WITH v AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               list_transform(generate_series(1, length(text)),
+                              i -> ascii(substr(text, i, 1))) AS codes
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_bytes AS INTEGER) AS n_bytes,
+           CAST(4 AS INTEGER) AS feature_dim,
+           CAST(n_bytes AS DOUBLE) AS f_len,
+           CAST(list_sum(codes) % 997 AS DOUBLE) AS f_mod,
+           CAST(CASE WHEN n_bytes > 0 THEN codes[1] ELSE 0 END AS DOUBLE) AS f_first,
+           CAST(CASE WHEN n_bytes > 0 THEN codes[n_bytes] ELSE 0 END AS DOUBLE) AS f_last
+    FROM v
+    """,
+)
 def ext_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: binary payload + metadata struct →
     Arrow-batched mapInPandas feature extraction (STUB decoder — see
-    ext/multimodal.py; schema/batching/partitioning are the real thing)."""
+    ext/multimodal.py; schema/batching/partitioning are the real thing).
+    The stub's features are pure byte arithmetic, so even this Pandas-UDF
+    path is oracle-checked: the payload is ASCII text bytes and the
+    oracle recomputes each feature component from character codes
+    (mean_byte stays in the module API; the compared projection keeps to
+    exactly-representable values so the hash can't wobble)."""
     docs = load(spark, sf_dir, "documents")
-    return mm.decode_features(mm.attach_binary(docs))
+    feats = mm.decode_features(mm.attach_binary(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "feature_dim",
+        F.element_at("features", 1).alias("f_len"),
+        F.element_at("features", 2).alias("f_mod"),
+        F.element_at("features", 3).alias("f_first"),
+        F.element_at("features", 4).alias("f_last"),
+    )
 
 
 @register(
@@ -631,14 +662,26 @@ def ext_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------- stateful streaming
 
-@register("ext_stateful_running_agg")  # rows-only: custom state-store operator
+@register(
+    "ext_stateful_running_agg",
+    f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           {dround('SUM(COALESCE(value, 0.0))', 2)} AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
 def ext_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful aggregation (applyInPandasWithState): per-user
     running count/sum maintained in the engine state store, Arrow-batched —
-    the template for custom stateful operators Spark lacks natively."""
+    the template for custom stateful operators Spark lacks natively.
+    Oracle-checked: a completed availableNow run's final state per user
+    must equal the batch GROUP BY (event values are exact 2-dp decimals,
+    so the 2-dp-rounded totals cannot straddle a rounding boundary
+    between the state-store accumulation order and the oracle's)."""
     from ..streaming.stateful import running_user_totals
 
-    return running_user_totals(spark, f"{sf_dir}/events.parquet")
+    totals = running_user_totals(spark, f"{sf_dir}/events.parquet")
+    return totals.select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
 
 
 @register("ext_stream_stream_join")  # rows-only: streaming twin of join_range_interval
