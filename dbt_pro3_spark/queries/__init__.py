@@ -164,6 +164,7 @@ _PRIORITY_TAIL = [
     "test_relationships",
     "ext_mm_audio_frames",
     "sink_compaction",
+    "ext_text_unigram_xent",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

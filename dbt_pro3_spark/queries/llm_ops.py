@@ -750,3 +750,50 @@ def ext_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.col("left_tok"), F.col("right_tok"))
         .limit(VOCAB_K)
     )
+
+
+@register(
+    "ext_text_unigram_xent",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), vocab AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT SUM(cnt) AS total FROM vocab
+    ), scored AS (
+        SELECT t.doc_id, {dround('-ln(v.cnt / tot.total)', 9)} AS logp
+        FROM toks t JOIN vocab v USING (tok), tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens, {dround('AVG(logp)', 6)} AS cross_entropy
+    FROM scored GROUP BY doc_id
+    """,
+)
+def ext_text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy scoring — the cheap stand-in for
+    perplexity-based quality filtering (KenLM-style): the corpus's own
+    unigram distribution is the language model, and each document is
+    scored by its mean -ln p(token). Surprising (OOV-heavy, gibberish)
+    documents score high and get culled.
+
+    Scale shape: the LM is the token-frequency table — bounded by VOCAB,
+    not corpus size, so it broadcasts (shuffle-join if a web-scale vocab
+    outgrows that); per-token log-probs are rounded at 9 dp before the
+    per-doc mean (ln differs by ulps across engines' libm) and the mean
+    at 6 dp, keeping the hash stable."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("cnt") / F.col("total")), 9).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("logp"), 6).alias("cross_entropy"),
+    )
