@@ -165,6 +165,8 @@ _PRIORITY_TAIL = [
     "ext_mm_audio_frames",
     "sink_compaction",
     "ext_text_unigram_xent",
+    "ext_event_funnel",
+    "ext_retention_cohorts",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

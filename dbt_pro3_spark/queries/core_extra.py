@@ -661,3 +661,106 @@ def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~late, 1)).alias("ontime_lines"),
         )
     )
+
+
+@register(
+    "ext_event_funnel",
+    """
+    WITH t1 AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS first_click
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.first_view
+        GROUP BY e.user_id
+    ), t3 AS (
+        SELECT e.user_id, MIN(e.ts) AS first_purchase
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.first_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM t1) AS n_viewed,
+           (SELECT COUNT(*) FROM t2) AS n_clicked_after,
+           (SELECT COUNT(*) FROM t3) AS n_purchased_after
+    """,
+)
+def ext_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users progressing view -> click (after their first
+    view) -> purchase (after that click) — the ordered-sequence match
+    every product-analytics stack ships (match_recognize's common case).
+    Three conditional MIN aggregates all keyed on user_id: the first
+    shuffle establishes the partitioning and the step joins reuse it
+    (AQE-local); step N's survivor set only shrinks, so each stage is
+    cheaper than the last. Timestamps compare exactly (micros both
+    engines)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        t1.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_clicked_after")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )
+
+
+@register(
+    "ext_retention_cohorts",
+    """
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, a.active_week) / 7 AS INTEGER) AS week_no,
+           COUNT(*) AS n_active
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_no
+    """,
+)
+def ext_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted as active in each subsequent week — the (cohort, week_no)
+    triangle behind every retention chart. Both aggregates key on
+    user_id (one shuffle, reused); the matrix itself is tiny (weeks²).
+    Week buckets are Monday-start in both engines and the week offset is
+    an exact integer (both weeks are Monday-aligned, so the day diff is
+    divisible by 7). COUNT(*) over the distinct (user, week) activity set
+    == COUNT(DISTINCT user) per cell."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_no"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -110,3 +110,32 @@ def test_zorder_key_stays_narrow(spark):
     p = plan_str(_QUERIES["scan_zorder_key"](spark, SF_DIR))
     assert ") Exchange" not in p, p[:1500]
     assert "PushedFilters: [IsNotNull(l_linenumber), EqualTo(l_linenumber,1)]" in p, p[:1500]
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The eval-set n-gram side must broadcast — a shuffled contamination
+    join would move the corpus gram set for a KB-sized benchmark."""
+    p = plan_str(_QUERIES["ext_text_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+
+
+def test_quality_filter_broadcasts_cuts(spark):
+    """Per-language percentile cuts (rows == languages) broadcast back."""
+    p = plan_str(_QUERIES["ext_quality_filter"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+
+
+def test_pack_has_no_corpus_wide_window(spark):
+    """Sequence packing's local cumsum windows must be partitioned by the
+    doc_id-range bucket; the only unpartitioned sort feeds the tiny
+    bucket-subtotal scan, never the corpus."""
+    p = plan_str(_QUERIES["ext_text_pack"](spark, SF_DIR))
+    # the corpus-side window sorts within hash-partitioned buckets
+    assert "hashpartitioning(bucket" in p
+    # and the offsets join arrives broadcast
+    assert "BroadcastHashJoin" in p
+
+
+def test_unigram_xent_broadcasts_vocab(spark):
+    p = plan_str(_QUERIES["ext_text_unigram_xent"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
