@@ -764,3 +764,30 @@ def ext_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "win_lead_next_gap",
+    """
+    SELECT event_id, user_id,
+           CAST(datediff('microsecond', ts,
+                LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             AS BIGINT) AS gap_us
+    FROM events
+    """,
+)
+def win_lead_next_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD window: inter-event gap per user (time to the NEXT event;
+    NULL on each user's last event) — the forward-looking sibling of the
+    lag keys and the raw material of think-time / churn features.
+    Partitioned by user_id with a deterministic (ts, event_id) order;
+    gaps are exact integer microseconds on both engines."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")))
+        .cast("bigint")
+        .alias("gap_us"),
+    )
