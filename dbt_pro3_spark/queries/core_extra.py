@@ -791,3 +791,94 @@ def win_lead_next_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_us"),
     )
+
+
+@register(
+    "agg_histogram",
+    f"""
+    SELECT LEAST(CAST(FLOOR(o_totalprice / 25000.0) AS INTEGER), 19) AS bucket,
+           COUNT(*) AS n_orders,
+           {dround('MIN(o_totalprice)', 2)} AS lo,
+           {dround('MAX(o_totalprice)', 2)} AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (width_bucket shape): order values into
+    20 x 25k buckets with per-bucket count and observed min/max. Bucketing
+    is a narrow arithmetic expression feeding a partial+final hash
+    aggregate over at most 20 groups — the profiling primitive behind
+    distribution dashboards. IEEE double division and FLOOR are bit-exact
+    on both engines, so bucket assignment can't straddle the hash."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("int"), F.lit(19)
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@register(
+    "ext_date_spine_fill",
+    f"""
+    WITH bounds AS (
+        SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+               CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+        FROM orders
+    ), spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month
+        FROM bounds
+    ), jumbo AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               COUNT(*) AS n_jumbo_orders,
+               SUM(o_totalprice) AS rev
+        FROM orders WHERE o_totalprice > 495000 GROUP BY 1
+    )
+    SELECT s.month,
+           CAST(COALESCE(j.n_jumbo_orders, 0) AS BIGINT) AS n_jumbo_orders,
+           {dround('COALESCE(j.rev, 0)', 2)} AS jumbo_revenue
+    FROM spine s LEFT JOIN jumbo j USING (month)
+    """,
+)
+def ext_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill (the dbt_utils.date_spine staple): generate a
+    complete monthly calendar from the data's own bounds with
+    sequence()+explode, then left-join a sparse aggregate (jumbo orders,
+    top ~0.2% by value) onto it so empty months surface as explicit zero
+    rows instead of silently missing — the difference between a correct
+    and a misleading time series.
+
+    Scale shape: bounds is a 1-row all-reduce; the spine is O(months),
+    generated driver-free from that single row; the sparse aggregate
+    shuffles only the filtered slice (predicate pushed to the scan); the
+    final join broadcasts the tiny spine. Nothing here grows with corpus
+    size except the one pushed-down filtered aggregation."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 month)")).alias("month")
+    )
+    jumbo = (
+        o.filter(F.col("o_totalprice") > 495000)
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_jumbo_orders"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+    )
+    return spine.join(jumbo, "month", "left").select(
+        "month",
+        F.coalesce(F.col("n_jumbo_orders"), F.lit(0)).cast("bigint").alias(
+            "n_jumbo_orders"
+        ),
+        F.round(F.coalesce(F.col("rev"), F.lit(0.0)), 2).alias("jumbo_revenue"),
+    )

@@ -797,3 +797,106 @@ def ext_text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("logp"), 6).alias("cross_entropy"),
     )
+
+
+DUP_NGRAM_N = 8
+
+
+@register(
+    "ext_text_dup_ngram_spans",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS l FROM documents
+    ), sized AS (
+        SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n_tokens FROM toks
+    ), grams AS (
+        SELECT doc_id, i, md5(array_to_string(l[i:i+{DUP_NGRAM_N - 1}], ' ')) AS g
+        FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - {DUP_NGRAM_N - 1})) AS i
+              FROM sized WHERE n_tokens >= {DUP_NGRAM_N})
+    ), dupg AS (
+        SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ), dup_pos AS (
+        SELECT doc_id, i FROM grams JOIN dupg USING (g)
+    ), dup_cnt AS (
+        SELECT doc_id, COUNT(*) AS n_dup_ngrams FROM dup_pos GROUP BY doc_id
+    ), cover AS (
+        SELECT doc_id, COUNT(DISTINCT p) AS covered_tokens
+        FROM (SELECT doc_id, unnest(generate_series(i, i + {DUP_NGRAM_N - 1})) AS p
+              FROM dup_pos)
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens,
+           CAST(GREATEST(s.n_tokens - {DUP_NGRAM_N - 1}, 0) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(d.n_dup_ngrams, 0) AS BIGINT) AS n_dup_ngrams,
+           CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           {dround('COALESCE(c.covered_tokens, 0) * 1.0 / s.n_tokens', 6)} AS dup_token_ratio
+    FROM sized s
+    LEFT JOIN dup_cnt d USING (doc_id)
+    LEFT JOIN cover c USING (doc_id)
+    WHERE s.n_tokens > 0
+    """,
+)
+def ext_text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal duplicate-span detection (the exact-substring-dedup
+    family of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): every token 8-gram is hashed; 8-grams appearing in
+    two or more distinct documents mark their token span as duplicated,
+    and each document reports how many of its tokens sit under at least
+    one cross-document duplicate span. Downstream, high dup_token_ratio
+    docs get span-clipped or dropped.
+
+    Scale shape — this is the hash-based stand-in for a distributed
+    suffix array: the n-gram fan-out is sequence+explode (narrow); the
+    duplicate-gram set comes from one groupBy on a 16-byte md5 key with
+    partial aggregation; the join back is gram-hash-partitioned, never
+    all-pairs; span coverage is a second explode bounded by 8x the
+    duplicated positions. Everything is O(corpus tokens), shuffle keys
+    are fixed-width hashes, and no step holds a whole document's gram
+    set in one row."""
+    n = DUP_NGRAM_N
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    sized = docs.select(
+        "doc_id", toks.alias("l"), F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    grams = (
+        sized.filter(F.col("n_tokens") >= n)
+        .withColumn("i", F.explode(F.sequence(F.lit(1), (F.col("n_tokens") - (n - 1)).cast("int"))))
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.concat_ws(" ", F.slice(F.col("l"), F.col("i"), n)).cast("binary")).alias("g"),
+        )
+    )
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    dup_pos = grams.join(dupg, "g").select("doc_id", "i")
+    dup_cnt = dup_pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_ngrams"))
+    cover = (
+        dup_pos.select(
+            "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("p")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    return (
+        sized.drop("l")
+        .filter(F.col("n_tokens") > 0)
+        .join(dup_cnt, "doc_id", "left")
+        .join(cover, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.greatest(F.col("n_tokens") - (n - 1), F.lit(0)).cast("bigint").alias("n_ngrams"),
+            F.coalesce(F.col("n_dup_ngrams"), F.lit(0)).cast("bigint").alias("n_dup_ngrams"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("bigint").alias("covered_tokens"),
+            F.round(
+                F.coalesce(F.col("covered_tokens"), F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_token_ratio"),
+        )
+    )
