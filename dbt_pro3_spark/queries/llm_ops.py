@@ -900,3 +900,167 @@ def ext_text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_token_ratio"),
         )
     )
+
+
+@register(
+    "ext_embed_quantize",
+    f"""
+    WITH vals AS (
+        SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+    ), bounds AS (
+        SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM vals GROUP BY dim
+    ), q AS (
+        SELECT v.vec_id, v.x, b.mn, b.mx,
+               LEAST(GREATEST(CAST(FLOOR((v.x - b.mn) / NULLIF(b.mx - b.mn, 0) * 255 + 0.5)
+                                   AS INTEGER), 0), 255) AS code
+        FROM vals v JOIN bounds b USING (dim)
+    ), r AS (
+        SELECT vec_id, code,
+               ABS(x - (mn + code * (mx - mn) / 255)) AS err
+        FROM q
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS INTEGER) AS n_dims,
+           CAST(MIN(code) AS INTEGER) AS code_min,
+           CAST(MAX(code) AS INTEGER) AS code_max,
+           {dround('AVG(err)', 9)} AS mean_abs_err
+    FROM r GROUP BY vec_id
+    """,
+)
+def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (the SQ8 memory
+    path of ANN indexes: 4x smaller vectors, distance on codes): trained
+    per-dimension [min, max] bounds, each value encoded to an 8-bit code
+    by floor((x-mn)/(mx-mn)*255 + 0.5), then per-vector reconstruction
+    error reported — the quantizer's quality audit.
+
+    Scale shape: training the quantizer is ONE aggregate over (dim) — at
+    most d groups regardless of corpus size — broadcast back over the
+    posexploded values; encode/decode are narrow arithmetic. All math is
+    promoted to double on both engines (float32 -> float64 is exact), so
+    codes are bit-identical; the error mean is rounded at 9 dp against
+    summation-order noise."""
+    emb = load(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    bounds = vals.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    rng = F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
+    code = F.least(
+        F.greatest(
+            F.floor((F.col("x") - F.col("mn")) / rng * 255 + 0.5).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(255),
+    )
+    q = vals.join(F.broadcast(bounds), "dim").select(
+        "vec_id", "x", "mn", "mx", code.alias("code")
+    )
+    err = F.abs(
+        F.col("x") - (F.col("mn") + F.col("code") * (F.col("mx") - F.col("mn")) / 255)
+    )
+    return (
+        q.select("vec_id", "code", err.alias("err"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_dims"),
+            F.min("code").cast("int").alias("code_min"),
+            F.max("code").cast("int").alias("code_max"),
+            F.round(F.avg("err"), 9).alias("mean_abs_err"),
+        )
+    )
+
+
+@register(
+    "ext_curation_pipeline",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, text, {_TOKS_SQL} AS l FROM documents
+    ), feat AS (
+        SELECT doc_id, lang, text,
+               len(l) AS n_tokens,
+               CAST(list_sum(list_transform(l, x -> len(x))) AS DOUBLE)
+                   / NULLIF(CAST(len(l) AS DOUBLE), 0) AS avg_len,
+               CAST(len(list_filter(l, x -> lower(x) IN {_STOPWORDS_SQL})) AS DOUBLE)
+                   / NULLIF(CAST(len(l) AS DOUBLE), 0) AS stop_ratio
+        FROM toks
+    ), scored AS (
+        SELECT doc_id, lang, text, n_tokens, {dround(_SCORE_SQL, 2)} AS quality_score
+        FROM feat
+    ), cuts AS (
+        SELECT lang, {dround(f'quantile_cont(quality_score, {QF_PCT})', 6)} AS cut
+        FROM scored GROUP BY lang
+    ), kept AS (
+        SELECT s.* FROM scored s JOIN cuts c ON s.lang = c.lang
+        WHERE s.quality_score >= c.cut
+    ), deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+            FROM kept)
+        WHERE rn = 1
+    ), assigned AS (
+        SELECT *,
+               CASE WHEN CAST({_md5_32("'doc:' || CAST(doc_id AS VARCHAR)")} % 100 AS INTEGER) < 80
+                         THEN 'train'
+                    WHEN CAST({_md5_32("'doc:' || CAST(doc_id AS VARCHAR)")} % 100 AS INTEGER) < 90
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM deduped
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           {dround('AVG(quality_score)', 6)} AS avg_quality
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone corpus-curation pipeline — the chained build a training-data
+    user actually runs, composed from this library's own stages:
+    per-language P30 quality filter -> exact near-identical dedup (keep
+    lowest doc_id per normalized-text md5) -> deterministic hash-bucket
+    train/val/test split -> per-(split, lang) corpus report (docs, tokens,
+    mean quality).
+
+    Scale shape, stage by stage: scoring is narrow; the percentile cut is
+    a languages-sized aggregate broadcast back; dedup is ONE window over
+    a 16-byte hash key (never the document text as shuffle key); split
+    assignment is a local hash — no shuffle; the report aggregates to
+    (splits x languages) rows. Two shuffles total for the whole pipeline,
+    both on compact keys — at 100 TB the corpus streams through exactly
+    twice."""
+    docs = load(spark, sf_dir, "documents")
+    scored = tx.quality_features(docs).select(
+        "doc_id", "lang", "text", "n_tokens", "quality_score"
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.round(F.expr(f"percentile(quality_score, {QF_PCT})"), 6).alias("cut")
+    )
+    kept = (
+        scored.join(F.broadcast(cuts), "lang")
+        .filter(F.col("quality_score") >= F.col("cut"))
+        .drop("cut")
+    )
+    dw = Window.partitionBy(
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    ).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(dw)).filter(F.col("rn") == 1).drop("rn")
+    )
+    bucket = F.pmod(
+        _spark_md5_32(F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    ).cast("int")
+    assigned = deduped.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
