@@ -1064,3 +1064,91 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.round(F.avg("quality_score"), 6).alias("avg_quality"),
     )
+
+
+CMS_D = 3      # sketch depth (independent hash rows)
+CMS_W = 256    # sketch width (buckets per row)
+CMS_TOPK = 20
+
+_CMS_BUCKET_SQL = f"CAST({_md5_32(chr(39) + 'cms' + chr(39) + ' || CAST(i AS VARCHAR) || ' + chr(39) + ':' + chr(39) + ' || k')} % {CMS_W} AS INTEGER)"
+
+
+@register(
+    "ext_sketch_countmin",
+    f"""
+    WITH keyed AS (
+        SELECT CAST(user_id AS VARCHAR) AS k FROM events
+    ), entries AS (
+        SELECT i, {_CMS_BUCKET_SQL} AS bucket
+        FROM keyed, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS i)
+    ), sketch AS (
+        SELECT i, bucket, COUNT(*) AS c FROM entries GROUP BY i, bucket
+    ), exact AS (
+        SELECT k, COUNT(*) AS exact_n FROM keyed GROUP BY k
+    ), kb AS (
+        SELECT k, exact_n, i, {_CMS_BUCKET_SQL} AS bucket
+        FROM exact, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS i)
+    ), est AS (
+        SELECT k, exact_n, MIN(c) AS cms_est
+        FROM kb JOIN sketch USING (i, bucket) GROUP BY k, exact_n
+    )
+    SELECT CAST(k AS BIGINT) AS user_id,
+           CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_n AS BIGINT) AS overcount
+    FROM est ORDER BY cms_est DESC, user_id LIMIT {CMS_TOPK}
+    """,
+)
+def ext_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch as a DataFrame (heavy-hitter estimation): a
+    {CMS_D}x{CMS_W} counter grid built by hashing every event's user into
+    one bucket per hash row, point-estimated as the min across rows —
+    reported for the top-{CMS_TOPK} estimated users next to their exact
+    counts and the CMS's signature one-sided overcount.
+
+    Unlike the opaque binary count_min_sketch() aggregate, this sketch IS
+    a {CMS_D * CMS_W}-row table: mergeable across days by summing cells
+    (same pattern as ext_sketch_merge's HLL rollup), queryable in SQL, and
+    engine-portable — the md5-derived bucket hash makes it bit-identical
+    in DuckDB, so the whole sketch is oracle-checked, not rows-only.
+
+    Scale shape: the build is one groupBy over (row, bucket) — partial
+    aggregation collapses the d-fold explode map-side, so the shuffle
+    carries at most d*w counter rows per partition regardless of event
+    count; the probe joins a broadcast sketch. Error bound (est - exact
+    <= e*N/w with prob 1-(1/2)^d) is asserted in
+    tests/test_approx_sketches.py."""
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(F.col("user_id").cast("string").alias("k"))
+    bucket = F.pmod(
+        _spark_md5_32(
+            F.concat(F.lit("cms"), F.col("i").cast("string"), F.lit(":"), F.col("k"))
+        ),
+        F.lit(CMS_W),
+    ).cast("int")
+    rows_i = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("i")
+    sketch = (
+        keyed.select("k", rows_i)
+        .select("i", bucket.alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.select("k", "exact_n", rows_i).select(
+        "k", "exact_n", "i", bucket.alias("bucket")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("k", "exact_n")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+    )
+    return (
+        est.select(
+            F.col("k").cast("bigint").alias("user_id"),
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("cms_est"), "user_id")
+        .limit(CMS_TOPK)
+    )

@@ -77,3 +77,21 @@ def test_sketch_merge_error_bound(spark):
     for k, approx in got.items():
         rel = abs(approx - exact[k]) / exact[k]
         assert rel <= 0.05, f"{k}: approx {approx} vs exact {exact[k]}"
+
+
+def test_countmin_error_bound(spark):
+    """CMS guarantees: one-sided error (est >= exact always) and, with the
+    d=3 x w=256 grid, expected overcount ~ N/w per probe — assert the
+    deterministic outcome stays under 4x that expectation for every
+    reported heavy hitter."""
+    from dbt_pro3_spark.queries.llm_ops import CMS_W
+    from dbt_pro3_spark.sources.readers import load
+
+    rows = all_queries()["ext_sketch_countmin"](spark, SF).collect()
+    assert len(rows) == 20
+    n_events = load(spark, SF, "events").count()
+    bound = 4.0 * n_events / CMS_W
+    for r in rows:
+        assert r["overcount"] >= 0, r  # never undercounts
+        assert r["cms_est"] == r["exact_n"] + r["overcount"]
+        assert r["overcount"] <= bound, (r, bound)
