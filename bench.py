@@ -54,6 +54,11 @@ HEADLINE = [
     "ext_text_pack",
     "ext_quality_filter",
     "q_forecast_revenue",
+    # round-2 close-out additions
+    "ext_text_dup_ngram_spans",
+    "ext_curation_pipeline",
+    "ext_embed_quantize",
+    "ext_sketch_countmin",
 ]
 
 

@@ -167,6 +167,11 @@ _PRIORITY_TAIL = [
     "ext_text_unigram_xent",
     "ext_event_funnel",
     "ext_retention_cohorts",
+    "ext_text_dup_ngram_spans",
+    "ext_curation_pipeline",
+    "ext_embed_quantize",
+    "ext_sketch_countmin",
+    "ext_date_spine_fill",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),
