@@ -875,20 +875,21 @@ def ext_text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
     )
     dup_pos = grams.join(dupg, "g").select("doc_id", "i")
-    dup_cnt = dup_pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_ngrams"))
-    cover = (
-        dup_pos.select(
-            "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("p")
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    # ONE pass over dup_pos for both stats (position count + span coverage):
+    # positions i are already distinct per doc, so countDistinct(i) is the
+    # dup-ngram count — fusing the two aggregates stops Spark recomputing
+    # the whole gram pipeline twice (one subtree per aggregate otherwise).
+    spans = dup_pos.select(
+        "doc_id", "i", F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("p")
+    )
+    stats = spans.groupBy("doc_id").agg(
+        F.countDistinct("i").alias("n_dup_ngrams"),
+        F.countDistinct("p").alias("covered_tokens"),
     )
     return (
         sized.drop("l")
         .filter(F.col("n_tokens") > 0)
-        .join(dup_cnt, "doc_id", "left")
-        .join(cover, "doc_id", "left")
+        .join(stats, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
