@@ -139,3 +139,29 @@ def test_pack_has_no_corpus_wide_window(spark):
 def test_unigram_xent_broadcasts_vocab(spark):
     p = plan_str(_QUERIES["ext_text_unigram_xent"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p
+
+
+def test_dup_ngram_spans_single_gram_pipeline(spark):
+    """The fused multi-distinct aggregate must keep the heavy gram probe
+    join to ONE instance in the plan (the split-aggregate form planted
+    two), and nothing may fall back to a non-equi join."""
+    p = plan_str(_QUERIES["ext_text_dup_ngram_spans"](spark, SF_DIR))
+    assert p.count("SortMergeJoin") == 0
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_curation_pipeline_broadcasts_cuts(spark):
+    """The per-language percentile cut and the final enrich joins must be
+    broadcast; the only shuffles are the dedup window hash and the report
+    aggregate."""
+    p = plan_str(_QUERIES["ext_curation_pipeline"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_countmin_probe_is_broadcast(spark):
+    """The d*w sketch table must arrive at the probe as a broadcast —
+    shuffling the keyed side against a <=768-row sketch would be wrong."""
+    p = plan_str(_QUERIES["ext_sketch_countmin"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
