@@ -180,3 +180,25 @@ def audio_frames_stub(binary_df: DataFrame, frame: int = AUDIO_FRAME) -> DataFra
             )
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+PIXEL_SCHEMA = "doc_id bigint, pixels array<int>"
+
+
+def decode_pixels(binary_df: DataFrame, n_pixels: int = 64, stride: int = 7) -> DataFrame:
+    """STUB image decode to a fixed grid of grayscale pixels (the aHash
+    front-end): pixel k = payload byte at (k*stride) mod n_bytes. Stands in
+    for decode->grayscale->8x8 downsample; swap the body for
+    PIL.Image.open(...).convert('L').resize((8,8)) and nothing else in the
+    pipeline changes — Arrow batch iterator, explicit schema, inherited
+    partitioning are the production contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = []
+            for b in pdf["payload"]:
+                n = len(b)
+                pixels.append([int(b[(k * stride) % n]) for k in range(n_pixels)])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixels": pixels})
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, schema=PIXEL_SCHEMA)

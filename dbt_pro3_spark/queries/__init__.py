@@ -172,6 +172,7 @@ _PRIORITY_TAIL = [
     "ext_embed_quantize",
     "ext_sketch_countmin",
     "ext_date_spine_fill",
+    "ext_mm_phash_dedup",
 ]
 
 # §2.A-J registers first (flagship + core_scan + core_relational modules),

@@ -1475,3 +1475,66 @@ def ext_mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     character-code arithmetic."""
     docs = load(spark, sf_dir, "documents")
     return mm.audio_frames_stub(mm.attach_binary(docs))
+
+
+@register(
+    "ext_mm_phash_dedup",
+    """
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                              k -> ord(substr(text, ((k * 7) % len(text)) + 1, 1))) AS pixels
+        FROM documents WHERE len(text) > 0
+    ), m AS (
+        SELECT doc_id, pixels, list_sum(pixels) / 64.0 AS pmean FROM px
+    ), h AS (
+        SELECT doc_id,
+               array_to_string(list_transform(pixels,
+                   x -> CASE WHEN x > pmean THEN '1' ELSE '0' END), '') AS ahash
+        FROM m
+    )
+    SELECT doc_id, ahash,
+           COUNT(*) OVER (PARTITION BY ahash) AS group_size,
+           doc_id = MIN(doc_id) OVER (PARTITION BY ahash) AS keep
+    FROM h
+    """,
+)
+def ext_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) dedup over the multimodal binary column —
+    the image near-dup path: Arrow-batched stub decode to an 8x8 pixel
+    grid (ext/multimodal.py decode_pixels; swap in a real decoder without
+    touching the rest), then the average-hash computed as NARROW column
+    expressions (mean via aggregate(), sign bits via transform()), then
+    dedup by identical hash with a keep-lowest-id canonical flag.
+
+    Decode in Python (vectorized, the only place codecs can run), hash in
+    the JVM (codegen), dedup as ONE window over the 64-bit hash key —
+    payload bytes never shuffle. The stub's byte arithmetic is replicated
+    by the oracle via ord(substr(...)) (corpus is ASCII, so char code ==
+    payload byte), making this Pandas-UDF path hash-checked rather than
+    rows-only."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    px = mm.decode_pixels(mm.attach_binary(docs))
+    pm = px.withColumn(
+        "pmean",
+        F.aggregate("pixels", F.lit(0).cast("bigint"), lambda a, x: a + x) / 64.0,
+    )
+    h = pm.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.transform(
+                "pixels",
+                lambda x: F.when(x > F.col("pmean"), F.lit("1")).otherwise(F.lit("0")),
+            ),
+        ).alias("ahash"),
+    )
+    w = Window.partitionBy("ahash")
+    return h.select(
+        "doc_id",
+        "ahash",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
