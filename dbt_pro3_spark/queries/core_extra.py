@@ -882,3 +882,79 @@ def ext_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.coalesce(F.col("rev"), F.lit(0.0)), 2).alias("jumbo_revenue"),
     )
+
+
+BLOOM_W = 4096  # bit-set width
+BLOOM_K = 3     # hash functions
+
+
+@register(
+    "join_bloom_prefilter",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(CAST(CAST(SUM(l_extendedprice) AS VARCHAR) AS DECIMAL(38,2)) AS VARCHAR)::DOUBLE AS gross_revenue
+    FROM lineitem
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_orderkey = l_orderkey
+          AND o_orderpriority = '1-URGENT' AND o_totalprice > 450000
+    )
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style runtime pre-filter join: the selective build side
+    (urgent jumbo orders, ~2%) is condensed into a broadcastable SET BIT
+    TABLE (K md5-derived positions per key over a W-bit space, distinct),
+    the probe side keeps only rows whose K positions ALL hit — three
+    broadcast semi joins, so the big side is filtered IN PLACE with no
+    shuffle — and survivors get the exact semi join (bloom hits are
+    candidates, never answers: no false negatives, so the result equals
+    the plain semi join, which is exactly what the oracle runs).
+
+    This is the manual, engine-portable form of what Spark's
+    InjectRuntimeFilter/DPP does when thresholds allow: at 100 TB the
+    bit table is O(W) regardless of build-side row count, and the probe
+    scan discards non-matching rows before ANY exchange. The final
+    aggregate rounds through DECIMAL like every money key.
+
+    Reference parity: extends §2.D's join family (the reference joins are
+    plain equi-joins; models/silver/*.sql) with the shuffle-avoidance
+    pattern those joins need at scale."""
+    from .llm_ops import _spark_md5_32
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    small = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 450000)
+    ).select("o_orderkey")
+
+    def positions(key: F.Column, j: int) -> F.Column:
+        return F.pmod(
+            _spark_md5_32(F.concat(F.lit(f"bf{j}:"), key.cast("string"))),
+            F.lit(BLOOM_W),
+        ).cast("int")
+
+    pre = li
+    for j in range(BLOOM_K):
+        bits_j = small.select(
+            positions(F.col("o_orderkey"), j).alias("pos")
+        ).distinct()
+        pre = pre.join(
+            F.broadcast(bits_j),
+            positions(F.col("l_orderkey"), j) == F.col("pos"),
+            "left_semi",
+        )
+    exact = pre.join(
+        F.broadcast(small),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    return exact.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum("l_extendedprice")
+        .cast("string")
+        .cast("decimal(38,2)")
+        .cast("string")
+        .cast("double")
+        .alias("gross_revenue"),
+    )
