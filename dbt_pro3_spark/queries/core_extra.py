@@ -787,7 +787,10 @@ def win_lead_next_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")))
+        (
+            F.unix_micros(F.lead(F.col("ts").cast("timestamp")).over(w))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        )
         .cast("bigint")
         .alias("gap_us"),
     )

@@ -1037,7 +1037,10 @@ def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         "user_id",
         "click_id",
-        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("gap_us"),
     )
 
 

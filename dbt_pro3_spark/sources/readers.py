@@ -29,6 +29,30 @@ TESTDATA_TABLES = [
 ]
 
 
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize every timestamp-ish column to plain TIMESTAMP (LTZ).
+
+    Driver testdata has shipped two physical encodings across rounds:
+    nanosecond parquet timestamps (read as BIGINT under session.tune) and
+    microsecond isAdjustedToUTC=false timestamps (read as TIMESTAMP_NTZ by
+    Spark 4's NTZ inference). Both are normalized here so every downstream
+    expression (unix_micros, double casts, watermarks, interval arithmetic)
+    sees one type. The session timezone is pinned to UTC (session.py), so
+    the NTZ->LTZ cast is value-preserving. Works on batch AND streaming
+    DataFrames — pure column projections, no shuffle, codegen-friendly.
+    """
+    for col_name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+        elif col_name == "ts" and dtype == "bigint":
+            # nanosecond parquet timestamp read as long (see session.tune);
+            # integer-DIV to micros matches DuckDB's ns->us truncation
+            df = df.withColumn(
+                col_name, F.timestamp_micros(F.expr(f"{col_name} DIV 1000"))
+            )
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver-provided parquet table.
 
@@ -36,12 +60,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     never cache here — let each query prune its own columns.
     """
     tune(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanosecond parquet timestamp read as long (see session.tune);
-        # integer-DIV to micros matches DuckDB's ns->us truncation
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    return normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def spread(df: DataFrame, target: int | None = None) -> DataFrame:

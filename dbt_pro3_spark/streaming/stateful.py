@@ -37,13 +37,14 @@ STATE_SCHEMA = "n bigint, total double"
 
 
 def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    from ..sources.readers import normalize_ts
+
     tune(spark)
     schema = spark.read.parquet(events_path).schema
-    return (
+    return normalize_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", os.path.basename(events_path))
         .parquet(os.path.dirname(events_path))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
 
 

@@ -39,11 +39,14 @@ def windowed_stream_counts(
     tune(spark)
     schema = spark.read.parquet(events_path).schema
     # readStream needs a directory source; glob-filter to the events file
+    from ..sources.readers import normalize_ts
+
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        normalize_ts(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(events_path))
+            .parquet(os.path.dirname(events_path))
+        )
         .withWatermark("ts", watermark_delay)
         .groupBy(F.window("ts", duration).alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
