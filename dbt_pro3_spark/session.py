@@ -35,6 +35,7 @@ def get_spark(app_name: str = "dbt-pro3-spark") -> SparkSession:
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
         .config("spark.ui.enabled", "false")
     )
@@ -55,4 +56,10 @@ def tune(spark: SparkSession) -> SparkSession:
     # events.parquet stores INT64 TIMESTAMP(NANOS) which the vectorized
     # reader rejects; read as long and convert in the loader instead.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # testdata micros timestamps carry isAdjustedToUTC=false; without this,
+    # Spark 4 reads them as TIMESTAMP_NTZ, which breaks unix_micros/double
+    # casts and (if fixed by post-scan casts) would defeat parquet filter
+    # pushdown on l_shipdate/o_orderdate/ts. Reading them as session-UTC
+    # TIMESTAMP keeps round-1 semantics AND pushdown.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark
