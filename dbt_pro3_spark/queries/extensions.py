@@ -108,12 +108,25 @@ def ext_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(load(spark, sf_dir, "events"), "ts", "30 minutes", "user_id")
 
 
-@register("ext_watermark_stream")  # rows-only: streaming semantics, no SQL twin
+@register(
+    "ext_watermark_stream",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    agg AS (
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events FROM agg, wm
+    WHERE window_start + INTERVAL '10 minutes' <= w
+    """,
+)
 def ext_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream + event-time watermark + tumbling count, availableNow
-    trigger, memory sink. Append mode drops windows the final watermark
-    hasn't passed — deliberately different from the batch result (bounded
-    state is the point)."""
+    trigger, memory sink. Append mode emits exactly the windows whose END
+    the final watermark (max event time - 10 min delay) has passed — the
+    oracle reproduces that cutoff declaratively, making the
+    bounded-state eviction semantics themselves hash-checked."""
     return windowed_stream_counts(spark, f"{sf_dir}/events.parquet")
 
 
@@ -684,11 +697,23 @@ def ext_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
 
 
-@register("ext_stream_stream_join")  # rows-only: streaming twin of join_range_interval
+@register(
+    "ext_stream_stream_join",
+    """
+    SELECT v.user_id, v.event_id AS view_event_id, p.event_id AS purchase_event_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+    """,
+)
 def ext_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (views -> purchases within
-    30 min). Bounded buffers on both sides; batch oracle twin is
-    join_range_interval."""
+    30 min). Bounded buffers on both sides; with the availableNow single
+    microbatch the inner join is exactly batch-equivalent (also asserted in
+    tests/test_streaming_batch_consistency.py), so the batch interval-join
+    SQL is a true oracle."""
     from ..streaming.stateful import stream_stream_view_purchase_join
 
     return stream_stream_view_purchase_join(spark, f"{sf_dir}/events.parquet")
@@ -705,10 +730,16 @@ def ext_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_left_outer_join(spark, f"{sf_dir}/events.parquet")
 
 
-@register("ext_stream_dedup")  # rows-only: bounded-state streaming dedup
+@register(
+    "ext_stream_dedup",
+    "SELECT event_id, user_id, event_type, ts FROM events",
+)
 def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark on event_id — streaming exact dedup
-    with bounded state."""
+    with bounded state. event_id is unique in the testdata, so the
+    deduplicated stream must equal the full table — which makes the
+    identity SELECT a strict oracle: any dropped or duplicated survivor
+    fails the hash."""
     from ..streaming.stateful import stream_dedup
 
     return stream_dedup(spark, f"{sf_dir}/events.parquet")
@@ -819,12 +850,18 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_representative(docs, pairs, "doc_id")
 
 
-@register("ext_stream_foreachbatch_merge")  # rows-only: streaming sink integration
+@register(
+    "ext_stream_foreachbatch_merge",
+    "SELECT event_id, user_id, event_type, ts, value FROM events",
+)
 def ext_stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming -> incremental-store integration: readStream over events,
     foreachBatch merges each micro-batch into the version-pointer store
     (plans/incremental.py) keyed by event_id — the local stand-in for
-    'stream into a Delta table with MERGE'. Returns the final table state."""
+    'stream into a Delta table with MERGE'. Returns the final table state.
+    event_id is unique, so the merged store must converge to exactly the
+    source table — the identity SELECT is a strict oracle for the
+    merge-upsert path (lost batches or double-applied merges fail it)."""
     import os as _os
     import shutil as _shutil
 
@@ -1132,12 +1169,44 @@ def ext_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_stream_session_timeout")  # rows-only: stateful timeout semantics
+@register(
+    "ext_stream_session_timeout",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER win IS NULL
+                      OR ts - LAG(ts) OVER win >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+    ), islands AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               (sid = MAX(sid) OVER (PARTITION BY user_id)) AS is_last
+        FROM islands GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events,
+           is_last AS closed_by_timeout
+    FROM sess, wm
+    WHERE (NOT is_last) OR session_end + INTERVAL '30 minutes' < w
+    """,
+)
 def ext_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful sessionization with EVENT-TIME TIMEOUT
     (streaming/stateful.py sessionize_with_timeout): the engine emits each
     session when the watermark passes its gap — bounded state, emit-once.
-    Batch-consistency with ext_session_window is asserted in
+    The oracle is the gaps-and-islands sessionization PLUS the eviction
+    rule: non-final sessions are emitted by the next session's arrival
+    (closed_by_timeout=false); each user's final session is emitted by the
+    engine timeout (true) only once the final watermark (max event time -
+    10 min) passes session_end + 30 min gap — sessions past that horizon
+    legitimately stay buffered and are excluded on both sides. Also
+    asserted against batch session_window in
     tests/test_streaming_sessions.py."""
     from ..streaming.stateful import sessionize_with_timeout
 
