@@ -280,10 +280,11 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ded.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
 
 
-# Capped block-then-verify n-gram-Jaccard pair SQL — shared by
-# ext_dedup_ngram_jaccard and (as the edge generator) ext_dedup_clusters.
-_NGRAM_JACCARD_SQL = f"""
-    WITH toks AS (
+# Capped block-then-verify n-gram-Jaccard pair CTEs — shared by
+# ext_dedup_ngram_jaccard, ext_dedup_clusters, and (as the edge
+# generator) ext_graph_pagerank.
+_NGRAM_PAIRS_CTES = """
+    toks AS (
         SELECT doc_id, string_split(text, ' ') AS l FROM documents
     ), sh AS (
         SELECT DISTINCT doc_id,
@@ -314,12 +315,58 @@ _NGRAM_JACCARD_SQL = f"""
         FROM cand LEFT JOIN hot_common h
           ON cand.doc_a = h.doc_a AND cand.doc_b = h.doc_b
     )
+"""
+
+_NGRAM_JACCARD_SQL = f"""
+    WITH {_NGRAM_PAIRS_CTES}
     SELECT doc_a, doc_b, common_shingles,
            {dround('CAST(common_shingles AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common_shingles AS DOUBLE)', 6)} AS jaccard
     FROM pairs
     JOIN counts na ON doc_a = na.doc_id
     JOIN counts nb ON doc_b = nb.doc_id
 """
+
+# 5 unrolled synchronous PageRank power iterations over the >=0.02-jaccard
+# candidate graph (matches ext/cluster.py pagerank: d=0.85, rank0=1/N,
+# undirected edges, no dangling nodes by construction since nodes come
+# from edges). Ranks rounded to 8dp on both engines.
+_PAGERANK_ITER = """
+    , c{k} AS (
+        SELECT e.v AS node, SUM(r.rank / d.deg) AS in_sum
+        FROM edges e JOIN deg d ON e.u = d.u JOIN r{p} r ON r.node = e.u
+        GROUP BY e.v
+    ), r{k} AS (
+        SELECT n.node,
+               (0.15 / (SELECT n FROM meta)) + 0.85 * COALESCE(c.in_sum, 0.0) AS rank
+        FROM nodes n LEFT JOIN c{k} c ON n.node = c.node
+    )
+"""
+
+_PAGERANK_SQL = (
+    f"""
+    WITH {_NGRAM_PAIRS_CTES}
+    , prs AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT p.doc_a, p.doc_b,
+                   {dround('CAST(p.common_shingles AS DOUBLE) / CAST(na.n_sh + nb.n_sh - p.common_shingles AS DOUBLE)', 6)} AS jaccard
+            FROM pairs p
+            JOIN counts na ON p.doc_a = na.doc_id
+            JOIN counts nb ON p.doc_b = nb.doc_id
+        ) WHERE jaccard >= 0.02
+    ), edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM prs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM prs
+    ), deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    meta AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM meta) AS rank FROM nodes)
+    """
+    + "".join(_PAGERANK_ITER.format(k=k, p=k - 1) for k in range(1, 6))
+    + f"""
+    SELECT node, {dround('rank', 8)} AS rank FROM r5
+    """
+)
 
 
 @register("ext_dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
@@ -891,13 +938,27 @@ def ext_stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     return read_incremental(spark, base)
 
 
-@register("src_csv_rescued")  # rows-only: exercises the CSV malformed-row path
+@register(
+    "src_csv_rescued",
+    """
+    SELECT * FROM (VALUES
+        (CAST(1 AS INTEGER), CAST(10.5 AS DOUBLE),  'ok',          CAST(0 AS INTEGER)),
+        (2,                  20.25,                 'ok',          0),
+        (3,                  CAST(NULL AS DOUBLE),  'bad_amount',  1),
+        (4,                  40.0,                  'ok',          0),
+        (5,                  CAST(NULL AS DOUBLE),  'null_amount', 0)
+    ) AS t(id, amount, label, was_rescued)
+    """,
+)
 def src_csv_rescued(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real CSV ingestion with Auto-Loader-style rescued-data capture
     (sources.read_csv_rescued): write a CSV containing deliberately
     malformed rows, read PERMISSIVE with a rescue column, return per-row
     parse status. Malformed rows land whole in _rescued_data instead of
-    failing the read (policies_bronze.sql:38 semantics)."""
+    failing the read (policies_bronze.sql:38 semantics). The fixture is
+    fixed, so the expected parse outcome is a literal VALUES oracle: a
+    type-coercion row rescued (row 3), an empty field NOT rescued (row 5 —
+    missing is valid, malformed is not)."""
     import os as _os
 
     from ..sources.readers import read_csv_rescued
@@ -1362,14 +1423,16 @@ def ext_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_graph_pagerank")  # rows-only: iterative float algorithm
+@register("ext_graph_pagerank", _PAGERANK_SQL)
 def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup candidate graph (ext/cluster.py
     pagerank): which documents sit at the center of duplication clusters —
     a dedup-priority signal. 5 synchronous power iterations, one
     join+groupBy shuffle per round, edge/degree tables materialized once.
-    Cross-checked against numpy power iteration in tests/test_cluster.py;
-    rows-only here (iterative float sums have no stable SQL twin)."""
+    Cross-checked against numpy power iteration in tests/test_cluster.py
+    AND hash-checked against a DuckDB oracle that unrolls the same 5
+    power iterations as CTEs (8dp rounding absorbs summation-order ulps;
+    exact match verified at sf0.001/0.01/0.1)."""
     from ..ext.cluster import pagerank
 
     docs = load(spark, sf_dir, "documents")
