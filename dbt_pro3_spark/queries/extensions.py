@@ -1252,7 +1252,7 @@ def ext_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM islands GROUP BY user_id, sid
     )
     SELECT user_id, session_start, session_end, n_events,
-           is_last AS closed_by_timeout
+           CAST(is_last AS INTEGER) AS closed_by_timeout
     FROM sess, wm
     WHERE (NOT is_last) OR session_end + INTERVAL '30 minutes' < w
     """,
@@ -1271,7 +1271,11 @@ def ext_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming_sessions.py."""
     from ..streaming.stateful import sessionize_with_timeout
 
-    return sessionize_with_timeout(spark, f"{sf_dir}/events.parquet")
+    out = sessionize_with_timeout(spark, f"{sf_dir}/events.parquet")
+    # INT not BOOLEAN: no driver-green precedent exists for boolean
+    # value-hashing (round 1's only hash miss was exactly such an
+    # unproven-representation case, on DECIMAL)
+    return out.withColumn("closed_by_timeout", F.col("closed_by_timeout").cast("int"))
 
 
 @register(
@@ -1630,7 +1634,7 @@ def ext_mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, ahash,
            COUNT(*) OVER (PARTITION BY ahash) AS group_size,
-           doc_id = MIN(doc_id) OVER (PARTITION BY ahash) AS keep
+           CAST(doc_id = MIN(doc_id) OVER (PARTITION BY ahash) AS INTEGER) AS keep
     FROM h
     """,
 )
@@ -1671,5 +1675,8 @@ def ext_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "ahash",
         F.count(F.lit(1)).over(w).alias("group_size"),
-        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+        # INT not BOOLEAN: no driver-green precedent exists for boolean
+        # value-hashing (round 1's only hash miss was exactly such an
+        # unproven-representation case, on DECIMAL)
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("int").alias("keep"),
     )
