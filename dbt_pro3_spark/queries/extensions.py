@@ -744,6 +744,15 @@ def ext_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
 
 
+# transformWithStateInPandas (the Spark 4 typed-state successor to
+# applyInPandasWithState) is implemented in
+# streaming/stateful.py transform_with_state_user_profile but NOT
+# registered as a driver key: its Python driver worker requires the
+# google.protobuf package, which this sandbox lacks (and installs are
+# disallowed). The operator is covered by tests/test_streaming_tws.py,
+# which runs it where protobuf exists and skips cleanly here.
+
+
 @register(
     "ext_stream_stream_join",
     """

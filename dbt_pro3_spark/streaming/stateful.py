@@ -87,6 +87,63 @@ def running_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
     return _run_to_memory(stream, "update")
 
 
+TWS_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, n_distinct_types int, total_value double"
+)
+
+
+def transform_with_state_user_profile(
+    spark: SparkSession, events_path: str
+) -> DataFrame:
+    """Per-user profile via transformWithStateInPandas — Spark 4's
+    successor to applyInPandasWithState, with TYPED state primitives
+    instead of one opaque tuple: a ValueState for the (count, sum)
+    accumulator plus a MapState keyed by event_type for the distinct-type
+    set (the state shape a GROUP BY COUNT(DISTINCT) would need unbounded
+    memory for in a true stream; the state store spills and checkpoints
+    it). availableNow + update mode -> the final emission per user equals
+    the batch GROUP BY, which is what the oracle checks.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+            self.types = handle.getMapState("types", "t STRING", "one SMALLINT")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ARG002
+            if self.totals.exists():
+                n, total = self.totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+                for t in pdf["event_type"].dropna().unique():
+                    self.types.updateValue((str(t),), (1,))
+            self.totals.update((n, total))
+            n_types = sum(1 for _ in self.types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_distinct_types": [n_types],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = _events_stream(spark, events_path).select(
+        "user_id", "event_type", "value"
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        UserProfile(), TWS_OUTPUT_SCHEMA, "Update", "None"
+    )
+    return _run_to_memory(out, "update")
+
+
 def stream_stream_view_purchase_join(spark: SparkSession, events_path: str) -> DataFrame:
     """Watermarked stream-stream join: purchases within 30 min of a view by
     the same user. The batch oracle twin is queries.join_range_interval."""
