@@ -775,12 +775,45 @@ def ext_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_view_purchase_join(spark, f"{sf_dir}/events.parquet")
 
 
-@register("ext_stream_outer_join")  # rows-only: watermark-timed null-padding
+@register(
+    "ext_stream_outer_join",
+    """
+    WITH v AS (
+        SELECT user_id, event_id AS view_event_id, ts AS view_ts
+        FROM events WHERE event_type = 'view'
+    ), pu AS (
+        SELECT user_id AS p_user_id, event_id AS purchase_event_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+        SELECT least((SELECT max(view_ts) FROM v),
+                     (SELECT max(purchase_ts) FROM pu)) - INTERVAL '1 hour' AS w
+    ), matched AS (
+        SELECT v.user_id, v.view_event_id, pu.purchase_event_id,
+               v.view_ts, pu.purchase_ts
+        FROM v JOIN pu ON v.user_id = pu.p_user_id
+            AND pu.purchase_ts > v.view_ts
+            AND pu.purchase_ts <= v.view_ts + INTERVAL '30 minutes'
+    ), unmatched AS (
+        SELECT v.user_id, v.view_event_id, CAST(NULL AS BIGINT) AS purchase_event_id,
+               v.view_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+        FROM v ANTI JOIN pu ON v.user_id = pu.p_user_id
+            AND pu.purchase_ts > v.view_ts
+            AND pu.purchase_ts <= v.view_ts + INTERVAL '30 minutes'
+        WHERE v.view_ts + INTERVAL '30 minutes' < (SELECT w FROM wm)
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
 def ext_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream LEFT OUTER join — unmatched views are
     null-padded only once the watermark proves no purchase can still
-    match. Batch-equivalence (modulo the un-flushable tail past the final
-    watermark) asserted in tests/test_streaming_batch_consistency.py."""
+    match. The oracle encodes that eviction rule exactly: matched rows are
+    the batch interval join; an unmatched view appears (null-padded) iff
+    its join horizon (view_ts + 30 min) has passed the final global
+    watermark, which is the MIN across both stream watermarks (each
+    operator sees only its filtered side) minus the 1 h delay. Verified
+    hash-equal at sf0.001/0.01/0.1; also asserted with a boundary-agnostic
+    margin in tests/test_streaming_batch_consistency.py."""
     from ..streaming.stateful import stream_stream_left_outer_join
 
     return stream_stream_left_outer_join(spark, f"{sf_dir}/events.parquet")
