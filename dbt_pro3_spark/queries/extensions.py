@@ -1359,6 +1359,76 @@ def src_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_xml_parse",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events
+    WHERE event_id < 1000
+    GROUP BY event_type
+    """,
+)
+def src_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source ingestion via Spark 4's NATIVE xml datasource (spark-xml
+    merged upstream — no external jar): stage a slice of events as XML
+    with a rowTag, read it back under an EXPLICIT schema, aggregate. The
+    oracle reads the same rows from the parquet table, proving the
+    round-trip is lossless. Fifth source format next to parquet, rescued
+    CSV, jsonl, and ORC."""
+    import os as _os
+
+    base = "/root/repo/.scratch/xml_" + _os.path.basename(sf_dir.rstrip("/"))
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    ev.select("event_id", "event_type", "props").coalesce(1).write.mode(
+        "overwrite"
+    ).format("xml").option("rowTag", "event").save(base)
+    back = (
+        spark.read.schema("event_id BIGINT, event_type STRING, props STRING")
+        .format("xml")
+        .option("rowTag", "event")
+        .load(base)
+    )
+    return (
+        back.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+@register(
+    "ext_variant_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def ext_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: parse_json
+    once into the binary variant encoding, then typed variant_get
+    extractions — the modern path that beats per-extraction JSON string
+    re-parsing (get_json_object) when many fields are pulled from one
+    payload, and the open-format twin of the reference warehouse's
+    semi-structured columns. Oracle extracts the same fields with DuckDB's
+    JSON functions."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v")).select(
+        "event_type", F.variant_get("v", "$.k", "int").alias("k")
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
     "ext_scd2_snapshot",
     """
     WITH b1 AS (
