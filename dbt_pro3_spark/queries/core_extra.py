@@ -961,3 +961,61 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("gross_revenue"),
     )
+
+
+# ----------------------------------------------- ANSI-safe expressions
+
+@register(
+    "expr_try_arithmetic",
+    f"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE {dround('o_totalprice / CAST(o_orderkey % 7 AS DOUBLE)', 2)}
+           END AS ratio_or_null
+    FROM orders WHERE o_orderkey < 5000
+    """,
+)
+def expr_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic via Spark's try_* family: try_divide yields
+    NULL on division by zero instead of failing the job under ANSI mode —
+    the row-level fault tolerance a 100 TB batch needs (one bad row must
+    not kill a 6-hour job; the NULLs surface in DQ counts instead). The
+    oracle spells out the same semantics with an explicit CASE guard."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(
+                F.col("o_totalprice"), (F.col("o_orderkey") % 7).cast("double")
+            ),
+            2,
+        ).alias("ratio_or_null"),
+    )
+
+
+@register(
+    "agg_string_concat_ordered",
+    """
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string aggregation (Spark 4 listagg ...
+    WITHIN GROUP): the reporting primitive behind 'list the members of
+    each group' columns. Unordered collect/concat is nondeterministic
+    under parallel execution — WITHIN GROUP (ORDER BY) is what makes the
+    result reproducible across partitionings, which is exactly what the
+    cross-engine hash check proves."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+                "nations"
+            )
+        )
+    )
