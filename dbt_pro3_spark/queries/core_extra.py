@@ -1019,3 +1019,38 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "join_null_safe_eq",
+    """
+    WITH a AS (
+        SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg, COUNT(*) AS n_a
+        FROM customer GROUP BY 1
+    ), b AS (
+        SELECT NULLIF(c_mktsegment, 'MACHINERY') AS seg, COUNT(*) AS n_b
+        FROM customer GROUP BY 1
+    )
+    SELECT a.seg, a.n_a, b.n_b
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe join equality (eqNullSafe / <=>, DuckDB IS NOT DISTINCT
+    FROM): NULL keys MATCH each other instead of silently dropping — the
+    semantics gap behind many 'rows vanished after the join' bugs when
+    keys are nullable. Each side aggregates BEFORE the join so the
+    NULL-bucket match is one row against one row, never a NULL-key
+    cartesian blow-up (the scale hazard of null-safe joins: all NULLs
+    hash to ONE partition — pre-aggregate or filter them)."""
+    c = load(spark, sf_dir, "customer")
+    a = c.groupBy(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    ).agg(F.count(F.lit(1)).alias("n_a"))
+    b = c.groupBy(
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg_b")
+    ).agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        a.join(b, a.seg.eqNullSafe(b.seg_b), "inner")
+        .select("seg", "n_a", "n_b")
+    )
