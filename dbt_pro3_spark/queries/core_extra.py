@@ -1054,3 +1054,59 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a.seg.eqNullSafe(b.seg_b), "inner")
         .select("seg", "n_a", "n_b")
     )
+
+
+@register(
+    "agg_corr_regression",
+    """
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_qty_price,
+           round(covar_samp(l_discount, l_quantity), 6) AS covar_qty_disc,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covar_samp / regr_slope): the
+    exploratory-analytics surface beyond plain moments — one partial+final
+    hash aggregate carrying the co-moment accumulators (sum, sum2,
+    sum_xy), so the cost shape is identical to SUM/AVG at any scale.
+    Cross-engine parity holds at 6/4 dp because both engines use the
+    numerically-stable co-moment formulation."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+    )
+
+
+@register(
+    "agg_max_by",
+    """
+    SELECT c_mktsegment, c_custkey AS richest_cust, c_acctbal AS max_bal
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        FROM customer
+    ) WHERE rn = 1
+    """,
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by with a STRUCT ordering key — 'the row that had the max' in
+    one aggregate pass instead of a window + filter (one shuffle, no sort
+    of the whole partition; the window formulation is the oracle). The
+    struct (acctbal, custkey) makes ties deterministic — bare
+    max_by(x, acctbal) is nondeterministic under parallel aggregation
+    whenever the max is not unique, which is exactly the kind of
+    plan-dependent flakiness the cross-engine hash check exists to catch."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_custkey", F.struct("c_acctbal", "c_custkey")).alias(
+            "richest_cust"
+        ),
+        F.max(F.struct("c_acctbal", "c_custkey")).getField("c_acctbal").alias(
+            "max_bal"
+        ),
+    )
