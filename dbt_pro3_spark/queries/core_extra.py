@@ -1110,3 +1110,52 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_bal"
         ),
     )
+
+
+@register(
+    "agg_bitmask_or",
+    """
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           bit_or(1 << (CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                        WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END))
+               AS type_mask
+    FROM events GROUP BY 1, 2
+    """,
+)
+def agg_bitmask_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap presence encoding via bit_or: pack the set of event types a
+    user touched each day into one integer mask — the compact
+    feature-flag representation (set membership tests become bitwise ANDs,
+    set union across periods becomes another bit_or; the roll-up never
+    rescans raw events). Same partial+final aggregate cost shape as SUM."""
+    ev = load(spark, sf_dir, "events")
+    bit = F.expr(
+        "shiftleft(1, CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 "
+        "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END)"
+    )
+    return (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"), bit.alias("bit"))
+        .groupBy("user_id", "day")
+        .agg(F.bit_or("bit").alias("type_mask"))
+    )
+
+
+@register(
+    "agg_grouping_id",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS is_total
+    FROM orders GROUP BY ROLLUP(o_orderstatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() disambiguation in rollups: a NULL group key can mean
+    'the data was NULL' or 'this is the rollup total row' — GROUPING()
+    tells them apart, which every downstream consumer of a rollup needs
+    before it can trust the NULL rows. Costless: the grouping id rides
+    the same expanded aggregate."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("o_orderstatus").cast("int").alias("is_total"),
+    )
