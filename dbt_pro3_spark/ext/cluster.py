@@ -149,4 +149,4 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-    return ranks.select("node", F.round("rank", 8).alias("rank"))
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

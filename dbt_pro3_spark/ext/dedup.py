@@ -512,11 +512,18 @@ def embedding_near_pairs_lsh(
     )
 
 
+#: Hard ceiling for the exact all-pairs path. 64k rows -> ~2.1e9 candidate
+#: pairs, already the outer edge of a deliberate verify stage; anything
+#: larger is a mistake — the caller wanted embedding_near_pairs_lsh.
+EXACT_PAIRS_MAX_ROWS = 65_536
+
+
 def embedding_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.8,
+    max_rows: int | None = EXACT_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold, id-ordered — EXACT
     all-pairs baseline (the verify-stage primitive; O(n²)/2 by definition).
@@ -524,7 +531,22 @@ def embedding_near_pairs(
     Use embedding_near_pairs_lsh as the corpus-scale entry point; keep this
     for bounded verify stages and as the recall oracle for tuning LSH
     parameters. Threshold applies to the ROUNDED cosine so the cut is
-    reproducible bit-for-bit by the oracle."""
+    reproducible bit-for-bit by the oracle.
+
+    Guarded: refuses inputs larger than ``max_rows`` (one cheap count of the
+    id column) so the quadratic join cannot silently plan over a full
+    corpus. Pass ``max_rows=None`` only from a bounded verify stage that has
+    already capped its candidate set.
+    """
+    if max_rows is not None:
+        n = df.select(id_col).count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_near_pairs is the EXACT O(n^2) verify primitive; "
+                f"input has {n} rows > max_rows={max_rows}. Use "
+                f"embedding_near_pairs_lsh for corpus-scale near-dup, or pass "
+                f"max_rows=None from a bounded verify stage."
+            )
     e = with_norm(df, vec_col).select(id_col, "_v", "_norm")
     a = e.select(
         F.col(id_col).alias("vec_a"), F.col("_v").alias("va"), F.col("_norm").alias("na")

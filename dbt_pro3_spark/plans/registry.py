@@ -39,11 +39,21 @@ class Model:
     tests: tuple[tuple, ...] = ()
     materialize_path: str | None = None
     partition_by: tuple[str, ...] = ()
-    # dbt materialization matrix: "table" (parquet write + read-back, set
-    # via materialize_path), "view" (temp-view registration — recomputed
-    # per query like a SQL view), or "ephemeral" (default: stays a lazy
-    # DataFrame; Catalyst inlines it into downstream plans for free)
+    # dbt materialization matrix (dbt_project.yml:31-43 declares table/view;
+    # incremental + snapshot are the config surface behind the reference's
+    # use_materialization_v2 flag, dbt_project.yml:22):
+    #   "table"       parquet write + read-back (materialize_path required)
+    #   "view"        temp-view registration — recomputed per query
+    #   "ephemeral"   default: lazy DataFrame; Catalyst inlines downstream
+    #   "incremental" plans/incremental.py merge/append into a versioned
+    #                 store at materialize_path (unique_key/order_col config)
+    #   "snapshot"    plans/snapshot.py SCD2 history at materialize_path
+    #                 (unique_key/check_cols config; run_ts is the batch ts)
     materialization: str = "ephemeral"
+    unique_key: str | None = None
+    order_col: str | None = None
+    check_cols: tuple[str, ...] = ()
+    incremental_mode: str = "merge_latest"
 
 
 @dataclass
@@ -68,16 +78,31 @@ class ModelRegistry:
         materialize_path: str | None = None,
         partition_by: tuple[str, ...] = (),
         materialization: str | None = None,
+        unique_key: str | None = None,
+        order_col: str | None = None,
+        check_cols: tuple[str, ...] = (),
+        incremental_mode: str = "merge_latest",
     ):
         def deco(fn: Callable[..., DataFrame]):
             mat = materialization or ("table" if materialize_path else "ephemeral")
-            if mat not in ("table", "view", "ephemeral"):
+            if mat not in ("table", "view", "ephemeral", "incremental", "snapshot"):
                 raise ValueError(f"unknown materialization {mat!r}")
-            if mat == "table" and not materialize_path:
-                raise ValueError(f"model {name!r}: table materialization needs a path")
+            if mat in ("table", "incremental", "snapshot") and not materialize_path:
+                raise ValueError(f"model {name!r}: {mat} materialization needs a path")
+            if mat == "incremental" and incremental_mode == "merge_latest" and not (
+                unique_key and order_col
+            ):
+                raise ValueError(
+                    f"model {name!r}: incremental merge_latest needs unique_key+order_col"
+                )
+            if mat == "snapshot" and not (unique_key and check_cols):
+                raise ValueError(
+                    f"model {name!r}: snapshot needs unique_key+check_cols"
+                )
             self._models[name] = Model(
                 name, fn, tuple(deps), layer, tuple(tests), materialize_path,
-                tuple(partition_by), mat,
+                tuple(partition_by), mat, unique_key, order_col,
+                tuple(check_cols), incremental_mode,
             )
             return fn
 
@@ -136,7 +161,21 @@ class ModelRegistry:
         def build(name: str) -> None:
             m = self._models[name]
             df = m.fn(spark, ref)
-            if m.materialize_path:
+            if m.materialization == "incremental":
+                from .incremental import write_incremental
+
+                df = write_incremental(
+                    spark, m.materialize_path, df, m.incremental_mode,
+                    unique_key=m.unique_key, order_col=m.order_col,
+                )
+            elif m.materialization == "snapshot":
+                from .snapshot import apply_snapshot
+
+                df = apply_snapshot(
+                    spark, m.materialize_path, df, m.unique_key,
+                    list(m.check_cols), batch_ts=run_ts or "1970-01-01 00:00:00",
+                )
+            elif m.materialize_path:
                 writer = df.write.mode("overwrite")
                 if m.partition_by:
                     writer = writer.partitionBy(*m.partition_by)

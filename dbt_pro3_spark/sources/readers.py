@@ -45,10 +45,22 @@ def normalize_ts(df: DataFrame) -> DataFrame:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
         elif col_name == "ts" and dtype == "bigint":
-            # nanosecond parquet timestamp read as long (see session.tune);
-            # integer-DIV to micros matches DuckDB's ns->us truncation
+            # Epoch-integer timestamp read as long (see session.tune). The
+            # driver has shipped different physical encodings across rounds,
+            # so branch on magnitude instead of assuming nanoseconds: for any
+            # date between ~1973 and ~5138, seconds/millis/micros/nanos
+            # occupy disjoint decimal ranges. Integer-DIV to micros matches
+            # DuckDB's ns->us truncation. Pure column expr — streaming-safe.
             df = df.withColumn(
-                col_name, F.timestamp_micros(F.expr(f"{col_name} DIV 1000"))
+                col_name,
+                F.timestamp_micros(
+                    F.expr(
+                        f"CASE WHEN abs({col_name}) >= 100000000000000000 THEN {col_name} DIV 1000 "  # ns
+                        f"WHEN abs({col_name}) >= 100000000000000 THEN {col_name} "  # us
+                        f"WHEN abs({col_name}) >= 100000000000 THEN {col_name} * 1000 "  # ms
+                        f"ELSE {col_name} * 1000000 END"  # s
+                    )
+                ),
             )
     return df
 

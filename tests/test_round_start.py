@@ -1,0 +1,69 @@
+"""Round-start probes: fail LOUDLY in tests (not in the driver hash) when
+regenerated testdata breaks an assumption a driver oracle depends on.
+
+Why these exist (ADVICE.md round 2):
+- The identity oracles for ext_stream_dedup / ext_stream_foreachbatch_merge
+  are strict only while event_id is unique in the events table. If a future
+  round ships duplicate event_ids, these probes fail first, with an error
+  message naming the keys to fix.
+- The driver has shipped multiple physical ts encodings across rounds
+  (ns-as-BIGINT, micros TIMESTAMP_NTZ, plain TIMESTAMP). normalize_ts
+  branches on magnitude; this pins that the decoded values are plausible
+  wall-clock times, so a new encoding surfaces here, not as 1000x-shifted
+  watermarks inside streaming tests.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+SF_DIRS = [d for d in glob.glob("/root/testdata/sf*") if os.path.isdir(d)]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_event_id_unique(sf_dir):
+    con = duckdb.connect()
+    n, nd = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT event_id) FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()
+    assert n == nd, (
+        f"{sf_dir}: events.event_id has duplicates ({n} rows, {nd} distinct). "
+        "The identity oracles for ext_stream_dedup and "
+        "ext_stream_foreachbatch_merge assume uniqueness — make them "
+        "dedup-aware (deterministic survivor) before the driver run."
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_ts_decodes_to_plausible_epoch(spark, sf_dir):
+    from dbt_pro3_spark.sources.readers import load
+
+    ev = load(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp", (
+        f"ts normalized to {dict(ev.dtypes)['ts']}, not timestamp"
+    )
+    row = ev.selectExpr("min(ts) AS lo", "max(ts) AS hi").first()
+    assert row.lo.year >= 2000 and row.hi.year <= 2100, (
+        f"{sf_dir}: normalize_ts produced implausible range [{row.lo}, {row.hi}] "
+        "— a new physical encoding slipped past the magnitude branch in "
+        "sources/readers.py normalize_ts."
+    )
+
+
+def test_exact_embedding_pairs_guard(spark):
+    """The exact all-pairs cosine primitive must refuse oversized inputs."""
+    from dbt_pro3_spark.ext.dedup import embedding_near_pairs
+
+    df = spark.range(10).selectExpr(
+        "id AS vec_id", "array(cast(id as float), 1.0f) AS embedding"
+    )
+    with pytest.raises(ValueError, match="verify primitive"):
+        embedding_near_pairs(df, max_rows=5)
+    # and passes when bounded
+    out = embedding_near_pairs(df, threshold=-1.0, max_rows=100)
+    assert out.count() == 45

@@ -149,3 +149,52 @@ def test_compaction_reduces_file_count(spark):
     compact = glob.glob(os.path.join(base, "compact", "part-*"))
     assert len(small) == 64
     assert len(compact) == 4
+
+
+def test_ngram_jaccard_stop_shingle_cap_bounds_candidates(spark):
+    """Planted pathological skew: a boilerplate prefix shared by ALL docs.
+
+    Without the stop-shingle cap, candidate generation would emit
+    ~binom(n_docs, 2) pairs from the viral shingles alone (2M pairs for
+    2000 docs). With the cap (df > max_df shingles excluded from candidate
+    gen), the candidate join is bounded by sum over non-hot shingles of
+    binom(df, 2) — here just the planted near-dup pairs. This measures the
+    cap math claimed in ext/dedup.py ngram_jaccard_pairs' docstring.
+    """
+    from dbt_pro3_spark.ext.dedup import ngram_jaccard_pairs
+
+    n_docs = 2000
+    boiler = "the quick brown fox jumps over the lazy dog again"  # df = n_docs
+    rows = []
+    for i in range(n_docs):
+        pair_id = i // 2  # docs (2j, 2j+1) share a rare 6-token phrase
+        rare = f"shared phrase number {pair_id} is quite unique"
+        salt = f"doc {i} noise token{i}"
+        rows.append((i, f"{boiler} {rare} {salt}"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    pairs = ngram_jaccard_pairs(docs, n=3, min_common=2, max_df=16)
+    got = pairs.filter("common_shingles >= 2").select("doc_a", "doc_b").collect()
+
+    # exactly the planted pairs — no boilerplate-driven quadratic blow-up
+    expect = {(2 * j, 2 * j + 1) for j in range(n_docs // 2)}
+    assert {(r.doc_a, r.doc_b) for r in got} == expect
+
+    # measured bound: candidate pairs <= sum_sh binom(min(df, cap), 2) over
+    # NON-hot shingles. Compute the bound from the data itself.
+    from pyspark.sql import functions as F
+    from dbt_pro3_spark.ext.dedup import shingles
+
+    df_counts = (
+        docs.select(F.explode(shingles(F.col("text"), 3)).alias("s"), "doc_id")
+        .dropDuplicates(["s", "doc_id"])
+        .groupBy("s")
+        .count()
+        .filter("count <= 16")
+        .selectExpr("sum(count * (count - 1) / 2) AS bound")
+        .first()
+        .bound
+    )
+    assert len(got) <= df_counts
+    # and the bound itself is tiny versus the uncapped binom(2000, 2)
+    assert df_counts < 0.01 * (n_docs * (n_docs - 1) / 2)

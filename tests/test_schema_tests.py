@@ -76,3 +76,62 @@ def test_registry_view_materialization_and_test_quartet(spark):
     # fk=9 orphaned); the dim tests pass
     kinds = {f.split(":")[1].split("=")[0] for f in result.test_failures}
     assert kinds == {"accepted_values", "relationships"}
+
+
+def test_materialization_matrix_identical_results(spark, tmp_path):
+    """One model run under every materialization (ephemeral/table/view/
+    incremental/snapshot) yields identical query results — the config-driven
+    switch mirroring the reference's dbt_project.yml:31-43 matrix."""
+    from dbt_pro3_spark.plans.registry import ModelRegistry
+
+    rows = [(1, "a", "2024-01-01"), (2, "b", "2024-01-02"), (3, "c", "2024-01-03")]
+
+    def make_reg(mat, path=None, **cfg):
+        reg = ModelRegistry()
+
+        @reg.model("m", materialization=mat, materialize_path=path, **cfg)
+        def m(spark, ref):
+            return spark.createDataFrame(rows, "k int, v string, d string")
+
+        return reg
+
+    expected = sorted(rows)
+    outs = {}
+    for mat, cfg in [
+        ("ephemeral", {}),
+        ("view", {}),
+        ("table", {"path": str(tmp_path / "tbl")}),
+        (
+            "incremental",
+            {"path": str(tmp_path / "incr"), "unique_key": "k", "order_col": "d"},
+        ),
+        (
+            "snapshot",
+            {"path": str(tmp_path / "snap"), "unique_key": "k", "check_cols": ("v",)},
+        ),
+    ]:
+        res = make_reg(mat, **cfg).run(spark, run_ts="2026-01-01 00:00:00")
+        df = res.outputs["m"]
+        if mat == "snapshot":
+            df = df.filter("is_current").drop("valid_from", "valid_to", "is_current")
+        outs[mat] = sorted(tuple(r) for r in df.select("k", "v", "d").collect())
+        assert outs[mat] == expected, mat
+
+    # second incremental run with an updated row: merge_latest keeps latest
+    rows = [(2, "b2", "2024-02-01")]
+    reg = make_reg(
+        "incremental", path=str(tmp_path / "incr"), unique_key="k", order_col="d"
+    )
+    res = reg.run(spark, run_ts="2026-01-02 00:00:00")
+    got = sorted(tuple(r) for r in res.outputs["m"].collect())
+    assert got == [(1, "a", "2024-01-01"), (2, "b2", "2024-02-01"), (3, "c", "2024-01-03")]
+
+    # second snapshot run: changed row closes old version, inserts new
+    reg = make_reg(
+        "snapshot", path=str(tmp_path / "snap"), unique_key="k", check_cols=("v",)
+    )
+    res = reg.run(spark, run_ts="2026-01-02 00:00:00")
+    hist = res.outputs["m"]
+    assert hist.count() == 4  # 3 current + 1 closed
+    assert hist.filter("is_current").count() == 3
+    assert hist.filter("k = 2 AND NOT is_current").count() == 1
