@@ -59,6 +59,9 @@ HEADLINE = [
     "ext_curation_pipeline",
     "ext_embed_quantize",
     "ext_sketch_countmin",
+    # round-3 additions (BASELINE.md §4 baselines existed but were unbenched)
+    "agg_histogram",
+    "ext_date_spine_fill",
 ]
 
 
