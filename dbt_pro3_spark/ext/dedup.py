@@ -200,6 +200,116 @@ def minhash_banded_pairs(
     )
 
 
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash candidate pairs with BOTH the signature-agreement Jaccard
+    ESTIMATE and the exact verify — the sketch-accuracy contract key.
+
+    est_jaccard = (# of the num_perm signature components that agree) /
+    num_perm, the textbook unbiased MinHash estimator; jaccard is the exact
+    value over the full shingle sets. Emitting both makes the sketch's
+    accuracy a driver-checkable output (and the estimator is affine-hash
+    deterministic, so the oracle reproduces it bit-for-bit — unlike
+    engine-native HLL/GK sketches, which only get bounded-error flags).
+
+    Same scale shape as minhash_banded_pairs: banded equi-joins for
+    candidates, exact verify on candidates only, never all-pairs.
+    """
+    r = num_perm // bands
+    assert bands * r == num_perm, "num_perm must divide evenly into bands"
+    coeffs = minhash_coeffs(num_perm)
+    sh = (
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col).alias("doc_id_"),
+            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .dropDuplicates(["doc_id_", "shingle"])
+        .select(
+            "doc_id_",
+            "shingle",
+            F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sigs = sh.groupBy("doc_id_").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min((F.col("v") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+    ).localCheckpoint(eager=False)
+    banded = sigs.select(
+        "doc_id_",
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"sig{t * r + j}").cast("string") for j in range(r)]
+                ).cast("binary")
+            ).alias(f"mband{t}")
+            for t in range(bands)
+        ],
+    )
+    cand = None
+    for t in range(bands):
+        a = banded.select(F.col("doc_id_").alias("doc_a"), F.col(f"mband{t}").alias("bk"))
+        b = banded.select(F.col("doc_id_").alias("doc_b"), F.col(f"mband{t}").alias("bk"))
+        c = (
+            a.join(b, "bk")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+    sa = sh.select(F.col("doc_id_").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id_").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    siga = sigs.select(
+        F.col("doc_id_").alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+        *[F.col(f"sig{i}").alias(f"sa{i}") for i in range(num_perm)],
+    )
+    sigb = sigs.select(
+        F.col("doc_id_").alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
+        *[F.col(f"sig{i}").alias(f"sb{i}") for i in range(num_perm)],
+    )
+    agree = sum(
+        (F.col(f"sa{i}") == F.col(f"sb{i}")).cast("int") for i in range(num_perm)
+    )
+    return (
+        common.join(F.broadcast(siga), "doc_a")
+        .join(F.broadcast(sigb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common_shingles",
+            F.round(
+                F.col("common_shingles").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common_shingles")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            agree.alias("n_sig_agree"),
+            F.round(agree.cast("double") / F.lit(float(num_perm)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """32-bit SimHash per document: per-token hash, sign-votes per bit.
 

@@ -247,6 +247,43 @@ def ext_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_est_oracle(num_perm: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of ded.minhash_estimate_pairs: the minhash-banded CTEs
+    plus the signature-agreement estimator in the terminal select."""
+    base = _minhash_banded_oracle(num_perm, bands)
+    head, _, _ = base.rpartition("SELECT doc_a, doc_b, common_shingles,")
+    agree = " + ".join(
+        f"(CASE WHEN na.sig{i} = nb.sig{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    return (
+        head
+        + f"""SELECT doc_a, doc_b, common_shingles,
+           {dround('CAST(common_shingles AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common_shingles AS DOUBLE)', 6)} AS jaccard,
+           CAST({agree} AS INTEGER) AS n_sig_agree,
+           {dround(f'CAST({agree} AS DOUBLE) / {num_perm}.0', 6)} AS est_jaccard
+    FROM pairs
+    JOIN sigs na ON doc_a = na.doc_id
+    JOIN sigs nb ON doc_b = nb.doc_id
+    """
+    )
+
+
+@register("ext_dedup_minhash_est", _minhash_est_oracle())
+def ext_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch-accuracy contract: every candidate pair carries the
+    signature-agreement Jaccard ESTIMATE (n_sig_agree/16) next to the exact
+    verify — the estimator the banding S-curve is built on, made a
+    first-class, fully hash-checked output. Because the permutations are
+    affine hashes of an md5 base, the oracle reproduces the estimate
+    bit-for-bit (engine-native HLL/GK sketches only get bounded-error
+    flags; this one needs no tolerance at all)."""
+    return ded.minhash_estimate_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_perm=16, bands=4,
+    )
+
+
 def _simhash_oracle() -> str:
     """DuckDB twin of ext/dedup.py simhash_near_pairs: md5-nibble 32-bit
     SimHash, 4 byte-bands, hamming ≤ 3 verify. Generated (32 sum-cases)."""

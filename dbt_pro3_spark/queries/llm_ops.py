@@ -570,6 +570,10 @@ def ext_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     scored = quality_features(docs).select("doc_id", "lang", "quality_score")
+    # two consumers (percentile aggregate + membership join) — materialize
+    # the narrow scored projection once; scoring HOFs over the full text
+    # are the expensive part, not this 3-column table
+    scored = scored.localCheckpoint(eager=False)
     cuts = scored.groupBy("lang").agg(
         F.round(F.expr(f"percentile(quality_score, {QF_PCT})"), 6).alias("cut")
     )
@@ -1152,4 +1156,156 @@ def ext_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cms_est"), "user_id")
         .limit(CMS_TOPK)
+    )
+
+
+# ------------------------------------------------------- round-3 additions
+
+LINEDEDUP_BLOCK = 8  # tokens per "line" block
+LINEDEDUP_MAXDF = 4  # blocks in more docs than this are boilerplate
+
+
+@register(
+    "ext_text_line_dedup",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS l FROM documents
+    ), blocks AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(0, CAST(CEIL(len(l) / {LINEDEDUP_BLOCK}.0) AS INTEGER) - 1),
+                   i -> array_to_string(
+                       list_slice(l, i * {LINEDEDUP_BLOCK} + 1, i * {LINEDEDUP_BLOCK} + {LINEDEDUP_BLOCK}), ' ')) AS bl
+        FROM toks
+    ), expl AS (
+        SELECT doc_id, unnest(bl) AS block, generate_subscripts(bl, 1) AS pos
+        FROM blocks
+    ), hot AS (
+        SELECT block FROM expl GROUP BY block
+        HAVING COUNT(DISTINCT doc_id) > {LINEDEDUP_MAXDF}
+    ), kept AS (
+        SELECT doc_id, array_to_string(list(block ORDER BY pos), ' ') AS clean_text,
+               COUNT(*) AS n_kept
+        FROM expl ANTI JOIN hot USING (block)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.bl) AS INTEGER) AS n_blocks,
+           CAST(len(b.bl) - COALESCE(k.n_kept, 0) AS INTEGER) AS n_removed,
+           COALESCE(k.clean_text, '') AS clean_text
+    FROM blocks b LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def ext_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal, the RefinedWeb/Gopher line-level
+    dedup pass adapted to the corpus's single-line documents: split each
+    document into consecutive {LINEDEDUP_BLOCK}-token blocks ("lines"),
+    drop every block that occurs in more than {LINEDEDUP_MAXDF} distinct
+    documents (headers, footers, license banners), and REWRITE the corpus
+    from the surviving blocks in original order. Unlike the dedup pair
+    detectors, this key mutates the text — the shape of an actual curation
+    stage, not a report.
+
+    Scale shape: one explode keyed by (block, doc) — the block table is the
+    shuffle, sized by corpus tokens / {LINEDEDUP_BLOCK}; the hot-block list
+    (df > {LINEDEDUP_MAXDF}) is tiny and BROADCAST anti-joined; the rewrite
+    is one groupBy(doc_id) with an ordered collect_list — partitioned by
+    document, never global. No pair join anywhere: boilerplate removal is
+    frequency-based, so cost is linear in corpus size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    nblocks = F.ceil(F.size("l") / F.lit(float(LINEDEDUP_BLOCK))).cast("int")
+    blocks = docs.select("doc_id", toks.alias("l")).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), nblocks - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("l"), i * LINEDEDUP_BLOCK + 1, LINEDEDUP_BLOCK), " "
+            ),
+        ).alias("bl"),
+    )
+    expl = blocks.select(
+        "doc_id", F.posexplode("bl").alias("pos0", "block")
+    ).withColumn("pos", F.col("pos0") + 1)
+    hot = (
+        expl.groupBy("block")
+        .agg(F.countDistinct("doc_id").alias("df_"))
+        .filter(F.col("df_") > LINEDEDUP_MAXDF)
+        .select("block")
+    )
+    kept = (
+        expl.join(F.broadcast(hot), "block", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "block"))),
+                    lambda r: r.getField("block"),
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        blocks.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("bl").alias("n_blocks"),
+            (F.size("bl") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+N_SHARDS = 8  # training shard fan-out
+
+
+@register(
+    "ext_data_shard",
+    f"""
+    WITH assigned AS (
+        SELECT doc_id,
+               {_md5_32("CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS shard_id,
+               len({_TOKS_SQL}) AS n_tokens
+        FROM documents
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS docid_checksum,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM assigned GROUP BY shard_id
+    """,
+)
+def ext_data_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + per-shard manifest: every
+    document hashes to one of {N_SHARDS} shards by md5(doc_id) — the
+    shuffle-free, reproducible sharding a distributed training loader
+    needs (same doc lands in the same shard on every run and engine,
+    unlike a rand() or round-robin split). The manifest row per shard
+    (doc/token counts, id checksum, id range) is what the loader validates
+    before consuming a shard.
+
+    Scale shape: assignment is a pure hash expression in the scan; the
+    manifest is one {N_SHARDS}-group aggregate. The actual shard WRITE at
+    production scale is df.write.partitionBy('shard_id') on this exact
+    assignment column — demonstrated by sink_partition_overwrite; hash
+    sharding also load-balances: shard skew is bounded by the hash, not by
+    source ordering."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    assigned = docs.select(
+        "doc_id",
+        (_spark_md5_32(F.col("doc_id").cast("string")) % N_SHARDS).alias("shard_id"),
+        F.size(toks).alias("n_tokens"),
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("doc_id").cast("bigint").alias("docid_checksum"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
     )
