@@ -1929,3 +1929,58 @@ def ext_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unproven-representation case, on DECIMAL)
         (F.col("doc_id") == F.min("doc_id").over(w)).cast("int").alias("keep"),
     )
+
+
+@register("ext_dedup_semantic")  # rows-only: sample-kmeans centroids not SQL
+def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    the embedding space into cells, then WITHIN each cell drop every vector
+    that has a higher-priority (lower vec_id) neighbor at cosine >= 0.4 —
+    near-duplicate meaning, not just near-duplicate text. Returns
+    (vec_id, cell, is_kept).
+
+    Scale shape: the pair join is an EQUI-join on the cell id, so candidate
+    cost is sum over cells of |cell|^2, not corpus^2 — the cell fan-out
+    replaces LSH banding as the blocking structure (this is exactly how
+    SemDeDup runs at web scale: cluster with FAISS, dedup inside clusters).
+    Centroids come from the bounded-sample k-means (ext/ivf.py, the one
+    documented .collect()); assignment is a distributed argmin expression.
+    Rows-only by construction (sampled centroids aren't SQL-expressible);
+    soundness — every dropped vector really has a kept near-neighbor above
+    the threshold — is asserted exactly in tests/test_semantic_dedup.py."""
+    from ..ext.ivf import _assign_cells, train_centroids
+    from ..ext.similarity import cosine, with_norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, k=16, iters=3, seed=42)
+    e = _assign_cells(with_norm(emb), cents, "embedding").select(
+        "vec_id", "cell", "_v", "_norm"
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("cell"),
+        F.col("_v").alias("va"), F.col("_norm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("cell"),
+        F.col("_v").alias("vb"), F.col("_norm").alias("nb"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            F.round(cosine(F.col("va"), F.col("na"), F.col("vb"), F.col("nb")), 6)
+            >= 0.4
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        e.join(dropped.withColumn("_drop", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("_drop").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+                "is_kept"
+            ),
+        )
+    )

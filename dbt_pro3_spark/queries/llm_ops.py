@@ -1309,3 +1309,121 @@ def ext_data_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+MAD_K = 3 * 1.4826  # the standard "3 sigma-equivalent" robust cut
+
+
+@register(
+    "ext_outlier_mad",
+    f"""
+    WITH med AS (
+        SELECT event_type, {dround('quantile_cont(value, 0.5)', 6)} AS med
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, {dround('quantile_cont(abs(value - med), 0.5)', 6)} AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value, d.med, m.mad
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE abs(d.value - d.med) > {MAD_K} * m.mad
+    """,
+)
+def ext_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median absolute deviation, the
+    estimator that (unlike mean/stddev z-scores) is not dragged by the
+    outliers it is hunting. Flags events whose |value - median| exceeds
+    3 x 1.4826 x MAD — the standard 3-sigma-equivalent robust cut used to
+    quarantine corrupt numeric fields before training-data aggregation.
+
+    Scale shape: two tiny per-group aggregates (rows == groups), each
+    BROADCAST back over the fact scan; the fact table itself never
+    re-shuffles. Median interpolation parity (Spark percentile ==
+    DuckDB quantile_cont) is the same contract ext_quality_filter pins;
+    both med and mad are 6-dp-rounded before the cut so membership is
+    bit-identical."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > MAD_K * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
+
+
+BIGRAM_TOPK = 3
+BIGRAM_MIN_W1 = 100
+
+
+@register(
+    "ext_text_bigram_lm",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS l FROM documents
+    ), big AS (
+        SELECT l[i] AS w1, l[i+1] AS w2
+        FROM toks, unnest(generate_series(1, len(l) - 1)) AS t(i)
+    ), c AS (
+        SELECT w1, w2, COUNT(*) AS n_pair FROM big GROUP BY 1, 2
+    ), tot AS (
+        SELECT w1, SUM(n_pair) AS n_w1 FROM c GROUP BY 1
+    ), ranked AS (
+        SELECT c.w1, c.w2, c.n_pair, tot.n_w1,
+               ROW_NUMBER() OVER (PARTITION BY c.w1 ORDER BY c.n_pair DESC, c.w2) AS rk
+        FROM c JOIN tot USING (w1)
+    )
+    SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, CAST(n_w1 AS BIGINT) AS n_w1,
+           CAST(rk AS INTEGER) AS rk,
+           {dround('CAST(n_pair AS DOUBLE) / CAST(n_w1 AS DOUBLE)', 6)} AS p_cond
+    FROM ranked WHERE rk <= {BIGRAM_TOPK} AND n_w1 >= {BIGRAM_MIN_W1}
+    """,
+)
+def ext_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics: for every frequent unigram
+    (>= {BIGRAM_MIN_W1} occurrences as a bigram head), the top-{BIGRAM_TOPK}
+    continuations with conditional probability P(w2|w1) — the count table
+    a KenLM-style n-gram model, a contamination heuristic, or a
+    next-token-entropy quality score is built from (ext_text_unigram_xent's
+    bigram sibling; ext_text_bpe_pairs counts CHARACTER pairs, this one
+    counts token transitions).
+
+    Scale shape: explode to token transitions, ONE (w1, w2) hash aggregate
+    (the shuffle, keyed by word pair), then head totals as a second tiny
+    aggregate joined back; the ranking window partitions by w1 — vocabulary-
+    sized, never corpus-sized. Zipf skew in w1 is absorbed by the two-level
+    aggregate: partial map-side combines collapse hot heads before the
+    shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    sized = docs.select(toks.alias("l"), F.size(toks).alias("n")).filter(
+        F.col("n") >= 2
+    )
+    big = sized.withColumn(
+        "i", F.explode(F.sequence(F.lit(1), F.col("n") - 1))
+    ).select(
+        F.element_at("l", F.col("i")).alias("w1"),
+        F.element_at("l", F.col("i") + 1).alias("w2"),
+    )
+    c = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    tot = c.groupBy("w1").agg(F.sum("n_pair").alias("n_w1"))
+    w = Window.partitionBy("w1").orderBy(F.desc("n_pair"), "w2")
+    return (
+        c.join(F.broadcast(tot.filter(F.col("n_w1") >= BIGRAM_MIN_W1)), "w1")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BIGRAM_TOPK)
+        .select(
+            "w1", "w2", "n_pair", "n_w1", "rk",
+            F.round(
+                F.col("n_pair").cast("double") / F.col("n_w1").cast("double"), 6
+            ).alias("p_cond"),
+        )
+    )
