@@ -1159,3 +1159,43 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.grouping("o_orderstatus").cast("int").alias("is_total"),
     )
+
+
+@register(
+    "win_moving_avg_rows",
+    f"""
+    WITH monthly AS (
+        SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+               {dround('SUM(o_totalprice)', 2)} AS monthly_value
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, order_month, monthly_value,
+           {dround('''AVG(monthly_value) OVER (PARTITION BY o_orderpriority ORDER BY order_month
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)''', 2)} AS moving_avg_3m
+    FROM monthly
+    """,
+)
+def win_moving_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED ROWS frame (3-month trailing average) — the sliding-frame
+    member of the window family: win_running_sum is the unbounded ROWS
+    frame, win_time_range_rolling the RANGE frame; this completes the
+    frame-type matrix over a unique per-partition ordering (months), so
+    the 3-row average is deterministic on both engines. Window state is
+    O(frame) per partition — constant memory however large the fact table
+    that fed the monthly rollup."""
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", month_bucket(F.col("o_orderdate")).alias("order_month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("monthly_value"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("order_month")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return monthly.select(
+        "o_orderpriority",
+        "order_month",
+        "monthly_value",
+        F.round(F.avg("monthly_value").over(w), 2).alias("moving_avg_3m"),
+    )
