@@ -113,3 +113,22 @@ def write_incremental(
     merged.write.mode("overwrite").parquet(os.path.join(base, next_v))
     _swap_to(base, next_v)
     return read_incremental(spark, base)
+
+
+def read_version(spark: SparkSession, base: str, steps_back: int = 0) -> DataFrame | None:
+    """Time travel on the version store: steps_back=0 is the current
+    pointer, 1 is the previous retained version (the Delta/Iceberg
+    `VERSION AS OF` read). Returns None past the retention horizon —
+    _swap_to prunes versions older than its ``retain`` window, exactly
+    like VACUUM limits time travel."""
+    cur = _current_version(base)
+    if cur is None:
+        return None
+    versions = sorted(
+        (d for d in os.listdir(base) if d.startswith("v_")),
+        key=lambda d: int(d[2:]),
+    )
+    idx = versions.index(cur) - steps_back
+    if idx < 0:
+        return None
+    return spark.read.parquet(os.path.join(base, versions[idx]))

@@ -1984,3 +1984,115 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "join_bucketed_colocate",
+    f"""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           {dround('SUM(l.l_extendedprice)', 2)} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-to-fact join via bucketing (operators/scale.py
+    write_bucketed): both tables are written bucketBy(8, orderkey), so the
+    sort-merge join reads co-located buckets with NO Exchange on either
+    side — the layout investment that pays back on every subsequent join
+    at 100 TB (tests/test_scale.py proves the no-shuffle plan; this key
+    proves the RESULT matches the plain-join oracle). Broadcast is
+    disabled inside the key so the bucketed SMJ path is what actually
+    runs; the aggregate after the join is the usual partial+final."""
+    import shutil as _sh
+
+    from ..operators.scale import write_bucketed
+
+    suffix = f"{_os_mod.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{_RUN_TOKEN}"
+    t_orders, t_lineitem = f"bk_orders_{suffix}", f"bk_lineitem_{suffix}"
+    for t in (t_orders, t_lineitem):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _sh.rmtree(f"/root/repo/spark-warehouse/{t}", ignore_errors=True)
+    write_bucketed(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        t_orders, "o_orderkey", num_buckets=8,
+    )
+    write_bucketed(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        t_lineitem, "l_orderkey", num_buckets=8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = (
+            spark.table(t_lineitem)
+            .join(
+                spark.table(t_orders),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            )
+        )
+        # force the bucketed plan to materialize under the no-broadcast
+        # conf, then hand back the (already computed) result
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out
+
+
+@register(
+    "ext_store_time_travel",
+    f"""
+    WITH v0 AS (
+        SELECT event_id, value FROM events WHERE event_id < 5000
+    ), v1 AS (
+        SELECT event_id,
+               CASE WHEN event_id >= 2500 THEN value * 2 ELSE value END AS value
+        FROM events WHERE event_id < 7500
+    )
+    SELECT 'current' AS version, COUNT(*) AS n_rows, {dround('SUM(value)', 2)} AS total_value
+    FROM v1
+    UNION ALL
+    SELECT 'previous' AS version, COUNT(*) AS n_rows, {dround('SUM(value)', 2)} AS total_value
+    FROM v0
+    """,
+)
+def ext_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the versioned incremental store (the dependency-free
+    Delta `VERSION AS OF`): two merge batches land as v_0 and v_1 with an
+    atomic pointer swap; the key reads BOTH the current state and the
+    retained previous version and reports each — proving a reader pinned
+    to the old version still sees a consistent table mid-upgrade (the
+    reader-isolation property _swap_to's retention exists for). The oracle
+    derives both version states set-wise from the raw events."""
+    import shutil as _sh
+
+    from ..plans.incremental import read_version, write_incremental
+
+    base = _scratch("time_travel", sf_dir)
+    _sh.rmtree(base, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    b1 = ev.filter(F.col("event_id") < 5000).withColumn("batch_no", F.lit(1))
+    write_incremental(spark, base, b1, "merge_latest", "event_id", "batch_no")
+    b2 = (
+        ev.filter((F.col("event_id") >= 2500) & (F.col("event_id") < 7500))
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("batch_no", F.lit(2))
+    )
+    write_incremental(spark, base, b2, "merge_latest", "event_id", "batch_no")
+
+    def summarize(df, tag):
+        return df.agg(
+            F.lit(tag).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+
+    cur = read_version(spark, base, 0)
+    prev = read_version(spark, base, 1)
+    return summarize(cur, "current").unionByName(summarize(prev, "previous"))

@@ -58,3 +58,16 @@ def test_append_mode_accumulates(spark):
     state = write_incremental(spark, base, b2, "append")
     assert state.count() == ev.count()
     assert read_incremental(spark, base).count() == ev.count()
+
+
+def test_read_version_time_travel(spark, tmp_path):
+    from dbt_pro3_spark.plans.incremental import read_version, write_incremental
+
+    base = str(tmp_path / "store")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    write_incremental(spark, base, b1, "append")
+    b2 = spark.createDataFrame([(3, "c")], "k int, v string")
+    write_incremental(spark, base, b2, "append")
+    assert read_version(spark, base, 0).count() == 3
+    assert read_version(spark, base, 1).count() == 2  # retained previous
+    assert read_version(spark, base, 99) is None      # past retention
