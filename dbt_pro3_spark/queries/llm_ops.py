@@ -1427,3 +1427,107 @@ def ext_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_cond"),
         )
     )
+
+
+WINNOW_K = 4  # k-gram width (tokens)
+WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
+WINNOW_MIN_SHARED = 3
+WINNOW_MAXDF = 16  # fingerprints in more docs are boilerplate — capped
+
+
+def _winnow_oracle() -> str:
+    nib = _md5_32("gram")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS l FROM documents
+    ), grams AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(l, i, i + {WINNOW_K - 1}), ' ') AS gram
+        FROM toks, unnest(generate_series(1, len(l) - {WINNOW_K - 1})) AS t(i)
+    ), h AS (
+        SELECT doc_id, pos, CAST({nib} AS BIGINT) AS hv FROM grams
+    ), wmin AS (
+        SELECT doc_id,
+               MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS sel,
+               COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wn
+        FROM h
+    ), fp AS (
+        SELECT DISTINCT doc_id, sel FROM wmin WHERE wn = {WINNOW_W}
+    ), hot AS (
+        SELECT sel FROM fp GROUP BY sel HAVING COUNT(*) > {WINNOW_MAXDF}
+    ), capped AS (
+        SELECT doc_id, sel FROM fp ANTI JOIN hot USING (sel)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM capped a JOIN capped b ON a.sel = b.sel AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """
+
+
+@register("ext_text_winnowing", _winnow_oracle())
+def ext_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every {WINNOW_K}-token gram, slide a window of
+    {WINNOW_W} consecutive hashes keeping each window's minimum, and
+    report document pairs sharing >= {WINNOW_MIN_SHARED} selected
+    fingerprints. Winnowing GUARANTEES a shared run of
+    {WINNOW_K + WINNOW_W - 1}+ tokens yields a shared fingerprint (the
+    local-min selection is position-robust, unlike fixed-stride
+    sampling), at a ~2/(w+1) sampling rate — the plagiarism/near-dup
+    detector that catches REORDERED boilerplate MinHash's global
+    signature dilutes away.
+
+    Scale shape: the winnowing window is per-document ROWS frame (state
+    O(w)); the fingerprint table is ~2/(w+1) of the gram table; the pair
+    join is an equi-join on the 8-byte fingerprint with the same
+    stop-fingerprint df-cap as the Jaccard key (df > {WINNOW_MAXDF}
+    excluded), bounding candidates at sum(min(df,cap)^2) — no all-pairs,
+    no hot-key blowup. The md5-derived hash makes the whole selection
+    bit-identical across engines, so even the window minima are
+    hash-checked."""
+    from ..sources.readers import spread
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    sized = spread(docs.select("doc_id", toks.alias("l"), F.size(toks).alias("n"))).filter(
+        F.col("n") >= WINNOW_K
+    )
+    grams = sized.withColumn(
+        "pos", F.explode(F.sequence(F.lit(1), F.col("n") - (WINNOW_K - 1)))
+    ).select(
+        "doc_id",
+        "pos",
+        _spark_md5_32(
+            F.array_join(F.slice(F.col("l"), F.col("pos"), WINNOW_K), " ")
+        ).alias("hv"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    wmin = grams.select(
+        "doc_id",
+        F.min("hv").over(w).alias("sel"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    fp = wmin.filter(F.col("wn") == WINNOW_W).select("doc_id", "sel").distinct()
+    hot = (
+        fp.groupBy("sel")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") > WINNOW_MAXDF)
+        .select("sel")
+    )
+    capped = fp.join(F.broadcast(hot), "sel", "left_anti")
+    a = capped.select(F.col("doc_id").alias("doc_a"), "sel")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "sel")
+    return (
+        a.join(b, "sel")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
