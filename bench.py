@@ -62,6 +62,13 @@ HEADLINE = [
     # round-3 additions (BASELINE.md §4 baselines existed but were unbenched)
     "agg_histogram",
     "ext_date_spine_fill",
+    # round-3 new operators (first stable numbers become their baselines)
+    "ext_text_line_dedup",
+    "ext_dedup_minhash_est",
+    "ext_text_winnowing",
+    "ext_text_bigram_lm",
+    "ext_outlier_mad",
+    "ext_data_shard",
 ]
 
 

@@ -32,11 +32,29 @@ import os as _os_mod
 import uuid as _uuid_mod
 
 _RUN_TOKEN = _uuid_mod.uuid4().hex[:8]
+_SCRATCH_ROOT = "/root/repo/.scratch"
+_PRUNED = False
 
 
 def _scratch(prefix: str, sf_dir: str) -> str:
+    # best-effort prune of stale per-run dirs (> 1 day old — any concurrent
+    # live run's dirs are necessarily younger); once per process
+    global _PRUNED
+    if not _PRUNED:
+        _PRUNED = True
+        import shutil as _sh
+        import time as _time
+
+        cutoff = _time.time() - 86400
+        try:
+            for d in _os_mod.listdir(_SCRATCH_ROOT):
+                p = _os_mod.path.join(_SCRATCH_ROOT, d)
+                if _os_mod.path.isdir(p) and _os_mod.path.getmtime(p) < cutoff:
+                    _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
     return (
-        f"/root/repo/.scratch/{prefix}_"
+        f"{_SCRATCH_ROOT}/{prefix}_"
         f"{_os_mod.path.basename(sf_dir.rstrip('/'))}_{_RUN_TOKEN}"
     )
 
