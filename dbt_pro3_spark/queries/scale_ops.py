@@ -1,0 +1,453 @@
+"""Scale-pattern and curation operators (round 3 batch 4).
+
+Each key demonstrates a named large-scale pattern with an exact DuckDB
+oracle twin:
+
+- per-group quantile cuts (CCNet-style head/middle/tail bucketing and a
+  top-fraction quality gate) for corpus curation;
+- Zipf-law vocabulary diagnostics (the sanity check run before trusting a
+  tokenizer on a new crawl);
+- CDC apply-changes with deletes (the ingestion primitive under every
+  incremental warehouse table; extends plans/incremental.py's merge to a
+  full I/U/D log — reference's materialization matrix, dbt_project.yml:22);
+- two-phase salted aggregation (the skew-proof shape of a hot-key groupBy,
+  proven hash-identical to the plain aggregate);
+- time-series gap fill with last-observation-carried-forward;
+- boilerplate-prefix duplicate grouping (truncation/header dup class that
+  shingle MinHash misses when the tail diverges);
+- embedding L2-norm statistics (the pre-ANN health check: un-normalized or
+  collapsed vectors break cosine bucketing silently).
+
+Determinism discipline matches llm_ops.py: no rand(), ordering tiebreaks on
+a unique key, terminal floats rounded identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..ext import similarity as sim
+from ..ext import text as tx
+from ..sources.readers import load
+from . import dround, register
+from .llm_ops import _TOKS_SQL, _md5_32, _spark_md5_32
+
+QCUT_KEEP = 0.5  # ext_quality_quantile_cut keeps the top half per source
+CDC_ENTITIES = 1000
+SKEW_SALT_BUCKETS = 16
+
+
+@register(
+    "ext_quality_quantile_cut",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source, len({_TOKS_SQL}) AS score FROM documents
+    ), ranked AS (
+        SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+               PERCENT_RANK() OVER (
+                   PARTITION BY source ORDER BY score DESC, doc_id
+               ) AS pr
+        FROM scored
+    )
+    SELECT doc_id, source, score, {dround('pr', 6)} AS pct_rank
+    FROM ranked WHERE pr <= {QCUT_KEEP}
+    """,
+)
+def ext_quality_quantile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-fraction quality gate: keep the best {QCUT_KEEP:.0%}
+    of documents WITHIN each source by a quality score (token count here;
+    any scalar score plugs in). Per-domain — not global — cuts are the
+    curation standard: a global threshold empties low-resource domains.
+
+    PERCENT_RANK is (rank-1)/(n-1) in both engines and the ordering is a
+    total order (score DESC, doc_id), so the kept set is bit-identical.
+
+    Scale shape: ONE shuffle keyed by source, sort within group. At 100 TB
+    with mega-domains, swap the exact window for a per-source approx
+    quantile threshold broadcast back (ext_quality_filter's shape) — the
+    exact window is kept here because it also emits the rank itself."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.size(tx.tokens(F.col("text"))).cast("bigint").alias("score")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.col("doc_id"))
+    pr = F.percent_rank().over(w)
+    return (
+        scored.withColumn("pr", pr)
+        .filter(F.col("pr") <= QCUT_KEEP)
+        .select("doc_id", "source", "score", F.round("pr", 6).alias("pct_rank"))
+    )
+
+
+@register(
+    "ext_ccnet_bucket",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), vocab AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ), tot AS (SELECT SUM(cnt) AS total FROM vocab
+    ), scored AS (
+        SELECT t.doc_id, {dround('-ln(v.cnt / tot.total)', 9)} AS logp
+        FROM toks t JOIN vocab v USING (tok), tot
+    ), xent AS (
+        SELECT doc_id, {dround('AVG(logp)', 6)} AS cross_entropy
+        FROM scored GROUP BY doc_id
+    )
+    SELECT x.doc_id, d.lang, x.cross_entropy,
+           CAST(NTILE(3) OVER (
+               PARTITION BY d.lang ORDER BY x.cross_entropy, x.doc_id
+           ) AS INTEGER) AS tertile,
+           CASE NTILE(3) OVER (
+               PARTITION BY d.lang ORDER BY x.cross_entropy, x.doc_id)
+               WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM xent x JOIN documents d USING (doc_id)
+    """,
+)
+def ext_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document by unigram
+    cross-entropy (ext_text_unigram_xent's LM), then split EACH LANGUAGE
+    into head/middle/tail tertiles — the canonical Common Crawl curation
+    move (keep head+middle, drop tail) from the CCNet pipeline paper.
+
+    NTILE(3) with a total order (rounded score, doc_id) assigns identical
+    buckets in both engines; per-language partitioning keeps low-resource
+    languages from being judged against English's distribution.
+
+    Scale shape: the LM is a bounded vocab broadcast; the only data-sized
+    shuffles are the per-doc score aggregate and the per-lang NTILE sort.
+    A lang partition outgrowing one task's sort is the cue to switch to an
+    approx-quantile two-threshold cut (same output contract minus rank)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.round(-F.log(F.col("cnt") / F.col("total")), 9).alias("logp"))
+    )
+    xent = scored.groupBy("doc_id").agg(F.round(F.avg("logp"), 6).alias("cross_entropy"))
+    w = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
+    t = F.ntile(3).over(w)
+    return (
+        xent.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id", "lang", "cross_entropy",
+            t.cast("int").alias("tertile"),
+            F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail").alias("bucket"),
+        )
+    )
+
+
+@register(
+    "ext_text_zipf",
+    f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    ), vocab AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ), ranked AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk FROM vocab
+    ), pts AS (
+        SELECT {dround('ln(CAST(rk AS DOUBLE))', 9)} AS ln_rank,
+               {dround('ln(CAST(cnt AS DOUBLE))', 9)} AS ln_freq,
+               cnt
+        FROM ranked
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           {dround('regr_slope(ln_freq, ln_rank)', 5)} AS zipf_slope,
+           {dround('corr(ln_freq, ln_rank)', 5)} AS zipf_corr
+    FROM pts
+    """,
+)
+def ext_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law vocabulary diagnostic: regress ln(frequency) on ln(rank)
+    over the corpus vocabulary. Natural text slopes near -1 with |corr|
+    near 1; machine-generated spam, template boilerplate, and encoding
+    mojibake bend the curve — a one-row corpus health check run before
+    trusting token statistics from a new crawl.
+
+    Scale shape: vocab is the only aggregate (bounded by vocabulary, not
+    corpus); the rank window sorts vocab rows, acceptable up to web-scale
+    vocabs (~1e8 rows) in one sort spill. ln() rounded at 9 dp before the
+    regression on both engines; slope/corr at 5 dp (the regression sums
+    products of ~1e1-magnitude doubles, so engine summation order perturbs
+    only ~1e-13 relative)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # Global window over the bounded vocab table — same deliberate shape as
+    # win_lag_12_global (post-aggregation, rows == |vocab|).
+    rk = F.row_number().over(Window.orderBy(F.desc("cnt"), F.col("tok")))
+    pts = vocab.select(
+        "cnt",
+        F.round(F.log(F.col("cnt").cast("double")), 9).alias("ln_freq"),
+        F.round(F.log(rk.cast("double")), 9).alias("ln_rank"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.round(F.regr_slope(F.col("ln_freq"), F.col("ln_rank")), 5).alias("zipf_slope"),
+        F.round(F.corr("ln_freq", "ln_rank"), 5).alias("zipf_corr"),
+    )
+
+
+_CDC_OP_SQL = f"""CASE ({_md5_32("CAST(o_orderkey AS VARCHAR)")}) % 10
+    WHEN 0 THEN 'D' WHEN 1 THEN 'U' WHEN 2 THEN 'U' WHEN 3 THEN 'U'
+    ELSE 'I' END"""
+
+
+@register(
+    "ext_cdc_apply",
+    f"""
+    WITH log AS (
+        SELECT o_orderkey % {CDC_ENTITIES} AS entity_id,
+               o_orderkey AS seq,
+               {_CDC_OP_SQL} AS op,
+               o_totalprice, o_orderstatus
+        FROM orders
+    ), latest AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY entity_id ORDER BY seq DESC) AS rk
+        FROM log
+    )
+    SELECT entity_id, seq AS last_seq, op AS last_op,
+           {dround('o_totalprice', 2)} AS price, o_orderstatus AS status
+    FROM latest WHERE rk = 1 AND op <> 'D'
+    """,
+)
+def ext_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY CHANGES with deletes: collapse an insert/update/delete
+    change log to final entity state — keep each entity's highest-sequence
+    row, and drop the entity entirely if that row is a tombstone. The
+    semantics of Debezium->warehouse apply and dbt's incremental
+    merge+delete strategy (extends plans/incremental.py, which handles
+    upserts only). The log here is synthesized deterministically from
+    orders (entity = orderkey mod {CDC_ENTITIES}, op from md5 of the key)
+    so the oracle replays the identical stream.
+
+    Scale shape: ONE shuffle keyed by entity_id, per-key descending scan —
+    the same row_number-dedup plan as win_row_number_dedup, which AQE
+    handles at skewed keys. No driver state; a 100 TB backlog replays as
+    one window over the log partitioned by entity."""
+    orders = load(spark, sf_dir, "orders")
+    op = (
+        F.when(_spark_md5_32(F.col("o_orderkey").cast("string")) % 10 == 0, "D")
+        .when(_spark_md5_32(F.col("o_orderkey").cast("string")) % 10 <= 3, "U")
+        .otherwise("I")
+    )
+    log = orders.select(
+        (F.col("o_orderkey") % CDC_ENTITIES).alias("entity_id"),
+        F.col("o_orderkey").alias("seq"),
+        op.alias("op"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    w = Window.partitionBy("entity_id").orderBy(F.desc("seq"))
+    return (
+        log.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("op") != "D"))
+        .select(
+            "entity_id",
+            F.col("seq").alias("last_seq"),
+            F.col("op").alias("last_op"),
+            F.round("o_totalprice", 2).alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+
+
+@register(
+    "ext_agg_skew_twophase",
+    f"""
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {dround('SUM(l_quantity)', 2)} AS sum_qty,
+           {dround('SUM(l_extendedprice)', 2)} AS sum_price
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def ext_agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation, proven hash-identical to the plain
+    groupBy (the oracle IS the plain aggregate): phase 1 groups by
+    (key, salt mod {SKEW_SALT_BUCKETS}) so a hot key's rows land on
+    {SKEW_SALT_BUCKETS} reducers; phase 2 merges the per-salt partials.
+    The manual form of what AQE skew-split does for joins, applied to
+    aggregation — the pattern to reach for when ONE key holds 10% of a
+    100 TB fact table and partial (map-side) aggregation alone can't save
+    the single reducer.
+
+    The salt is deterministic (orderkey mod buckets), not rand(): the same
+    input always salts identically, so retried tasks and re-runs are
+    reproducible — the same discipline every sampling key here follows.
+
+    Count/sum decompose exactly over partials; sums re-round at 2 dp only
+    at the end, so the two-phase float summation matches the oracle within
+    the rounding contract (same argument as any distributed sum)."""
+    li = load(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("_salt", (F.col("l_orderkey") % SKEW_SALT_BUCKETS))
+        .groupBy("l_suppkey", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("l_quantity").alias("_q"),
+            F.sum("l_extendedprice").alias("_p"),
+        )
+    )
+    return partial.groupBy("l_suppkey").agg(
+        F.sum("_n").cast("bigint").alias("n_items"),
+        F.round(F.sum("_q"), 2).alias("sum_qty"),
+        F.round(F.sum("_p"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "ext_time_interpolate",
+    f"""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               {dround('SUM(value)', 6)} AS v
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    )
+    SELECT s.user_id, s.day,
+           LAST_VALUE(d.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v,
+           d.v IS NOT NULL AS was_observed
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def ext_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: densify each user's daily activity to a full
+    calendar spine between their first and last active day, then fill the
+    silent days by last-observation-carried-forward — the standard prep
+    before feeding per-entity series to forecasting or sessionized
+    features (ext_date_spine_fill's per-entity sibling: that key zero-fills
+    a global spine; this one LOCF-fills per-entity spines).
+
+    LOCF is F.last(ignorenulls=True) over a running ROWS frame — identical
+    to DuckDB's LAST_VALUE IGNORE NULLS. The spine starts at each user's
+    first observed day, so no leading-null edge case exists.
+
+    Scale shape: daily rollup (shuffle 1, keyed user+day), tiny per-user
+    bounds agg, sequence-explode the spine (no shuffle — bounds is one row
+    per user), left join back on (user, day) (shuffle 2), window per user.
+    Spine size is entities x days — growth is additive, not multiplicative,
+    and each user's series sorts independently."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("v", ignorenulls=True).over(w).alias("filled_v"),
+            F.col("v").isNotNull().alias("was_observed"),
+        )
+    )
+
+
+@register(
+    "ext_text_prefix_dup",
+    f"""
+    WITH pref AS (
+        SELECT doc_id,
+               array_to_string(list_slice({_TOKS_SQL}, 1, 2), ' ') AS prefix
+        FROM documents
+    ), grp AS (
+        SELECT prefix, COUNT(*) AS group_size FROM pref GROUP BY prefix
+    )
+    SELECT p.doc_id, p.prefix, CAST(g.group_size AS BIGINT) AS group_size
+    FROM pref p JOIN grp g USING (prefix)
+    WHERE g.group_size > 1
+    """,
+)
+def ext_text_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix duplicate grouping: cluster documents sharing
+    their first-k-token prefix. Catches the truncation/header duplicate
+    class (same article cut at different lengths, shared site boilerplate)
+    that full-document MinHash under-scores when the tails diverge —
+    cheap enough to run before any shingle-based pass.
+
+    Scale shape: ONE aggregate keyed by the short prefix (at 100 TB, hash
+    the prefix to 8 bytes first — the same xxhash64 trick the Jaccard key
+    uses); membership restored by joining the doc->prefix map back to the
+    group sizes, the SimHash key's re-expansion shape. A pathologically
+    hot prefix is a real boilerplate cluster the pipeline WANTS surfaced."""
+    docs = load(spark, sf_dir, "documents")
+    pref = docs.select(
+        "doc_id",
+        F.array_join(F.slice(tx.tokens(F.col("text")), 1, 2), " ").alias("prefix"),
+    )
+    grp = pref.groupBy("prefix").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        pref.join(grp, "prefix")
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "prefix", F.col("group_size").cast("bigint").alias("group_size"))
+    )
+
+
+@register(
+    "ext_embed_norm_stats",
+    f"""
+    WITH norms AS (
+        SELECT label,
+               {dround("sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))", 9)} AS nrm
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {dround('AVG(nrm)', 6)} AS avg_norm,
+           {dround('MIN(nrm)', 6)} AS min_norm,
+           {dround('MAX(nrm)', 6)} AS max_norm
+    FROM norms GROUP BY label
+    """,
+)
+def ext_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm health check per label: count, mean, min, max of
+    vector norms. Run before any cosine-based ANN/dedup stage — collapsed
+    (near-zero-norm) or un-normalized vectors silently break LSH bucketing
+    and cosine thresholds, and a per-label norm skew is the classic symptom
+    of a bad embedding batch.
+
+    Both engines fold the square-sum IN ARRAY ORDER (Spark F.aggregate ==
+    DuckDB list_sum's sequential fold), so the norm is bit-reproducible
+    before its 9 dp rounding; group stats re-round at 6 dp.
+
+    Scale shape: narrow per-row array fold (codegen, no shuffle), then a
+    tiny per-label aggregate — embarrassingly parallel at any corpus
+    size."""
+    emb = load(spark, sf_dir, "embeddings")
+    vec = sim.as_double(F.col("embedding"))
+    nrm = F.round(sim.l2_norm(vec), 9)
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
