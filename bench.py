@@ -69,6 +69,12 @@ HEADLINE = [
     "ext_text_bigram_lm",
     "ext_outlier_mad",
     "ext_data_shard",
+    # round-3 batch-4/5 operators (first stable numbers become baselines)
+    "ext_ccnet_bucket",
+    "ext_time_interpolate",
+    "ext_agg_skew_twophase",
+    "ext_graph_triangles",
+    "ext_cdc_apply",
 ]
 
 

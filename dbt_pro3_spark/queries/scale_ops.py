@@ -451,3 +451,226 @@ def ext_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+KANON_K = 5
+TRI_N = 300  # synthetic graph vertex count (see ext_graph_triangles)
+
+
+@register(
+    "ext_privacy_kanon",
+    f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           COUNT(*) < {KANON_K} AS suppress
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def ext_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers: group the population by
+    (nation, market segment, account-balance band) and flag equivalence
+    classes smaller than k={KANON_K} — the classes whose members a release
+    would re-identify, and the rows a k-anonymizing pipeline must suppress
+    or generalize before the table ships as training data
+    (ext_privacy_pseudonymize handles direct identifiers; this key audits
+    the indirect ones).
+
+    Scale shape: one hash aggregate on the quasi-identifier tuple — the
+    cheapest possible audit; generalization search (widening bands until
+    all classes pass) iterates this same aggregate over a band lattice."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("acctbal_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
+        .select(
+            "c_nationkey", "c_mktsegment", "acctbal_band", "class_size",
+            (F.col("class_size") < KANON_K).alias("suppress"),
+        )
+    )
+
+
+@register(
+    "agg_mode_moments",
+    f"""
+    WITH mu AS (
+        SELECT event_type, {dround('AVG(value)', 6)} AS mu
+        FROM events GROUP BY event_type
+    ), mom AS (
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {dround('AVG(pow(e.value - mu.mu, 2))', 6)} AS m2,
+               {dround('AVG(pow(e.value - mu.mu, 3))', 4)} AS m3,
+               {dround('AVG(pow(e.value - mu.mu, 4))', 2)} AS m4
+        FROM events e JOIN mu USING (event_type)
+        GROUP BY e.event_type
+    ), md AS (
+        SELECT event_type, user_id AS modal_user,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY COUNT(*) DESC, user_id) AS rk
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT m.event_type, m.n_events, mu.mu, m.m2,
+           {dround('m.m3 / pow(m.m2, 1.5)', 6)} AS skewness,
+           {dround('m.m4 / pow(m.m2, 2) - 3', 6)} AS excess_kurtosis,
+           md.modal_user
+    FROM mom m JOIN mu USING (event_type)
+    JOIN md ON md.event_type = m.event_type AND md.rk = 1
+    """,
+)
+def agg_mode_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode + higher central moments per group: the modal
+    user (most events; ties broken by smallest id — built-in mode() is
+    tie-nondeterministic in BOTH engines, so the operator pins its own
+    total order) and skewness / excess kurtosis of the value distribution.
+
+    Cross-engine float discipline: built-in skewness()/kurtosis() differ
+    between engines (population vs sample bias correction), so the moments
+    are computed two-pass — the 6dp-rounded group mean broadcast back, then
+    centered power averages, each rounded BEFORE the final ratios. Every
+    input to skew/kurt is therefore bit-identical on both sides, and
+    centering avoids the catastrophic cancellation the one-pass raw-moment
+    identity suffers at scale.
+
+    Scale shape: two passes over the fact table (mean, then moments) with
+    the tiny per-group mean broadcast between them — the same shape as
+    ext_outlier_mad; the mode is one (group, user) aggregate + per-group
+    top-1 window."""
+    ev = load(spark, sf_dir, "events")
+    mu = ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("mu"))
+    dev = ev.join(F.broadcast(mu), "event_type")
+    d = F.col("value") - F.col("mu")
+    mom = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.avg(d * d), 6).alias("m2"),
+        F.round(F.avg(d * d * d), 4).alias("m3"),
+        F.round(F.avg(d * d * d * d), 2).alias("m4"),
+    )
+    cnt = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("_n"))
+    wm = Window.partitionBy("event_type").orderBy(F.desc("_n"), F.col("user_id"))
+    modal = (
+        cnt.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("user_id").alias("modal_user"))
+    )
+    return (
+        mom.join(F.broadcast(mu), "event_type")
+        .join(F.broadcast(modal), "event_type")
+        .select(
+            "event_type", "n_events", "mu", "m2",
+            F.round(F.col("m3") / F.pow("m2", F.lit(1.5)), 6).alias("skewness"),
+            F.round(F.col("m4") / F.pow("m2", F.lit(2.0)) - 3, 6).alias("excess_kurtosis"),
+            "modal_user",
+        )
+    )
+
+
+@register(
+    "ext_graph_triangles",
+    f"""
+    WITH raw AS (
+        SELECT o_orderkey % {TRI_N} AS u,
+               (o_orderkey * 31 + 7) % {TRI_N} AS v
+        FROM orders
+    ), edges AS (
+        SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+        FROM raw WHERE u <> v
+    ), tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), verts AS (
+        SELECT x AS vertex FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ), deg AS (
+        SELECT vertex, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT a AS vertex FROM edges UNION ALL SELECT b FROM edges
+        ) GROUP BY vertex
+    )
+    SELECT d.vertex, d.degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM deg d LEFT JOIN (
+        SELECT vertex, COUNT(*) AS n_triangles FROM verts GROUP BY vertex
+    ) t USING (vertex)
+    """,
+)
+def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counting with DEGREE ORIENTATION — the classic
+    scale-out algorithm (orient every edge from its lower-(degree, id)
+    endpoint to the higher; enumerate wedges only at each edge's SOURCE;
+    close against oriented edges). Work is sum-of-squared-ORIENTED-degrees,
+    which orientation bounds by O(E^1.5) regardless of hub skew — the
+    reason this survives power-law graphs where the naive a<b triple join
+    melts a reducer on the hottest hub. Triangle counts are
+    orientation-invariant, so the oracle counts the SAME triangles with
+    the naive id-ordered triple join: the algorithms differ, the answer is
+    hash-identical. (Triangle density drives clustering-coefficient
+    features and community pre-grouping in dedup graphs —
+    ext_dedup_clusters' pointer-jumping sibling.)
+
+    The graph is synthesized deterministically from orders (vertex =
+    orderkey mod {TRI_N}, with a fixed affine second endpoint) so both
+    engines replay the identical edge set.
+
+    Scale shape: edge dedup (one shuffle), degree agg over a bounded
+    vertex set (broadcast back), wedge self-join keyed on the oriented
+    source, closing-edge hash join keyed on the wedge endpoints. No
+    driver-side state."""
+    orders = load(spark, sf_dir, "orders")
+    raw = orders.select(
+        (F.col("o_orderkey") % TRI_N).alias("u"),
+        ((F.col("o_orderkey") * 31 + 7) % TRI_N).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    edges = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    deg = (
+        edges.select(F.col("a").alias("vertex"))
+        .unionAll(edges.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    # Total order for orientation: (degree, id). Rank table is <= TRI_N
+    # rows — broadcast everywhere it's joined.
+    rk = deg.select(
+        "vertex", "degree",
+        F.row_number()
+        .over(Window.orderBy("degree", "vertex"))
+        .alias("rk"),
+    )
+    er = (
+        edges.join(F.broadcast(rk.select(F.col("vertex").alias("a"), F.col("rk").alias("rka"))), "a")
+        .join(F.broadcast(rk.select(F.col("vertex").alias("b"), F.col("rk").alias("rkb"))), "b")
+        .select(
+            F.least("rka", "rkb").alias("src"),
+            F.greatest("rka", "rkb").alias("dst"),
+        )
+    )
+    w1 = er.select(F.col("src"), F.col("dst").alias("d1"))
+    w2 = er.select(F.col("src"), F.col("dst").alias("d2"))
+    wedges = w1.join(w2, "src").filter(F.col("d1") < F.col("d2"))
+    closed = wedges.join(
+        er.select(F.col("src").alias("d1"), F.col("dst").alias("d2")), ["d1", "d2"]
+    )
+    verts = (
+        closed.select(F.col("src").alias("rk"))
+        .unionAll(closed.select(F.col("d1").alias("rk")))
+        .unionAll(closed.select(F.col("d2").alias("rk")))
+        .groupBy("rk")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        rk.join(F.broadcast(verts), "rk", "left")
+        .select(
+            "vertex", "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("n_triangles"),
+        )
+    )
