@@ -576,7 +576,7 @@ def agg_mode_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH raw AS (
         SELECT o_orderkey % {TRI_N} AS u,
-               (o_orderkey * 31 + 7) % {TRI_N} AS v
+               ({_md5_32("CAST(o_orderkey AS VARCHAR)")}) % {TRI_N} AS v
         FROM orders
     ), edges AS (
         SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
@@ -616,9 +616,10 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     features and community pre-grouping in dedup graphs —
     ext_dedup_clusters' pointer-jumping sibling.)
 
-    The graph is synthesized deterministically from orders (vertex =
-    orderkey mod {TRI_N}, with a fixed affine second endpoint) so both
-    engines replay the identical edge set.
+    The graph is synthesized deterministically from orders (endpoints =
+    orderkey mod {TRI_N} and md5(orderkey) mod {TRI_N} — the md5 side
+    scrambles across the modulus so the edge set is a random-like graph,
+    not a functional one) so both engines replay the identical edges.
 
     Scale shape: edge dedup (one shuffle), degree agg over a bounded
     vertex set (broadcast back), wedge self-join keyed on the oriented
@@ -627,7 +628,7 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     raw = orders.select(
         (F.col("o_orderkey") % TRI_N).alias("u"),
-        ((F.col("o_orderkey") * 31 + 7) % TRI_N).alias("v"),
+        (_spark_md5_32(F.col("o_orderkey").cast("string")) % TRI_N).alias("v"),
     ).filter(F.col("u") != F.col("v"))
     edges = raw.select(
         F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
@@ -646,6 +647,10 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy("degree", "vertex"))
         .alias("rk"),
     )
+    # The oriented edge table feeds three plan branches (both wedge sides
+    # and the closing probe) — checkpoint it once so the scan/dedup/rank
+    # pipeline isn't re-derived per branch (same reuse discipline as the
+    # banded-dedup family).
     er = (
         edges.join(F.broadcast(rk.select(F.col("vertex").alias("a"), F.col("rk").alias("rka"))), "a")
         .join(F.broadcast(rk.select(F.col("vertex").alias("b"), F.col("rk").alias("rkb"))), "b")
@@ -653,6 +658,7 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("rka", "rkb").alias("src"),
             F.greatest("rka", "rkb").alias("dst"),
         )
+        .localCheckpoint(eager=False)
     )
     w1 = er.select(F.col("src"), F.col("dst").alias("d1"))
     w2 = er.select(F.col("src"), F.col("dst").alias("d2"))

@@ -1,0 +1,157 @@
+"""Semantic unit tests for queries/scale_ops.py — known-answer fixtures
+that pin each operator's contract independently of the DuckDB oracle (the
+oracle proves Spark==DuckDB; these prove both equal the intended math)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dbt_pro3_spark.queries import all_queries
+from dbt_pro3_spark.sources.readers import load
+
+from .conftest import SF_DIR
+
+_Q = all_queries()
+
+
+def test_triangles_known_graph(spark):
+    """K4 plus a pendant edge: C(4,3)=4 triangles; each K4 vertex is in 3,
+    the pendant vertex in 0 — verified with the same degree-oriented logic
+    the registered key uses, applied to a hand-built edge list."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)], ["a", "b"]
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    rk = deg.select("v", F.row_number().over(Window.orderBy("d", "v")).alias("rk"))
+    er = (
+        edges.join(rk.withColumnRenamed("v", "a").withColumnRenamed("rk", "rka"), "a")
+        .join(rk.withColumnRenamed("v", "b").withColumnRenamed("rk", "rkb"), "b")
+        .select(F.least("rka", "rkb").alias("src"), F.greatest("rka", "rkb").alias("dst"))
+    )
+    wedges = (
+        er.select("src", F.col("dst").alias("d1"))
+        .join(er.select("src", F.col("dst").alias("d2")), "src")
+        .filter(F.col("d1") < F.col("d2"))
+    )
+    closed = wedges.join(
+        er.select(F.col("src").alias("d1"), F.col("dst").alias("d2")), ["d1", "d2"]
+    )
+    assert closed.count() == 4  # triangles in K4
+
+    # and the registered key agrees with its own oracle-checked shape: the
+    # per-vertex totals must sum to 3 * total triangles
+    out = _Q["ext_graph_triangles"](spark, SF_DIR)
+    agg = out.agg(F.sum("n_triangles").alias("s")).collect()[0]
+    assert agg["s"] % 3 == 0 and agg["s"] > 0
+
+
+def test_cdc_apply_drops_tombstoned_entities(spark):
+    """Entities whose HIGHEST-seq op is a delete must be absent; every
+    surviving entity's last_op is the op of its max orderkey."""
+    out = _Q["ext_cdc_apply"](spark, SF_DIR)
+    rows = out.collect()
+    assert all(r["last_op"] in ("I", "U") for r in rows)
+    orders = load(spark, SF_DIR, "orders")
+    n_entities = orders.select(
+        (F.col("o_orderkey") % 1000).alias("e")
+    ).distinct().count()
+    # some entities end in 'D' (md5 spreads ~10% of keys onto the tombstone
+    # branch), so output must be strictly smaller than the entity universe
+    assert 0 < out.count() < n_entities
+
+
+def test_two_phase_agg_equals_plain_groupby(spark):
+    plain = (
+        load(spark, SF_DIR, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+    two = _Q["ext_agg_skew_twophase"](spark, SF_DIR)
+    assert two.exceptAll(plain).count() == 0 and plain.exceptAll(two).count() == 0
+
+
+def test_time_interpolate_no_gaps_and_locf(spark):
+    out = _Q["ext_time_interpolate"](spark, SF_DIR)
+    # spine density: per user, row count == span days (no calendar holes)
+    span = out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("expect"),
+    )
+    assert span.filter(F.col("n") != F.col("expect")).count() == 0
+    # LOCF: filled values never null (first spine day is always observed)
+    assert out.filter(F.col("filled_v").isNull()).count() == 0
+    # carried rows must repeat the previous value
+    w = Window.partitionBy("user_id").orderBy("day")
+    carried = out.withColumn("prev", F.lag("filled_v").over(w)).filter(
+        ~F.col("was_observed")
+    )
+    assert carried.filter(F.col("filled_v") != F.col("prev")).count() == 0
+
+
+def test_quantile_cut_keeps_top_half_per_source(spark):
+    out = _Q["ext_quality_quantile_cut"](spark, SF_DIR)
+    docs = load(spark, SF_DIR, "documents")
+    pop = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_all"))
+    kept = out.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    j = pop.join(kept, "source").collect()
+    for r in j:
+        # percent_rank <= 0.5 keeps ceil((n-1)/2)+1 rows of n
+        assert r["n_kept"] == (r["n_all"] - 1) // 2 + 1
+
+
+def test_ccnet_buckets_are_balanced_tertiles(spark):
+    out = _Q["ext_ccnet_bucket"](spark, SF_DIR)
+    sizes = out.groupBy("lang", "tertile").agg(F.count(F.lit(1)).alias("n"))
+    spread = sizes.groupBy("lang").agg(
+        (F.max("n") - F.min("n")).alias("d"), F.count(F.lit(1)).alias("k")
+    )
+    rows = spread.collect()
+    assert all(r["k"] == 3 and r["d"] <= 1 for r in rows)  # NTILE balance
+
+
+def test_kanon_suppress_matches_class_size(spark):
+    out = _Q["ext_privacy_kanon"](spark, SF_DIR)
+    bad = out.filter(
+        (F.col("suppress") & (F.col("class_size") >= 5))
+        | (~F.col("suppress") & (F.col("class_size") < 5))
+    )
+    assert bad.count() == 0
+
+
+def test_mode_moments_sanity(spark):
+    out = _Q["agg_mode_moments"](spark, SF_DIR).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["m2"] > 0
+        # value ~ uniform-ish positive distribution: kurtosis of any real
+        # distribution >= skewness^2 - 2 (Pearson inequality)
+        assert r["excess_kurtosis"] + 3 >= r["skewness"] ** 2 - 2 + 1e-9
+
+
+def test_prefix_dup_groups_consistent(spark):
+    out = _Q["ext_text_prefix_dup"](spark, SF_DIR)
+    chk = out.groupBy("prefix", "group_size").agg(F.count(F.lit(1)).alias("n"))
+    assert chk.filter(F.col("n") != F.col("group_size")).count() == 0
+
+
+def test_embed_norm_stats_bounds(spark):
+    out = _Q["ext_embed_norm_stats"](spark, SF_DIR).collect()
+    for r in out:
+        assert 0 < r["min_norm"] <= r["avg_norm"] <= r["max_norm"]
+
+
+def test_zipf_slope_negative(spark):
+    r = _Q["ext_text_zipf"](spark, SF_DIR).collect()[0]
+    assert r["zipf_slope"] < 0  # frequency falls with rank, by construction
+    assert -1 <= r["zipf_corr"] < 0
