@@ -75,6 +75,7 @@ HEADLINE = [
     "ext_agg_skew_twophase",
     "ext_graph_triangles",
     "ext_cdc_apply",
+    "ext_dedup_prefix_filter",
 ]
 
 

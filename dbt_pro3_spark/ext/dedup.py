@@ -19,7 +19,7 @@ Five escalating strategies, each the idiomatic Spark shape for its scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import spread
@@ -670,3 +670,131 @@ def embedding_near_pairs(
         F.round(cosine(F.col("va"), F.col("na"), F.col("vb"), F.col("nb")), 6).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """AllPairs/PPJoin prefix filtering: EXACT Jaccard-threshold pair join
+    with a candidate stage that provably misses nothing.
+
+    Order every document's shingle set by global rarity (df asc, shingle);
+    a pair with Jaccard >= t must share at least one shingle among each
+    side's first |S| - ceil(t*|S|) + 1 rarest shingles (pigeonhole: missing
+    the whole prefix leaves too few shingles to reach t). So candidates =
+    equi-join on PREFIX shingles only — the frequent shingles that make the
+    naive shingle join quadratic are exactly the ones prefixes exclude,
+    and, unlike the stop-shingle cap (ngram_jaccard_pairs), recall at the
+    threshold is exactly 1 by construction, not empirically.
+
+    Scale shape: df table is a shingle-keyed aggregate (shuffle 1); rarity
+    rank is a per-doc window (shuffle 2, keyed by doc); the candidate join
+    keys on rare-by-definition prefix shingles (bounded fan-out); exact
+    verify joins candidates back to the two shingle sets (output-sized).
+    The per-doc shingle table is checkpointed once and feeds all stages.
+    All equality joins key on xxhash64(shingle) — 8 bytes instead of the
+    shingle string (the ngram_jaccard trick; 2^-64 collision odds, and the
+    oracle joining on the string gets the same equalities). Rarity ORDER
+    ties break on the string itself so prefix selection is reproducible.
+
+    All threshold arithmetic is EXACT integer rationals (threshold ->
+    num/den via Fraction): Spark's binary double 0.8 and DuckDB's decimal
+    literal 0.8 disagree at exact-ratio boundaries (0.8*80 = 64.0000..004
+    as doubles), which flips ceil/comparison results between engines —
+    integer cross-multiplication cannot.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+
+    def ceildiv(p, q: int):
+        # exact ceil(p/q) on integer columns: (p + q - 1 - (p+q-1) mod q)/q
+        s = p + F.lit(q - 1)
+        return ((s - s % q) / q).cast("bigint")
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+        .select("doc", "shingle", F.xxhash64("shingle").alias("sh_h"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+    sized = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # set size comes from a count window over the same doc partitioning the
+    # rank window needs anyway — one shuffle serves both, no sized join here
+    ranked = (
+        sh.join(dfreq, "sh_h")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("df", "shingle")
+            ),
+        )
+        .withColumn(
+            "sz",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("doc").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    pref = ranked.filter(
+        F.col("rn") <= F.col("sz") - ceildiv(num * F.col("sz"), den) + 1
+    ).select("doc", "sh_h", "rn", "sz")
+    # PPJoin's two extra candidate filters (both exact, recall-preserving):
+    # - length: J >= t needs den*min(szA,szB) >= num*max(szA,szB);
+    # - positional: J >= t needs common >= ceil(num*(szA+szB)/(num+den)),
+    #   and a match at rarity positions (rnA, rnB) bounds the remaining
+    #   possible common by min(szA-rnA, szB-rnB)+1 (both sides sort by the
+    #   SAME global rarity order). Filters run per matched prefix shingle
+    #   BEFORE the distinct, so verify only sees pairs that can win.
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, "sh_h")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .filter(
+            den * F.least(F.col("a.sz"), F.col("b.sz"))
+            >= num * F.greatest(F.col("a.sz"), F.col("b.sz"))
+        )
+        .filter(
+            F.least(F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")) + 1
+            >= ceildiv(num * (F.col("a.sz") + F.col("b.sz")), num + den)
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc").alias("doc_a"), "sh_h")
+    sh_b = sh.select(F.col("doc").alias("doc_b"), "sh_h")
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh_h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    za = sized.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sized.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.round(
+        F.col("common_shingles").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("common_shingles")).cast("double"),
+        6,
+    )
+    # threshold cut in exact integers too: J >= num/den <=>
+    # common*(num+den) >= num*(szA+szB)
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(
+            F.col("common_shingles") * (num + den)
+            >= num * (F.col("sz_a") + F.col("sz_b"))
+        )
+        .withColumn("jaccard", jac)
+        .select("doc_a", "doc_b", "common_shingles", "jaccard")
+    )

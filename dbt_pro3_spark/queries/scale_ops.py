@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..ext import dedup as ded
 from ..ext import similarity as sim
 from ..ext import text as tx
 from ..sources.readers import load
@@ -679,4 +680,69 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vertex", "degree",
             F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("n_triangles"),
         )
+    )
+
+
+PF_THRESHOLD = 0.8
+PF_NUM, PF_DEN = 4, 5  # threshold as an exact rational (see ext/dedup.py)
+
+
+@register(
+    "ext_dedup_prefix_filter",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS l FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+                                     i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle
+        FROM toks
+    ), dfreq AS (
+        SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+    ), sized AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), ranked AS (
+        SELECT s.doc_id, s.shingle, z.sz,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS rn
+        FROM sh s JOIN dfreq d USING (shingle) JOIN sized z USING (doc_id)
+    ), pref AS (
+        SELECT doc_id, shingle, rn, sz FROM ranked
+        WHERE rn <= sz - ({PF_NUM} * sz + {PF_DEN - 1}) // {PF_DEN} + 1
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE {PF_DEN} * LEAST(a.sz, b.sz) >= {PF_NUM} * GREATEST(a.sz, b.sz)
+          AND LEAST(a.sz - a.rn, b.sz - b.rn) + 1
+              >= ({PF_NUM} * (a.sz + b.sz) + {PF_NUM + PF_DEN - 1}) // {PF_NUM + PF_DEN}
+    ), common AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS common_shingles
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT cm.doc_a, cm.doc_b, CAST(cm.common_shingles AS BIGINT) AS common_shingles,
+           {dround('CAST(cm.common_shingles AS DOUBLE) / CAST(za.sz + zb.sz - cm.common_shingles AS DOUBLE)', 6)} AS jaccard
+    FROM common cm
+    JOIN sized za ON cm.doc_a = za.doc_id
+    JOIN sized zb ON cm.doc_b = zb.doc_id
+    WHERE cm.common_shingles * {PF_NUM + PF_DEN} >= {PF_NUM} * (za.sz + zb.sz)
+    """,
+)
+def ext_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtering near-dup join at Jaccard >=
+    {PF_THRESHOLD}: candidates must share a shingle within each doc's
+    RAREST |S| - ceil(t|S|) + 1 shingles — a pigeonhole guarantee, so
+    unlike the df-capped Jaccard key (empirical recall) or MinHash
+    (probabilistic recall), this candidate stage has recall exactly 1 at
+    the threshold while still never joining on frequent shingles. The
+    third member of the near-dup family's accuracy spectrum: MinHash
+    (probabilistic) < df-cap (empirical) < prefix filter (exact).
+
+    See ext/dedup.py:prefix_filter_pairs for the plan narrative; thresholds
+    on the 6dp-rounded Jaccard so the cut is float-stable."""
+    return ded.prefix_filter_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=PF_THRESHOLD,
     )

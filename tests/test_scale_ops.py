@@ -155,3 +155,47 @@ def test_zipf_slope_negative(spark):
     r = _Q["ext_text_zipf"](spark, SF_DIR).collect()[0]
     assert r["zipf_slope"] < 0  # frequency falls with rank, by construction
     assert -1 <= r["zipf_corr"] < 0
+
+
+def test_prefix_filter_recall_is_exactly_one(spark):
+    """Brute-force all-pairs Jaccard at sf0.001 must equal the prefix-filter
+    output exactly — the pigeonhole guarantee, verified end-to-end."""
+    from dbt_pro3_spark.ext import dedup as ded
+    from dbt_pro3_spark.ext.text import shingles
+
+    from .conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents")
+    got = ded.prefix_filter_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+    sh = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(shingles(F.col("text"), 3)).alias("shingle"),
+    ).distinct()
+    sized = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    common = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    za = sized.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sized.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    brute = (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common_shingles").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common_shingles")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "common_shingles", "jaccard")
+    )
+    assert got.exceptAll(brute).count() == 0
+    assert brute.exceptAll(got).count() == 0
