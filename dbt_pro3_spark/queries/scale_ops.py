@@ -746,3 +746,53 @@ def ext_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, threshold=PF_THRESHOLD,
     )
+
+
+@register("ext_ann_pq")  # rows-only: k-means codebooks are float-iteration artifacts
+def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization: 64-dim vectors compressed to 8
+    subspace codes (32x), ranked by cosine against the decoded
+    reconstructions, exact re-rank inside the PQ top-3k shortlist — the
+    FAISS IVF-PQ search shape minus the cell routing (compose with
+    ext_ann_ivf's assignment for the full index). Completes the ANN triad:
+    sign-LSH (bucketing), IVF (cell routing), PQ (compression).
+
+    Rows-only like the other ANN keys (approximate by construction);
+    tests/test_pq_recall.py pins recall vs the exact ground truth.
+
+    Scale shape: training is one bounded 2048-row collect (FAISS recipe);
+    encode/decode/score are Column expressions over baked centroid
+    literals — the corpus scan reads codes, never re-shuffles."""
+    from ..ext import pq as pqm
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pqm.train_codebooks(emb, "embedding", m=8, ks=16)
+    coded = pqm.encode(emb, books, "embedding")
+    decoded = coded.select(
+        "vec_id", pqm.decode_expr(books).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    # PQ shortlist of 15 (3x the final k) by decoded cosine, then exact
+    # re-rank of the shortlist against the TRUE vectors
+    shortlist = sim.topk_bruteforce(queries, decoded, k=15).select(
+        "query_id", "vec_id"
+    )
+    true_q = sim.with_norm(queries, "embedding").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    true_c = sim.with_norm(emb, "embedding").select("vec_id", "_v", "_norm")
+    rescored = (
+        shortlist.join(F.broadcast(true_q), "query_id")
+        .join(true_c, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                sim.cosine(F.col("_qv"), F.col("_qnorm"), F.col("_v"), F.col("_norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return rescored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
