@@ -796,3 +796,97 @@ def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return rescored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+WIN_EVERY = 211  # every 211th event seeds a maintenance window
+
+
+@register(
+    "ext_interval_overlap_join",
+    f"""
+    WITH sess AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               MIN(ts) AS s0, MAX(ts) AS s1
+        FROM events GROUP BY 1, 2
+    ), win AS (
+        SELECT event_id AS win_id,
+               date_trunc('hour', ts) AS wstart,
+               date_trunc('hour', ts) + ((event_id % 3 + 1) * INTERVAL 1 HOUR) AS wend
+        FROM events WHERE event_id % {WIN_EVERY} = 0
+    )
+    SELECT s.user_id, s.day, w.win_id,
+           CAST(epoch_us(LEAST(s.s1, w.wend)) - epoch_us(GREATEST(s.s0, w.wstart)) AS BIGINT)
+               AS overlap_us
+    FROM sess s JOIN win w
+      ON s.s0 < w.wend AND w.wstart < s.s1
+    WHERE epoch_us(LEAST(s.s1, w.wend)) > epoch_us(GREATEST(s.s0, w.wstart))
+    """,
+)
+def ext_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join with NO equi-key — the case join_range_interval
+    can't cover (there, user_id carries the shuffle; here the two interval
+    sets share nothing). The naive form is |L|x|R| — the oracle runs
+    exactly that; Spark instead TIME-BUCKETS: explode each interval into
+    the hour buckets it covers, equi-join on the bucket, dedupe, compute
+    the exact overlap. Overlapping intervals always share a covered hour,
+    so recall is exact; join fan-out is span-hours, not |R|.
+
+    Sessions are each user's daily [first,last] event span; windows are
+    synthesized deterministically from every {WIN_EVERY}th event (1-3 h
+    from its truncated hour). Overlap is integer epoch-microseconds —
+    no float in the join or the output.
+
+    Scale shape: bucket lists grow with interval LENGTH (bounded), not
+    corpus size; the window side here is tiny and broadcast, and with two
+    large sides the bucket equi-join still shuffles only bucket-cardinality
+    groups. The bucket width tunes fan-out vs group size exactly like any
+    range-partitioning choice."""
+    ev = load(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("s0"), F.max("ts").alias("s1"))
+    win = (
+        ev.filter(F.col("event_id") % WIN_EVERY == 0)
+        .select(
+            F.col("event_id").alias("win_id"),
+            F.date_trunc("hour", "ts").alias("wstart"),
+            (
+                F.date_trunc("hour", "ts")
+                + F.make_interval(hours=(F.col("event_id") % 3 + 1).cast("int"))
+            ).alias("wend"),
+        )
+    )
+    sb = sess.select(
+        "user_id", "day", "s0", "s1",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s0"),
+                F.date_trunc("hour", "s1"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("bucket"),
+    )
+    wb = win.select(
+        "win_id", "wstart", "wend",
+        F.explode(
+            F.sequence(
+                "wstart",
+                F.col("wend") - F.expr("interval 1 hour"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("bucket"),
+    )
+    ov = (
+        sb.join(F.broadcast(wb), "bucket")
+        .select("user_id", "day", "win_id", "s0", "s1", "wstart", "wend")
+        .distinct()
+        .withColumn(
+            "overlap_us",
+            (
+                F.unix_micros(F.least("s1", "wend"))
+                - F.unix_micros(F.greatest("s0", "wstart"))
+            ).cast("bigint"),
+        )
+        .filter(F.col("overlap_us") > 0)
+    )
+    return ov.select("user_id", "day", "win_id", "overlap_us")
