@@ -102,6 +102,7 @@ def minhash_banded_pairs(
     num_perm: int = 16,
     bands: int = 4,
     min_common: int = 1,
+    keep_sizes: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, fully deterministic and oracle-checkable
     (unlike the pyspark.ml MinHashLSH variant, whose banding internals are
@@ -184,13 +185,14 @@ def minhash_banded_pairs(
     counts = banded.select("doc_id_", "n_sh")
     ca = counts.select(F.col("doc_id_").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id_").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cols = ["doc_a", "doc_b", "common_shingles"]
+    if keep_sizes:
+        cols += ["n_a", "n_b"]
     return (
         common.join(F.broadcast(ca), "doc_a")
         .join(F.broadcast(cb), "doc_b")
         .select(
-            "doc_a",
-            "doc_b",
-            "common_shingles",
+            *cols,
             F.round(
                 F.col("common_shingles").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("common_shingles")).cast("double"),
@@ -458,6 +460,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_common: int = 2,
     max_df: int = 16,
+    keep_sizes: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs sharing ≥ min_common shingles.
 
@@ -533,13 +536,14 @@ def ngram_jaccard_pairs(
     )
     ca = counts.select(F.col("doc_id_").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id_").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cols = ["doc_a", "doc_b", "common_shingles"]
+    if keep_sizes:
+        cols += ["n_a", "n_b"]
     return (
         common.join(F.broadcast(ca), "doc_a")
         .join(F.broadcast(cb), "doc_b")
         .select(
-            "doc_a",
-            "doc_b",
-            "common_shingles",
+            *cols,
             F.round(
                 F.col("common_shingles").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("common_shingles")).cast("double"),

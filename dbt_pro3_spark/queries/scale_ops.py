@@ -890,3 +890,122 @@ def ext_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("overlap_us") > 0)
     )
     return ov.select("user_id", "day", "win_id", "overlap_us")
+
+
+CONT_NUM, CONT_DEN = 7, 10  # containment threshold 0.7 as an exact rational
+
+from .extensions import _NGRAM_PAIRS_CTES  # noqa: E402 (shared candidate CTEs)
+
+_CONTAINMENT_SQL = f"""
+    WITH {_NGRAM_PAIRS_CTES}
+    SELECT p.doc_a, p.doc_b, p.common_shingles,
+           {dround('CAST(p.common_shingles AS DOUBLE) / CAST(LEAST(na.n_sh, nb.n_sh) AS DOUBLE)', 6)} AS containment
+    FROM pairs p
+    JOIN counts na ON p.doc_a = na.doc_id
+    JOIN counts nb ON p.doc_b = nb.doc_id
+    WHERE {CONT_DEN} * p.common_shingles >= {CONT_NUM} * LEAST(na.n_sh, nb.n_sh)
+"""
+
+
+@register("ext_dedup_containment", _CONTAINMENT_SQL)
+def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection: flags pairs where the SMALLER
+    shingle set is >= {CONT_NUM}/{CONT_DEN} contained in the larger —
+    the excerpt/quote/truncation duplicate class. Symmetric Jaccard
+    under-scores these (a 100-word quote inside a 2000-word article has
+    tiny Jaccard but containment ~1), which is why curation pipelines run
+    BOTH measures over the same candidate pairs.
+
+    Candidates reuse the df-capped shingle-equality generation
+    (ext/dedup.py ngram_jaccard_pairs, keep_sizes=True) — same empirical
+    recall contract as the Jaccard key; the containment cut is integer
+    cross-multiplication ({CONT_DEN}*common >= {CONT_NUM}*min_size), no
+    float boundary.
+
+    Scale shape: identical to ext_dedup_ngram_jaccard (one extra filter
+    and projection on its verified pair table)."""
+    pairs = ded.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", keep_sizes=True
+    )
+    return (
+        pairs.filter(
+            CONT_DEN * F.col("common_shingles")
+            >= CONT_NUM * F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "common_shingles",
+            F.round(
+                F.col("common_shingles").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
+@register(
+    "ext_ab_ztest",
+    f"""
+    WITH tagged AS (
+        SELECT event_type, user_id % 2 AS variant, value FROM events
+    ), mu AS (
+        SELECT event_type, variant, {dround('AVG(value)', 6)} AS mu
+        FROM tagged GROUP BY 1, 2
+    ), stats AS (
+        SELECT t.event_type, t.variant,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               m.mu,
+               {dround('AVG(pow(t.value - m.mu, 2))', 6)} AS var
+        FROM tagged t JOIN mu m USING (event_type, variant)
+        GROUP BY t.event_type, t.variant, m.mu
+    )
+    SELECT a.event_type,
+           a.n AS n_a, b.n AS n_b, a.mu AS mean_a, b.mu AS mean_b,
+           {dround('(a.mu - b.mu) / sqrt(a.var / a.n + b.var / b.n)', 4)} AS z_stat
+    FROM stats a JOIN stats b
+      ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+    """,
+)
+def ext_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test per metric: split users deterministically into
+    variants (user_id parity — a real assignment hashes the unit id, same
+    shape), compare mean event value per event_type with the Welch z
+    statistic — the analytics counterpart of the curation keys, and the
+    standard guardrail-metric readout of an experimentation pipeline.
+
+    Same float discipline as agg_mode_moments: two-pass centered variance
+    with the 6dp-rounded group mean broadcast back, every input to the z
+    ratio rounded before the division, so both engines compute the ratio
+    from identical operands.
+
+    Scale shape: two fact-table passes with tiny per-(metric, variant)
+    aggregates between them; the variant pivot is a self-join on the
+    group-count-sized stats table."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2).alias("variant"), "value"
+    )
+    mu = ev.groupBy("event_type", "variant").agg(F.round(F.avg("value"), 6).alias("mu"))
+    dev = ev.join(F.broadcast(mu), ["event_type", "variant"])
+    d = F.col("value") - F.col("mu")
+    stats = dev.groupBy("event_type", "variant", "mu").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg(d * d), 6).alias("var"),
+    )
+    a = stats.filter(F.col("variant") == 0).select(
+        "event_type", F.col("n").alias("n_a"), F.col("mu").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = stats.filter(F.col("variant") == 1).select(
+        "event_type", F.col("n").alias("n_b"), F.col("mu").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    return a.join(b, "event_type").select(
+        "event_type", "n_a", "n_b", "mean_a", "mean_b",
+        F.round(
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+            4,
+        ).alias("z_stat"),
+    )
