@@ -1009,3 +1009,48 @@ def ext_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_stat"),
     )
+
+
+ROLLMED_WIN = 7  # trailing window length (rows)
+
+
+@register(
+    "ext_win_rolling_median",
+    f"""
+    SELECT event_id, user_id,
+           {dround('''MEDIAN(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ROLLMED_WIN - 1} PRECEDING AND CURRENT ROW)''', 6)}
+               AS rolling_median
+    FROM events
+    """.replace("{ROLLMED_WIN - 1}", str(ROLLMED_WIN - 1)),
+)
+def ext_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over the trailing {ROLLMED_WIN} events per user — the
+    robust smoother for spiky per-entity series (the windowed sibling of
+    ext_outlier_mad's group median). Spark has no percentile window over a
+    moving frame, so the operator builds it from array primitives:
+    collect_list over the ROWS frame -> array_sort -> middle element (odd)
+    or mean of the two middles (even) — exactly QUANTILE_CONT(0.5)
+    semantics, which is what the DuckDB oracle runs natively.
+
+    Scale shape: one shuffle keyed by user; the collected array is bounded
+    by the FRAME length ({ROLLMED_WIN}), not the partition — constant
+    memory per row regardless of how long a user's history grows."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLLMED_WIN - 1), Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2).cast("int") + 1)
+    ) / 2.0
+    med = F.when(n % 2 == 1, odd).otherwise(even)
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "user_id", F.round(med, 6).alias("rolling_median")
+    )
