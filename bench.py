@@ -76,6 +76,8 @@ HEADLINE = [
     "ext_graph_triangles",
     "ext_cdc_apply",
     "ext_dedup_prefix_filter",
+    "ext_interval_overlap_join",
+    "ext_win_rolling_median",
 ]
 
 
