@@ -199,3 +199,62 @@ def test_prefix_filter_recall_is_exactly_one(spark):
     )
     assert got.exceptAll(brute).count() == 0
     assert brute.exceptAll(got).count() == 0
+
+
+def test_ab_ztest_matches_python_recompute(spark):
+    import math
+
+    out = {r["event_type"]: r for r in _Q["ext_ab_ztest"](spark, SF_DIR).collect()}
+    raw = (
+        load(spark, SF_DIR, "events")
+        .select("event_type", (F.col("user_id") % 2).alias("v"), "value")
+        .collect()
+    )
+    groups: dict = {}
+    for r in raw:
+        groups.setdefault((r["event_type"], r["v"]), []).append(r["value"])
+    for et, row in out.items():
+        a, b = groups[(et, 0)], groups[(et, 1)]
+        ma, mb = sum(a) / len(a), sum(b) / len(b)
+        va = sum((x - ma) ** 2 for x in a) / len(a)
+        vb = sum((x - mb) ** 2 for x in b) / len(b)
+        z = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
+        assert row["n_a"] == len(a) and row["n_b"] == len(b)
+        assert abs(row["z_stat"] - z) < 1e-3, f"{et}: {row['z_stat']} vs {z}"
+
+
+def test_containment_bounds_and_threshold(spark):
+    rows = _Q["ext_dedup_containment"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.7 - 1e-9 <= r["containment"] <= 1.0 + 1e-9
+
+
+def test_rolling_median_single_user_recompute(spark):
+    import statistics
+
+    ev = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("user_id") == 1)
+        .select("event_id", "ts", "value")
+        .collect()
+    )
+    ev.sort(key=lambda r: (r["ts"], r["event_id"]))
+    got = {
+        r["event_id"]: r["rolling_median"]
+        for r in _Q["ext_win_rolling_median"](spark, SF_DIR)
+        .filter(F.col("user_id") == 1)
+        .collect()
+    }
+    for i, r in enumerate(ev):
+        window = [x["value"] for x in ev[max(0, i - 6) : i + 1]]
+        assert abs(got[r["event_id"]] - statistics.median(window)) < 1e-5
+
+
+def test_interval_overlap_is_positive_and_bounded(spark):
+    out = _Q["ext_interval_overlap_join"](spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        # windows are 1-3 hours; a session-day is <= 24h -> overlap bounded
+        assert 0 < r["overlap_us"] <= 3 * 3600 * 1_000_000
