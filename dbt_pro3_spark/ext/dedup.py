@@ -732,9 +732,14 @@ def prefix_filter_pairs(
     dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
     sized = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     # set size comes from a count window over the same doc partitioning the
-    # rank window needs anyway — one shuffle serves both, no sized join here
+    # rank window needs anyway — one shuffle serves both, no sized join here.
+    # dfreq is vocabulary-sized (distinct shingles), far smaller than the
+    # incidence table — broadcast it so the incidence rows shuffle only
+    # once (for the per-doc window), not twice. At a web-scale vocab that
+    # outgrows broadcast, this reverts to a shuffle join — same plan the
+    # unigram-xent key documents for its LM table.
     ranked = (
-        sh.join(dfreq, "sh_h")
+        sh.join(F.broadcast(dfreq), "sh_h")
         .withColumn(
             "rn",
             F.row_number().over(
