@@ -1054,3 +1054,40 @@ def ext_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.round(med, 6).alias("rolling_median")
     )
+
+
+@register(
+    "setop_except_all",
+    """
+    SELECT l_suppkey FROM lineitem WHERE l_quantity > 25
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics: each right-side occurrence cancels ONE
+    left-side occurrence, surviving multiplicity preserved (the DISTINCT
+    twin is setop_except). Spark compiles exceptAll to a count-difference
+    aggregate + generator — one shuffle, no join explosion."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select("l_suppkey")
+    b = li.filter(F.col("l_discount") > 0.05).select("l_suppkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "setop_intersect_all",
+    """
+    SELECT l_suppkey FROM lineitem WHERE l_quantity > 25
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: min(countL, countR) copies per value
+    (the DISTINCT twin is setop_intersect). Same count-aggregate plan shape
+    as EXCEPT ALL."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select("l_suppkey")
+    b = li.filter(F.col("l_discount") > 0.05).select("l_suppkey")
+    return a.intersectAll(b)
