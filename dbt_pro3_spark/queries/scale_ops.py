@@ -1091,3 +1091,43 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_quantity") > 25).select("l_suppkey")
     b = li.filter(F.col("l_discount") > 0.05).select("l_suppkey")
     return a.intersectAll(b)
+
+
+@register(
+    "ext_winsorize",
+    f"""
+    WITH bounds AS (
+        SELECT event_type,
+               {dround('quantile_cont(value, 0.05)', 6)} AS p05,
+               {dround('quantile_cont(value, 0.95)', 6)} AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           {dround('LEAST(GREATEST(e.value, b.p05), b.p95)', 6)} AS clamped,
+           e.value < b.p05 OR e.value > b.p95 AS was_clamped
+    FROM events e JOIN bounds b USING (event_type)
+    """,
+)
+def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization per group: clamp values into the [p05, p95] band —
+    the standard outlier treatment before computing means/regressions on
+    heavy-tailed metrics (quarantine's gentler sibling: ext_outlier_mad
+    REMOVES outliers, this one caps them and keeps the row).
+
+    Percentile interpolation parity (Spark percentile == DuckDB
+    quantile_cont) is the contract ext_outlier_mad pins; bounds are
+    6dp-rounded before the clamp so band membership is bit-identical.
+
+    Scale shape: one group-count-sized bounds aggregate BROADCAST back
+    over the fact scan — the fact table never shuffles (at 100 TB swap
+    exact percentile for percentile_approx, same plan)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id", "event_type", "value",
+        F.round(F.least(F.greatest("value", F.col("p05")), F.col("p95")), 6).alias("clamped"),
+        ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias("was_clamped"),
+    )
