@@ -518,8 +518,8 @@ def ext_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type, user_id
     )
     SELECT m.event_type, m.n_events, mu.mu, m.m2,
-           {dround('m.m3 / pow(m.m2, 1.5)', 6)} AS skewness,
-           {dround('m.m4 / pow(m.m2, 2) - 3', 6)} AS excess_kurtosis,
+           CASE WHEN m.m2 > 0 THEN {dround('m.m3 / pow(m.m2, 1.5)', 6)} END AS skewness,
+           CASE WHEN m.m2 > 0 THEN {dround('m.m4 / pow(m.m2, 2) - 3', 6)} END AS excess_kurtosis,
            md.modal_user
     FROM mom m JOIN mu USING (event_type)
     JOIN md ON md.event_type = m.event_type AND md.rk = 1
@@ -565,8 +565,13 @@ def agg_mode_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(modal), "event_type")
         .select(
             "event_type", "n_events", "mu", "m2",
-            F.round(F.col("m3") / F.pow("m2", F.lit(1.5)), 6).alias("skewness"),
-            F.round(F.col("m4") / F.pow("m2", F.lit(2.0)) - 3, 6).alias("excess_kurtosis"),
+            F.when(
+                F.col("m2") > 0, F.round(F.col("m3") / F.pow("m2", F.lit(1.5)), 6)
+            ).alias("skewness"),
+            F.when(
+                F.col("m2") > 0,
+                F.round(F.col("m4") / F.pow("m2", F.lit(2.0)) - 3, 6),
+            ).alias("excess_kurtosis"),
             "modal_user",
         )
     )
@@ -963,7 +968,8 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.event_type,
            a.n AS n_a, b.n AS n_b, a.mu AS mean_a, b.mu AS mean_b,
-           {dround('(a.mu - b.mu) / sqrt(a.var / a.n + b.var / b.n)', 4)} AS z_stat
+           CASE WHEN a.var + b.var > 0
+                THEN {dround('(a.mu - b.mu) / sqrt(a.var / a.n + b.var / b.n)', 4)} END AS z_stat
     FROM stats a JOIN stats b
       ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
     """,
@@ -1003,10 +1009,13 @@ def ext_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return a.join(b, "event_type").select(
         "event_type", "n_a", "n_b", "mean_a", "mean_b",
-        F.round(
-            (F.col("mean_a") - F.col("mean_b"))
-            / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
-            4,
+        F.when(
+            F.col("var_a") + F.col("var_b") > 0,
+            F.round(
+                (F.col("mean_a") - F.col("mean_b"))
+                / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+                4,
+            ),
         ).alias("z_stat"),
     )
 
