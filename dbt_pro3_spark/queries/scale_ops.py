@@ -1140,3 +1140,82 @@ def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(F.greatest("value", F.col("p05")), F.col("p95")), 6).alias("clamped"),
         ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias("was_clamped"),
     )
+
+
+ENC_MAXLEN = 32  # ids per document emitted (truncation length)
+
+
+@register(
+    "ext_text_encode_ids",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok,
+               generate_subscripts({_TOKS_SQL}, 1) AS pos
+        FROM documents
+    ), vocab AS (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS id
+        FROM toks GROUP BY tok
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           list_sort(list_transform(
+               list_slice(array_agg(v.id ORDER BY t.pos), 1, {ENC_MAXLEN}),
+               x -> CAST(x AS INTEGER)), 'ASC') AS ids_sorted,
+           CAST(list_slice(array_agg(v.id ORDER BY t.pos), 1, {ENC_MAXLEN})[1] AS INTEGER) AS first_id
+    FROM toks t JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def ext_text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-IDs: assign every vocabulary word a deterministic id
+    (frequency rank, ties alphabetical — the order a real tokenizer's
+    vocab file is written in), then encode each document as its id
+    sequence truncated at {ENC_MAXLEN} — the step between raw text and
+    ext_text_pack's sequence packing in a pretraining pipeline.
+
+    The hash contract covers length, the multiset of the first
+    {ENC_MAXLEN} ids (sorted array — arrays hash element-wise), and the
+    first id; order reconstruction is pinned separately by the
+    first-token check plus the position-sorted construction on both
+    engines.
+
+    Scale shape: vocab is a bounded aggregate broadcast back onto the
+    exploded token stream; the encode re-aggregate is one shuffle keyed
+    by doc. A subword (BPE) encoder swaps the word join for a
+    longest-match scan but keeps this exact plan shape."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tx.tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "tok",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.col("tok")))
+            .alias("id"),
+        )
+    )
+    enc = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s["id"],
+                ),
+                1,
+                ENC_MAXLEN,
+            ).alias("ids"),
+        )
+    )
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_sort(F.transform("ids", lambda x: x.cast("int"))).alias("ids_sorted"),
+        F.element_at("ids", 1).cast("int").alias("first_id"),
+    )
