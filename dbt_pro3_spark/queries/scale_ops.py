@@ -1,25 +1,27 @@
-"""Scale-pattern and curation operators (round 3 batch 4).
+"""Scale-pattern and curation operators (round 3, batches 4-7).
 
 Each key demonstrates a named large-scale pattern with an exact DuckDB
-oracle twin:
+oracle twin (or, for the ANN key, a recall contract):
 
-- per-group quantile cuts (CCNet-style head/middle/tail bucketing and a
-  top-fraction quality gate) for corpus curation;
-- Zipf-law vocabulary diagnostics (the sanity check run before trusting a
-  tokenizer on a new crawl);
-- CDC apply-changes with deletes (the ingestion primitive under every
-  incremental warehouse table; extends plans/incremental.py's merge to a
-  full I/U/D log — reference's materialization matrix, dbt_project.yml:22);
-- two-phase salted aggregation (the skew-proof shape of a hot-key groupBy,
-  proven hash-identical to the plain aggregate);
-- time-series gap fill with last-observation-carried-forward;
-- boilerplate-prefix duplicate grouping (truncation/header dup class that
-  shingle MinHash misses when the tail diverges);
-- embedding L2-norm statistics (the pre-ANN health check: un-normalized or
-  collapsed vectors break cosine bucketing silently).
+- curation cuts: per-source quality quantile gate, CCNet head/middle/tail
+  perplexity tertiles, winsorization, Zipf vocabulary diagnostics;
+- ingestion: CDC apply-changes with tombstone deletes;
+- skew patterns: two-phase salted aggregation (oracle IS the plain
+  groupBy), degree-oriented triangle counting (oracle is the naive triple
+  join — orientation-invariant counts hash-match);
+- time series: per-entity LOCF gap fill, rolling median from array
+  primitives, bucketed interval-overlap join with no equi-key;
+- dedup: boilerplate-prefix grouping, full PPJoin prefix filtering
+  (recall proven exactly 1), asymmetric containment;
+- embeddings: L2-norm health stats, product-quantization ANN;
+- text: tokenize-to-IDs encoding with a deterministic vocab;
+- stats: deterministic mode + two-pass moments, Welch A/B z-test,
+  k-anonymity audit; bag-semantics set operations.
 
 Determinism discipline matches llm_ops.py: no rand(), ordering tiebreaks on
-a unique key, terminal floats rounded identically on both engines.
+a unique key, terminal floats rounded identically on both engines, and
+threshold comparisons in exact integer rationals (binary-double vs
+decimal-literal arithmetic flips ceil() at exact-ratio boundaries).
 """
 
 from __future__ import annotations
