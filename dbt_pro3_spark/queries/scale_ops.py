@@ -1221,3 +1221,122 @@ def ext_text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.transform("ids", lambda x: x.cast("int"))).alias("ids_sorted"),
         F.element_at("ids", 1).cast("int").alias("first_id"),
     )
+
+
+# fixed classifier weights (intercept, len_norm, stop_ratio, mean_tok_len)
+QLOG_W = (-1.2, 2.0, 3.5, -0.15)
+QLOG_CUT_NUM, QLOG_CUT_DEN = 1, 2  # keep score >= 0.5, as an exact rational
+
+
+@register(
+    "ext_quality_logistic",
+    f"""
+    WITH feats AS (
+        SELECT doc_id,
+               {dround('LEAST(len(' + _TOKS_SQL + ') / 100.0, 1.0)', 9)} AS len_norm,
+               {dround('len(list_filter(' + _TOKS_SQL + ", x -> x IN ('the','a','an','and','of','to','in','is','on','for'))) / CAST(len(" + _TOKS_SQL + ') AS DOUBLE)', 9)} AS stop_ratio,
+               {dround("CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(" + _TOKS_SQL + ")", 9)} AS mean_tok_len
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, len_norm, stop_ratio, mean_tok_len,
+               {dround(f'1.0 / (1.0 + exp(-({QLOG_W[0]} + {QLOG_W[1]} * len_norm + {QLOG_W[2]} * stop_ratio + {QLOG_W[3]} * mean_tok_len)))', 6)} AS score
+        FROM feats
+    )
+    SELECT doc_id, len_norm, stop_ratio, mean_tok_len, score,
+           score * {QLOG_CUT_DEN} >= {QLOG_CUT_NUM} AS keep
+    FROM scored
+    """,
+)
+def ext_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a fixed-weight logistic classifier
+    over cheap text features (length, stopword ratio, mean token length) —
+    the SQL-expressible stand-in for the fasttext/linear quality
+    classifiers used for educational-quality corpus cuts. The weights are
+    literals baked into the plan; swapping in trained weights changes
+    nothing structurally.
+
+    Feature values are 9dp-rounded before the sigmoid and the score at
+    6dp, so both engines exponentiate identical operands; the keep cut is
+    integer cross-multiplication on the rounded score.
+
+    Scale shape: pure narrow Column expressions — no shuffle, no UDF;
+    the classifier runs inside whole-stage codegen at scan speed."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in tx.STOPWORDS])
+    # array_intersect would dedup; count stopword OCCURRENCES via filter
+    n_stop_occ = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    feats = docs.select(
+        "doc_id",
+        F.round(F.least(n_toks / F.lit(100.0), F.lit(1.0)), 9).alias("len_norm"),
+        F.round(n_stop_occ / n_toks.cast("double"), 9).alias("stop_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / n_toks, 9
+        ).alias("mean_tok_len"),
+    )
+    w0, w1, w2, w3 = QLOG_W
+    score = F.round(
+        1.0
+        / (
+            1.0
+            + F.exp(
+                -(
+                    F.lit(w0)
+                    + F.lit(w1) * F.col("len_norm")
+                    + F.lit(w2) * F.col("stop_ratio")
+                    + F.lit(w3) * F.col("mean_tok_len")
+                )
+            )
+        ),
+        6,
+    )
+    return feats.withColumn("score", score).withColumn(
+        "keep", F.col("score") * QLOG_CUT_DEN >= QLOG_CUT_NUM
+    )
+
+
+DP_EPS = 1.0  # Laplace scale b = 1/eps
+
+
+@register(
+    "ext_privacy_dp_noise",
+    f"""
+    WITH counts AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+    ), u AS (
+        SELECT event_type, n,
+               (({_md5_32('event_type')}) / 4294967296.0) - 0.5 AS uc
+        FROM counts
+    )
+    SELECT event_type, n,
+           {dround('-1.0 * sign(uc) * ln(1.0 - 2.0 * abs(uc))', 6)} AS noise,
+           {dround('n + (-1.0 * sign(uc) * ln(1.0 - 2.0 * abs(uc)))', 6)} AS noisy_n
+    FROM u
+    """,
+)
+def ext_privacy_dp_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy counts (epsilon = {DP_EPS}): per-group count
+    plus Laplace(1/eps) noise drawn by inverse-CDF from a KEYED hash
+    uniform — the reproducible-pipeline variant of the DP release step
+    (real DP requires fresh randomness; keyed noise is what reproducible
+    data-release pipelines actually ship, and it is what an oracle can
+    replay). Completes the privacy family: pseudonymize (direct
+    identifiers), k-anonymity (quasi-identifiers), noisy aggregates
+    (outputs).
+
+    u = md5_32(group)/2^32 is bit-identical across engines (integer hash,
+    power-of-two divide), so both sides feed ln() the same double; the
+    noise rounds at 6dp.
+
+    Scale shape: one group-count-sized aggregate; noise is a narrow
+    expression on the aggregate output."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    uc = (_spark_md5_32(F.col("event_type")) / F.lit(4294967296.0)) - 0.5
+    noise = -F.lit(1.0) * F.signum(uc) * F.log(1.0 - 2.0 * F.abs(uc))
+    return counts.select(
+        "event_type", "n",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n") + noise, 6).alias("noisy_n"),
+    )
