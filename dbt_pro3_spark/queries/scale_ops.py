@@ -1340,3 +1340,53 @@ def ext_privacy_dp_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 6).alias("noise"),
         F.round(F.col("n") + noise, 6).alias("noisy_n"),
     )
+
+
+@register(
+    "ext_embed_hard_negatives",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT query_id, vec_id,
+               {dround('list_cosine_similarity(qv, v)', 6)} AS cosine
+        FROM q JOIN e ON vec_id <> query_id AND e.label <> q.qlabel
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def ext_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-3 most-similar vectors with a DIFFERENT label — the
+    pairs that teach an embedding model the most (easy negatives are
+    already far; near-identical same-label pairs are positives). The
+    other-label constraint rides the same broadcast-query corpus scan as
+    ext_topk_cosine: one pass, no extra shuffle.
+
+    At 100 TB the corpus side swaps in the LSH/IVF/PQ shortlist (the ANN
+    triad) before the label filter — same output contract."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    q = sim.with_norm(queries, "embedding").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    c = sim.with_norm(emb, "embedding").select("vec_id", "label", "_v", "_norm")
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id")) & (F.col("label") != F.col("qlabel")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            sim.cosine(F.col("_qv"), F.col("_qnorm"), F.col("_v"), F.col("_norm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
