@@ -1390,3 +1390,71 @@ def ext_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+_DIFF_BUCKET = f"({_md5_32('CAST(o_orderkey AS VARCHAR)')}) % 17"
+
+
+@register(
+    "ext_table_diff",
+    f"""
+    WITH v1 AS (
+        SELECT o_orderkey AS k, {dround('o_totalprice', 2)} AS price
+        FROM orders WHERE {_DIFF_BUCKET} <> 16
+    ), v2 AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN {_DIFF_BUCKET} BETWEEN 1 AND 3
+                    THEN {dround('o_totalprice * 1.1', 2)}
+                    ELSE {dround('o_totalprice', 2)} END AS price
+        FROM orders WHERE {_DIFF_BUCKET} <> 0
+    ), d AS (
+        SELECT COALESCE(v1.k, v2.k) AS k,
+               CASE WHEN v1.k IS NULL THEN 'added'
+                    WHEN v2.k IS NULL THEN 'removed'
+                    WHEN v1.price <> v2.price THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(k) AS BIGINT) AS min_key, CAST(MAX(k) AS BIGINT) AS max_key
+    FROM d GROUP BY status
+    """,
+)
+def ext_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table diff / data reconciliation: full-outer-join two snapshot
+    versions on the primary key and classify every key as added, removed,
+    changed, or unchanged — the audit run before promoting a rebuilt
+    table over its predecessor (the batch complement of
+    ext_store_time_travel's version reads; the snapshots here are
+    synthesized deterministically from orders via md5 buckets so the
+    oracle replays them).
+
+    Scale shape: one full outer join keyed by the primary key (both
+    sides shuffle once; AQE handles skew), then an output-sized status
+    aggregate. Comparing a rounded price column, not whole rows — at
+    wide schemas hash the row (xxhash64 of concatenated columns) so the
+    compare stays one 8-byte column regardless of width."""
+    orders = load(spark, sf_dir, "orders")
+    bucket = _spark_md5_32(F.col("o_orderkey").cast("string")) % 17
+    v1 = orders.filter(bucket != 16).select(
+        F.col("o_orderkey").alias("k"), F.round("o_totalprice", 2).alias("price1")
+    )
+    v2 = orders.filter(bucket != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            bucket.between(1, 3), F.round(F.col("o_totalprice") * 1.1, 2)
+        ).otherwise(F.round("o_totalprice", 2)).alias("price2"),
+    )
+    d = v1.join(v2, "k", "full_outer").select(
+        "k",
+        F.when(F.col("price1").isNull(), "added")
+        .when(F.col("price2").isNull(), "removed")
+        .when(F.col("price1") != F.col("price2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("k").cast("bigint").alias("min_key"),
+        F.max("k").cast("bigint").alias("max_key"),
+    )
