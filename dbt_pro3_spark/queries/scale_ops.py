@@ -1458,3 +1458,79 @@ def ext_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("bigint").alias("min_key"),
         F.max("k").cast("bigint").alias("max_key"),
     )
+
+
+BLUR_T_SCALED = 1_000_000  # var * 36^2 threshold (exact integer compare)
+
+
+@register(
+    "ext_mm_blur_detect",
+    f"""
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                              k -> ord(substr(text, ((k * 7) % len(text)) + 1, 1))) AS p
+        FROM documents WHERE len(text) > 0
+    ), lap AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(0, 35),
+                   i -> 4 * p[(i // 6 + 1) * 8 + (i % 6 + 1) + 1]
+                        - p[(i // 6) * 8 + (i % 6 + 1) + 1]
+                        - p[(i // 6 + 2) * 8 + (i % 6 + 1) + 1]
+                        - p[(i // 6 + 1) * 8 + (i % 6) + 1]
+                        - p[(i // 6 + 1) * 8 + (i % 6 + 2) + 1]) AS d
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(36 * list_sum(list_transform(d, x -> x * x))
+                - list_sum(d) * list_sum(d) AS BIGINT) AS lap_var_scaled,
+           36 * list_sum(list_transform(d, x -> x * x))
+                - list_sum(d) * list_sum(d) >= {BLUR_T_SCALED} AS is_sharp
+    FROM lap
+    """,
+)
+def ext_mm_blur_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blur detection over the multimodal binary column: variance of the
+    discrete Laplacian on the stub-decoded 8x8 grid — the standard
+    image-quality gate (blurry images have smooth gradients, so the
+    Laplacian variance collapses). Decode runs in the Arrow-batched
+    Pandas stage (ext/multimodal.py decode_pixels — swap in a real
+    decoder untouched); the Laplacian and its variance are narrow JVM
+    expressions over the 36 interior cells.
+
+    Exact-integer contract: 36^2 * variance = 36*sum(d^2) - (sum(d))^2
+    over integer pixel values, so the score and the sharp/blurry flag
+    carry ZERO float risk — the strongest hash contract a Pandas-UDF
+    path can have (the phash key's byte-arithmetic oracle trick, applied
+    to a quality score).
+
+    Scale shape: embarrassingly parallel narrow transform; payloads never
+    shuffle."""
+    from ..ext import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    px = mm.decode_pixels(mm.attach_binary(docs))
+    lap = px.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(35)),
+            lambda i: (
+                4 * F.element_at("pixels", ((i / 6).cast("int") + 1) * 8 + (i % 6 + 1) + 1)
+                - F.element_at("pixels", (i / 6).cast("int") * 8 + (i % 6 + 1) + 1)
+                - F.element_at("pixels", ((i / 6).cast("int") + 2) * 8 + (i % 6 + 1) + 1)
+                - F.element_at("pixels", ((i / 6).cast("int") + 1) * 8 + (i % 6) + 1)
+                - F.element_at("pixels", ((i / 6).cast("int") + 1) * 8 + (i % 6 + 2) + 1)
+            ),
+        ).alias("d"),
+    )
+    sumd = F.aggregate("d", F.lit(0).cast("bigint"), lambda a, x: a + x)
+    sumd2 = F.aggregate(
+        F.transform("d", lambda x: x * x), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    score = (36 * sumd2 - sumd * sumd).cast("bigint")
+    return lap.select(
+        "doc_id",
+        score.alias("lap_var_scaled"),
+        (score >= BLUR_T_SCALED).alias("is_sharp"),
+    )
