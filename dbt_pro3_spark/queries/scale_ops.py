@@ -1534,3 +1534,71 @@ def ext_mm_blur_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("lap_var_scaled"),
         (score >= BLUR_T_SCALED).alias("is_sharp"),
     )
+
+
+@register(
+    "ext_text_gopher_rules",
+    f"""
+    WITH f AS (
+        SELECT doc_id,
+               len({_TOKS_SQL}) AS n_words,
+               {dround("CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(" + _TOKS_SQL + ")", 6)} AS mean_word_len,
+               len(list_filter({_TOKS_SQL}, x -> regexp_matches(x, '^[a-zA-Z]+$'))) AS n_alpha,
+               len(list_filter({_TOKS_SQL}, x -> x IN ('the','a','an','and','of','to','in','is','on','for'))) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+           n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+           mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_word_len,
+           n_alpha * 10 >= n_words * 8 AS ok_alpha_frac,
+           n_stop >= 2 AS ok_stopwords,
+           (n_words >= 50 AND n_words <= 100000)
+               AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+               AND (n_alpha * 10 >= n_words * 8)
+               AND (n_stop >= 2) AS gopher_pass
+    FROM f
+    """,
+)
+def ext_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, the canonical
+    pre-training heuristic filter): word-count bounds [50, 100k], mean
+    word length [3, 10], >= 80% alphabetic words, >= 2 stopwords — each
+    rule emitted as its own flag for auditability plus the combined
+    verdict (curation pipelines track WHICH rule kills a document, not
+    just the pass rate).
+
+    The alphabetic-fraction cut is integer cross-multiplication
+    (10*n_alpha >= 8*n_words); mean word length rounds at 6dp before its
+    bounds — both engines compare identical operands.
+
+    Scale shape: pure narrow Column expressions, no shuffle, runs at
+    scan speed inside codegen (the same shape as ext_quality_logistic —
+    rules vs model, the two standard quality-gate flavors)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    n_words = F.size(toks)
+    mean_wl = F.round(
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words, 6
+    )
+    stop_arr = F.array(*[F.lit(s) for s in tx.STOPWORDS])
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-zA-Z]+$")))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    f = docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+    )
+    ok_wc = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    ok_wl = (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+    ok_af = F.col("n_alpha") * 10 >= F.col("n_words") * 8
+    ok_st = F.col("n_stop") >= 2
+    return f.select(
+        "doc_id", "n_words", "mean_word_len",
+        ok_wc.alias("ok_word_count"),
+        ok_wl.alias("ok_word_len"),
+        ok_af.alias("ok_alpha_frac"),
+        ok_st.alias("ok_stopwords"),
+        (ok_wc & ok_wl & ok_af & ok_st).alias("gopher_pass"),
+    )
