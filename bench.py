@@ -78,6 +78,10 @@ HEADLINE = [
     "ext_dedup_prefix_filter",
     "ext_interval_overlap_join",
     "ext_win_rolling_median",
+    "ext_quality_logistic",
+    "ext_text_gopher_rules",
+    "ext_table_diff",
+    "ext_text_encode_ids",
 ]
 
 
