@@ -1602,3 +1602,76 @@ def ext_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_st.alias("ok_stopwords"),
         (ok_wc & ok_wl & ok_af & ok_st).alias("gopher_pass"),
     )
+
+
+EWMA_ALPHA_NUM, EWMA_ALPHA_DEN = 3, 10  # alpha = 0.3 as an exact rational
+EWMA_WIN = 8
+
+
+@register(
+    "ext_win_ewma",
+    f"""
+    WITH w AS (
+        SELECT event_id, user_id,
+               list_slice(
+                   array_agg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {EWMA_WIN - 1} PRECEDING AND CURRENT ROW),
+                   1, {EWMA_WIN}) AS vals
+        FROM events
+    )
+    SELECT event_id, user_id,
+           {dround(f'''list_sum(list_transform(generate_series(1, len(vals)),
+                   i -> vals[i] * {EWMA_ALPHA_NUM / EWMA_ALPHA_DEN!r}
+                        * pow({1 - EWMA_ALPHA_NUM / EWMA_ALPHA_DEN!r}, len(vals) - i)))
+               / list_sum(list_transform(generate_series(1, len(vals)),
+                   i -> {EWMA_ALPHA_NUM / EWMA_ALPHA_DEN!r}
+                        * pow({1 - EWMA_ALPHA_NUM / EWMA_ALPHA_DEN!r}, len(vals) - i)))''', 6)} AS ewma
+    FROM w
+    """,
+)
+def ext_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed exponential moving average (alpha = {EWMA_ALPHA_NUM}/{EWMA_ALPHA_DEN},
+    window {EWMA_WIN}): the finite-window renormalized EWMA — weight
+    alpha*(1-alpha)^age per observation, normalized over the frame so
+    early short frames are unbiased. Spark has no recursive window state
+    in batch, so the operator collects the bounded ROWS frame and folds
+    the weighted sum as array expressions — ext_win_rolling_median's
+    technique applied to exponential smoothing.
+
+    Both engines evaluate pow() on identical double operands and fold the
+    array IN ORDER, so the quotient sees identical numerator/denominator
+    before its 6dp round.
+
+    Scale shape: one shuffle keyed by user; per-row memory bounded by the
+    frame, not the partition history."""
+    alpha = EWMA_ALPHA_NUM / EWMA_ALPHA_DEN
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WIN - 1), Window.currentRow)
+    )
+    ev = load(spark, sf_dir, "events")
+    vals = F.collect_list("value").over(w)
+    out = ev.select("event_id", "user_id", vals.alias("vals"))
+    n = F.size("vals")
+    idx = F.sequence(F.lit(1), n)
+    num = F.aggregate(
+        F.transform(
+            idx,
+            lambda i: F.element_at("vals", i)
+            * F.lit(alpha)
+            * F.pow(F.lit(1 - alpha), (n - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    den = F.aggregate(
+        F.transform(
+            idx,
+            lambda i: F.lit(alpha) * F.pow(F.lit(1 - alpha), (n - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return out.select("event_id", "user_id", F.round(num / den, 6).alias("ewma"))
