@@ -67,3 +67,24 @@ def test_exact_embedding_pairs_guard(spark):
     # and passes when bounded
     out = embedding_near_pairs(df, threshold=-1.0, max_rows=100)
     assert out.count() == 45
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_documents_text_is_ascii(sf_dir):
+    """The multimodal stub-codec oracles (ext_mm_phash_dedup,
+    ext_mm_blur_detect) replicate payload bytes via ord(substr(text, ...)),
+    which equals the UTF-8 byte only while text is pure ASCII. A
+    regenerated corpus with multibyte characters breaks that equivalence —
+    fail here with the keys named, not in the driver hash."""
+    con = duckdb.connect()
+    n_bad = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE length(text) <> strlen(text)"
+    ).fetchone()[0]
+    assert n_bad == 0, (
+        f"{sf_dir}: {n_bad} documents contain non-ASCII text; the "
+        "ord(substr(...)) byte-replication trick in the ext_mm_phash_dedup "
+        "and ext_mm_blur_detect oracles no longer equals the payload byte — "
+        "switch those oracles to a bytes-based replication before the "
+        "driver run."
+    )
