@@ -94,32 +94,23 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_banded_pairs(
+def _minhash_stages(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    num_perm: int = 16,
-    bands: int = 4,
-    min_common: int = 1,
-    keep_sizes: bool = False,
-) -> DataFrame:
-    """MinHash-LSH near-dup pairs, fully deterministic and oracle-checkable
-    (unlike the pyspark.ml MinHashLSH variant, whose banding internals are
-    not SQL-replicable).
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_perm: int,
+    bands: int,
+):
+    """Shared MinHash pipeline: per-doc distinct shingle hashes (sh),
+    affine signatures (sigs), and banded candidate pairs (cand).
 
-    Permutation i is an affine universal hash of a shared 32-bit base hash:
-    h_i(s) = (a_i * v(s) + b_i) mod p with p = 2^31-1 and v(s) = first 32
-    bits of md5(s) — ONE md5 per shingle, the rest integer arithmetic, all
-    bit-identical across engines. The ``num_perm`` signatures (MIN of h_i
-    over the doc's shingle set) split into ``bands`` bands of
-    r = num_perm/bands rows; a pair is a CANDIDATE iff some band matches
-    exactly (collision probability J^r per band, 1-(1-J^r)^bands overall —
-    the classic LSH S-curve). Candidates then get an EXACT Jaccard verify
-    over the full shingle sets. Every join is an equi-join on a band hash;
-    no all-pairs.
-
-    Output: (doc_a, doc_b, common_shingles, jaccard) for candidate pairs.
+    One implementation serves both the banded-pairs key and the
+    estimator-contract key — the determinism-critical stages (md5 base
+    hash, affine permutations, band hashing, candidate equi-joins) exist
+    exactly once, so the two keys' oracles can never drift apart. sh and
+    sigs are each checkpointed once; every downstream branch (band loops,
+    verify joins, estimator projections) reads the materialized tables.
     """
     r = num_perm // bands
     assert bands * r == num_perm, "num_perm must divide evenly into bands"
@@ -149,7 +140,7 @@ def minhash_banded_pairs(
             F.min((F.col("v") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig{i}")
             for i, (a, b) in enumerate(coeffs)
         ],
-    )
+    ).localCheckpoint(eager=False)
     banded = sigs.select(
         "doc_id_",
         "n_sh",
@@ -180,9 +171,43 @@ def minhash_banded_pairs(
         .join(sb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common_shingles"))
-        .filter(F.col("common_shingles") >= min_common)
     )
-    counts = banded.select("doc_id_", "n_sh")
+    return sigs, common
+
+
+
+
+def minhash_banded_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    min_common: int = 1,
+    keep_sizes: bool = False,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, fully deterministic and oracle-checkable
+    (unlike the pyspark.ml MinHashLSH variant, whose banding internals are
+    not SQL-replicable).
+
+    Permutation i is an affine universal hash of a shared 32-bit base hash:
+    h_i(s) = (a_i * v(s) + b_i) mod p with p = 2^31-1 and v(s) = first 32
+    bits of md5(s) — ONE md5 per shingle, the rest integer arithmetic, all
+    bit-identical across engines. The ``num_perm`` signatures (MIN of h_i
+    over the doc's shingle set) split into ``bands`` bands of
+    r = num_perm/bands rows; a pair is a CANDIDATE iff some band matches
+    exactly (collision probability J^r per band, 1-(1-J^r)^bands overall —
+    the classic LSH S-curve). Candidates then get an EXACT Jaccard verify
+    over the full shingle sets. Every join is an equi-join on a band hash;
+    no all-pairs. Stages shared with minhash_estimate_pairs via
+    _minhash_stages.
+
+    Output: (doc_a, doc_b, common_shingles, jaccard) for candidate pairs.
+    """
+    sigs, common = _minhash_stages(df, id_col, text_col, n, num_perm, bands)
+    common = common.filter(F.col("common_shingles") >= min_common)
+    counts = sigs.select("doc_id_", "n_sh")
     ca = counts.select(F.col("doc_id_").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id_").alias("doc_b"), F.col("n_sh").alias("n_b"))
     cols = ["doc_a", "doc_b", "common_shingles"]
@@ -220,65 +245,11 @@ def minhash_estimate_pairs(
     deterministic, so the oracle reproduces it bit-for-bit — unlike
     engine-native HLL/GK sketches, which only get bounded-error flags).
 
-    Same scale shape as minhash_banded_pairs: banded equi-joins for
-    candidates, exact verify on candidates only, never all-pairs.
+    Same scale shape as minhash_banded_pairs — the shingle/signature/band
+    stages ARE minhash_banded_pairs' stages (_minhash_stages), so the two
+    keys cannot drift; only the terminal estimator projection differs.
     """
-    r = num_perm // bands
-    assert bands * r == num_perm, "num_perm must divide evenly into bands"
-    coeffs = minhash_coeffs(num_perm)
-    sh = (
-        spread(df.select(F.col(id_col), F.col(text_col)))
-        .select(
-            F.col(id_col).alias("doc_id_"),
-            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-        )
-        .dropDuplicates(["doc_id_", "shingle"])
-        .select(
-            "doc_id_",
-            "shingle",
-            F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
-            .cast("bigint")
-            .alias("v"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    sigs = sh.groupBy("doc_id_").agg(
-        F.count(F.lit(1)).alias("n_sh"),
-        *[
-            F.min((F.col("v") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ],
-    ).localCheckpoint(eager=False)
-    banded = sigs.select(
-        "doc_id_",
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",", *[F.col(f"sig{t * r + j}").cast("string") for j in range(r)]
-                ).cast("binary")
-            ).alias(f"mband{t}")
-            for t in range(bands)
-        ],
-    )
-    cand = None
-    for t in range(bands):
-        a = banded.select(F.col("doc_id_").alias("doc_a"), F.col(f"mband{t}").alias("bk"))
-        b = banded.select(F.col("doc_id_").alias("doc_b"), F.col(f"mband{t}").alias("bk"))
-        c = (
-            a.join(b, "bk")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates(["doc_a", "doc_b"])
-    sa = sh.select(F.col("doc_id_").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id_").alias("doc_b"), "shingle")
-    common = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common_shingles"))
-    )
+    sigs, common = _minhash_stages(df, id_col, text_col, n, num_perm, bands)
     siga = sigs.select(
         F.col("doc_id_").alias("doc_a"),
         F.col("n_sh").alias("n_a"),

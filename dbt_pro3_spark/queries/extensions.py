@@ -37,8 +37,10 @@ _PRUNED = False
 
 
 def _scratch(prefix: str, sf_dir: str) -> str:
-    # best-effort prune of stale per-run dirs (> 1 day old — any concurrent
-    # live run's dirs are necessarily younger); once per process
+    # best-effort prune of stale per-run dirs (> 1 day old); once per
+    # process. Live runs keep their own dirs young: every _scratch() call
+    # re-touches the dir mtime below, so only runs idle for a full day can
+    # race the pruner (documented residual window).
     global _PRUNED
     if not _PRUNED:
         _PRUNED = True
@@ -53,10 +55,29 @@ def _scratch(prefix: str, sf_dir: str) -> str:
                     _sh.rmtree(p, ignore_errors=True)
         except OSError:
             pass
-    return (
+        # bucketed-table dirs (join_bucketed_colocate) carry the same
+        # per-run token and would otherwise accumulate forever — sweep
+        # them on the same cutoff (catalog entries are per-session, only
+        # the directories persist).
+        try:
+            wh = "/root/repo/spark-warehouse"
+            for d in _os_mod.listdir(wh):
+                if d.startswith("bk_"):
+                    p = _os_mod.path.join(wh, d)
+                    if _os_mod.path.isdir(p) and _os_mod.path.getmtime(p) < cutoff:
+                        _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    path = (
         f"{_SCRATCH_ROOT}/{prefix}_"
         f"{_os_mod.path.basename(sf_dir.rstrip('/'))}_{_RUN_TOKEN}"
     )
+    try:
+        if _os_mod.path.isdir(path):
+            _os_mod.utime(path, None)
+    except OSError:
+        pass
+    return path
 
 
 # ------------------------------------------------------------ JSON / events
@@ -1963,9 +1984,17 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup runs at web scale: cluster with FAISS, dedup inside clusters).
     Centroids come from the bounded-sample k-means (ext/ivf.py, the one
     documented .collect()); assignment is a distributed argmin expression.
-    Rows-only by construction (sampled centroids aren't SQL-expressible);
-    soundness — every dropped vector really has a kept near-neighbor above
-    the threshold — is asserted exactly in tests/test_semantic_dedup.py."""
+    Rows-only by construction (sampled centroids aren't SQL-expressible).
+
+    Keep rule semantics (deliberate): a vector is dropped when ANY
+    smaller-id same-cell neighbor sits at cosine >= threshold — the
+    neighbor may itself be dropped, so a similarity CHAIN a~b~c with
+    cos(a,c) below threshold keeps only a (one representative per chain,
+    not per pairwise-close pair). This single-join rule is what runs in
+    one pass at scale; the iterative "kept-only witnesses" variant needs
+    a sequential greedy MIS and buys little for dedup. The guarantee
+    tests/test_semantic_dedup.py asserts exactly: every dropped vector
+    has SOME smaller-id neighbor at >= threshold (kept or dropped)."""
     from ..ext.ivf import _assign_cells, train_centroids
     from ..ext.similarity import cosine, with_norm
 

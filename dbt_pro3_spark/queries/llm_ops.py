@@ -786,7 +786,10 @@ def ext_text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc mean (ln differs by ulps across engines' libm) and the mean
     at 6 dp, keeping the hash stable."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    # toks feeds the vocab aggregate and the scoring join — checkpoint once
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    ).localCheckpoint(eager=False)
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = (
@@ -1216,14 +1219,21 @@ def ext_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = tx.tokens(F.col("text"))
     nblocks = F.ceil(F.size("l") / F.lit(float(LINEDEDUP_BLOCK))).cast("int")
-    blocks = docs.select("doc_id", toks.alias("l")).select(
-        "doc_id",
+    # Guard the empty-token case explicitly: F.sequence(0, -1) defaults to
+    # step -1 and yields [0, -1] (two phantom blocks) where DuckDB's
+    # generate_series(0, -1) is empty — a zero-token document would
+    # hash-diverge without this branch.
+    block_list = F.when(
+        F.size("l") > 0,
         F.transform(
             F.sequence(F.lit(0), nblocks - 1),
             lambda i: F.array_join(
                 F.slice(F.col("l"), i * LINEDEDUP_BLOCK + 1, LINEDEDUP_BLOCK), " "
             ),
-        ).alias("bl"),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    blocks = docs.select("doc_id", toks.alias("l")).select(
+        "doc_id", block_list.alias("bl")
     )
     expl = blocks.select(
         "doc_id", F.posexplode("bl").alias("pos0", "block")

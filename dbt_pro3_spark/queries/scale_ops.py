@@ -123,7 +123,12 @@ def ext_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     A lang partition outgrowing one task's sort is the cue to switch to an
     approx-quantile two-threshold cut (same output contract minus rank)."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    # the exploded token table feeds both the vocab aggregate and the
+    # scoring join — checkpoint once (prefix_filter/triangles reuse
+    # discipline) so tokenize+explode doesn't run per branch
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    ).localCheckpoint(eager=False)
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = (
@@ -1023,18 +1028,19 @@ def ext_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROLLMED_WIN = 7  # trailing window length (rows)
+_ROLLMED_FRAME = ROLLMED_WIN - 1
 
 
 @register(
     "ext_win_rolling_median",
     f"""
     SELECT event_id, user_id,
-           {dround('''MEDIAN(value) OVER (
+           {dround(f'''MEDIAN(value) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN {ROLLMED_WIN - 1} PRECEDING AND CURRENT ROW)''', 6)}
+               ROWS BETWEEN {_ROLLMED_FRAME} PRECEDING AND CURRENT ROW)''', 6)}
                AS rolling_median
     FROM events
-    """.replace("{ROLLMED_WIN - 1}", str(ROLLMED_WIN - 1)),
+    """,
 )
 def ext_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling median over the trailing {ROLLMED_WIN} events per user — the
@@ -1186,10 +1192,11 @@ def ext_text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc. A subword (BPE) encoder swaps the word join for a
     longest-match scan but keeps this exact plan shape."""
     docs = load(spark, sf_dir, "documents")
+    # feeds the vocab aggregate AND the encode join — checkpoint once
     toks = docs.select(
         "doc_id",
         F.posexplode(tx.tokens(F.col("text"))).alias("pos", "tok"),
-    )
+    ).localCheckpoint(eager=False)
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -22,9 +22,11 @@ def test_semantic_dedup_sound_and_covering(spark):
     assert n == load(spark, SF, "embeddings").count()
     assert len({r.cell for r in rows}) > 1
 
-    # soundness: every dropped vector has an exact cosine >= 0.4 neighbor
-    # with a SMALLER id (the kept-priority rule), verified with the exact
-    # all-pairs primitive on the bounded corpus
+    # soundness (the exact contract the single-join rule provides): every
+    # dropped vector has an exact cosine >= 0.4 neighbor with a SMALLER id
+    # — kept OR dropped; under a similarity chain only the chain head is
+    # kept (see the key's docstring). Verified with the exact all-pairs
+    # primitive on the bounded corpus.
     from dbt_pro3_spark.ext.dedup import embedding_near_pairs
 
     emb = load(spark, SF, "embeddings")
