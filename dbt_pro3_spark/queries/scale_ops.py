@@ -1682,3 +1682,99 @@ def ext_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: a + x,
     )
     return out.select("event_id", "user_id", F.round(num / den, 6).alias("ewma"))
+
+
+HIST_DEPTH_BINS = 10
+
+
+@register(
+    "agg_histogram_equidepth",
+    f"""
+    WITH binned AS (
+        SELECT value,
+               NTILE({HIST_DEPTH_BINS}) OVER (ORDER BY value, event_id) AS bin
+        FROM events
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dround('MIN(value)', 6)} AS lo,
+           {dround('MAX(value)', 6)} AS hi
+    FROM binned GROUP BY bin
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram: {HIST_DEPTH_BINS} bins with equal row counts
+    and data-driven boundaries — the quantile-binning complement of
+    agg_histogram's equi-width bins, and the discretization used for
+    feature bucketing and optimizer statistics (boundaries adapt to the
+    distribution, so skewed values don't pile into one bucket).
+
+    NTILE over a total order (value, event_id) assigns identical bins in
+    both engines. Scale note: the global NTILE sorts the full column —
+    fine for stats collection; at 100 TB swap for approx percentile
+    boundaries broadcast back (same output contract, approximate
+    boundaries), keeping this exact form as the verify twin."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(HIST_DEPTH_BINS).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .select(F.col("bin").cast("int").alias("bin"), "n_rows", "lo", "hi")
+    )
+
+
+FEAT_HASH_BUCKETS = 16
+
+
+@register(
+    "ext_feature_hashing",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), bucketed AS (
+        SELECT doc_id, ({_md5_32('tok')}) % {FEAT_HASH_BUCKETS} AS bucket,
+               COUNT(*) AS cnt
+        FROM toks GROUP BY 1, 2
+    ), maps AS (
+        SELECT doc_id,
+               MAP(list(bucket ORDER BY bucket), list(cnt ORDER BY bucket)) AS m
+        FROM bucketed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           list_transform(generate_series(0, {FEAT_HASH_BUCKETS - 1}),
+               b -> COALESCE(map_extract(m, b)[1], 0)) AS features
+    FROM maps
+    """,
+)
+def ext_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): project every token
+    into a fixed {FEAT_HASH_BUCKETS}-bucket count vector via a hash —
+    vocabulary-free featurization with bounded width, the front-end of
+    linear classifiers over unbounded vocabularies (no vocab table to
+    build, broadcast, or version). Bucket = md5_32(token) mod buckets,
+    bit-identical across engines.
+
+    Scale shape: one (doc, bucket) aggregate, then a per-doc pivot to the
+    dense vector via map lookup — output width fixed regardless of
+    vocabulary growth; no vocab broadcast at all (contrast
+    ext_text_encode_ids, which needs the vocab table)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    bucketed = toks.groupBy(
+        "doc_id", (_spark_md5_32(F.col("tok")) % FEAT_HASH_BUCKETS).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    vec = bucketed.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket").cast("int"), F.col("cnt")))
+        ).alias("m")
+    )
+    feats = F.transform(
+        F.sequence(F.lit(0), F.lit(FEAT_HASH_BUCKETS - 1)),
+        lambda b: F.coalesce(F.element_at("m", b), F.lit(0).cast("bigint")),
+    )
+    return vec.select("doc_id", feats.alias("features"))
