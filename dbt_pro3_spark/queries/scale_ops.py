@@ -1778,3 +1778,51 @@ def ext_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda b: F.coalesce(F.element_at("m", b), F.lit(0).cast("bigint")),
     )
     return vec.select("doc_id", feats.alias("features"))
+
+
+@register(
+    "ext_embed_dim_stats",
+    f"""
+    WITH dims AS (
+        SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ), mu AS (
+        SELECT dim, {dround('AVG(x)', 6)} AS mean_x FROM dims GROUP BY dim
+    )
+    SELECT d.dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           m.mean_x,
+           {dround('sqrt(AVG(pow(d.x - m.mean_x, 2)))', 6)} AS std_x,
+           {dround('MIN(d.x)', 6)} AS min_x,
+           {dround('MAX(d.x)', 6)} AS max_x
+    FROM dims d JOIN mu m USING (dim)
+    GROUP BY d.dim, m.mean_x
+    """,
+)
+def ext_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean/std/min/max across the
+    corpus) — the feature-standardization stats computed before whitening
+    or z-scoring vectors, and the dead-dimension detector (std ~ 0 means
+    a wasted coordinate). Completes the embedding-health family:
+    per-vector norms (ext_embed_norm_stats), per-dimension distributions
+    (this key), quantization bounds (ext_embed_quantize).
+
+    Two-pass centered std (rounded mean broadcast back) — the
+    agg_mode_moments float discipline, applied per dimension.
+
+    Scale shape: posexplode to (dim, value) — DIM-bounded group count, so
+    the aggregates are tiny; the fact-side explode is the only data-sized
+    work and stays narrow."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(sim.as_double(F.col("embedding"))).alias("dim", "x")
+    )
+    mu = dims.groupBy("dim").agg(F.round(F.avg("x"), 6).alias("mean_x"))
+    d = dims.join(F.broadcast(mu), "dim")
+    dev = F.col("x") - F.col("mean_x")
+    return d.groupBy("dim", "mean_x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sqrt(F.avg(dev * dev)), 6).alias("std_x"),
+        F.round(F.min("x"), 6).alias("min_x"),
+        F.round(F.max("x"), 6).alias("max_x"),
+    ).select("dim", "n", "mean_x", "std_x", "min_x", "max_x")
