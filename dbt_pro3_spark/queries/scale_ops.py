@@ -1826,3 +1826,70 @@ def ext_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("x"), 6).alias("min_x"),
         F.round(F.max("x"), 6).alias("max_x"),
     ).select("dim", "n", "mean_x", "std_x", "min_x", "max_x")
+
+
+@register(
+    "ext_surrogate_key",
+    """
+    SELECT o_orderkey,
+           md5(CAST(o_orderkey AS VARCHAR) || '-' || o_orderstatus || '-' ||
+               CAST(o_custkey AS VARCHAR)) AS surrogate_key,
+           COUNT(*) OVER (PARTITION BY md5(CAST(o_orderkey AS VARCHAR) || '-' ||
+               o_orderstatus || '-' || CAST(o_custkey AS VARCHAR))) AS key_count
+    FROM orders
+    """,
+)
+def ext_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-utils generate_surrogate_key parity: the deterministic md5 of
+    '-'-joined natural-key columns — the ecosystem-standard surrogate key
+    (hash-based, so it is stable across loads and parallel workers, unlike
+    monotonically_increasing_id which is partition-layout-dependent and
+    non-reproducible). key_count exposes collisions/duplicates inline —
+    the uniqueness test a dbt project would attach to the key column.
+
+    Scale shape: narrow hash expression per row; the uniqueness window is
+    one shuffle keyed by the hash itself."""
+    orders = load(spark, sf_dir, "orders")
+    sk = F.md5(
+        F.concat_ws(
+            "-",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_custkey").cast("string"),
+        ).cast("binary")
+    )
+    w = Window.partitionBy("surrogate_key")
+    return (
+        orders.select("o_orderkey", sk.alias("surrogate_key"))
+        .withColumn("key_count", F.count(F.lit(1)).over(w))
+    )
+
+
+@register(
+    "date_parts_misc",
+    """
+    SELECT o_orderkey,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sunday1,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def date_parts_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-part extraction battery completing §2.C's date family:
+    month-end boundary (fiscal rollups), day-of-week (Sunday=1 — Spark's
+    native convention; the oracle shifts DuckDB's Sunday=0 by one), ISO
+    week number, quarter, day-of-year. All narrow codegen expressions over
+    the pushed-down key filter."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.last_day(d).cast("date").alias("month_end"),
+        F.dayofweek(d).cast("int").alias("dow_sunday1"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.dayofyear(d).cast("int").alias("doy"),
+    )
