@@ -1893,3 +1893,100 @@ def date_parts_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(d).cast("int").alias("qtr"),
         F.dayofyear(d).cast("int").alias("doy"),
     )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+@register(
+    "ext_rank_fusion",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    cos AS (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY {dround('list_cosine_similarity(qv, v)', 6)} DESC, vec_id) AS r
+        FROM q JOIN e ON vec_id <> query_id
+    ), euc AS (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY {dround('list_distance(qv, v)', 6)} ASC, vec_id) AS r
+        FROM q JOIN e ON vec_id <> query_id
+    ), fused AS (
+        SELECT COALESCE(c.query_id, u.query_id) AS query_id,
+               COALESCE(c.vec_id, u.vec_id) AS vec_id,
+               {dround(f'COALESCE(1.0 / ({RRF_K} + c.r), 0.0) + COALESCE(1.0 / ({RRF_K} + u.r), 0.0)', 9)} AS rrf
+        FROM (SELECT * FROM cos WHERE r <= 20) c
+        FULL OUTER JOIN (SELECT * FROM euc WHERE r <= 20) u
+          ON c.query_id = u.query_id AND c.vec_id = u.vec_id
+    )
+    SELECT query_id, vec_id, rrf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, vec_id) AS INTEGER) AS rk
+    FROM fused
+    QUALIFY rk <= 5
+    """,
+)
+def ext_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al. 2009): merge two retrieval
+    rankings — cosine similarity and euclidean distance here — by summing
+    1/({RRF_K}+rank) over each list's top-20, then re-rank. The standard
+    hybrid-retrieval combiner (dense + sparse in a RAG stack); rank-based,
+    so no score normalization across heterogeneous rankers is needed.
+
+    Both rankers ride the same broadcast-query corpus scan; the fusion is
+    a full outer join on (query, candidate) over two top-20 lists — tiny,
+    output-bounded. Ranks are integers, so 1/(k+r) is computed from
+    identical operands in both engines before the 9dp round.
+
+    Scale shape: each ranker is the ext_topk_cosine shape (broadcast
+    queries, one corpus scan, per-query top-k heap); swap either for an
+    ANN shortlist without touching the fusion."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    q = sim.with_norm(queries, "embedding").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    c = sim.with_norm(emb, "embedding").select("vec_id", "_v", "_norm")
+    joined = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos_score = F.round(
+        sim.cosine(F.col("_qv"), F.col("_qnorm"), F.col("_v"), F.col("_norm")), 6
+    )
+    l2 = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("_qv"), F.col("_v"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ),
+        6,
+    )
+    scored = joined.select("query_id", "vec_id", cos_score.alias("cs"), l2.alias("d2"))
+    wc = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.col("vec_id"))
+    we = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.col("vec_id"))
+    ranked = scored.select(
+        "query_id", "vec_id",
+        F.row_number().over(wc).alias("rc"),
+        F.row_number().over(we).alias("re"),
+    )
+    cos_l = ranked.filter(F.col("rc") <= 20).select("query_id", "vec_id", "rc")
+    euc_l = ranked.filter(F.col("re") <= 20).select("query_id", "vec_id", "re")
+    fused = (
+        cos_l.join(euc_l, ["query_id", "vec_id"], "full_outer")
+        .select(
+            "query_id", "vec_id",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("rc")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("re")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.col("vec_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rk") <= 5)
+    )
