@@ -726,9 +726,15 @@ def prefix_filter_pairs(
             ),
         )
     )
-    pref = ranked.filter(
-        F.col("rn") <= F.col("sz") - ceildiv(num * F.col("sz"), den) + 1
-    ).select("doc", "sh_h", "rn", "sz")
+    # pref feeds BOTH sides of the candidate self-join — checkpoint so the
+    # rarity window doesn't run twice
+    pref = (
+        ranked.filter(
+            F.col("rn") <= F.col("sz") - ceildiv(num * F.col("sz"), den) + 1
+        )
+        .select("doc", "sh_h", "rn", "sz")
+        .localCheckpoint(eager=False)
+    )
     # PPJoin's two extra candidate filters (both exact, recall-preserving):
     # - length: J >= t needs den*min(szA,szB) >= num*max(szA,szB);
     # - positional: J >= t needs common >= ceil(num*(szA+szB)/(num+den)),

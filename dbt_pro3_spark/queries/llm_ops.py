@@ -1232,8 +1232,13 @@ def ext_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    blocks = docs.select("doc_id", toks.alias("l")).select(
-        "doc_id", block_list.alias("bl")
+    # blocks feeds three plan branches (hot-block df, kept re-aggregation,
+    # final join) — checkpoint once so the tokenize+slice pipeline doesn't
+    # re-run per branch
+    blocks = (
+        docs.select("doc_id", toks.alias("l"))
+        .select("doc_id", block_list.alias("bl"))
+        .localCheckpoint(eager=False)
     )
     expl = blocks.select(
         "doc_id", F.posexplode("bl").alias("pos0", "block")
