@@ -1529,7 +1529,14 @@ def ext_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hv").over(w).alias("sel"),
         F.count(F.lit(1)).over(w).alias("wn"),
     )
-    fp = wmin.filter(F.col("wn") == WINNOW_W).select("doc_id", "sel").distinct()
+    # fp feeds the df aggregate and BOTH self-join sides — checkpoint so
+    # the gram+window pipeline runs once, not per branch
+    fp = (
+        wmin.filter(F.col("wn") == WINNOW_W)
+        .select("doc_id", "sel")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     hot = (
         fp.groupBy("sel")
         .agg(F.count(F.lit(1)).alias("df_"))
