@@ -82,6 +82,9 @@ HEADLINE = [
     "ext_text_gopher_rules",
     "ext_table_diff",
     "ext_text_encode_ids",
+    # round-3 batch-8 operators (first stable numbers become baselines)
+    "ext_dsir_resample",
+    "ext_source_overlap",
 ]
 
 

@@ -1990,3 +1990,213 @@ def ext_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rk", F.row_number().over(wf).cast("int"))
         .filter(F.col("rk") <= 5)
     )
+
+
+DSIR_BUCKETS = 1024  # hashed-bigram feature width
+DSIR_KEEP = 1500  # documents selected by importance weight
+DSIR_TARGET_LANG = "en"  # the "target distribution" corpus slice
+
+
+@register(
+    "ext_dsir_resample",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_TOKS_SQL} AS l FROM documents
+    ), big AS (
+        SELECT doc_id, lang,
+               ({_md5_32("l[i] || ' ' || l[i+1]")}) % {DSIR_BUCKETS} AS bucket
+        FROM toks, unnest(generate_series(1, len(l) - 1)) AS t(i)
+    ), feat AS (
+        SELECT doc_id, lang, bucket, COUNT(*) AS cnt FROM big GROUP BY 1, 2, 3
+    ), rawd AS (
+        SELECT bucket, SUM(cnt) AS rc FROM feat GROUP BY 1
+    ), tgt AS (
+        SELECT bucket, SUM(cnt) AS tc
+        FROM feat WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+    ), tots AS (
+        SELECT (SELECT SUM(tc) FROM tgt) AS t_tot,
+               (SELECT SUM(rc) FROM rawd) AS r_tot
+    ), ratio AS (
+        SELECT r.bucket,
+               {dround(f"ln((COALESCE(t.tc, 0) + 1.0) / (tots.t_tot + {DSIR_BUCKETS}.0))"
+                       f" - ln((r.rc + 1.0) / (tots.r_tot + {DSIR_BUCKETS}.0))", 9)} AS logr
+        FROM rawd r LEFT JOIN tgt t USING (bucket), tots
+    ), w AS (
+        SELECT f.doc_id, {dround('SUM(f.cnt * ra.logr)', 6)} AS dsir_logw
+        FROM feat f JOIN ratio ra USING (bucket)
+        GROUP BY f.doc_id
+    )
+    SELECT doc_id, dsir_logw FROM w
+    ORDER BY dsir_logw DESC, doc_id
+    LIMIT {DSIR_KEEP}
+    """,
+)
+def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    NeurIPS): score every raw document by how target-like its hashed-bigram
+    distribution is, then keep the top-{DSIR_KEEP}. Features are token
+    bigrams hashed into {DSIR_BUCKETS} buckets; the weight is the
+    naive-Bayes log-likelihood ratio sum(cnt_f * (ln p_target(f) -
+    ln p_raw(f))) with Laplace(+1) smoothing. Target slice here:
+    lang='{DSIR_TARGET_LANG}' (any labeled subset plugs in). Completes the
+    curation family: fixed per-source weights (ext_mixture_resample) vs
+    LEARNED per-document weights (this key).
+
+    Determinism: bucket = md5_32(bigram) mod {DSIR_BUCKETS} is engine-
+    identical; ln inputs are IEEE-exact rationals of integer counts and the
+    per-bucket log-ratio is rounded at 9dp before the per-doc sum (the
+    ext_ccnet_bucket ln discipline); final ordering is on the 6dp-rounded
+    weight with doc_id tiebreak, so the kept set cannot flip on summation
+    order.
+
+    Scale shape: the feature table is (doc, bucket) — at most
+    {DSIR_BUCKETS} rows per doc regardless of length; the bucket
+    log-ratio table is a FIXED {DSIR_BUCKETS}-row broadcast (two tiny
+    aggregates + two scalar totals), so scoring is a map-side broadcast
+    join + one per-doc aggregate; selection is a global top-k
+    (TakeOrdered — no full sort shuffle). This is exactly why DSIR hashes
+    features: the model fits in a broadcast no matter the corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    sized = docs.select(
+        "doc_id", "lang", toks.alias("l"), F.size(toks).alias("n")
+    ).filter(F.col("n") >= 2)
+    bigram = F.concat(
+        F.element_at("l", F.col("i")),
+        F.lit(" "),
+        F.element_at("l", F.col("i") + 1),
+    )
+    big = sized.withColumn(
+        "i", F.explode(F.sequence(F.lit(1), F.col("n") - 1))
+    ).select(
+        "doc_id", "lang", (_spark_md5_32(bigram) % DSIR_BUCKETS).alias("bucket")
+    )
+    feat = big.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rawd = feat.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    tgt = (
+        feat.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("tc"))
+    )
+    t_tot = tgt.agg(F.sum("tc").alias("t_tot"))
+    r_tot = rawd.agg(F.sum("rc").alias("r_tot"))
+    b = float(DSIR_BUCKETS)
+    ratio = (
+        rawd.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("t_tot") + b))
+                - F.log((F.col("rc") + 1.0) / (F.col("r_tot") + b)),
+                9,
+            ).alias("logr"),
+        )
+    )
+    w = (
+        feat.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("cnt") * F.col("logr")), 6).alias("dsir_logw"))
+    )
+    return w.orderBy(F.desc("dsir_logw"), "doc_id").limit(DSIR_KEEP)
+
+
+OVERLAP_GRAM = 3  # token n-gram width for the cross-source overlap matrix
+
+
+@register(
+    "ext_source_overlap",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_TOKS_SQL} AS l FROM documents
+    ), grams AS (
+        SELECT DISTINCT source,
+               array_to_string(list_slice(l, i, i + {OVERLAP_GRAM - 1}), ' ') AS gram
+        FROM toks, unnest(generate_series(1, len(l) - {OVERLAP_GRAM - 1})) AS t(i)
+    ), sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY 1
+    ), pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.shared,
+           sa.n_grams AS n_a, sb.n_grams AS n_b,
+           {dround('CAST(p.shared AS DOUBLE) / (sa.n_grams + sb.n_grams - p.shared)', 6)} AS jaccard,
+           {dround('CAST(p.shared AS DOUBLE) / LEAST(sa.n_grams, sb.n_grams)', 6)} AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b
+    """,
+)
+def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap matrix: for every pair of sources, the number
+    of shared distinct token {OVERLAP_GRAM}-grams plus Jaccard and
+    containment coefficients — the "how much does crawl dump B duplicate
+    dump A" report that decides whether a new snapshot is worth ingesting
+    and in which order dumps should be deduplicated (CCNet/RefinedWeb run
+    exactly this analysis across CommonCrawl snapshots).
+
+    Unlike the pairwise dedup keys (doc vs doc), this aggregates at the
+    SOURCE level: distinct (source, gram) first, then per-gram source sets
+    exploded into pairs — the candidate explosion is bounded by
+    #sources^2 per gram, never by corpus size.
+
+    Scale shape: one distinct aggregate keyed by (source, gram) — the only
+    corpus-sized shuffle; then a gram-keyed fold to sorted source sets and
+    a bounded pair explode; sizes are a tiny broadcast joined onto the
+    S^2-row result. At 100 TB swap the gram string for an xxhash64 of it
+    (64-bit join keys; collision rate ~ n^2/2^64 is negligible for counts)
+    — kept as the raw string here so the DuckDB oracle is bit-exact."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    sized = docs.select(
+        "source", toks.alias("l"), F.size(toks).alias("n")
+    ).filter(F.col("n") >= OVERLAP_GRAM)
+    gram = F.concat_ws(
+        " ",
+        *[F.element_at("l", F.col("i") + k) for k in range(OVERLAP_GRAM)],
+    )
+    grams = (
+        sized.withColumn(
+            "i", F.explode(F.sequence(F.lit(1), F.col("n") - (OVERLAP_GRAM - 1)))
+        )
+        .select("source", gram.alias("gram"))
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    sets = grams.groupBy("gram").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    pairs = (
+        sets.filter(F.size("ss") >= 2)
+        .select(F.explode("ss").alias("source_a"), "ss")
+        .select("source_a", F.explode("ss").alias("source_b"))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("n_b")
+    )
+    shared_d = F.col("shared").cast("double")
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "shared", "n_a", "n_b",
+            F.round(
+                shared_d / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+            ).alias("jaccard"),
+            F.round(shared_d / F.least("n_a", "n_b"), 6).alias("containment"),
+        )
+    )
