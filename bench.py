@@ -85,6 +85,8 @@ HEADLINE = [
     # round-3 batch-8 operators (first stable numbers become baselines)
     "ext_dsir_resample",
     "ext_source_overlap",
+    "ext_token_budget_plan",
+    "ext_embed_whiten",
 ]
 
 
@@ -118,10 +120,14 @@ def main() -> None:
     # min of 2 timed runs per key on top of the warm pass: the host shows
     # intermittent external load (BASELINE.md machine note); a single
     # sample can read 30% high. The min is the reproducible steady-state
-    # cost of the plan on this hardware.
+    # cost of the plan on this hardware. The two samples come from two
+    # SEPARATE full passes (not back-to-back) so a transient load/GC spike
+    # minutes long cannot hit both samples of the same key — back-to-back
+    # min-of-2 was observed reading one key 5x its isolated steady state.
+    first: dict[str, float] = {name: run(name) for name in HEADLINE}
     times: dict[str, float] = {}
     for name in HEADLINE:
-        times[name] = round(min(run(name), run(name)), 3)
+        times[name] = round(min(first[name], run(name)), 3)
 
     total = round(sum(times.values()), 3)
     print(

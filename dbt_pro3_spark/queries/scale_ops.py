@@ -2104,6 +2104,132 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.orderBy(F.desc("dsir_logw"), "doc_id").limit(DSIR_KEEP)
 
 
+MIX_ALPHA = 0.7  # temperature exponent for alpha-sampling
+MIX_BUDGET = 1_000_000  # global token budget to allocate
+
+
+@register(
+    "ext_token_budget_plan",
+    f"""
+    WITH n AS (
+        SELECT source, CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ), powed AS (
+        SELECT source, n_tokens, pow(n_tokens, {MIX_ALPHA}) AS pw FROM n
+    ), tot AS (SELECT SUM(pw) AS z FROM powed
+    ), p AS (
+        SELECT source, n_tokens, {dround('pw / tot.z', 6)} AS p_sample
+        FROM powed, tot
+    )
+    SELECT source, n_tokens, p_sample,
+           CAST({dround(f'{MIX_BUDGET}.0 * p_sample', 0)} AS BIGINT) AS alloc_tokens,
+           {dround(f'{MIX_BUDGET}.0 * p_sample / n_tokens', 6)} AS epochs
+    FROM p
+    """,
+)
+def ext_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture planning (the alpha-sampling of mT5 /
+    XLM-R, alpha={MIX_ALPHA}): given a global training budget of
+    {MIX_BUDGET:,} tokens, allocate per-source shares proportional to
+    n_tokens^alpha — upweighting low-resource sources relative to raw
+    proportions — and report the implied epoch count per source (epochs
+    > 1 means that source repeats). This PLANS the mixture that
+    ext_mixture_resample then MATERIALIZES; at 100 TB the plan runs first
+    and its weights feed the resampler.
+
+    Determinism: downstream arithmetic (allocation, epochs) is computed
+    from the 6dp-ROUNDED share — bit-identical doubles on both engines —
+    so the integer allocation cannot flip on pow/summation ulp noise; the
+    only cross-engine float op is pow + a #sources-sized sum, rounded at
+    6dp (the established ln discipline).
+
+    Scale shape: one per-source token-count aggregate (map-side combined),
+    then all math on a #sources-row table with a scalar broadcast total —
+    the output is dimension-table sized no matter the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(
+        F.sum(F.size(tx.tokens(F.col("text")))).cast("bigint").alias("n_tokens")
+    )
+    powed = n.withColumn("pw", F.pow(F.col("n_tokens"), F.lit(MIX_ALPHA)))
+    tot = powed.agg(F.sum("pw").alias("z"))
+    p = powed.crossJoin(F.broadcast(tot)).select(
+        "source", "n_tokens",
+        F.round(F.col("pw") / F.col("z"), 6).alias("p_sample"),
+    )
+    budget = F.lit(float(MIX_BUDGET))
+    return p.select(
+        "source", "n_tokens", "p_sample",
+        F.round(budget * F.col("p_sample"), 0).cast("bigint").alias("alloc_tokens"),
+        F.round(budget * F.col("p_sample") / F.col("n_tokens"), 6).alias("epochs"),
+    )
+
+
+@register(
+    "ext_embed_whiten",
+    f"""
+    WITH dims AS (
+        SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ), mu AS (
+        SELECT dim, {dround('AVG(x)', 6)} AS mean_x FROM dims GROUP BY dim
+    ), st AS (
+        SELECT d.dim, m.mean_x,
+               {dround('sqrt(AVG(pow(d.x - m.mean_x, 2)))', 6)} AS std_x
+        FROM dims d JOIN mu m USING (dim) GROUP BY d.dim, m.mean_x
+    ), z AS (
+        SELECT d.vec_id, d.dim,
+               CASE WHEN s.std_x = 0 THEN 0.0
+                    ELSE {dround('(d.x - s.mean_x) / s.std_x', 6)} END AS zval
+        FROM dims d JOIN st s USING (dim)
+    )
+    SELECT vec_id, list(zval ORDER BY dim) AS whitened
+    FROM z GROUP BY vec_id
+    """,
+)
+def ext_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (z-scoring) of the embedding corpus:
+    subtract the corpus mean and divide by the corpus std in every
+    coordinate — the whitening step before cosine/k-means when dimensions
+    have wildly different scales, and the consumer of
+    ext_embed_dim_stats' statistics. Zero-variance (dead) dimensions map
+    to 0 rather than dividing by zero.
+
+    Determinism: mean and std are rounded at 6dp BEFORE the per-vector
+    arithmetic, so both engines standardize with bit-identical constants
+    (two-pass centered std, the agg_mode_moments discipline); z-values
+    round at 6dp from identical operands.
+
+    Scale shape: stats are a DIM-row broadcast (two tiny aggregates over
+    the posexploded corpus); the standardization itself is a map-side
+    broadcast join + per-vector re-assembly keyed by vec_id — one shuffle
+    of (vec, dim, z) rows to rebuild arrays, no corpus-sized join."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode(sim.as_double(F.col("embedding"))).alias("dim", "x")
+    )
+    mu = dims.groupBy("dim").agg(F.round(F.avg("x"), 6).alias("mean_x"))
+    d1 = dims.join(F.broadcast(mu), "dim")
+    dev = F.col("x") - F.col("mean_x")
+    st = d1.groupBy("dim", "mean_x").agg(
+        F.round(F.sqrt(F.avg(dev * dev)), 6).alias("std_x")
+    )
+    z = dims.join(F.broadcast(st), "dim").select(
+        "vec_id", "dim",
+        F.when(F.col("std_x") == 0, F.lit(0.0))
+        .otherwise(F.round((F.col("x") - F.col("mean_x")) / F.col("std_x"), 6))
+        .alias("zval"),
+    )
+    return (
+        z.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "zval"))),
+                lambda s: s.zval,
+            ).alias("whitened")
+        )
+    )
+
+
 OVERLAP_GRAM = 3  # token n-gram width for the cross-source overlap matrix
 
 
