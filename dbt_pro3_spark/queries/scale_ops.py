@@ -2018,11 +2018,13 @@ DSIR_TARGET_LANG = "en"  # the "target distribution" corpus slice
                (SELECT SUM(rc) FROM rawd) AS r_tot
     ), ratio AS (
         SELECT r.bucket,
-               {dround(f"ln((COALESCE(t.tc, 0) + 1.0) / (tots.t_tot + {DSIR_BUCKETS}.0))"
-                       f" - ln((r.rc + 1.0) / (tots.r_tot + {DSIR_BUCKETS}.0))", 9)} AS logr
+               CAST(ROUND((ln((COALESCE(t.tc, 0) + 1.0) / (tots.t_tot + {DSIR_BUCKETS}.0))
+                    - ln((r.rc + 1.0) / (tots.r_tot + {DSIR_BUCKETS}.0))) * 1000000000.0)
+                    AS BIGINT) AS logr_units
         FROM rawd r LEFT JOIN tgt t USING (bucket), tots
     ), w AS (
-        SELECT f.doc_id, {dround('SUM(f.cnt * ra.logr)', 6)} AS dsir_logw
+        SELECT f.doc_id,
+               {dround('SUM(f.cnt * ra.logr_units) / 1000000000.0', 6)} AS dsir_logw
         FROM feat f JOIN ratio ra USING (bucket)
         GROUP BY f.doc_id
     )
@@ -2043,11 +2045,13 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEARNED per-document weights (this key).
 
     Determinism: bucket = md5_32(bigram) mod {DSIR_BUCKETS} is engine-
-    identical; ln inputs are IEEE-exact rationals of integer counts and the
-    per-bucket log-ratio is rounded at 9dp before the per-doc sum (the
-    ext_ccnet_bucket ln discipline); final ordering is on the 6dp-rounded
-    weight with doc_id tiebreak, so the kept set cannot flip on summation
-    order.
+    identical; ln inputs are IEEE-exact rationals of integer counts, and
+    the per-bucket log-ratio is snapped to an INTEGER count of 1e-9 units
+    so the per-doc weight is an exact BIGINT sum — order-INDEPENDENT, no
+    float accumulation at all (plain 6dp rounding of a double sum was
+    observed flipping one doc's 6th decimal at sf0.1 when Spark's and
+    DuckDB's summation orders straddled a rounding boundary). Final
+    ordering is on the 6dp weight with doc_id tiebreak.
 
     Scale shape: the feature table is (doc, bucket) — at most
     {DSIR_BUCKETS} rows per doc regardless of length; the bucket
@@ -2090,16 +2094,27 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "bucket",
             F.round(
-                F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("t_tot") + b))
-                - F.log((F.col("rc") + 1.0) / (F.col("r_tot") + b)),
-                9,
-            ).alias("logr"),
+                (
+                    F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("t_tot") + b)
+                    )
+                    - F.log((F.col("rc") + 1.0) / (F.col("r_tot") + b))
+                )
+                * 1_000_000_000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("logr_units"),
         )
     )
     w = (
         feat.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
-        .agg(F.round(F.sum(F.col("cnt") * F.col("logr")), 6).alias("dsir_logw"))
+        .agg(
+            F.round(
+                F.sum(F.col("cnt") * F.col("logr_units")) / 1_000_000_000.0, 6
+            ).alias("dsir_logw")
+        )
     )
     return w.orderBy(F.desc("dsir_logw"), "doc_id").limit(DSIR_KEEP)
 
