@@ -87,6 +87,7 @@ HEADLINE = [
     "ext_source_overlap",
     "ext_token_budget_plan",
     "ext_embed_whiten",
+    "ext_text_dup_span_remove",
 ]
 
 

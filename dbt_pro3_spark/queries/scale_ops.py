@@ -2119,6 +2119,130 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.orderBy(F.desc("dsir_logw"), "doc_id").limit(DSIR_KEEP)
 
 
+REMOVE_N = 8  # token n-gram width for duplicate-span removal
+
+
+@register(
+    "ext_text_dup_span_remove",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS l FROM documents
+    ), sized AS (
+        SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n_tokens FROM toks
+    ), grams AS (
+        SELECT doc_id, i, md5(array_to_string(l[i:i+{REMOVE_N - 1}], ' ')) AS g
+        FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - {REMOVE_N - 1})) AS i
+              FROM sized WHERE n_tokens >= {REMOVE_N})
+    ), occ AS (
+        SELECT doc_id, i,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, i) AS rk,
+               COUNT(*) OVER (PARTITION BY g) AS c
+        FROM grams
+    ), cover AS (
+        SELECT DISTINCT doc_id, p FROM (
+            SELECT doc_id, unnest(generate_series(i, i + {REMOVE_N - 1})) AS p
+            FROM occ WHERE c >= 2 AND rk >= 2)
+    ), pos AS (
+        SELECT doc_id, i AS p, l[i] AS tok
+        FROM sized, unnest(generate_series(1, len(l))) AS t(i)
+    ), kept AS (
+        SELECT s.doc_id, s.p, s.tok
+        FROM pos s LEFT JOIN cover c ON s.doc_id = c.doc_id AND s.p = c.p
+        WHERE c.doc_id IS NULL
+    ), rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens,
+           CAST(s.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM sized s LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def ext_text_dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL (the rewrite stage of Lee et al.'s
+    exact-substring dedup; ext_text_dup_ngram_spans is the detection
+    stage): every token {REMOVE_N}-gram occurring 2+ times corpus-wide
+    (across OR within documents) keeps only its first occurrence by
+    (doc_id, position); every other occurrence's {REMOVE_N}-token span is
+    deleted, and each document is re-emitted with surviving tokens joined
+    in original order. Overlapping duplicate spans union before removal,
+    so a long repeated passage is excised once, cleanly.
+
+    Pure integer/string pipeline — no floats, so cross-engine parity is
+    exact by construction.
+
+    Scale shape: the occurrence ranking is ONE window keyed by the
+    16-byte gram hash (rank + count in the same pass); span coverage is a
+    bounded explode ({REMOVE_N} positions per removed occurrence) with a
+    distinct; the rewrite is a left-anti join on (doc, position) followed
+    by a per-doc re-assembly — everything O(corpus tokens), no all-pairs
+    step. A boilerplate gram shared by millions of docs makes one hot
+    window partition: AQE skew handling splits it, and the sort within is
+    by (doc_id, i) — bounded work per occurrence."""
+    n = REMOVE_N
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    sized = docs.select(
+        "doc_id", toks.alias("l"), F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    grams = (
+        sized.filter(F.col("n_tokens") >= n)
+        .withColumn(
+            "i",
+            F.explode(
+                F.sequence(F.lit(1), (F.col("n_tokens") - (n - 1)).cast("int"))
+            ),
+        )
+        .select(
+            "doc_id", "i",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("l"), F.col("i"), n)).cast("binary")
+            ).alias("g"),
+        )
+    )
+    wg = Window.partitionBy("g")
+    occ = grams.select(
+        "doc_id", "i",
+        F.row_number().over(wg.orderBy("doc_id", "i")).alias("rk"),
+        F.count(F.lit(1)).over(wg).alias("c"),
+    )
+    cover = (
+        occ.filter((F.col("c") >= 2) & (F.col("rk") >= 2))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("p"),
+        )
+        .distinct()
+    )
+    pos = sized.select(
+        "doc_id", F.posexplode("l").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = pos.join(cover, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    return (
+        sized.drop("l")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 MIX_ALPHA = 0.7  # temperature exponent for alpha-sampling
 MIX_BUDGET = 1_000_000  # global token budget to allocate
 
