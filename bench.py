@@ -88,6 +88,7 @@ HEADLINE = [
     "ext_token_budget_plan",
     "ext_embed_whiten",
     "ext_text_dup_span_remove",
+    "ext_dedup_chunk_fuzzy",
 ]
 
 

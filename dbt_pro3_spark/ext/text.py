@@ -35,10 +35,19 @@ def shingles(text: Column, n: int = 3) -> Column:
     consecutive tokens with a single space.
     """
     toks = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    # Inputs shorter than n tokens yield NO shingles (true n-gram
+    # semantics, matching SQL generate_series(1, len-n+1) which is empty
+    # for len < n). The guard must be an explicit when(): sequence(1, k)
+    # with k < 1 DESCENDS in Spark, fabricating out-of-range indices that
+    # slice() turns into degenerate sub-n shingles — observed pairing
+    # unrelated 1-token chunks in chunk-level dedup.
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def lang_id(text: Column) -> Column:

@@ -209,9 +209,17 @@ def ext_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ded.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
-def _minhash_banded_oracle(num_perm: int = 16, bands: int = 4) -> str:
+def _minhash_banded_oracle(
+    num_perm: int = 16,
+    bands: int = 4,
+    toks_sql: str = "SELECT doc_id, string_split(text, ' ') AS l FROM documents",
+) -> str:
     """DuckDB twin of ded.minhash_banded_pairs: identical md5-based base
-    hash, affine permutations, band hashes, and exact-Jaccard verify."""
+    hash, affine permutations, band hashes, and exact-Jaccard verify.
+
+    ``toks_sql`` supplies the (doc_id, l) token-list source so granularity
+    variants (e.g. chunk-level dedup) reuse the exact same signature
+    pipeline with a different unit of deduplication."""
     from ..ext.dedup import MINHASH_P, minhash_coeffs
 
     r = num_perm // bands
@@ -238,7 +246,7 @@ def _minhash_banded_oracle(num_perm: int = 16, bands: int = 4) -> str:
     )
     return f"""
     WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        {toks_sql}
     ), sh0 AS (
         SELECT DISTINCT doc_id,
                unnest(list_transform(generate_series(1, len(l) - 2),

@@ -706,7 +706,7 @@ PF_NUM, PF_DEN = 4, 5  # threshold as an exact rational (see ext/dedup.py)
         SELECT doc_id, {_TOKS_SQL} AS l FROM documents
     ), sh AS (
         SELECT DISTINCT doc_id,
-               unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+               unnest(list_transform(generate_series(1, len(l) - 2),
                                      i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle
         FROM toks
     ), dfreq AS (
@@ -2117,6 +2117,92 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return w.orderBy(F.desc("dsir_logw"), "doc_id").limit(DSIR_KEEP)
+
+
+CHUNK_TOKENS = 64  # chunk width (tokens) for chunk-granularity fuzzy dedup
+CHUNK_ID_BASE = 10_000  # chunk_id = doc_id * base + chunk_index
+
+
+def _chunk_fuzzy_oracle() -> str:
+    from .extensions import _minhash_banded_oracle
+
+    toks_sql = f"""SELECT d.doc_id * {CHUNK_ID_BASE} + t.ci AS doc_id,
+               list_slice(d.l, t.ci * {CHUNK_TOKENS} + 1, (t.ci + 1) * {CHUNK_TOKENS}) AS l
+        FROM (SELECT doc_id, {_TOKS_SQL} AS l FROM documents) d,
+             unnest(generate_series(0,
+                 CAST(FLOOR((len(d.l) - 1) / {CHUNK_TOKENS}.0) AS BIGINT))) AS t(ci)"""
+    base = _minhash_banded_oracle(toks_sql=toks_sql)
+    return f"""
+    SELECT r.doc_a AS chunk_a, r.doc_b AS chunk_b,
+           CAST(FLOOR(r.doc_a / {CHUNK_ID_BASE}.0) AS BIGINT) AS doc_a,
+           CAST(FLOOR(r.doc_b / {CHUNK_ID_BASE}.0) AS BIGINT) AS doc_b,
+           r.common_shingles, r.jaccard
+    FROM ({base}) r
+    WHERE FLOOR(r.doc_a / {CHUNK_ID_BASE}.0) <> FLOOR(r.doc_b / {CHUNK_ID_BASE}.0)
+    """
+
+
+@register("ext_dedup_chunk_fuzzy", _chunk_fuzzy_oracle())
+def ext_dedup_chunk_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity fuzzy dedup: documents split into fixed
+    {CHUNK_TOKENS}-token windows, each chunk MinHash-banded exactly like
+    ext_dedup_minhash_banded (16 perms, 4 bands, exact-Jaccard verify),
+    emitting CROSS-document near-duplicate chunk pairs. This is the
+    paragraph/window-level pass real curation stacks run alongside
+    doc-level dedup: two long documents sharing one boilerplate passage
+    are invisible to whole-doc signatures (the shared chunk is a small
+    fraction of each doc's shingle set) but light up here.
+
+    Reuses ded.minhash_banded_pairs verbatim on the chunk table — the
+    signature pipeline, banding, and oracle SQL exist ONCE; only the
+    (doc_id, l) source differs (chunk_id = doc_id * {CHUNK_ID_BASE} +
+    chunk index, recovered by integer division in the output).
+
+    Scale shape: identical to the doc-level key — banded equi-joins on
+    4-row band hashes, exact verify on candidates only — but the unit is
+    a bounded-size chunk, so per-row shingle sets are capped at
+    ~{CHUNK_TOKENS} entries regardless of document length: the signature
+    aggregate's skew from mega-documents disappears entirely."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    sized = docs.select(
+        "doc_id", toks.alias("l"), F.size(toks).alias("n")
+    ).filter(F.col("n") > 0)
+    chunks = sized.withColumn(
+        "ci",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((F.col("n") - 1) / CHUNK_TOKENS).cast("int")
+            )
+        ),
+    ).select(
+        (F.col("doc_id") * CHUNK_ID_BASE + F.col("ci")).alias("chunk_id"),
+        F.array_join(
+            F.slice("l", F.col("ci") * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+        ).alias("chunk_text"),
+    )
+    pairs = ded.minhash_banded_pairs(
+        chunks, "chunk_id", "chunk_text", n=3, num_perm=16, bands=4
+    )
+    da = F.floor(F.col("doc_a") / CHUNK_ID_BASE).cast("bigint")
+    db = F.floor(F.col("doc_b") / CHUNK_ID_BASE).cast("bigint")
+    return (
+        pairs.select(
+            F.col("doc_a").alias("chunk_a"),
+            F.col("doc_b").alias("chunk_b"),
+            da.alias("doc_a_id"),
+            db.alias("doc_b_id"),
+            "common_shingles",
+            "jaccard",
+        )
+        .filter(F.col("doc_a_id") != F.col("doc_b_id"))
+        .select(
+            "chunk_a", "chunk_b",
+            F.col("doc_a_id").alias("doc_a"),
+            F.col("doc_b_id").alias("doc_b"),
+            "common_shingles", "jaccard",
+        )
+    )
 
 
 REMOVE_N = 8  # token n-gram width for duplicate-span removal
