@@ -258,3 +258,97 @@ def test_interval_overlap_is_positive_and_bounded(spark):
     for r in rows:
         # windows are 1-3 hours; a session-day is <= 24h -> overlap bounded
         assert 0 < r["overlap_us"] <= 3 * 3600 * 1_000_000
+
+
+def test_dup_span_remove_token_conservation(spark):
+    """clean_text token count must equal n_tokens - n_removed for every
+    document, removals are non-negative and bounded, and the corpus's
+    planted duplication means SOMETHING gets removed."""
+    rows = _Q["ext_text_dup_span_remove"](spark, SF_DIR).collect()
+    assert rows
+    total_removed = 0
+    for r in rows:
+        assert 0 <= r["n_removed"] <= r["n_tokens"]
+        kept = [t for t in r["clean_text"].split(" ") if t] if r["clean_text"] else []
+        assert len(kept) == r["n_tokens"] - r["n_removed"]
+        total_removed += r["n_removed"]
+    assert total_removed > 0
+
+
+def test_dsir_target_slice_ranks_higher(spark):
+    """The DSIR weight is a target-vs-raw log-likelihood ratio with the
+    'en' slice as target, so en documents must average a higher weight
+    than non-en documents (the KL(target||raw) direction is positive)."""
+    out = _Q["ext_dsir_resample"](spark, SF_DIR)
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "lang")
+    j = out.join(docs, "doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in j.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("dsir_logw").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+
+
+def test_token_budget_plan_invariants(spark):
+    """Shares sum to 1, allocations sum to ~budget, epochs math is
+    consistent, and alpha < 1 upweights the smallest source relative to
+    its raw token share."""
+    from dbt_pro3_spark.queries.scale_ops import MIX_BUDGET
+
+    rows = _Q["ext_token_budget_plan"](spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r["p_sample"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["alloc_tokens"] for r in rows) - MIX_BUDGET) <= len(rows)
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        assert abs(r["epochs"] - MIX_BUDGET * r["p_sample"] / r["n_tokens"]) < 1e-5
+    lo = min(rows, key=lambda r: r["n_tokens"])
+    hi = max(rows, key=lambda r: r["n_tokens"])
+    assert lo["p_sample"] / (lo["n_tokens"] / total) > hi["p_sample"] / (hi["n_tokens"] / total)
+
+
+def test_embed_whiten_centers_and_scales(spark):
+    """Whitened coordinates must be ~zero-mean, ~unit-std per dimension
+    (up to the 6dp rounding of the broadcast stats)."""
+    import statistics
+
+    rows = _Q["ext_embed_whiten"](spark, SF_DIR).collect()
+    assert rows
+    dim = len(rows[0]["whitened"])
+    for d in range(0, dim, 7):  # spot-check every 7th dimension
+        xs = [r["whitened"][d] for r in rows]
+        assert abs(statistics.fmean(xs)) < 1e-3
+        assert abs(statistics.pstdev(xs) - 1.0) < 0.01
+
+
+def test_source_overlap_all_pairs_bounded(spark):
+    """Every unordered source pair appears at most once; similarity
+    coefficients are bounded and consistent (containment >= jaccard,
+    shared <= min side)."""
+    rows = _Q["ext_source_overlap"](spark, SF_DIR).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert (r["source_a"], r["source_b"]) not in seen
+        seen.add((r["source_a"], r["source_b"]))
+        assert 0 < r["shared"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["containment"] >= r["jaccard"]
+
+
+def test_chunk_fuzzy_pairs_are_cross_doc(spark):
+    """Chunk pairs must span two distinct documents, with the doc ids
+    recoverable from the chunk ids and a valid verified Jaccard."""
+    from dbt_pro3_spark.queries.scale_ops import CHUNK_ID_BASE
+
+    rows = _Q["ext_dedup_chunk_fuzzy"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_a"] == r["chunk_a"] // CHUNK_ID_BASE
+        assert r["doc_b"] == r["chunk_b"] // CHUNK_ID_BASE
+        assert r["doc_a"] != r["doc_b"]
+        assert r["common_shingles"] >= 1
+        assert 0.0 < r["jaccard"] <= 1.0
