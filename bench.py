@@ -89,6 +89,7 @@ HEADLINE = [
     "ext_embed_whiten",
     "ext_text_dup_span_remove",
     "ext_dedup_chunk_fuzzy",
+    "ext_drift_psi",
 ]
 
 

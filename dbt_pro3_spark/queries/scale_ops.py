@@ -2119,6 +2119,98 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.orderBy(F.desc("dsir_logw"), "doc_id").limit(DSIR_KEEP)
 
 
+PSI_BIN_W = 16  # token-count bin width for the drift report
+PSI_BINS = 32  # bins 0..31; the last is open-ended
+
+
+@register(
+    "ext_drift_psi",
+    f"""
+    WITH n AS (
+        SELECT doc_id, source, len({_TOKS_SQL}) AS nt FROM documents
+    ), g AS (
+        SELECT LEAST(CAST(FLOOR(nt / {PSI_BIN_W}.0) AS INTEGER), {PSI_BINS - 1}) AS bin,
+               CASE WHEN (CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INTEGER) % 2) = 0
+                    THEN 'ref' ELSE 'cur' END AS grp
+        FROM n
+    ), c AS (
+        SELECT bin,
+               COUNT(*) FILTER (WHERE grp = 'ref') AS n_ref,
+               COUNT(*) FILTER (WHERE grp = 'cur') AS n_cur
+        FROM g GROUP BY bin
+    ), t AS (
+        SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM c
+    ), p AS (
+        SELECT bin, n_ref, n_cur,
+               (n_ref + 1.0) / (t.tr + {PSI_BINS}.0) AS pr,
+               (n_cur + 1.0) / (t.tc + {PSI_BINS}.0) AS pc
+        FROM c, t
+    ), u AS (
+        SELECT bin, n_ref, n_cur, pr, pc,
+               CAST(ROUND((pr - pc) * ln(pr / pc) * 1000000000.0) AS BIGINT) AS units
+        FROM p
+    )
+    SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           {dround('pr', 6)} AS p_ref, {dround('pc', 6)} AS p_cur,
+           {dround('units / 1000000000.0', 6)} AS psi_bin,
+           {dround('SUM(units) OVER () / 1000000000.0', 6)} AS psi_total
+    FROM u
+    """,
+)
+def ext_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus slices (even- vs
+    odd-numbered sources standing in for "reference snapshot" vs "current
+    snapshot"): documents bin by token count ({PSI_BIN_W}-wide bins,
+    {PSI_BINS} total, last open-ended), each slice's binned distribution
+    is Laplace(+1)-smoothed, and PSI = sum (p_ref - p_cur) *
+    ln(p_ref / p_cur) — the standard drift alarm for a production ingest
+    (PSI > 0.2 = investigate). Emitted per-bin with the corpus total on
+    every row.
+
+    Determinism: bin contributions are snapped to integer 1e-9 units
+    (the ext_dsir_resample discipline) so the total is an exact BIGINT
+    window sum — order-independent.
+
+    Scale shape: one {PSI_BINS}-group aggregate over a narrow projection
+    (map-side combined), then all arithmetic on {PSI_BINS} rows with a
+    scalar total; the global window runs over {PSI_BINS} rows, never the
+    corpus."""
+    docs = load(spark, sf_dir, "documents")
+    nt = F.size(tx.tokens(F.col("text")))
+    src_num = F.regexp_extract(F.col("source"), r"src([0-9]+)", 1).cast("int")
+    g = docs.select(
+        F.least(
+            F.floor(nt / PSI_BIN_W).cast("int"), F.lit(PSI_BINS - 1)
+        ).alias("bin"),
+        F.when(src_num % 2 == 0, F.lit("ref")).otherwise(F.lit("cur")).alias("grp"),
+    )
+    c = g.groupBy("bin").agg(
+        F.count(F.when(F.col("grp") == "ref", 1)).alias("n_ref"),
+        F.count(F.when(F.col("grp") == "cur", 1)).alias("n_cur"),
+    )
+    t = c.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    k = float(PSI_BINS)
+    p = c.crossJoin(F.broadcast(t)).select(
+        "bin", "n_ref", "n_cur",
+        ((F.col("n_ref") + 1.0) / (F.col("tr") + k)).alias("pr"),
+        ((F.col("n_cur") + 1.0) / (F.col("tc") + k)).alias("pc"),
+    )
+    u = p.select(
+        "bin", "n_ref", "n_cur", "pr", "pc",
+        F.round((F.col("pr") - F.col("pc")) * F.log(F.col("pr") / F.col("pc")) * 1e9, 0)
+        .cast("bigint")
+        .alias("units"),
+    )
+    w_all = Window.partitionBy()
+    return u.select(
+        "bin", "n_ref", "n_cur",
+        F.round("pr", 6).alias("p_ref"),
+        F.round("pc", 6).alias("p_cur"),
+        F.round(F.col("units") / 1e9, 6).alias("psi_bin"),
+        F.round(F.sum("units").over(w_all) / 1e9, 6).alias("psi_total"),
+    )
+
+
 CHUNK_TOKENS = 64  # chunk width (tokens) for chunk-granularity fuzzy dedup
 CHUNK_ID_BASE = 10_000  # chunk_id = doc_id * base + chunk_index
 

@@ -352,3 +352,25 @@ def test_chunk_fuzzy_pairs_are_cross_doc(spark):
         assert r["doc_a"] != r["doc_b"]
         assert r["common_shingles"] >= 1
         assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_drift_psi_recompute(spark):
+    """PSI recomputed in Python from the emitted bin counts must match
+    psi_total, and per-bin contributions must sum to the total."""
+    import math
+
+    rows = _Q["ext_drift_psi"](spark, SF_DIR).collect()
+    assert rows
+    tr = sum(r["n_ref"] for r in rows)
+    tc = sum(r["n_cur"] for r in rows)
+    psi = 0.0
+    for r in rows:
+        pr = (r["n_ref"] + 1.0) / (tr + 32.0)
+        pc = (r["n_cur"] + 1.0) / (tc + 32.0)
+        psi += (pr - pc) * math.log(pr / pc)
+        assert abs(r["p_ref"] - pr) < 1e-5 and abs(r["p_cur"] - pc) < 1e-5
+    totals = {r["psi_total"] for r in rows}
+    assert len(totals) == 1
+    total = totals.pop()
+    assert abs(total - psi) < 1e-5
+    assert abs(sum(r["psi_bin"] for r in rows) - total) < 1e-4
