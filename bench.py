@@ -90,6 +90,7 @@ HEADLINE = [
     "ext_text_dup_span_remove",
     "ext_dedup_chunk_fuzzy",
     "ext_drift_psi",
+    "ext_text_vocab_coverage",
 ]
 
 

@@ -2119,6 +2119,75 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.orderBy(F.desc("dsir_logw"), "doc_id").limit(DSIR_KEEP)
 
 
+VOCAB_COVER_KS = [5, 10, 25, 50, 100, 1000]  # coverage checkpoints
+VOCAB_COVER_MAXK = max(VOCAB_COVER_KS)
+
+
+@register(
+    "ext_text_vocab_coverage",
+    f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    ), v AS (
+        SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1
+    ), tot AS (
+        SELECT SUM(c) AS t, COUNT(*) AS vs FROM v
+    ), r AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk FROM v
+    ), cum AS (
+        SELECT rk, SUM(c) OVER (ORDER BY rk) AS cumc
+        FROM r WHERE rk <= {VOCAB_COVER_MAXK}
+    )
+    SELECT k.k, CAST(LEAST(k.k, tot.vs) AS BIGINT) AS at_rank,
+           CAST(cum.cumc AS BIGINT) AS covered_tokens,
+           {dround('CAST(cum.cumc AS DOUBLE) / tot.t', 6)} AS coverage
+    FROM (VALUES {', '.join(f'({k})' for k in VOCAB_COVER_KS)}) k(k), tot
+    JOIN cum ON cum.rk = LEAST(k.k, tot.vs)
+    """,
+)
+def ext_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for each checkpoint K in
+    {VOCAB_COVER_KS}, what fraction of all token OCCURRENCES the top-K
+    most frequent vocabulary entries cover — the report that sizes a
+    tokenizer vocabulary (and flags OOV pressure) before training one.
+    Checkpoints beyond the actual vocabulary clamp to full coverage.
+
+    Determinism: the frequency ranking is a total order (count DESC,
+    token); the cumulative count is an exact BIGINT running sum.
+
+    Scale shape: the vocab aggregate is the only corpus-sized shuffle
+    (map-side combined); the ranking window is vocabulary-sized, and the
+    cumulative sum is restricted to rank <= {VOCAB_COVER_MAXK} rows
+    before windowing, so the single-partition window never sees more
+    than {VOCAB_COVER_MAXK} rows. At a 100 TB corpus with a billion-entry
+    long tail, the same prefilter applies after an approx count
+    threshold bounds the top-{VOCAB_COVER_MAXK} candidate set."""
+    docs = load(spark, sf_dir, "documents")
+    v = docs.select(
+        F.explode(tx.tokens(F.col("text"))).alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = v.agg(F.sum("c").alias("t"), F.count(F.lit(1)).alias("vs"))
+    w = Window.orderBy(F.desc("c"), "tok")
+    cum = (
+        v.select(
+            F.row_number().over(w).alias("rk"),
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cumc"),
+        )
+        .filter(F.col("rk") <= VOCAB_COVER_MAXK)
+    )
+    cp = spark.createDataFrame([(k,) for k in VOCAB_COVER_KS], ["k"])
+    return (
+        cp.crossJoin(F.broadcast(tot))
+        .withColumn("at_rank", F.least(F.col("k"), F.col("vs")).cast("bigint"))
+        .join(F.broadcast(cum), F.col("rk") == F.col("at_rank"))
+        .select(
+            "k", "at_rank",
+            F.col("cumc").cast("bigint").alias("covered_tokens"),
+            F.round(F.col("cumc").cast("double") / F.col("t"), 6).alias("coverage"),
+        )
+    )
+
+
 PSI_BIN_W = 16  # token-count bin width for the drift report
 PSI_BINS = 32  # bins 0..31; the last is open-ended
 

@@ -374,3 +374,28 @@ def test_drift_psi_recompute(spark):
     total = totals.pop()
     assert abs(total - psi) < 1e-5
     assert abs(sum(r["psi_bin"] for r in rows) - total) < 1e-4
+
+
+def test_vocab_coverage_monotone_and_complete(spark):
+    """Coverage must be monotonically non-decreasing in K, end at 1.0 once
+    K clamps to the full vocabulary, and match a Python recompute."""
+    from collections import Counter
+
+    rows = sorted(
+        _Q["ext_text_vocab_coverage"](spark, SF_DIR).collect(), key=lambda r: r["k"]
+    )
+    assert rows
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs)
+    docs = load(spark, SF_DIR, "documents").select("text").collect()
+    cnt = Counter(t for r in docs for t in r["text"].split(" ") if t)
+    total = sum(cnt.values())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    for r in rows:
+        at = min(r["k"], len(ranked))
+        assert r["at_rank"] == at
+        expected = sum(c for _, c in ranked[:at])
+        assert r["covered_tokens"] == expected
+        assert abs(r["coverage"] - expected / total) < 1e-5
+    if rows[-1]["k"] >= len(ranked):
+        assert rows[-1]["coverage"] == 1.0
