@@ -91,6 +91,7 @@ HEADLINE = [
     "ext_dedup_chunk_fuzzy",
     "ext_drift_psi",
     "ext_text_vocab_coverage",
+    "ext_eval_confusion",
 ]
 
 

@@ -620,18 +620,23 @@ def ext_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ext_text_langid",
-    r"""
-    SELECT doc_id, lang AS lang_declared,
-           CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+# DuckDB twin of tx.lang_id — shared by ext_text_langid and the
+# confusion-matrix eval key so the heuristic exists once per engine.
+LANGID_CASE_SQL = r"""CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
                 WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
                 WHEN regexp_matches(text, '[\x{ac00}-\x{d7af}]') THEN 'ko'
                 WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
                 WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
                 WHEN regexp_matches(text, '[äöüß]') THEN 'de'
                 WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
-                ELSE 'en' END AS lang_pred
+                ELSE 'en' END"""
+
+
+@register(
+    "ext_text_langid",
+    f"""
+    SELECT doc_id, lang AS lang_declared,
+           {LANGID_CASE_SQL} AS lang_pred
     FROM documents
     """,
 )

@@ -2119,6 +2119,106 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.orderBy(F.desc("dsir_logw"), "doc_id").limit(DSIR_KEEP)
 
 
+def _confusion_oracle() -> str:
+    from .extensions import LANGID_CASE_SQL
+
+    return f"""
+    WITH pred AS (
+        SELECT lang AS y, {LANGID_CASE_SQL} AS p FROM documents
+    ), cells AS (
+        SELECT y, p, COUNT(*) AS n FROM pred GROUP BY 1, 2
+    ), classes AS (
+        SELECT DISTINCT y AS c FROM cells UNION SELECT DISTINCT p FROM cells
+    ), tp AS (
+        SELECT y AS c, n FROM cells WHERE y = p
+    ), decl AS (
+        SELECT y AS c, SUM(n) AS nd FROM cells GROUP BY 1
+    ), pr AS (
+        SELECT p AS c, SUM(n) AS np FROM cells GROUP BY 1
+    ), m AS (
+        SELECT classes.c,
+               COALESCE(tp.n, 0) AS tp,
+               COALESCE(pr.np, 0) - COALESCE(tp.n, 0) AS fp,
+               COALESCE(decl.nd, 0) - COALESCE(tp.n, 0) AS fn,
+               CASE WHEN COALESCE(pr.np, 0) > 0
+                    THEN CAST(COALESCE(tp.n, 0) AS DOUBLE) / pr.np ELSE 0.0 END AS prec,
+               CASE WHEN COALESCE(decl.nd, 0) > 0
+                    THEN CAST(COALESCE(tp.n, 0) AS DOUBLE) / decl.nd ELSE 0.0 END AS rec
+        FROM classes
+        LEFT JOIN tp ON tp.c = classes.c
+        LEFT JOIN decl ON decl.c = classes.c
+        LEFT JOIN pr ON pr.c = classes.c
+    )
+    SELECT c AS lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           {dround('prec', 6)} AS precision_c, {dround('rec', 6)} AS recall_c,
+           {dround('CASE WHEN prec + rec > 0 THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END', 6)} AS f1
+    FROM m
+    """
+
+
+@register("ext_eval_confusion", _confusion_oracle())
+def ext_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation: per-class true/false positives, false
+    negatives, precision, recall, and F1 for the language-ID heuristic
+    against the declared gold label — the eval report every model-based
+    curation filter (lang-id, quality classifier, toxicity) ships with.
+    Any (label, prediction) column pair plugs into the same shape.
+
+    Scale shape: ONE (label, prediction) cell aggregate over the corpus
+    (map-side combined to at most classes^2 cells); every metric is
+    arithmetic on the cell table — class-count-sized, corpus-independent.
+    Precision/recall/F1 derive from exact integer counts, so both
+    engines compute identical IEEE doubles before the 6dp round."""
+    docs = load(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("y"), tx.lang_id(F.col("text")).alias("p")
+    )
+    cells = pred.groupBy("y", "p").agg(F.count(F.lit(1)).alias("n"))
+    classes = (
+        cells.select(F.col("y").alias("c"))
+        .union(cells.select(F.col("p").alias("c")))
+        .distinct()
+    )
+    tp = cells.filter(F.col("y") == F.col("p")).select(
+        F.col("y").alias("c"), F.col("n").alias("tp_n")
+    )
+    decl = cells.groupBy(F.col("y").alias("c")).agg(F.sum("n").alias("nd"))
+    prt = cells.groupBy(F.col("p").alias("c")).agg(F.sum("n").alias("np"))
+    m = (
+        classes.join(F.broadcast(tp), "c", "left")
+        .join(F.broadcast(decl), "c", "left")
+        .join(F.broadcast(prt), "c", "left")
+        .select(
+            "c",
+            F.coalesce(F.col("tp_n"), F.lit(0)).alias("tp"),
+            (F.coalesce(F.col("np"), F.lit(0)) - F.coalesce(F.col("tp_n"), F.lit(0))).alias("fp"),
+            (F.coalesce(F.col("nd"), F.lit(0)) - F.coalesce(F.col("tp_n"), F.lit(0))).alias("fn"),
+            F.when(
+                F.coalesce(F.col("np"), F.lit(0)) > 0,
+                F.coalesce(F.col("tp_n"), F.lit(0)).cast("double") / F.col("np"),
+            ).otherwise(F.lit(0.0)).alias("prec"),
+            F.when(
+                F.coalesce(F.col("nd"), F.lit(0)) > 0,
+                F.coalesce(F.col("tp_n"), F.lit(0)).cast("double") / F.col("nd"),
+            ).otherwise(F.lit(0.0)).alias("rec"),
+        )
+    )
+    f1 = F.when(
+        F.col("prec") + F.col("rec") > 0,
+        2.0 * F.col("prec") * F.col("rec") / (F.col("prec") + F.col("rec")),
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        F.col("c").alias("lang"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.round("prec", 6).alias("precision_c"),
+        F.round("rec", 6).alias("recall_c"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
 VOCAB_COVER_KS = [5, 10, 25, 50, 100, 1000]  # coverage checkpoints
 VOCAB_COVER_MAXK = max(VOCAB_COVER_KS)
 

@@ -399,3 +399,30 @@ def test_vocab_coverage_monotone_and_complete(spark):
         assert abs(r["coverage"] - expected / total) < 1e-5
     if rows[-1]["k"] >= len(ranked):
         assert rows[-1]["coverage"] == 1.0
+
+
+def test_eval_confusion_recompute(spark):
+    """Confusion-matrix metrics must match a Python recompute from the
+    langid key's raw (declared, predicted) pairs."""
+    from collections import Counter
+
+    pairs = [
+        (r["lang_declared"], r["lang_pred"])
+        for r in _Q["ext_text_langid"](spark, SF_DIR).collect()
+    ]
+    cells = Counter(pairs)
+    decl = Counter(y for y, _ in pairs)
+    pred = Counter(p for _, p in pairs)
+    rows = {r["lang"]: r for r in _Q["ext_eval_confusion"](spark, SF_DIR).collect()}
+    assert set(rows) == set(decl) | set(pred)
+    for c, r in rows.items():
+        tp = cells.get((c, c), 0)
+        assert r["tp"] == tp
+        assert r["fp"] == pred.get(c, 0) - tp
+        assert r["fn"] == decl.get(c, 0) - tp
+        p = tp / pred[c] if pred.get(c) else 0.0
+        q = tp / decl[c] if decl.get(c) else 0.0
+        assert abs(r["precision_c"] - p) < 1e-5
+        assert abs(r["recall_c"] - q) < 1e-5
+        f1 = 2 * p * q / (p + q) if p + q > 0 else 0.0
+        assert abs(r["f1"] - f1) < 1e-5
