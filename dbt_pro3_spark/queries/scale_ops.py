@@ -2077,7 +2077,7 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feat = big.groupBy("doc_id", "lang", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).localCheckpoint(eager=False)  # 3 consumers: rawd, tgt, per-doc scoring
     rawd = feat.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
     tgt = (
         feat.filter(F.col("lang") == DSIR_TARGET_LANG)
@@ -2265,7 +2265,9 @@ def ext_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     v = docs.select(
         F.explode(tx.tokens(F.col("text"))).alias("tok")
-    ).groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ).groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=False
+    )  # 2 consumers: totals + ranked cumulative
     tot = v.agg(F.sum("c").alias("t"), F.count(F.lit(1)).alias("vs"))
     w = Window.orderBy(F.desc("c"), "tok")
     cum = (
@@ -2533,7 +2535,7 @@ def ext_text_dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tx.tokens(F.col("text"))
     sized = docs.select(
         "doc_id", toks.alias("l"), F.size(toks).cast("bigint").alias("n_tokens")
-    )
+    ).localCheckpoint(eager=False)  # 3 consumers: grams, positions, final join
     grams = (
         sized.filter(F.col("n_tokens") >= n)
         .withColumn(
@@ -2779,6 +2781,7 @@ def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", gram.alias("gram"))
         .distinct()
+        .localCheckpoint(eager=False)  # 2 consumers: sizes + per-gram sets
     )
     sizes = grams.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_grams")
