@@ -92,6 +92,9 @@ HEADLINE = [
     "ext_drift_psi",
     "ext_text_vocab_coverage",
     "ext_eval_confusion",
+    "str_funcs_misc",
+    "agg_boolean_funcs",
+    "win_nth_ratio",
 ]
 
 

@@ -2119,6 +2119,184 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.orderBy(F.desc("dsir_logw"), "doc_id").limit(DSIR_KEEP)
 
 
+@register(
+    "str_funcs_misc",
+    """
+    SELECT c_custkey,
+           lpad(c_name, 22, '*') AS lpadded,
+           rpad(c_mktsegment, 12, '.') AS rpadded,
+           reverse(c_mktsegment) AS rev_seg,
+           repeat(substr(c_name, 1, 3), 2) AS rep3,
+           translate(c_name, 'aeiou', 'AEIOU') AS translated,
+           split_part(c_name, '#', 2) AS name_num
+    FROM customer
+    """,
+)
+def str_funcs_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery completing the SURVEY §2.C surface:
+    lpad/rpad, reverse, repeat, translate, split_part — all plain codegen
+    expressions with exact ANSI twins on both engines. (levenshtein,
+    initcap, trim, case functions live in their own keys.)
+
+    Scale shape: narrow projection, zero shuffles."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad("c_name", 22, "*").alias("lpadded"),
+        F.rpad("c_mktsegment", 12, ".").alias("rpadded"),
+        F.reverse("c_mktsegment").alias("rev_seg"),
+        F.repeat(F.substring("c_name", 1, 3), 2).alias("rep3"),
+        F.translate("c_name", "aeiou", "AEIOU").alias("translated"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+    )
+
+
+@register(
+    "agg_boolean_funcs",
+    """
+    SELECT o_orderpriority,
+           CAST(bool_and(o_totalprice > 1000) AS INTEGER) AS all_over_1k,
+           CAST(bool_or(o_totalprice > 400000) AS INTEGER) AS any_over_400k,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_over_100k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_boolean_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate battery (§2.E tail): BOOL_AND / BOOL_OR /
+    conditional count per group — the assertion-style aggregates behind
+    data-quality dashboards ("every order cleared the floor, none
+    breached the cap"). Booleans cast to INT for the cross-engine hash.
+
+    Scale shape: one hash aggregate, map-side combined; boolean partials
+    are single bytes."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).cast("int").alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).cast("int").alias("any_over_400k"),
+        F.count(F.when(F.col("o_totalprice") > 100000, 1)).cast("bigint").alias("n_over_100k"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "win_nth_ratio",
+    f"""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT user_id, event_id, cents,
+           nth_value(cents, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_cents,
+           {dround('cents * 1.0 / SUM(cents) OVER (PARTITION BY user_id)', 6)} AS ratio_to_report
+    FROM e
+    """,
+)
+def win_nth_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window battery tail (§2.F): NTH_VALUE over the full partition
+    frame plus ratio-to-report (each event's share of its user's total).
+    Money moves through exact integer cents — the per-user total is a
+    BIGINT sum, so the share division starts from identical operands on
+    both engines regardless of summation order.
+
+    Scale shape: one shuffle keyed by user_id; both windows share the
+    same partitioning (single sort)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wp = Window.partitionBy("user_id")
+    return e.select(
+        "user_id", "event_id", "cents",
+        F.nth_value("cents", 2).over(w).alias("second_cents"),
+        F.round(F.col("cents") * 1.0 / F.sum("cents").over(wp), 6).alias(
+            "ratio_to_report"
+        ),
+    )
+
+
+def _cluster_stats_oracle() -> str:
+    from .extensions import _NGRAM_JACCARD_SQL
+
+    return f"""
+    WITH RECURSIVE jpairs AS ({_NGRAM_JACCARD_SQL}),
+    fpairs AS (
+        SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= 0.02
+    ), edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM fpairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM fpairs
+    ), reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ), comp AS (
+        SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    ), labeled AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ), sizes AS (
+        SELECT component, COUNT(*) AS cluster_size FROM labeled GROUP BY 1
+    ), tot AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           {dround('cluster_size * COUNT(*) * 1.0 / tot.n', 6)} AS doc_share
+    FROM sizes, tot GROUP BY cluster_size, tot.n
+    """
+
+
+@register("ext_dedup_cluster_stats", _cluster_stats_oracle())
+def ext_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster audit: the cluster-size histogram (how many
+    clusters of each size, how many documents they hold, what corpus
+    share) over the same connected components ext_dedup_clusters
+    decides with — the report read BEFORE committing a dedup pass
+    (a giant cluster usually means boilerplate, not true duplication).
+    Completes the dedup lifecycle: pairs -> clusters -> AUDIT ->
+    keep-best.
+
+    Scale shape: components via pointer-jumping label propagation
+    (O(log d) rounds); the audit itself is two tiny aggregates
+    (component-sized, then size-histogram-sized) and a scalar total."""
+    from ..ext.cluster import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ded.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, min_common=2).filter(
+        F.col("jaccard") >= 0.02
+    )
+    comps = connected_components(pairs)
+    labeled = (
+        docs.select("doc_id")
+        .join(comps, docs.doc_id == comps.node, "left")
+        .select(F.coalesce("component", F.col("doc_id")).alias("component"))
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+            F.round(
+                F.col("cluster_size") * F.col("n_clusters") * 1.0 / F.col("n"), 6
+            ).alias("doc_share"),
+        )
+    )
+
+
 def _confusion_oracle() -> str:
     from .extensions import LANGID_CASE_SQL
 
