@@ -95,6 +95,7 @@ HEADLINE = [
     "str_funcs_misc",
     "agg_boolean_funcs",
     "win_nth_ratio",
+    "array_funcs_misc",
 ]
 
 

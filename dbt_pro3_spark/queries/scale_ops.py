@@ -2120,6 +2120,62 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_funcs_misc",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS l FROM documents WHERE doc_id < 100
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.l AS la, b.l AS lb
+        FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_distinct(list_intersect(la, lb))) AS INTEGER) AS n_common,
+           list_sort(list_distinct(list_intersect(la, lb))) AS common_sorted,
+           CAST(len(list_distinct(la)) AS INTEGER) AS n_distinct_a,
+           list_sort(list_distinct(list_filter(la, x -> NOT list_contains(lb, x)))) AS only_a,
+           la[1:5] AS head_a,
+           list_reverse_sort(list_distinct(lb))[1:3] AS top3_rev_b
+    FROM pairs
+    """,
+)
+def array_funcs_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery (§2 collection surface): array_intersect,
+    array_distinct, array_except (as a filter twin so DuckDB's bag
+    semantics can't drift from Spark's set semantics), sort_array both
+    directions, slice — exercised pairwise over adjacent documents'
+    token arrays. All narrow codegen expressions.
+
+    Scale shape: the pair join is an equi-join on doc_id+1 (no
+    fan-out); everything else is per-row array arithmetic."""
+    t = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", tx.tokens(F.col("text")).alias("l"))
+    )
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("l").alias("la"))
+    b = t.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b"),
+                 F.col("l").alias("lb"))
+    common = F.array_distinct(F.array_intersect("la", "lb"))
+    only_a = F.array_distinct(
+        F.filter("la", lambda x: ~F.array_contains("lb", x))
+    )
+    return (
+        a.join(b, "doc_a")
+        .select(
+            "doc_a", "doc_b",
+            F.size(common).alias("n_common"),
+            F.sort_array(common).alias("common_sorted"),
+            F.size(F.array_distinct("la")).alias("n_distinct_a"),
+            F.sort_array(only_a).alias("only_a"),
+            F.slice("la", 1, 5).alias("head_a"),
+            F.slice(F.sort_array(F.array_distinct("lb"), asc=False), 1, 3).alias(
+                "top3_rev_b"
+            ),
+        )
+    )
+
+
+@register(
     "str_funcs_misc",
     """
     SELECT c_custkey,
