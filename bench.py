@@ -96,6 +96,7 @@ HEADLINE = [
     "agg_boolean_funcs",
     "win_nth_ratio",
     "array_funcs_misc",
+    "ext_privacy_erasure",
 ]
 
 

@@ -2119,6 +2119,69 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.orderBy(F.desc("dsir_logw"), "doc_id").limit(DSIR_KEEP)
 
 
+ERASE_MOD = 97  # deterministic stand-in for the DSAR forget list
+
+
+@register(
+    "ext_privacy_erasure",
+    f"""
+    WITH forget AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % {ERASE_MOD} = 0
+    ), del_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM forget)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS rows_before,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM forget) AS rows_deleted
+    UNION ALL
+    SELECT 'orders',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM del_orders)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+    """,
+)
+def ext_privacy_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade (GDPR/CCPA erasure): a forget list
+    of customers propagates through the foreign-key chain — customer
+    rows directly, orders via o_custkey, lineitem via the order keys of
+    deleted orders — and the key emits the per-table deletion audit
+    (rows_before / rows_deleted) a compliance run must log. The actual
+    deletes are the same anti-joins with the audit's semi-joins flipped.
+
+    Scale shape: the forget list is dimension-sized and broadcast; the
+    order-key cascade is a semi-join (no payload materialization);
+    lineitem is probed once with the broadcast deleted-order set. No
+    shuffle touches the fact tables beyond the semi-join probes.
+    Completes the privacy family: pseudonymize / k-anon / DP noise /
+    PII redaction / ERASURE."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    forget = cust.filter(F.col("c_custkey") % ERASE_MOD == 0).select("c_custkey")
+    del_orders = orders.join(
+        F.broadcast(forget), orders.o_custkey == forget.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_li = li.join(
+        F.broadcast(del_orders), li.l_orderkey == del_orders.o_orderkey, "left_semi"
+    )
+    def row(name, total_df, del_df):
+        t = total_df.agg(F.count(F.lit(1)).cast("bigint").alias("rows_before"))
+        d = del_df.agg(F.count(F.lit(1)).cast("bigint").alias("rows_deleted"))
+        return t.crossJoin(d).select(
+            F.lit(name).alias("table_name"), "rows_before", "rows_deleted"
+        )
+    return (
+        row("customer", cust, forget)
+        .unionByName(row("orders", orders, del_orders))
+        .unionByName(row("lineitem", li, del_li))
+    )
+
+
 @register(
     "array_funcs_misc",
     f"""
