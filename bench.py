@@ -97,6 +97,7 @@ HEADLINE = [
     "win_nth_ratio",
     "array_funcs_misc",
     "ext_privacy_erasure",
+    "ext_dedup_incremental_fuzzy",
 ]
 
 

@@ -101,6 +101,7 @@ def _minhash_stages(
     n: int,
     num_perm: int,
     bands: int,
+    pair_filter=None,
 ):
     """Shared MinHash pipeline: per-doc distinct shingle hashes (sh),
     affine signatures (sigs), and banded candidate pairs (cand).
@@ -157,11 +158,12 @@ def _minhash_stages(
     for t in range(bands):
         a = banded.select(F.col("doc_id_").alias("doc_a"), F.col(f"mband{t}").alias("bk"))
         b = banded.select(F.col("doc_id_").alias("doc_b"), F.col(f"mband{t}").alias("bk"))
-        c = (
-            a.join(b, "bk")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
+        cond = (
+            pair_filter(F.col("doc_a"), F.col("doc_b"))
+            if pair_filter is not None
+            else F.col("doc_a") < F.col("doc_b")
         )
+        c = a.join(b, "bk").filter(cond).select("doc_a", "doc_b")
         cand = c if cand is None else cand.unionByName(c)
     cand = cand.dropDuplicates(["doc_a", "doc_b"])
     sa = sh.select(F.col("doc_id_").alias("doc_a"), "shingle")
@@ -186,6 +188,7 @@ def minhash_banded_pairs(
     bands: int = 4,
     min_common: int = 1,
     keep_sizes: bool = False,
+    pair_filter=None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, fully deterministic and oracle-checkable
     (unlike the pyspark.ml MinHashLSH variant, whose banding internals are
@@ -205,7 +208,9 @@ def minhash_banded_pairs(
 
     Output: (doc_a, doc_b, common_shingles, jaccard) for candidate pairs.
     """
-    sigs, common = _minhash_stages(df, id_col, text_col, n, num_perm, bands)
+    sigs, common = _minhash_stages(
+        df, id_col, text_col, n, num_perm, bands, pair_filter=pair_filter
+    )
     common = common.filter(F.col("common_shingles") >= min_common)
     counts = sigs.select("doc_id_", "n_sh")
     ca = counts.select(F.col("doc_id_").alias("doc_a"), F.col("n_sh").alias("n_a"))

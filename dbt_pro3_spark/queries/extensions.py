@@ -213,6 +213,7 @@ def _minhash_banded_oracle(
     num_perm: int = 16,
     bands: int = 4,
     toks_sql: str = "SELECT doc_id, string_split(text, ' ') AS l FROM documents",
+    pair_pred: str = "a.doc_id < b.doc_id",
 ) -> str:
     """DuckDB twin of ded.minhash_banded_pairs: identical md5-based base
     hash, affine permutations, band hashes, and exact-Jaccard verify.
@@ -241,7 +242,7 @@ def _minhash_banded_oracle(
     )
     band_joins = "\n        UNION ALL\n        ".join(
         f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b "
-        f"ON a.mband{t} = b.mband{t} AND a.doc_id < b.doc_id"
+        f"ON a.mband{t} = b.mband{t} AND {pair_pred}"
         for t in range(bands)
     )
     return f"""

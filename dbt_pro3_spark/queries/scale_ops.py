@@ -2119,6 +2119,47 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.orderBy(F.desc("dsir_logw"), "doc_id").limit(DSIR_KEEP)
 
 
+INCR_FUZZY_MOD = 10  # doc_id % mod == 0 -> the "incoming batch"; else store
+
+
+def _incr_fuzzy_oracle() -> str:
+    from .extensions import _minhash_banded_oracle
+
+    return _minhash_banded_oracle(
+        pair_pred=(
+            f"a.doc_id % {INCR_FUZZY_MOD} = 0 AND b.doc_id % {INCR_FUZZY_MOD} <> 0"
+        )
+    )
+
+
+@register("ext_dedup_incremental_fuzzy", _incr_fuzzy_oracle())
+def ext_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FUZZY dedup: MinHash-banded candidates between an
+    incoming batch (doc_id % {INCR_FUZZY_MOD} == 0 as the deterministic
+    stand-in) and the existing corpus store — the production shape for
+    "near-dedupe tonight's snapshot against everything already ingested"
+    without re-deduping the store against itself. Complements
+    ext_dedup_incremental (exact fingerprints, broadcast anti-join) with
+    the near-duplicate tier.
+
+    Same signature/banding pipeline as ext_dedup_minhash_banded — only
+    the candidate predicate differs (new-vs-store instead of a < b), so
+    the per-band candidate join skips store-store pairs entirely: at
+    steady state the store dwarfs each batch, and this is the difference
+    between O(batch * collision rate) and re-paying the corpus self-join
+    every night. In production the store side's signatures are READ from
+    the fingerprint table, not recomputed (signature persistence is the
+    ext_dedup_incremental store pattern).
+
+    Output: (doc_a=new, doc_b=store, common_shingles, jaccard)."""
+    docs = load(spark, sf_dir, "documents")
+    return ded.minhash_banded_pairs(
+        docs, "doc_id", "text", n=3, num_perm=16, bands=4,
+        pair_filter=lambda a, b: (a % INCR_FUZZY_MOD == 0)
+        & (b % INCR_FUZZY_MOD != 0),
+    )
+
+
 ERASE_MOD = 97  # deterministic stand-in for the DSAR forget list
 
 
