@@ -29,7 +29,10 @@ def _norm_cell(v):
     if isinstance(v, dt.date):
         return ("d", v.isoformat())
     if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
+        # Explicit kind tag: an untagged 1-element array like (("s","x"),)
+        # is indistinguishable from a malformed scalar tag and crashed
+        # _cell_eq's x[1] access.
+        return ("arr", tuple(_norm_cell(x) for x in v))
     return ("s", str(v))
 
 
@@ -78,6 +81,8 @@ def _cell_eq(x, y) -> bool:
     if x is None or y is None:
         return x is None and y is None
     if isinstance(x, tuple) and isinstance(y, tuple) and x and y:
+        if x[0] == "arr" or y[0] == "arr":
+            return x[0] == y[0] and _rows_eq(x[1], y[1])
         if x[0] == "f" or y[0] == "f" or x[0] == "i" or y[0] == "i":
             # numeric kinds compare cross-type with tolerance
             if x[0] in ("f", "i", "dec") and y[0] in ("f", "i", "dec"):
