@@ -98,6 +98,7 @@ HEADLINE = [
     "array_funcs_misc",
     "ext_privacy_erasure",
     "ext_dedup_incremental_fuzzy",
+    "ext_mm_video_neardup",
 ]
 
 

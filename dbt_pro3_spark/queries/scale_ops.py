@@ -2119,6 +2119,100 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.orderBy(F.desc("dsir_logw"), "doc_id").limit(DSIR_KEEP)
 
 
+FRAME_W = 100  # chars per synthetic "frame" (mm stub: text bytes = media)
+FRAME_MIN_SHARED = 2  # videos sharing >= this many frames pair up
+
+
+@register(
+    "ext_mm_video_neardup",
+    f"""
+    WITH f0 AS (
+        SELECT doc_id, i AS frame_idx,
+               md5(substr(text, i * {FRAME_W} + 1, {FRAME_W})) AS fh
+        FROM documents,
+             unnest(generate_series(0,
+                 CAST(FLOOR((len(text) - 1) / {FRAME_W}.0) AS BIGINT))) AS t(i)
+        WHERE len(text) > 0
+    ), f AS (
+        SELECT DISTINCT doc_id, fh FROM f0
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames FROM f GROUP BY 1
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_frames
+        FROM f a JOIN f b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {FRAME_MIN_SHARED}
+    )
+    SELECT p.doc_a, p.doc_b, p.shared_frames,
+           sa.n_frames AS n_frames_a, sb.n_frames AS n_frames_b,
+           {dround('CAST(p.shared_frames AS DOUBLE) / LEAST(sa.n_frames, sb.n_frames)', 6)} AS overlap
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    """,
+)
+def ext_mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection by shared frame hashes: each
+    "video" (the stub's media = text bytes) splits into fixed
+    {FRAME_W}-byte frames, frames hash exactly (md5 — a real pipeline
+    swaps in the perceptual hash of ext_mm_phash_dedup), and two videos
+    pair when they share >= {FRAME_MIN_SHARED} distinct frames —
+    re-encoded or trimmed copies share most frames even when container
+    bytes differ. Output carries the containment-style overlap fraction.
+
+    Scale shape: distinct (video, frame-hash) is the only corpus-sized
+    shuffle; candidates come from the frame-hash equi-join, bounded by
+    videos-per-frame — the ext_source_overlap shape at frame
+    granularity. A boilerplate frame (intros, color bars) shared by
+    millions of videos is the skew hazard: cap frame-hash document
+    frequency exactly like the stop-shingle cap before the pair join."""
+    docs = load(spark, sf_dir, "documents")
+    nframes = F.floor((F.length("text") - 1) / FRAME_W).cast("int")
+    f = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), nframes)).alias("i"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.substring(F.col("text"), F.col("i") * FRAME_W + 1, FRAME_W).cast(
+                    "binary"
+                )
+            ).alias("fh"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # 2 consumers: sizes + pair join
+    )
+    sizes = f.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_frames"))
+    a = f.select(F.col("doc_id").alias("doc_a"), "fh")
+    b = f.select(F.col("doc_id").alias("doc_b"), "fh")
+    pairs = (
+        a.join(b, "fh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= FRAME_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_frames").alias("n_frames_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_frames").alias("n_frames_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a", "doc_b", "shared_frames", "n_frames_a", "n_frames_b",
+            F.round(
+                F.col("shared_frames").cast("double")
+                / F.least("n_frames_a", "n_frames_b"),
+                6,
+            ).alias("overlap"),
+        )
+    )
+
+
 INCR_FUZZY_MOD = 10  # doc_id % mod == 0 -> the "incoming batch"; else store
 
 
