@@ -426,3 +426,35 @@ def test_eval_confusion_recompute(spark):
         assert abs(r["recall_c"] - q) < 1e-5
         f1 = 2 * p * q / (p + q) if p + q > 0 else 0.0
         assert abs(r["f1"] - f1) < 1e-5
+
+
+def test_video_neardup_recompute(spark):
+    """Shared-frame pairs recomputed in Python from the raw text frames
+    must match the key's output exactly (counts, sizes, overlap)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    frames = defaultdict(set)
+    for r in docs:
+        t = r["text"] or ""
+        for i in range(0, len(t), 100):
+            frames[r["doc_id"]].add(t[i : i + 100])
+    byframe = defaultdict(set)
+    for d, fs in frames.items():
+        for fh in fs:
+            byframe[fh].add(d)
+    shared = defaultdict(int)
+    for fh, ds in byframe.items():
+        for a, b in combinations(sorted(ds), 2):
+            shared[(a, b)] += 1
+    expected = {k: v for k, v in shared.items() if v >= 2}
+    rows = _Q["ext_mm_video_neardup"](spark, SF_DIR).collect()
+    got = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert set(got) == set(expected)
+    for k, r in got.items():
+        assert r["shared_frames"] == expected[k]
+        assert r["n_frames_a"] == len(frames[k[0]])
+        assert r["n_frames_b"] == len(frames[k[1]])
+        lo = min(r["n_frames_a"], r["n_frames_b"])
+        assert abs(r["overlap"] - r["shared_frames"] / lo) < 1e-5
