@@ -2119,6 +2119,48 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.orderBy(F.desc("dsir_logw"), "doc_id").limit(DSIR_KEEP)
 
 
+@register(
+    "ext_stream_windowed_topk",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    agg AS (
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ), closed AS (
+        SELECT window_start, event_type, n_events FROM agg, wm
+        WHERE window_start + INTERVAL '10 minutes' <= w
+    )
+    SELECT window_start, event_type, n_events,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY window_start ORDER BY n_events DESC, event_type
+           ) AS INTEGER) AS rk
+    FROM closed
+    QUALIFY rk <= 3
+    """,
+)
+def ext_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending-topics report: the watermarked tumbling count
+    stream (ext_watermark_stream's availableNow pipeline, reused) ranked
+    to the top-3 event types per FINALIZED window — the composition a
+    real-time dashboard runs: ranking only ever touches windows the
+    watermark has closed, so results never retract. The rank stage is a
+    batch window over the streaming sink's append output; its partitions
+    are window-sized (bounded by distinct event types), never
+    event-sized. The oracle carries both the eviction cutoff and the
+    ranking."""
+    from ..streaming.watermark import windowed_stream_counts
+
+    out = windowed_stream_counts(spark, f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        out.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
 FRAME_W = 100  # chars per synthetic "frame" (mm stub: text bytes = media)
 FRAME_MIN_SHARED = 2  # videos sharing >= this many frames pair up
 
