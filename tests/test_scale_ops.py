@@ -458,3 +458,51 @@ def test_video_neardup_recompute(spark):
         assert r["n_frames_b"] == len(frames[k[1]])
         lo = min(r["n_frames_a"], r["n_frames_b"])
         assert abs(r["overlap"] - r["shared_frames"] / lo) < 1e-5
+
+
+def test_incremental_fuzzy_sides_and_consistency(spark):
+    """Every pair must go new-batch -> store, and any full-corpus banded
+    pair straddling the split must also appear here (same bands, only
+    the predicate differs)."""
+    inc = _Q["ext_dedup_incremental_fuzzy"](spark, SF_DIR).collect()
+    assert inc
+    for r in inc:
+        assert r["doc_a"] % 10 == 0 and r["doc_b"] % 10 != 0
+    full = _Q["ext_dedup_minhash_banded"](spark, SF_DIR).collect()
+    straddle = {
+        (a, b)
+        for r in full
+        for a, b in [
+            (r["doc_a"], r["doc_b"]),
+            (r["doc_b"], r["doc_a"]),
+        ]
+        if a % 10 == 0 and b % 10 != 0
+    }
+    got = {(r["doc_a"], r["doc_b"]) for r in inc}
+    assert straddle <= got
+
+
+def test_privacy_erasure_cascade_recompute(spark):
+    """Deletion counts must match direct recomputation of the FK cascade,
+    and deleting the forget set must leave zero orphaned child rows."""
+    rows = {r["table_name"]: r for r in _Q["ext_privacy_erasure"](spark, SF_DIR).collect()}
+    cust = load(spark, SF_DIR, "customer")
+    orders = load(spark, SF_DIR, "orders")
+    li = load(spark, SF_DIR, "lineitem")
+    forget = cust.filter(F.col("c_custkey") % 97 == 0)
+    n_forget = forget.count()
+    del_o = orders.join(
+        forget.select("c_custkey"), orders.o_custkey == F.col("c_custkey"), "left_semi"
+    )
+    n_del_o = del_o.count()
+    n_del_l = li.join(
+        del_o.select("o_orderkey"), li.l_orderkey == del_o.o_orderkey, "left_semi"
+    ).count()
+    assert rows["customer"]["rows_deleted"] == n_forget > 0
+    assert rows["orders"]["rows_deleted"] == n_del_o
+    assert rows["lineitem"]["rows_deleted"] == n_del_l
+    # applying the erasure leaves no orphans
+    kept_orders = orders.join(
+        forget.select("c_custkey"), orders.o_custkey == F.col("c_custkey"), "left_anti"
+    )
+    assert kept_orders.filter(F.col("o_custkey") % 97 == 0).count() == 0
