@@ -99,6 +99,7 @@ HEADLINE = [
     "ext_privacy_erasure",
     "ext_dedup_incremental_fuzzy",
     "ext_mm_video_neardup",
+    "ext_label_balance",
 ]
 
 

@@ -2120,6 +2120,61 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_label_balance",
+    f"""
+    WITH c AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY 1
+    ), t AS (SELECT SUM(n) AS tot, COUNT(*) AS k FROM c
+    ), u AS (
+        SELECT label, n, t.tot, t.k,
+               n * 1.0 / t.tot AS p,
+               CAST(ROUND(-(n * 1.0 / t.tot) * ln(n * 1.0 / t.tot) * 1000000000.0)
+                    AS BIGINT) AS ent_units,
+               CAST(ROUND(pow(n * 1.0 / t.tot, 2) * 1000000000.0) AS BIGINT)
+                   AS gini_units
+        FROM c, t
+    )
+    SELECT label, n, {dround('p', 6)} AS share,
+           {dround('SUM(ent_units) OVER () / 1000000000.0', 6)} AS entropy,
+           {dround('1.0 - SUM(gini_units) OVER () / 1000000000.0', 6)} AS gini_impurity,
+           {dround('SUM(ent_units) OVER () / 1000000000.0 / ln(k)', 6)} AS balance
+    FROM u
+    """,
+)
+def ext_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set class-balance report: per-label counts and shares
+    plus corpus-level Shannon entropy, Gini impurity, and normalized
+    balance (entropy / ln(k), 1.0 = perfectly balanced) — the check run
+    before training any classifier head or stratifying a split.
+    Per-label terms snap to integer nano-units so the window totals are
+    exact order-independent BIGINT sums (the ext_drift_psi discipline).
+
+    Scale shape: one label-keyed aggregate (map-side combined to k
+    rows); every metric is arithmetic on the k-row table."""
+    emb = load(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.agg(F.sum("n").alias("tot"), F.count(F.lit(1)).alias("k"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    u = c.crossJoin(F.broadcast(t)).select(
+        "label", "n", "k",
+        p.alias("p"),
+        F.round(-p * F.log(p) * 1e9, 0).cast("bigint").alias("ent_units"),
+        F.round(F.pow(p, 2) * 1e9, 0).cast("bigint").alias("gini_units"),
+    )
+    w_all = Window.partitionBy()
+    ent = F.sum("ent_units").over(w_all) / 1e9
+    return u.select(
+        "label", "n",
+        F.round("p", 6).alias("share"),
+        F.round(ent, 6).alias("entropy"),
+        F.round(1.0 - F.sum("gini_units").over(w_all) / 1e9, 6).alias(
+            "gini_impurity"
+        ),
+        F.round(ent / F.log(F.col("k").cast("double")), 6).alias("balance"),
+    )
+
+
+@register(
     "ext_stream_windowed_topk",
     """
     WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
