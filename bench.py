@@ -100,6 +100,9 @@ HEADLINE = [
     "ext_dedup_incremental_fuzzy",
     "ext_mm_video_neardup",
     "ext_label_balance",
+    # round-3 close-out operators
+    "ext_embed_quantile_norm",
+    "ext_event_transition",
 ]
 
 

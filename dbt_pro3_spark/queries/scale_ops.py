@@ -3344,3 +3344,109 @@ def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(shared_d / F.least("n_a", "n_b"), 6).alias("containment"),
         )
     )
+
+
+@register(
+    "ext_embed_quantile_norm",
+    f"""
+    WITH dims AS (
+        SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ), pr AS (
+        SELECT vec_id, dim,
+               {dround('PERCENT_RANK() OVER (PARTITION BY dim ORDER BY x)', 6)} AS q
+        FROM dims
+    )
+    SELECT vec_id, list(q ORDER BY dim) AS quantiles
+    FROM pr GROUP BY vec_id
+    """,
+)
+def ext_embed_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization of the embedding corpus: every
+    coordinate is replaced by its percentile within that dimension, mapping
+    each dimension to a uniform [0,1] marginal. The rank-statistics
+    complement of ext_embed_whiten's z-scoring — robust to heavy tails and
+    the standard pre-step before copula-style feature fusion.
+
+    PERCENT_RANK semantics on both engines: (rank-1)/(N-1) with ties
+    sharing the rank, 0.0 for a single-row partition. The ratio divides the
+    same two integers in double on both sides, so values are bit-identical
+    before the defensive 6dp round.
+
+    Scale shape: ONE shuffle to (dim)-partitioned windows — per-dimension
+    sorts parallelize across the embedding width (64+ dims = 64+ concurrent
+    sorts, each over N values). That per-dim sort is the intrinsic cost of
+    EXACT rank normalization; at corpus scales where a full per-dim sort is
+    too hot, the documented fallback is approx-percentile bucketing
+    (agg_histogram_equidepth's shape) traded against rank resolution. The
+    final per-vector re-assembly is the whiten-key groupBy."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode(sim.as_double(F.col("embedding"))).alias("dim", "x")
+    )
+    w = Window.partitionBy("dim").orderBy("x")
+    q = dims.select(
+        "vec_id", "dim", F.round(F.percent_rank().over(w), 6).alias("q")
+    )
+    return q.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "q"))),
+            lambda s: s.q,
+        ).alias("quantiles")
+    )
+
+
+@register(
+    "ext_event_transition",
+    f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ), pairs AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_prev FROM pairs GROUP BY 1
+    )
+    SELECT p.prev_type, p.next_type, p.n, t.n_prev,
+           {dround('CAST(p.n AS DOUBLE) / t.n_prev', 6)} AS p_next
+    FROM pairs p JOIN tot t USING (prev_type)
+    """,
+)
+def ext_event_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for each
+    user's time-ordered event sequence, count (previous event type -> next
+    event type) transitions and the conditional probability of each next
+    type given the previous. The clickstream-analysis staple behind
+    next-action prediction and funnel-drop diagnostics — ext_event_funnel
+    checks ONE fixed path; this key reports the full transition structure.
+
+    Ordering tiebreak on the unique event_id (events can share a
+    timestamp), so the LAG pairing is deterministic on both engines.
+    Probabilities divide the same two integers in double -> bit-identical
+    before the defensive 6dp round.
+
+    Scale shape: ONE shuffle to (user_id)-partitioned windows (the same
+    partitioning every per-user sequence key reuses), then a partial+final
+    hash aggregate onto the tiny (prev, next) type-pair grid; row-count
+    totals broadcast back onto the matrix. No corpus-sized join anywhere."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = (
+        seq.groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("n_prev")
+    )
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type", "next_type", "n", "n_prev",
+        F.round(F.col("n").cast("double") / F.col("n_prev"), 6).alias("p_next"),
+    )
