@@ -103,6 +103,8 @@ HEADLINE = [
     # round-3 close-out operators
     "ext_embed_quantile_norm",
     "ext_event_transition",
+    "ext_length_bucket_batch",
+    "ext_user_churn_features",
 ]
 
 

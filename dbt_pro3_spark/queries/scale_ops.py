@@ -3450,3 +3450,173 @@ def ext_event_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type", "next_type", "n", "n_prev",
         F.round(F.col("n").cast("double") / F.col("n_prev"), 6).alias("p_next"),
     )
+
+
+BATCH_SIZE = 32       # ext_length_bucket_batch: sequences per padded batch
+LB_SUB = 512          # doc_id-range sub-bucket width for the two-level rn scan
+
+
+@register(
+    "ext_length_bucket_batch",
+    f"""
+    WITH sized AS (
+        SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents
+        WHERE len({_TOKS_SQL}) > 0
+    ), bucketed AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               (CASE WHEN n_tokens <= 16 THEN CAST(16 AS BIGINT) WHEN n_tokens <= 32 THEN CAST(32 AS BIGINT) WHEN n_tokens <= 64 THEN CAST(64 AS BIGINT) WHEN n_tokens <= 128 THEN CAST(128 AS BIGINT) WHEN n_tokens <= 256 THEN CAST(256 AS BIGINT) WHEN n_tokens <= 512 THEN CAST(512 AS BIGINT) WHEN n_tokens <= 1024 THEN CAST(1024 AS BIGINT) WHEN n_tokens <= 2048 THEN CAST(2048 AS BIGINT) WHEN n_tokens <= 4096 THEN CAST(4096 AS BIGINT) WHEN n_tokens <= 8192 THEN CAST(8192 AS BIGINT) WHEN n_tokens <= 16384 THEN CAST(16384 AS BIGINT) WHEN n_tokens <= 32768 THEN CAST(32768 AS BIGINT) WHEN n_tokens <= 65536 THEN CAST(65536 AS BIGINT) WHEN n_tokens <= 131072 THEN CAST(131072 AS BIGINT) WHEN n_tokens <= 262144 THEN CAST(262144 AS BIGINT) WHEN n_tokens <= 524288 THEN CAST(524288 AS BIGINT) WHEN n_tokens <= 1048576 THEN CAST(1048576 AS BIGINT) ELSE CAST(2097152 AS BIGINT) END) AS seq_len
+        FROM sized
+    ), numbered AS (
+        SELECT seq_len, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY seq_len ORDER BY doc_id) AS rn
+        FROM bucketed
+    )
+    SELECT seq_len,
+           CAST(FLOOR((rn - 1) / {BATCH_SIZE}) AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * seq_len AS BIGINT) AS padded_tokens,
+           CAST(COUNT(*) * seq_len - SUM(n_tokens) AS BIGINT) AS pad_waste,
+           {dround('1.0 - CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(*) * seq_len)', 6)} AS waste_frac
+    FROM numbered GROUP BY seq_len, batch_id
+    """,
+)
+def ext_length_bucket_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning: documents are assigned to
+    power-of-2 sequence-length buckets (min 16), numbered within each
+    bucket in deterministic doc_id order, and grouped into fixed-size
+    padded batches of {BATCH_SIZE}; each batch reports its token count,
+    padded size and padding waste. The pad-based alternative to
+    ext_text_pack's concat-and-chunk packing — the op behind
+    bucketed-batching dataloaders, and the report that quantifies how much
+    compute padding burns per bucket.
+
+    Scale shape: the per-bucket ROW_NUMBER is computed with the SAME
+    two-level distributed scan as ext_text_pack — a (seq_len, doc_id-range)
+    partitioned local count, a tiny ordered offset scan over sub-bucket
+    subtotals (n_docs/{LB_SUB} rows), and a broadcast join back. No
+    corpus-sized single-partition window; the final aggregate is a
+    partial+final hash agg onto (seq_len, batch_id)."""
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(tx.tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    seq_len = F.lit(2097152).cast("bigint")
+    for k in range(20, 3, -1):  # exact-integer power-of-2 ladder (no libm)
+        seq_len = F.when(
+            F.col("n_tokens") <= (1 << k), F.lit(1 << k).cast("bigint")
+        ).otherwise(seq_len)
+    bucketed = sized.withColumn("seq_len", seq_len).withColumn(
+        "sub", F.floor(F.col("doc_id") / LB_SUB)
+    )
+    w_local = Window.partitionBy("seq_len", "sub").orderBy("doc_id")
+    local = bucketed.withColumn("local_rn", F.row_number().over(w_local))
+    subtot = bucketed.groupBy("seq_len", "sub").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_sub = Window.partitionBy("seq_len").orderBy("sub")
+    offsets = subtot.withColumn(
+        "offset", (F.sum("cnt").over(w_sub) - F.col("cnt")).cast("bigint")
+    ).select("seq_len", "sub", "offset")
+    numbered = local.join(F.broadcast(offsets), ["seq_len", "sub"]).withColumn(
+        "rn", F.col("offset") + F.col("local_rn")
+    )
+    return (
+        numbered.withColumn(
+            "batch_id", F.floor((F.col("rn") - 1) / BATCH_SIZE).cast("bigint")
+        )
+        .groupBy("seq_len", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .select(
+            "seq_len", "batch_id", "n_docs", "sum_tokens",
+            (F.col("n_docs") * F.col("seq_len")).cast("bigint").alias("padded_tokens"),
+            (F.col("n_docs") * F.col("seq_len") - F.col("sum_tokens"))
+            .cast("bigint").alias("pad_waste"),
+            F.round(
+                F.lit(1.0)
+                - F.col("sum_tokens").cast("double")
+                / (F.col("n_docs") * F.col("seq_len")),
+                6,
+            ).alias("waste_frac"),
+        )
+    )
+
+
+CHURN_DAYS = 14   # no activity in the trailing 14 days => churned
+RECENT_DAYS = 7   # recency feature window
+
+
+@register(
+    "ext_user_churn_features",
+    f"""
+    WITH now_t AS (
+        SELECT MAX(ts) AS now_ts FROM events
+    ), feats AS (
+        SELECT e.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS n_types,
+               CAST(SUM(CAST({dround('e.value * 1000000', 0)} AS BIGINT)) AS BIGINT)
+                   AS sum_value_micros,
+               MAX(e.ts) AS last_ts,
+               CAST(SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 7 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_recent_7d,
+               MAX(n.now_ts) AS now_ts
+        FROM events e CROSS JOIN now_t n
+        GROUP BY e.user_id
+    )
+    SELECT user_id, n_events, n_types, sum_value_micros, last_ts,
+           CAST(date_diff('day', CAST(last_ts AS DATE), CAST(now_ts AS DATE))
+                AS INTEGER) AS days_since_last,
+           n_recent_7d,
+           date_diff('day', CAST(last_ts AS DATE), CAST(now_ts AS DATE))
+               > {CHURN_DAYS} AS churned
+    FROM feats
+    """,
+)
+def ext_user_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user churn label + feature generation off the event stream — the
+    feature-store shape behind a churn model: event counts, type diversity,
+    exact monetary total, recency (days since last event vs the corpus
+    max-ts 'now'), a trailing-{RECENT_DAYS}-day activity count, and the
+    boolean churn label (no activity in the trailing {CHURN_DAYS} days).
+
+    Determinism: the monetary total accumulates in exact integer
+    micro-units (each value HALF_UP-rounded to micros BEFORE summing —
+    the DSIR integer-unit discipline), so the sum is order-independent;
+    day arithmetic is integer DATEDIFF; the 'now' anchor is the exact MAX
+    timestamp broadcast as a 1-row scalar.
+
+    Scale shape: ONE partial+final hash aggregate onto user_id; the 'now'
+    scalar rides a 1x1 broadcast cross join (BroadcastNestedLoopJoin over
+    one row — the documented scalar-broadcast pattern, not a
+    CartesianProduct hazard). No window, no self-join."""
+    ev = load(spark, sf_dir, "events")
+    now_t = ev.agg(F.max("ts").alias("now_ts"))
+    feats = (
+        ev.crossJoin(F.broadcast(now_t))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+            F.sum(F.round(F.col("value") * 1000000, 0).cast("bigint"))
+            .cast("bigint").alias("sum_value_micros"),
+            F.max("ts").alias("last_ts"),
+            F.sum(
+                F.when(
+                    F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 7 DAY"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_recent_7d"),
+            F.max("now_ts").alias("now_ts_"),
+        )
+    )
+    days = F.datediff(F.to_date("now_ts_"), F.to_date("last_ts"))
+    return feats.select(
+        "user_id", "n_events", "n_types", "sum_value_micros", "last_ts",
+        days.cast("int").alias("days_since_last"),
+        "n_recent_7d",
+        (days > CHURN_DAYS).alias("churned"),
+    )
