@@ -105,6 +105,10 @@ HEADLINE = [
     "ext_event_transition",
     "ext_length_bucket_batch",
     "ext_user_churn_features",
+    "ext_basket_pairs",
+    "ext_supplier_hhi",
+    "ext_user_streaks",
+    "ext_part_pareto",
 ]
 
 

@@ -3620,3 +3620,247 @@ def ext_user_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_recent_7d",
         (days > CHURN_DAYS).alias("churned"),
     )
+
+
+_REV_CENTS_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+
+@register(
+    "ext_basket_pairs",
+    f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items
+    ), cnt AS (
+        SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_item FROM items GROUP BY pk
+    ), pairs AS (
+        SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.n_ab, ca.n_item AS n_a, cb.n_item AS n_b,
+           {dround('CAST(p.n_ab AS DOUBLE) / n.n_orders', 6)} AS support,
+           {dround('CAST(p.n_ab AS DOUBLE) * n.n_orders / (ca.n_item * cb.n_item)', 6)} AS lift
+    FROM pairs p
+    JOIN cnt ca ON ca.pk = p.part_a
+    JOIN cnt cb ON cb.pk = p.part_b
+    CROSS JOIN n
+    """,
+)
+def ext_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for every pair of parts bought together
+    in at least 2 orders, the pair count, per-item counts, support and
+    lift — the association-rule-mining primer (Agrawal-Srikant shape)
+    over the order/lineitem fact.
+
+    Scale shape: the pair join is an EQUI-join on l_orderkey — candidate
+    cost is bounded by sum over orders of (items-per-order choose 2),
+    which is small-constant per order (TPC-H ~4-7 lines), NOT corpus²;
+    the support>=2 cut keeps the output to genuinely associated pairs.
+    Item counts join back by part key (dimension-sized; AQE broadcasts
+    when small); the order total rides a 1-row scalar broadcast. Support
+    and lift divide identical exact integers in double on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = items.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    cnt = items.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    a = items.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = items.select(F.col("ok"), F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ca = cnt.select(F.col("pk").alias("part_a"), F.col("n_item").alias("n_a"))
+    cb = cnt.select(F.col("pk").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(ca, "part_a").join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "n_ab", "n_a", "n_b",
+            F.round(F.col("n_ab").cast("double") / F.col("n_orders"), 6)
+            .alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "ext_supplier_hhi",
+    f"""
+    WITH rev AS (
+        SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+               SUM({_REV_CENTS_SQL}) AS cents
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT nationkey, SUM(cents) AS tot_cents FROM rev GROUP BY 1
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(t.tot_cents AS BIGINT) AS total_cents,
+           {dround('SUM(POW(r.cents * 1.0 / t.tot_cents, 2)) * 10000', 6)} AS hhi
+    FROM rev r
+    JOIN tot t USING (nationkey)
+    JOIN nation n ON n.n_nationkey = r.nationkey
+    GROUP BY n.n_name, t.tot_cents
+    """,
+)
+def ext_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per nation: the Herfindahl-Hirschman Index
+    (sum of squared revenue shares x 10000) over each nation's supplier
+    base — the market-concentration audit behind supply-chain risk
+    scoring. Revenue accumulates in exact integer cents; each share
+    divides the same two integers in double on both engines, so the
+    squared-share sum differs only by summation order (~1e-13 relative —
+    far inside the 6dp terminal round, the pagerank discipline).
+
+    Scale shape: one fact-side hash aggregate onto (nation, supplier)
+    after a dimension join (AQE broadcasts the supplier side), a tiny
+    per-nation total joined back, and a 25-row final aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    tot = rev.groupBy("nationkey").agg(F.sum("cents").alias("tot_cents"))
+    share = F.col("cents") * 1.0 / F.col("tot_cents")
+    return (
+        rev.join(tot, "nationkey")
+        .join(nat, F.col("nationkey") == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "tot_cents")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.round(F.sum(share * share) * 10000, 6).alias("hhi"),
+        )
+        .select(
+            "nation", "n_suppliers",
+            F.col("tot_cents").cast("bigint").alias("total_cents"), "hhi",
+        )
+    )
+
+
+@register(
+    "ext_user_streaks",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), isl AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d
+               ) AS INTEGER) AS grp
+        FROM days
+    ), streaks AS (
+        SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+        FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def ext_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user — the classic
+    gaps-and-islands-over-dates engagement metric (longest streak, streak
+    count, total active days). Distinct event DATES collapse first, then
+    the date-minus-row-number island key groups consecutive runs; all
+    arithmetic is integer date math, hash-exact by construction.
+
+    Scale shape: the window partitions by user_id over DISTINCT dates
+    (bounded by days-in-corpus per user, not events), riding the same
+    user-partitioned shuffle every per-user sequence key reuses; then two
+    partial+final hash aggregates. No global window, no join."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.sum("len").cast("bigint").alias("active_days"),
+    )
+
+
+@register(
+    "ext_part_pareto",
+    f"""
+    WITH rev AS (
+        SELECT l_partkey, SUM({_REV_CENTS_SQL}) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+        SELECT SUM(cents) AS tc FROM rev
+    ), ranked AS (
+        SELECT l_partkey, CAST(cents AS BIGINT) AS cents,
+               CAST(SUM(cents) OVER (
+                   ORDER BY cents DESC, l_partkey
+               ) AS BIGINT) AS cum_cents
+        FROM rev
+    )
+    SELECT r.l_partkey, r.cents, r.cum_cents,
+           {dround('r.cum_cents * 1.0 / t.tc', 6)} AS cum_share,
+           CASE WHEN r.cum_cents * 1.0 / t.tc <= 0.80 THEN 'A'
+                WHEN r.cum_cents * 1.0 / t.tc <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked r CROSS JOIN tot t
+    """,
+)
+def ext_part_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of parts by revenue: rank parts by
+    exact-cents revenue, accumulate the running share, and classify into
+    A (first 80% of revenue), B (to 95%), C (tail) — the 80/20 inventory
+    analysis. The running sum is over exact integer cents with a full
+    tiebreak (cents DESC, partkey), so the cumulative totals — and the
+    boundary comparisons, which divide identical integers in double —
+    are bit-identical on both engines.
+
+    Scale shape: the fact table collapses to ONE row per part before any
+    window; the ordered cumulative sum runs over the DIMENSION-sized part
+    list (a deliberate, documented single-partition window over ~200k rows
+    per TPC-H SF100 — the win_lag_12_global post-aggregation discipline),
+    and the grand total rides a 1-row scalar broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    tot = rev.agg(F.sum("cents").alias("tc"))
+    w = (
+        Window.orderBy(F.desc("cents"), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.select(
+        "l_partkey", F.col("cents").cast("bigint").alias("cents"),
+        F.sum("cents").over(w).cast("bigint").alias("cum_cents"),
+    )
+    cum_share = F.col("cum_cents") * 1.0 / F.col("tc")
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "l_partkey", "cents", "cum_cents",
+        F.round(cum_share, 6).alias("cum_share"),
+        F.when(cum_share <= 0.80, "A")
+        .when(cum_share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
