@@ -109,6 +109,8 @@ HEADLINE = [
     "ext_supplier_hhi",
     "ext_user_streaks",
     "ext_part_pareto",
+    "ext_return_rate_wilson",
+    "ext_benford_digits",
 ]
 
 

@@ -3864,3 +3864,149 @@ def ext_part_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+WILSON_Z = 1.96  # 95% Wilson score interval
+
+# log10(1 + 1/d) for d = 1..9, inlined as literals on BOTH engines so no
+# libm log10 ulp difference can leak into the hash (Python repr round-trips
+# exactly to the same IEEE double both sides parse).
+BENFORD_EXP = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+
+@register(
+    "ext_return_rate_wilson",
+    f"""
+    WITH base AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returned
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
+    )
+    SELECT priority, n_lines, n_returned,
+           {dround('CAST(n_returned AS DOUBLE) / n_lines', 6)} AS p_hat,
+           {dround(f'''(CAST(n_returned AS DOUBLE) / n_lines
+                        + {WILSON_Z} * {WILSON_Z} / (2 * n_lines)
+                        - {WILSON_Z} * sqrt(
+                            (CAST(n_returned AS DOUBLE) / n_lines)
+                            * (1 - CAST(n_returned AS DOUBLE) / n_lines) / n_lines
+                            + {WILSON_Z} * {WILSON_Z} / (4.0 * n_lines * n_lines)))
+                       / (1 + {WILSON_Z} * {WILSON_Z} / n_lines)''', 6)} AS ci_lo,
+           {dround(f'''(CAST(n_returned AS DOUBLE) / n_lines
+                        + {WILSON_Z} * {WILSON_Z} / (2 * n_lines)
+                        + {WILSON_Z} * sqrt(
+                            (CAST(n_returned AS DOUBLE) / n_lines)
+                            * (1 - CAST(n_returned AS DOUBLE) / n_lines) / n_lines
+                            + {WILSON_Z} * {WILSON_Z} / (4.0 * n_lines * n_lines)))
+                       / (1 + {WILSON_Z} * {WILSON_Z} / n_lines)''', 6)} AS ci_hi
+    FROM base
+    """,
+)
+def ext_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate per order priority with a 95% Wilson score interval —
+    the small-sample-safe confidence interval (never escapes [0,1],
+    unlike the normal approximation) behind rate dashboards and
+    guardrail-metric monitors. Every term derives from the two exact
+    integers (n, k) per group and the literal z=1.96 through IEEE
+    double arithmetic (sqrt is correctly rounded), so both engines
+    produce bit-identical intervals before the defensive 6dp round.
+
+    Scale shape: one fact-side join + partial+final hash aggregate onto
+    the 5-row priority grid; the interval math is per-group scalar
+    arithmetic on the aggregate row."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    base = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint").alias("n_returned"),
+        )
+    )
+    n = F.col("n_lines").cast("double")
+    p = F.col("n_returned").cast("double") / n
+    z2 = F.lit(WILSON_Z * WILSON_Z)
+    center = p + z2 / (2 * n)
+    half = F.lit(WILSON_Z) * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    denom = 1 + z2 / n
+    return base.select(
+        "priority", "n_lines", "n_returned",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    )
+
+
+@register(
+    "ext_benford_digits",
+    f"""
+    WITH digits AS (
+        SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM digits
+    ), obs AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY 1
+    ), expd AS (
+        {' UNION ALL '.join(f"SELECT {d} AS digit, CAST({BENFORD_EXP[d]!r} AS DOUBLE) AS exp_share" for d in range(1, 10))}
+    )
+    SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs,
+           {dround('COALESCE(o.n_obs, 0) * 1.0 / t.n_total', 6)} AS obs_share,
+           {dround('e.exp_share', 6)} AS exp_share,
+           {dround('''POW(COALESCE(o.n_obs, 0) - t.n_total * e.exp_share, 2)
+                      / (t.n_total * e.exp_share)''', 6)} AS chi2_contrib
+    FROM expd e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
+    """,
+)
+def ext_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals: observed vs
+    expected first-significant-digit shares and the per-digit chi-square
+    contribution — the classic fraud / synthetic-data smell test. The
+    first digit is taken from the DECIMAL STRING of exact integer cents
+    (no float log10), and the expected shares are the SAME inlined IEEE
+    literals on both engines, so nothing depends on libm; the chi-square
+    terms derive from exact integers and those literals only. Per-digit
+    contributions are reported instead of a 9-term float total, so no
+    summation-order risk exists at all.
+
+    Scale shape: one projection + 9-group hash aggregate; the expected
+    table is a 9-row inline relation and the total a 1-row scalar
+    broadcast."""
+    od = load(spark, sf_dir, "orders")
+    digits = od.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+            1, 1,
+        ).cast("int").alias("digit")
+    )
+    tot = digits.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    obs = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    expd = spark.createDataFrame(
+        [(d, BENFORD_EXP[d]) for d in range(1, 10)], "digit int, exp_share double"
+    )
+    dev = F.col("n_obs") - F.col("n_total") * F.col("exp_share")
+    return (
+        expd.join(obs, "digit", "left")
+        .na.fill({"n_obs": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.round(F.col("n_obs") * 1.0 / F.col("n_total"), 6).alias("obs_share"),
+            F.round(F.col("exp_share"), 6).alias("exp_share"),
+            F.round(
+                dev * dev / (F.col("n_total") * F.col("exp_share")), 6
+            ).alias("chi2_contrib"),
+        )
+    )
