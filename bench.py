@@ -111,6 +111,8 @@ HEADLINE = [
     "ext_part_pareto",
     "ext_return_rate_wilson",
     "ext_benford_digits",
+    "ext_anomaly_rolling_z",
+    "ext_cohort_ltv",
 ]
 
 

@@ -4010,3 +4010,174 @@ def ext_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_contrib"),
         )
     )
+
+
+ZSCORE_WIN = 7      # trailing days in the rolling baseline
+ZSCORE_FLAG = 2.0   # |z| threshold for the anomaly flag
+
+
+@register(
+    "ext_anomaly_rolling_z",
+    f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ), roll AS (
+        SELECT d, n_events,
+               SUM(n_events) OVER w AS win_sum,
+               SUM(n_events * n_events) OVER w AS win_sumsq,
+               COUNT(n_events) OVER w AS win_n
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN {ZSCORE_WIN} PRECEDING
+                     AND 1 PRECEDING)
+    )
+    SELECT d, n_events, CAST(win_n AS BIGINT) AS win_n,
+           {dround('win_sum * 1.0 / win_n', 6)} AS win_mean,
+           {dround('''sqrt(GREATEST(win_sumsq * 1.0 / win_n
+                     - (win_sum * 1.0 / win_n) * (win_sum * 1.0 / win_n), 0))''', 6)}
+               AS win_std,
+           CASE WHEN win_sumsq * win_n > win_sum * win_sum THEN
+               {dround('''(n_events - win_sum * 1.0 / win_n)
+                          / sqrt(win_sumsq * 1.0 / win_n
+                          - (win_sum * 1.0 / win_n) * (win_sum * 1.0 / win_n))''', 6)}
+           END AS z,
+           CASE WHEN win_sumsq * win_n > win_sum * win_sum THEN
+               ABS((n_events - win_sum * 1.0 / win_n)
+                   / sqrt(win_sumsq * 1.0 / win_n
+                   - (win_sum * 1.0 / win_n) * (win_sum * 1.0 / win_n)))
+               > {ZSCORE_FLAG}
+           END AS is_anomaly
+    FROM roll WHERE win_n >= {ZSCORE_WIN}
+    """,
+)
+def ext_anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the daily event-count series:
+    each day is scored against the TRAILING {ZSCORE_WIN}-day baseline
+    (current day excluded, so a spike cannot mask itself), with |z| >
+    {ZSCORE_FLAG} flagged — the standard ops-metrics anomaly monitor, and
+    the time-series complement of ext_outlier_mad's global robust cut.
+
+    Determinism: the rolling mean/variance derive from exact integer
+    sums (SUM, SUM of squares, COUNT over the frame), so every float op
+    starts from identical operands; zero-variance frames yield NULL z
+    via an exact integer comparison (n*sumsq > sum²), never a divide.
+
+    Scale shape: the fact table collapses to one row per DAY before the
+    window; the ordered frame then runs over the calendar-sized series
+    (a deliberate, documented single-partition window over ~365 rows/yr
+    — the post-aggregation win_lag_12_global discipline). At multi-year
+    scale, partition the window by year with a {ZSCORE_WIN}-day overlap
+    stitch."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    w = Window.orderBy("d").rowsBetween(-ZSCORE_WIN, -1)
+    roll = daily.select(
+        "d", "n_events",
+        F.sum("n_events").over(w).alias("win_sum"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("win_sumsq"),
+        F.count("n_events").over(w).alias("win_n"),
+    ).filter(F.col("win_n") >= ZSCORE_WIN)
+    mean = F.col("win_sum") * 1.0 / F.col("win_n")
+    var = F.col("win_sumsq") * 1.0 / F.col("win_n") - mean * mean
+    nonzero = F.col("win_sumsq") * F.col("win_n") > F.col("win_sum") * F.col("win_sum")
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return roll.select(
+        "d", "n_events",
+        F.col("win_n").cast("bigint").alias("win_n"),
+        F.round(mean, 6).alias("win_mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("win_std"),
+        F.when(nonzero, F.round(z, 6)).alias("z"),
+        F.when(nonzero, F.abs(z) > ZSCORE_FLAG).alias("is_anomaly"),
+    )
+
+
+@register(
+    "ext_cohort_ltv",
+    f"""
+    WITH cents AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), firsts AS (
+        SELECT o_custkey, date_trunc('month', MIN(od)) AS cohort_month
+        FROM cents GROUP BY 1
+    ), joined AS (
+        SELECT c.o_custkey, f.cohort_month,
+               CAST(datediff('month', f.cohort_month,
+                             date_trunc('month', c.od)) AS INTEGER) AS age_m,
+               c.cents
+        FROM cents c JOIN firsts f USING (o_custkey)
+    ), cohort_sizes AS (
+        SELECT cohort_month, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM joined GROUP BY 1
+    ), by_age AS (
+        SELECT cohort_month, age_m, CAST(SUM(cents) AS BIGINT) AS rev_cents
+        FROM joined GROUP BY 1, 2
+    ), cum AS (
+        SELECT cohort_month, age_m, rev_cents,
+               CAST(SUM(rev_cents) OVER (
+                   PARTITION BY cohort_month ORDER BY age_m
+               ) AS BIGINT) AS cum_cents
+        FROM by_age
+    )
+    SELECT CAST(c.cohort_month AS DATE) AS cohort_month, c.age_m,
+           s.n_customers, c.rev_cents, c.cum_cents,
+           {dround('c.cum_cents * 0.01 / s.n_customers', 6)} AS ltv_per_customer
+    FROM cum c JOIN cohort_sizes s USING (cohort_month)
+    """,
+)
+def ext_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers are grouped by first-order
+    month, revenue accumulates by months-since-first-order, and each
+    (cohort, age) cell reports cumulative LTV per cohort customer — the
+    revenue complement of ext_retention_cohorts' activity matrix.
+
+    Determinism: revenue moves in exact integer cents end-to-end; the
+    cumulative sum is over exact bigints with a unique (cohort, age)
+    ordering; the final per-customer division divides identical integers
+    in double on both engines. Month age is integer month arithmetic on
+    date_trunc'd months (identical truncation both sides).
+
+    Scale shape: one per-customer MIN aggregate, a customer-keyed equi
+    join back to the order fact (AQE-broadcast when the cohort map is
+    small; co-partitioned shuffle otherwise), one hash aggregate onto
+    the tiny (cohort, age) grid, and a cumulative window PARTITIONED BY
+    cohort over at most months-of-history rows per partition."""
+    od = load(spark, sf_dir, "orders")
+    cents_col = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    cents = od.select(
+        "o_custkey", F.to_date("o_orderdate").alias("od"),
+        cents_col.alias("cents"),
+    )
+    firsts = cents.groupBy("o_custkey").agg(
+        F.trunc(F.min("od"), "month").alias("cohort_month")
+    )
+    joined = cents.join(firsts, "o_custkey").select(
+        "o_custkey", "cohort_month",
+        (
+            (F.year(F.trunc("od", "month")) - F.year("cohort_month")) * 12
+            + (F.month(F.trunc("od", "month")) - F.month("cohort_month"))
+        ).cast("int").alias("age_m"),
+        "cents",
+    )
+    sizes = joined.groupBy("cohort_month").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers")
+    )
+    by_age = joined.groupBy("cohort_month", "age_m").agg(
+        F.sum("cents").cast("bigint").alias("rev_cents")
+    )
+    w = (
+        Window.partitionBy("cohort_month").orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = by_age.withColumn(
+        "cum_cents", F.sum("rev_cents").over(w).cast("bigint")
+    )
+    return cum.join(sizes, "cohort_month").select(
+        F.col("cohort_month").cast("date").alias("cohort_month"),
+        "age_m", "n_customers", "rev_cents", "cum_cents",
+        F.round(F.col("cum_cents") * 0.01 / F.col("n_customers"), 6)
+        .alias("ltv_per_customer"),
+    )
