@@ -165,3 +165,39 @@ def test_countmin_probe_is_broadcast(spark):
     p = plan_str(_QUERIES["ext_sketch_countmin"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_basket_pairs_is_equi_join(spark):
+    """Pair generation must be an equi-join on the order key (bounded by
+    items-per-order choose 2) — never a nested-loop over parts."""
+    p = plan_str(_QUERIES["ext_basket_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_length_bucket_batch_no_global_window(spark):
+    """The corpus-side row_number window must be partitioned by
+    (seq_len, sub) — the two-level scan leaves no corpus-wide,
+    unpartitioned row-number anywhere in the plan."""
+    p = plan_str(_QUERIES["ext_length_bucket_batch"](spark, SF_DIR))
+    rn_lines = [ln for ln in p.split("\n") if "row_number()" in ln]
+    assert rn_lines, p[:1500]
+    for ln in rn_lines:
+        assert "windowspecdefinition(seq_len" in ln, ln[:300]
+        assert ", sub#" in ln, ln[:300]
+
+
+def test_event_transition_single_user_shuffle(spark):
+    """The lag window and the pair aggregate reuse/derive from the
+    user-partitioned shuffle; totals broadcast back."""
+    p = plan_str(_QUERIES["ext_event_transition"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_churn_features_scalar_broadcast_only(spark):
+    """The 'now' anchor rides a 1-row BroadcastNestedLoopJoin; the feature
+    aggregate itself is one user-keyed hash aggregate."""
+    p = plan_str(_QUERIES["ext_user_churn_features"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
