@@ -113,6 +113,7 @@ HEADLINE = [
     "ext_benford_digits",
     "ext_anomaly_rolling_z",
     "ext_cohort_ltv",
+    "ext_dedup_recall_audit",
 ]
 
 

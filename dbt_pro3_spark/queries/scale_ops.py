@@ -4181,3 +4181,130 @@ def ext_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cum_cents") * 0.01 / F.col("n_customers"), 6)
         .alias("ltv_per_customer"),
     )
+
+
+RECALL_MOD, RECALL_KEEP = 10, 3   # deterministic 30% doc sample for the audit
+RECALL_J = 0.5                    # near-dup threshold the audit grades at
+
+
+def _recall_audit_oracle() -> str:
+    """Composed oracle: exact-Jaccard ground truth on the md5-hash sample
+    (same shingle construction as the banded pipeline) vs the full
+    minhash-banded candidate set restricted to the sample."""
+    from .extensions import _minhash_banded_oracle
+    from .llm_ops import _md5_32
+
+    samp_pred = f"{_md5_32('CAST(doc_id AS VARCHAR)')} % {RECALL_MOD} < {RECALL_KEEP}"
+    banded = _minhash_banded_oracle()
+    return f"""
+    WITH samp AS (
+        SELECT doc_id FROM documents WHERE {samp_pred}
+    ), toks AS (
+        SELECT d.doc_id, string_split(d.text, ' ') AS l
+        FROM documents d JOIN samp USING (doc_id)
+    ), ssh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(l) - 2),
+                                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM ssh GROUP BY doc_id
+    ), tp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), truthj AS (
+        SELECT tp.doc_a, tp.doc_b
+        FROM tp
+        JOIN sizes sa ON sa.doc_id = tp.doc_a
+        JOIN sizes sb ON sb.doc_id = tp.doc_b
+        WHERE {dround('tp.common * 1.0 / (sa.n_sh + sb.n_sh - tp.common)', 6)}
+              >= {RECALL_J}
+    ), cand AS (
+        SELECT doc_a, doc_b FROM ({banded}) q
+        WHERE q.jaccard >= {RECALL_J}
+          AND q.doc_a IN (SELECT doc_id FROM samp)
+          AND q.doc_b IN (SELECT doc_id FROM samp)
+    ), det AS (
+        SELECT t.doc_a FROM truthj t
+        JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT nt.n_truth, nd.n_detected,
+           CAST(nt.n_truth - nd.n_detected AS BIGINT) AS n_missed,
+           CASE WHEN nt.n_truth = 0 THEN 1.0
+                ELSE {dround('nd.n_detected * 1.0 / nt.n_truth', 6)} END AS recall
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truthj) nt
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_detected FROM det) nd
+    """
+
+
+@register("ext_dedup_recall_audit", _recall_audit_oracle())
+def ext_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine recall audit of the MinHash-LSH dedup path: exact-Jaccard
+    ground truth (J >= {RECALL_J}, same 3-gram shingles as the banding
+    pipeline) is computed on a DETERMINISTIC md5-hash {RECALL_KEEP}0% doc
+    sample, and the full-corpus banded candidate set is graded against it.
+    The report answers "what fraction of true near-dups does the banding
+    S-curve actually surface?" — the audit you run before trusting a dedup
+    pass at corpus scale.
+
+    Scale discipline: the UNCAPPED exact shingle self-join — the quadratic
+    primitive — runs ONLY inside the hash sample, so its cost is bounded by
+    the sample fraction squared and tunable independently of corpus size
+    (this is how recall is audited at 100 TB: sample, verify exactly,
+    extrapolate). The candidate side reuses the production banded-LSH plan
+    (band equi-joins, no all-pairs) and is merely filtered to the sample.
+
+    Cites reference test strategy (SURVEY §5): the reference trusts its
+    dedup models blindly; this key makes the error rate measurable."""
+    docs = load(spark, sf_dir, "documents")
+    samp_ids = docs.select("doc_id").filter(
+        _spark_md5_32(F.col("doc_id").cast("string")) % RECALL_MOD < RECALL_KEEP
+    )
+    sample = docs.join(F.broadcast(samp_ids), "doc_id", "left_semi")
+    sh = (
+        ded.spread(sample.select("doc_id", "text"))
+        .select("doc_id", F.explode(ded.shingles(F.col("text"), 3)).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    tp = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    truth = (
+        tp.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(
+            F.round(
+                F.col("common") * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                6,
+            )
+            >= RECALL_J
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = (
+        ded.minhash_banded_pairs(docs, "doc_id", "text", n=3, num_perm=16, bands=4)
+        .filter(F.col("jaccard") >= RECALL_J)
+        .join(F.broadcast(samp_ids.select(F.col("doc_id").alias("doc_a"))), "doc_a", "left_semi")
+        .join(F.broadcast(samp_ids.select(F.col("doc_id").alias("doc_b"))), "doc_b", "left_semi")
+        .select("doc_a", "doc_b")
+    )
+    det = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    nd = det.agg(F.count(F.lit(1)).cast("bigint").alias("n_detected"))
+    return nt.crossJoin(nd).select(
+        "n_truth", "n_detected",
+        (F.col("n_truth") - F.col("n_detected")).cast("bigint").alias("n_missed"),
+        F.when(F.col("n_truth") == 0, F.lit(1.0))
+        .otherwise(F.round(F.col("n_detected") * 1.0 / F.col("n_truth"), 6))
+        .alias("recall"),
+    )
