@@ -114,6 +114,7 @@ HEADLINE = [
     "ext_anomaly_rolling_z",
     "ext_cohort_ltv",
     "ext_dedup_recall_audit",
+    "ext_partition_skew_report",
 ]
 
 

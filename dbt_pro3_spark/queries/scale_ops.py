@@ -4308,3 +4308,103 @@ def ext_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.col("n_detected") * 1.0 / F.col("n_truth"), 6))
         .alias("recall"),
     )
+
+
+SKEW_TOP = 10  # heaviest keys reported per column
+
+
+@register(
+    "ext_partition_skew_report",
+    f"""
+    WITH stats AS (
+        SELECT 'events.user_id' AS key_col,
+               CAST(user_id AS VARCHAR) AS key_val,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR),
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem GROUP BY 2
+        UNION ALL
+        SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR),
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem GROUP BY 2
+    ), agg AS (
+        SELECT key_col, CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+               CAST(MAX(n_rows) AS BIGINT) AS max_rows
+        FROM stats GROUP BY 1
+    ), ranked AS (
+        SELECT key_col, key_val, n_rows,
+               ROW_NUMBER() OVER (
+                   PARTITION BY key_col ORDER BY n_rows DESC, key_val
+               ) AS rk
+        FROM stats
+    )
+    SELECT r.key_col, r.rk, r.key_val, r.n_rows, a.n_keys, a.total_rows,
+           {dround('r.n_rows * 1.0 * a.n_keys / a.total_rows', 6)} AS skew_factor,
+           {dround('a.max_rows * 1.0 * a.n_keys / a.total_rows', 6)} AS col_max_skew
+    FROM ranked r JOIN agg a USING (key_col)
+    WHERE r.rk <= {SKEW_TOP}
+    """,
+)
+def ext_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: for each shuffle-key column of interest,
+    the {SKEW_TOP} heaviest key values with their skew factor (rows for
+    the key ÷ mean rows per key) and the column-level max skew — the
+    report read BEFORE choosing between a plain shuffle join, AQE skew
+    splitting, or an explicit salted join (`join_salted_skew` is the
+    remedy this report prescribes).
+
+    Determinism: counts are exact integers; the skew factor divides and
+    multiplies the same integers in double on both engines; ranking ties
+    break on the key string.
+
+    Scale shape: one partial+final hash aggregate PER key column (the
+    map-side combine collapses each partition to its distinct keys), a
+    3-row column-stats broadcast, and a top-{SKEW_TOP} window over
+    per-column aggregates — at warehouse scale the per-key aggregate IS
+    the shuffle you are diagnosing, run once and cached as key stats."""
+    ev = load(spark, sf_dir, "events")
+    li = load(spark, sf_dir, "lineitem")
+
+    def keyed(df: DataFrame, label: str, col: str) -> DataFrame:
+        return df.groupBy(F.col(col).cast("string").alias("key_val")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows")
+        ).select(F.lit(label).alias("key_col"), "key_val", "n_rows")
+
+    stats = (
+        keyed(ev, "events.user_id", "user_id")
+        .unionByName(keyed(li, "lineitem.l_orderkey", "l_orderkey"))
+        .unionByName(keyed(li, "lineitem.l_partkey", "l_partkey"))
+    )
+    agg = stats.groupBy("key_col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.max("n_rows").cast("bigint").alias("max_rows"),
+    )
+    # two-level top-k: a (key_col, hash-bucket)-partitioned local top-K
+    # prunes the key-stats table to <= 64*K rows per column before the
+    # per-column ranking window ever runs — no column-wide hot partition.
+    bucketed = stats.withColumn(
+        "b", F.pmod(F.xxhash64("key_val"), F.lit(64))
+    )
+    w_local = Window.partitionBy("key_col", "b").orderBy(
+        F.desc("n_rows"), F.col("key_val")
+    )
+    pruned = (
+        bucketed.withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= SKEW_TOP)
+        .drop("b", "lrk")
+    )
+    w = Window.partitionBy("key_col").orderBy(F.desc("n_rows"), F.col("key_val"))
+    ranked = pruned.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= SKEW_TOP
+    )
+    return ranked.join(F.broadcast(agg), "key_col").select(
+        "key_col", "rk", "key_val", "n_rows", "n_keys", "total_rows",
+        F.round(F.col("n_rows") * 1.0 * F.col("n_keys") / F.col("total_rows"), 6)
+        .alias("skew_factor"),
+        F.round(F.col("max_rows") * 1.0 * F.col("n_keys") / F.col("total_rows"), 6)
+        .alias("col_max_skew"),
+    )
