@@ -3664,7 +3664,7 @@ def ext_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)  # 4 consumers: n, cnt, both join sides
     n = items.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
     cnt = items.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
     a = items.select(F.col("ok"), F.col("pk").alias("part_a"))
@@ -4266,6 +4266,7 @@ def ext_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ded.spread(sample.select("doc_id", "text"))
         .select("doc_id", F.explode(ded.shingles(F.col("text"), 3)).alias("shingle"))
         .dropDuplicates(["doc_id", "shingle"])
+        .localCheckpoint(eager=False)  # 3 consumers: sizes + both pair sides
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -4290,6 +4291,7 @@ def ext_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= RECALL_J
         )
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # 2 consumers: detected join + truth count
     )
     cand = (
         ded.minhash_banded_pairs(docs, "doc_id", "text", n=3, num_perm=16, bands=4)
@@ -4377,7 +4379,7 @@ def ext_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed(ev, "events.user_id", "user_id")
         .unionByName(keyed(li, "lineitem.l_orderkey", "l_orderkey"))
         .unionByName(keyed(li, "lineitem.l_partkey", "l_partkey"))
-    )
+    ).localCheckpoint(eager=False)  # 2 consumers: column stats + top-k ranking
     agg = stats.groupBy("key_col").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.sum("n_rows").cast("bigint").alias("total_rows"),
