@@ -115,6 +115,7 @@ HEADLINE = [
     "ext_cohort_ltv",
     "ext_dedup_recall_audit",
     "ext_partition_skew_report",
+    "ext_dedup_scurve",
 ]
 
 

@@ -4410,3 +4410,166 @@ def ext_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("max_rows") * 1.0 * F.col("n_keys") / F.col("total_rows"), 6)
         .alias("col_max_skew"),
     )
+
+
+# Theoretical banding detect probability 1-(1-J^4)^4 at each decile
+# midpoint, precomputed in Python and inlined as IDENTICAL IEEE literals on
+# both engines (the Benford discipline — zero libm/pow dependence).
+SCURVE_THEORY = {
+    0: 2.4999765625866033e-05, 1: 0.002023462784544794,
+    2: 0.015533685451373458, 3: 0.05868734093822947,
+    4: 0.1542089073754258, 5: 0.3187793950037199,
+    6: 0.544574803350227, 7: 0.7816303221043199,
+    8: 0.9477977920742496, 9: 0.9988160942644072,
+}
+
+
+def _scurve_oracle() -> str:
+    """Composed oracle: sampled exact-Jaccard pairs bucketed by decile vs
+    banded-candidate membership, with the theoretical curve inlined."""
+    from .extensions import _minhash_banded_oracle
+    from .llm_ops import _md5_32
+
+    samp_pred = f"{_md5_32('CAST(doc_id AS VARCHAR)')} % {RECALL_MOD} < {RECALL_KEEP}"
+    banded = _minhash_banded_oracle()
+    theory = " UNION ALL ".join(
+        f"SELECT {d} AS decile, CAST({SCURVE_THEORY[d]!r} AS DOUBLE) AS p_theory"
+        for d in range(10)
+    )
+    return f"""
+    WITH samp AS (
+        SELECT doc_id FROM documents WHERE {samp_pred}
+    ), toks AS (
+        SELECT d.doc_id, string_split(d.text, ' ') AS l
+        FROM documents d JOIN samp USING (doc_id)
+    ), ssh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(l) - 2),
+                                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM ssh GROUP BY doc_id
+    ), tp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT tp.doc_a, tp.doc_b,
+               CAST(FLOOR({dround('tp.common * 1.0 / (sa.n_sh + sb.n_sh - tp.common)', 6)} * 10)
+                    AS INTEGER) AS decile
+        FROM tp
+        JOIN sizes sa ON sa.doc_id = tp.doc_a
+        JOIN sizes sb ON sb.doc_id = tp.doc_b
+    ), cand AS (
+        SELECT doc_a, doc_b FROM ({banded}) q
+        WHERE q.doc_a IN (SELECT doc_id FROM samp)
+          AND q.doc_b IN (SELECT doc_id FROM samp)
+    ), marked AS (
+        SELECT t.decile,
+               CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+        FROM truth t
+        LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    ), obs AS (
+        SELECT LEAST(decile, 9) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(hit) AS BIGINT) AS n_detected
+        FROM marked GROUP BY 1
+    )
+    SELECT th.decile, COALESCE(o.n_pairs, 0) AS n_pairs,
+           COALESCE(o.n_detected, 0) AS n_detected,
+           CASE WHEN COALESCE(o.n_pairs, 0) = 0 THEN NULL
+                ELSE {dround('o.n_detected * 1.0 / o.n_pairs', 6)} END AS p_observed,
+           {dround('th.p_theory', 6)} AS p_theory
+    FROM ({theory}) th LEFT JOIN obs o USING (decile)
+    """
+
+
+@register("ext_dedup_scurve", _scurve_oracle())
+def ext_dedup_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical banding S-curve: within the deterministic hash sample,
+    every pair sharing a shingle is bucketed by its exact Jaccard decile
+    and the fraction surfaced by the production MinHash banding is
+    reported next to the theoretical detect probability 1-(1-J^4)^4 at
+    the decile midpoint — the calibration chart that tells you where the
+    dedup threshold actually sits before you trust it on a corpus.
+
+    The theoretical curve is precomputed in Python and inlined as
+    IDENTICAL IEEE literals on both engines (no pow/libm in either
+    plan); observed rates divide exact integers. Sampling confines the
+    quadratic exact stage exactly as in ext_dedup_recall_audit.
+
+    Scale shape: sample-confined shingle self-join for truth; the
+    candidate side reuses the banded plan filtered to the sample; final
+    aggregate is a 10-row decile grid left-joined to a 10-row inline
+    theory relation."""
+    docs = load(spark, sf_dir, "documents")
+    samp_ids = docs.select("doc_id").filter(
+        _spark_md5_32(F.col("doc_id").cast("string")) % RECALL_MOD < RECALL_KEEP
+    )
+    sample = docs.join(F.broadcast(samp_ids), "doc_id", "left_semi")
+    sh = (
+        ded.spread(sample.select("doc_id", "text"))
+        .select("doc_id", F.explode(ded.shingles(F.col("text"), 3)).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+        .localCheckpoint(eager=False)  # 3 consumers: sizes + both pair sides
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    tp = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    truth = (
+        tp.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.floor(
+                F.round(
+                    F.col("common") * 1.0
+                    / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                    6,
+                )
+                * 10
+            ).cast("int").alias("decile"),
+        )
+    )
+    cand = (
+        ded.minhash_banded_pairs(docs, "doc_id", "text", n=3, num_perm=16, bands=4)
+        .join(F.broadcast(samp_ids.select(F.col("doc_id").alias("doc_a"))),
+              "doc_a", "left_semi")
+        .join(F.broadcast(samp_ids.select(F.col("doc_id").alias("doc_b"))),
+              "doc_b", "left_semi")
+        .select("doc_a", "doc_b", F.lit(1).alias("hit_"))
+    )
+    marked = truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.least(F.col("decile"), F.lit(9)).alias("decile"),
+        F.coalesce("hit_", F.lit(0)).alias("hit"),
+    )
+    obs = marked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("hit").cast("bigint").alias("n_detected"),
+    )
+    theory = spark.createDataFrame(
+        [(d, SCURVE_THEORY[d]) for d in range(10)], "decile int, p_theory double"
+    )
+    return (
+        theory.join(obs, "decile", "left")
+        .na.fill({"n_pairs": 0, "n_detected": 0})
+        .select(
+            "decile",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("n_detected").cast("bigint").alias("n_detected"),
+            F.when(
+                F.col("n_pairs") == 0, F.lit(None).cast("double")
+            ).otherwise(
+                F.round(F.col("n_detected") * 1.0 / F.col("n_pairs"), 6)
+            ).alias("p_observed"),
+            F.round(F.col("p_theory"), 6).alias("p_theory"),
+        )
+    )
