@@ -116,6 +116,8 @@ HEADLINE = [
     "ext_dedup_recall_audit",
     "ext_partition_skew_report",
     "ext_dedup_scurve",
+    "ext_active_users_rolling",
+    "ext_revenue_waterfall",
 ]
 
 

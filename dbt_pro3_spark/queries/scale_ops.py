@@ -4573,3 +4573,164 @@ def ext_dedup_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p_theory"), 6).alias("p_theory"),
         )
     )
+
+
+AU_WIN = 7  # trailing window (days) for the rolling active-user count
+
+
+@register(
+    "ext_active_users_rolling",
+    f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), bounds AS (
+        SELECT MIN(d) AS d_min, MAX(d) AS d_max FROM ud
+    ), contrib AS (
+        SELECT DISTINCT ud.user_id, unnest(generate_series(ud.d, ud.d + {AU_WIN - 1},
+                                           INTERVAL 1 DAY)) AS wd
+        FROM ud
+    ), wau AS (
+        SELECT CAST(wd AS DATE) AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM contrib GROUP BY 1
+    ), dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    )
+    SELECT w.d, COALESCE(a.dau, 0) AS dau, w.wau,
+           {dround('COALESCE(a.dau, 0) * 1.0 / w.wau', 6)} AS stickiness
+    FROM wau w
+    LEFT JOIN dau a ON a.d = w.d
+    CROSS JOIN bounds b
+    WHERE w.d >= b.d_min + {AU_WIN - 1} AND w.d <= b.d_max
+    """,
+)
+def ext_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active users: exact DAU and trailing-{AU_WIN}-day WAU per
+    day, plus the DAU/WAU stickiness ratio — the product-analytics
+    headline metric. Exact rolling COUNT DISTINCT does not decompose
+    over a window frame, so the engine uses the scatter trick: each
+    (user, active-day) row is stamped into the {AU_WIN} window-end days
+    it contributes to, and the count-distinct becomes a plain per-day
+    aggregate — a constant {AU_WIN}x row expansion instead of a
+    window-over-distinct that Spark cannot express at all.
+
+    Days without a full trailing window are cut via exact date bounds
+    (1-row broadcast); stickiness divides exact integers.
+
+    Scale shape: distinct (user, day) collapses the fact first; the
+    explode multiplies that by {AU_WIN} (bounded, predictable); one
+    distinct-aggregate per day. At warehouse scale this beats an
+    approx-HLL-merge when exactness is required, and the HLL path
+    (`ext_approx_distinct`) remains the cheap alternative."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct() \
+        .localCheckpoint(eager=False)  # 3 consumers: bounds, contrib, dau
+    bounds = ud.agg(
+        F.min("d").alias("d_min"), F.max("d").alias("d_max")
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), AU_WIN - 1)))
+        .alias("wd"),
+    ).distinct()
+    wau = contrib.groupBy(F.col("wd").alias("d")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    return (
+        wau.join(dau, "d", "left")
+        .na.fill({"dau": 0})
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("d") >= F.date_add(F.col("d_min"), AU_WIN - 1))
+            & (F.col("d") <= F.col("d_max"))
+        )
+        .select(
+            "d", F.col("dau").cast("bigint").alias("dau"), "wau",
+            F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+@register(
+    "ext_revenue_waterfall",
+    """
+    WITH cm AS (
+        SELECT o_custkey, date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    ), moves AS (
+        SELECT COALESCE(cur.m, prev.m + INTERVAL 1 MONTH) AS m,
+               COALESCE(cur.cents, 0) AS cur_c,
+               COALESCE(prev.cents, 0) AS prev_c
+        FROM cm cur
+        FULL OUTER JOIN cm prev
+          ON prev.o_custkey = cur.o_custkey
+         AND prev.m + INTERVAL 1 MONTH = cur.m
+    )
+    SELECT CAST(m AS DATE) AS month,
+           CAST(SUM(CASE WHEN prev_c = 0 THEN cur_c ELSE 0 END) AS BIGINT)
+               AS new_cents,
+           CAST(SUM(CASE WHEN prev_c > 0 AND cur_c > prev_c
+                         THEN cur_c - prev_c ELSE 0 END) AS BIGINT)
+               AS expansion_cents,
+           CAST(SUM(CASE WHEN cur_c > 0 AND cur_c < prev_c
+                         THEN prev_c - cur_c ELSE 0 END) AS BIGINT)
+               AS contraction_cents,
+           CAST(SUM(CASE WHEN cur_c = 0 THEN prev_c ELSE 0 END) AS BIGINT)
+               AS churned_cents,
+           CAST(SUM(cur_c) AS BIGINT) AS revenue_cents,
+           CAST(SUM(cur_c) - SUM(prev_c) AS BIGINT) AS net_change_cents
+    FROM moves GROUP BY 1
+    """,
+)
+def ext_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth accounting: each month's revenue
+    change decomposes into new, expansion, contraction and churned
+    components by comparing every customer's revenue against their prior
+    month (absent = 0) — the SaaS revenue-waterfall report, and the
+    decomposition that explains WHY ext_cohort_ltv's curves bend. The
+    identity revenue = prev + new + expansion - contraction - churned
+    holds exactly because everything is integer cents.
+
+    Scale shape: the fact collapses to one row per (customer, month)
+    first; the self-join is a co-partitioned equi-join on
+    (customer, month+1) — both sides share the (customer, month) shuffle
+    — and the final aggregate lands on the months grid."""
+    od = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    cm = od.groupBy(
+        "o_custkey", F.trunc(F.to_date("o_orderdate"), "month").alias("m")
+    ).agg(F.sum(cents).alias("cents")).localCheckpoint(eager=False)  # 2 join sides
+    cur = cm.select("o_custkey", "m", F.col("cents").alias("cur_c"))
+    prev = cm.select(
+        "o_custkey", F.add_months("m", 1).alias("m"), F.col("cents").alias("prev_c")
+    )
+    moves = (
+        cur.join(prev, ["o_custkey", "m"], "full_outer")
+        .select(
+            "m",
+            F.coalesce("cur_c", F.lit(0)).alias("cur_c"),
+            F.coalesce("prev_c", F.lit(0)).alias("prev_c"),
+        )
+    )
+    zero = F.lit(0)
+    return moves.groupBy(F.col("m").cast("date").alias("month")).agg(
+        F.sum(F.when(F.col("prev_c") == 0, F.col("cur_c")).otherwise(zero))
+        .cast("bigint").alias("new_cents"),
+        F.sum(
+            F.when(
+                (F.col("prev_c") > 0) & (F.col("cur_c") > F.col("prev_c")),
+                F.col("cur_c") - F.col("prev_c"),
+            ).otherwise(zero)
+        ).cast("bigint").alias("expansion_cents"),
+        F.sum(
+            F.when(
+                (F.col("cur_c") > 0) & (F.col("cur_c") < F.col("prev_c")),
+                F.col("prev_c") - F.col("cur_c"),
+            ).otherwise(zero)
+        ).cast("bigint").alias("contraction_cents"),
+        F.sum(F.when(F.col("cur_c") == 0, F.col("prev_c")).otherwise(zero))
+        .cast("bigint").alias("churned_cents"),
+        F.sum("cur_c").cast("bigint").alias("revenue_cents"),
+        (F.sum("cur_c") - F.sum("prev_c")).cast("bigint").alias("net_change_cents"),
+    )
