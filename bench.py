@@ -118,6 +118,7 @@ HEADLINE = [
     "ext_dedup_scurve",
     "ext_active_users_rolling",
     "ext_revenue_waterfall",
+    "ext_session_bounce",
 ]
 
 

@@ -4734,3 +4734,89 @@ def ext_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cur_c").cast("bigint").alias("revenue_cents"),
         (F.sum("cur_c") - F.sum("prev_c")).cast("bigint").alias("net_change_cents"),
     )
+
+
+BOUNCE_GAP_MIN = 30  # session gap, minutes (matches ext_session_window)
+
+
+@register(
+    "ext_session_bounce",
+    f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > INTERVAL {BOUNCE_GAP_MIN} MINUTE
+                    OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM marked
+    ), per_sess AS (
+        SELECT user_id, session_id,
+               CAST(MIN(ts) AS DATE) AS start_day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS dur_s
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT start_day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           {dround('SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)', 6)}
+               AS bounce_rate,
+           {dround('SUM(n_events) * 1.0 / COUNT(*)', 6)} AS avg_events,
+           {dround('SUM(dur_s) * 1.0 / COUNT(*)', 6)} AS avg_duration_s
+    FROM per_sess GROUP BY start_day
+    """,
+)
+def ext_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session quality report: {BOUNCE_GAP_MIN}-minute-gap
+    sessionization (the batch gaps-and-islands twin of
+    ext_session_window), then per start-day session count, bounce rate
+    (single-event sessions), mean events per session and mean duration —
+    the engagement dashboard row. All ratios divide exact integers
+    (event counts and whole seconds), tiebreak on event_id.
+
+    Scale shape: both windows are user-partitioned (the shared per-user
+    sequence shuffle — the lag mark and the running session counter ride
+    the SAME sort), then two hash aggregates onto (user, session) and the
+    days grid. No global window, no join."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    marked = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts").cast("long") - prev_ts.cast("long") > BOUNCE_GAP_MIN * 60),
+            1,
+        ).otherwise(0).alias("is_start"),
+    )
+    w_run = (  # same (ts, event_id) total order as the lag mark — tied
+        # timestamps must not reshuffle the running session counter
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("session_id", F.sum("is_start").over(w_run))
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").cast("date").alias("start_day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("ts").cast("long") - F.min("ts").cast("long"))
+        .cast("bigint").alias("dur_s"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_sess.groupBy("start_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        bounce.cast("bigint").alias("n_bounces"),
+        F.round(bounce * 1.0 / F.count(F.lit(1)), 6).alias("bounce_rate"),
+        F.round(F.sum("n_events") * 1.0 / F.count(F.lit(1)), 6).alias("avg_events"),
+        F.round(F.sum("dur_s") * 1.0 / F.count(F.lit(1)), 6).alias("avg_duration_s"),
+    )
