@@ -119,6 +119,7 @@ HEADLINE = [
     "ext_active_users_rolling",
     "ext_revenue_waterfall",
     "ext_session_bounce",
+    "ext_ship_lag_sla",
 ]
 
 

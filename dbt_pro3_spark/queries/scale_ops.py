@@ -4820,3 +4820,60 @@ def ext_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_events") * 1.0 / F.count(F.lit(1)), 6).alias("avg_events"),
         F.round(F.sum("dur_s") * 1.0 / F.count(F.lit(1)), 6).alias("avg_duration_s"),
     )
+
+
+SLA_DAYS = 7  # ship-within SLA threshold (days)
+
+
+@register(
+    "ext_ship_lag_sla",
+    f"""
+    WITH lags AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {dround('quantile_cont(lag_days, 0.5)', 4)} AS p50_days,
+           {dround('quantile_cont(lag_days, 0.9)', 4)} AS p90_days,
+           {dround('quantile_cont(lag_days, 0.99)', 4)} AS p99_days,
+           CAST(SUM(CASE WHEN lag_days <= {SLA_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within_sla,
+           {dround(f'SUM(CASE WHEN lag_days <= {SLA_DAYS} THEN 1 ELSE 0 END) * 1.0 / COUNT(*)', 6)}
+               AS sla_rate
+    FROM lags GROUP BY priority
+    """,
+)
+def ext_ship_lag_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment-latency SLA report: order-to-ship lag percentiles
+    (p50/p90/p99, exact interpolated — Spark `percentile` == DuckDB
+    quantile_cont, the agg_percentile contract) and the fraction of lines
+    shipped within the {SLA_DAYS}-day SLA, per order priority — the
+    latency-dashboard shape (the same report every service-latency
+    pipeline runs over request logs). Lags are integer days; the SLA rate
+    divides exact integers.
+
+    Scale shape: one fact-side equi-join + per-priority aggregate; exact
+    percentiles imply a per-group sort — at 100 TB swap to
+    approx_percentile (documented tradeoff, exact here for the oracle)."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    lags = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("bigint").alias("lag_days"),
+        )
+    )
+    within = F.sum(F.when(F.col("lag_days") <= SLA_DAYS, 1).otherwise(0))
+    return lags.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.percentile("lag_days", F.lit(0.5)), 4).alias("p50_days"),
+        F.round(F.percentile("lag_days", F.lit(0.9)), 4).alias("p90_days"),
+        F.round(F.percentile("lag_days", F.lit(0.99)), 4).alias("p99_days"),
+        within.cast("bigint").alias("n_within_sla"),
+        F.round(within * 1.0 / F.count(F.lit(1)), 6).alias("sla_rate"),
+    )
