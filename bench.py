@@ -120,6 +120,7 @@ HEADLINE = [
     "ext_revenue_waterfall",
     "ext_session_bounce",
     "ext_ship_lag_sla",
+    "ext_demand_xyz",
 ]
 
 

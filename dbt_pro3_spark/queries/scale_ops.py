@@ -4877,3 +4877,96 @@ def ext_ship_lag_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         within.cast("bigint").alias("n_within_sla"),
         F.round(within * 1.0 / F.count(F.lit(1)), 6).alias("sla_rate"),
     )
+
+
+# XYZ class thresholds on the coefficient of variation: X if CV < 0.5,
+# Y if CV < 1.0, else Z. Compared in EXACT integer cross-multiplication:
+# CV^2 = n*(n*Sxx - Sx^2) / ((n-1)*Sx^2), so CV < t  <=>
+# 4*n*(n*Sxx - Sx^2) < (n-1)*Sx^2 * (4*t^2), with 4*t^2 integer for both
+# thresholds (1 and 4) — no float ever decides a class letter.
+
+
+@register(
+    "ext_demand_xyz",
+    f"""
+    WITH monthly AS (
+        SELECT l.l_partkey,
+               date_trunc('month', CAST(o.o_orderdate AS DATE)) AS m,
+               SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS qty
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ), stats AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_months,
+               CAST(SUM(qty) AS BIGINT) AS sx,
+               CAST(SUM(qty * qty) AS BIGINT) AS sxx
+        FROM monthly GROUP BY 1
+    )
+    SELECT l_partkey, n_months, sx AS total_qty,
+           CASE WHEN n_months < 2 OR sx = 0 THEN NULL
+                ELSE {dround('''n_months * 1.0 * (n_months * sxx - sx * sx)
+                               / ((n_months - 1.0) * sx * sx)''', 6)} END AS cv_squared,
+           CASE WHEN n_months < 2 OR sx = 0 THEN 'Z'
+                WHEN 4 * CAST(n_months AS HUGEINT)
+                     * (CAST(n_months AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                     < CAST(n_months - 1 AS HUGEINT) * sx * sx THEN 'X'
+                WHEN CAST(n_months AS HUGEINT)
+                     * (CAST(n_months AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                     < CAST(n_months - 1 AS HUGEINT) * sx * sx THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM stats
+    """,
+)
+def ext_demand_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification per part: the coefficient of
+    variation of the monthly demand series buckets each part into X
+    (steady, CV<0.5), Y (variable, CV<1) or Z (erratic / too little
+    history) — the inventory-planning complement of ext_part_pareto's ABC
+    revenue classes (ABC x XYZ is the standard stocking-policy matrix).
+
+    The class letter is decided by EXACT integer cross-multiplication
+    (CV<t compared as 4t² n (n·Σx² − (Σx)²) < 4t² … all from integer
+    month sums, widened to 128-bit/DECIMAL so the squares cannot wrap) —
+    no float threshold can flip a letter between engines; the reported
+    cv_squared is a 6dp-rounded double derived from the same integers.
+
+    Scale shape: fact join + (part, month) aggregate, then a part-keyed
+    aggregate onto three exact integer moments — two shuffles total, no
+    window, no sort."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    monthly = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(
+            "l_partkey",
+            F.trunc(F.to_date("o_orderdate"), "month").alias("m"),
+        )
+        .agg(F.sum(F.round("l_quantity", 0).cast("bigint")).alias("qty"))
+    )
+    stats = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum("qty").cast("bigint").alias("sx"),
+        F.sum(F.col("qty") * F.col("qty")).cast("bigint").alias("sxx"),
+    )
+    n = F.col("n_months")
+    sx = F.col("sx")
+    dec = lambda c: c.cast("decimal(38,0)")  # widen BEFORE multiplying —
+    # Sx^2 alone can pass 2^63 at warehouse scale; every product below
+    # runs in decimal(38) on the Spark side and HUGEINT in the oracle
+    num = dec(n) * dec(F.col("sxx")) - dec(sx) * dec(sx)  # n*Sxx - Sx^2 (>=0)
+    degenerate = (n < 2) | (sx == 0)
+    return stats.select(
+        "l_partkey", "n_months", sx.alias("total_qty"),
+        F.when(degenerate, F.lit(None).cast("double")).otherwise(
+            F.round(
+                n * F.lit(1.0) * num.cast("double")
+                / ((n - F.lit(1.0)) * sx.cast("double") * sx.cast("double")),
+                6,
+            )
+        ).alias("cv_squared"),
+        F.when(degenerate, "Z")
+        .when(F.lit(4) * dec(n) * num < dec(n - 1) * dec(sx) * dec(sx), "X")
+        .when(dec(n) * num < dec(n - 1) * dec(sx) * dec(sx), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
