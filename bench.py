@@ -121,6 +121,7 @@ HEADLINE = [
     "ext_session_bounce",
     "ext_ship_lag_sla",
     "ext_demand_xyz",
+    "ext_skyline_parts",
 ]
 
 

@@ -4970,3 +4970,69 @@ def ext_demand_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("Z")
         .alias("xyz_class"),
     )
+
+
+@register(
+    "ext_skyline_parts",
+    f"""
+    WITH demand AS (
+        SELECT l_partkey, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS total_qty
+        FROM lineitem GROUP BY 1
+    ), pts AS (
+        SELECT p.p_partkey, CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+                   AS price_cents, d.total_qty
+        FROM part p JOIN demand d ON d.l_partkey = p.p_partkey
+    ), scanned AS (
+        SELECT p_partkey, price_cents, total_qty,
+               MAX(total_qty) OVER (
+                   ORDER BY price_cents, p_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_cheaper_qty
+        FROM pts
+    )
+    SELECT p_partkey, price_cents, total_qty
+    FROM scanned
+    WHERE best_cheaper_qty IS NULL OR total_qty > best_cheaper_qty
+    """,
+)
+def ext_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: the parts not dominated on the
+    (cheaper price, higher demand) objective pair — no other part is both
+    at-most-as-expensive AND strictly more demanded. The classic
+    multi-objective operator (Borzsony/Kossmann/Stocker's skyline, BNL
+    family) expressed relationally: after sorting by exact-cents price
+    with a part-key tiebreak, a point survives iff its demand beats the
+    running max over everything at/above it in price order.
+
+    All comparisons are exact integers (cents, unit counts); the
+    at-most-as-expensive semantics follow from the (price, partkey)
+    total order — an equal-price, lower-key part counts as "cheaper",
+    a deterministic and documented tie rule shared by both engines.
+
+    Scale shape: the fact collapses to one demand row per part first;
+    the ordered running-max window then runs over the DIMENSION-sized
+    part list (the ext_part_pareto discipline). For multi-dimensional
+    skylines at larger widths the standard move is grid-partitioned
+    pre-filtering before the ordered scan."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    demand = li.groupBy("l_partkey").agg(
+        F.sum(F.round("l_quantity", 0).cast("bigint")).cast("bigint")
+        .alias("total_qty")
+    )
+    pts = pt.join(demand, pt.p_partkey == demand.l_partkey).select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+        .alias("price_cents"),
+        "total_qty",
+    )
+    w = (
+        Window.orderBy("price_cents", "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scanned = pts.withColumn("best_cheaper_qty", F.max("total_qty").over(w))
+    return scanned.filter(
+        F.col("best_cheaper_qty").isNull()
+        | (F.col("total_qty") > F.col("best_cheaper_qty"))
+    ).select("p_partkey", "price_cents", "total_qty")
