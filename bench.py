@@ -122,6 +122,7 @@ HEADLINE = [
     "ext_ship_lag_sla",
     "ext_demand_xyz",
     "ext_skyline_parts",
+    "ext_activity_heatmap",
 ]
 
 

@@ -5036,3 +5036,47 @@ def ext_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_cheaper_qty").isNull()
         | (F.col("total_qty") > F.col("best_cheaper_qty"))
     ).select("p_partkey", "price_cents", "total_qty")
+
+
+@register(
+    "ext_activity_heatmap",
+    f"""
+    WITH cells AS (
+        SELECT CAST(EXTRACT(dow FROM ts) AS INTEGER) AS dow,
+               CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM cells
+    )
+    SELECT c.dow, c.hod, c.n_events, c.n_users,
+           {dround('c.n_events * 1.0 / t.total', 6)} AS share
+    FROM cells c CROSS JOIN tot t
+    """,
+)
+def ext_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x day-of-week activity heatmap: exact event and
+    distinct-user counts per (weekday, hour) cell plus each cell's share
+    of total traffic — the capacity-planning / engagement-rhythm report.
+    Day-of-week uses Sunday=0 numbering on both engines (DuckDB
+    EXTRACT(dow), Spark dayofweek-1). Timestamps are UTC on both sides
+    (the session pins spark.sql.session.timeZone=UTC), so bucketing is
+    identical; shares divide exact integers.
+
+    Scale shape: one partial+final aggregate onto a fixed 168-cell grid
+    (the distinct-user count shuffles (cell, user) pairs, bounded by
+    users x 168); the total rides a 1-row scalar broadcast."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    ).localCheckpoint(eager=False)  # 2 consumers: grid + total
+    tot = cells.agg(F.sum("n_events").cast("bigint").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow", "hod", "n_events", "n_users",
+        F.round(F.col("n_events") * 1.0 / F.col("total"), 6).alias("share"),
+    )
