@@ -123,6 +123,8 @@ HEADLINE = [
     "ext_demand_xyz",
     "ext_skyline_parts",
     "ext_activity_heatmap",
+    "ext_reorder_rate",
+    "ext_text_ttr",
 ]
 
 

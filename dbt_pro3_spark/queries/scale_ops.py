@@ -5080,3 +5080,107 @@ def ext_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow", "hod", "n_events", "n_users",
         F.round(F.col("n_events") * 1.0 / F.col("total"), 6).alias("share"),
     )
+
+
+@register(
+    "ext_reorder_rate",
+    """
+    WITH firsts AS (
+        SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_od
+        FROM orders GROUP BY 1
+    ), marked AS (
+        SELECT date_trunc('month', CAST(o.o_orderdate AS DATE)) AS m,
+               CASE WHEN CAST(o.o_orderdate AS DATE) > f.first_od
+                    THEN 1 ELSE 0 END AS is_repeat
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    )
+    SELECT CAST(m AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(is_repeat) AS BIGINT) AS n_repeat,
+           CAST(CAST(SUM(is_repeat) AS VARCHAR) || '/' || CAST(COUNT(*) AS VARCHAR)
+                AS VARCHAR) AS repeat_ratio_exact,
+           CAST(FLOOR(SUM(is_repeat) * 10000.0 / COUNT(*)) AS BIGINT) AS repeat_bps
+    FROM marked GROUP BY 1
+    """,
+)
+def ext_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-order rate per month: orders placed after the customer's
+    first order date count as repeats; reported as an exact integer
+    fraction string and integer basis points (floor division of exact
+    integers — no float anywhere in this key at all). The
+    acquisition-vs-retention mix report that frames ext_revenue_waterfall.
+
+    Same-day tie rule (documented): every order on the customer's first
+    order DAY counts as first-time — order of orders within a day is not
+    defined in the data, so the date-level rule is the only deterministic
+    one.
+
+    Scale shape: per-customer MIN aggregate, customer-keyed equi-join
+    back (AQE-broadcast when small), months-grid aggregate."""
+    od = load(spark, sf_dir, "orders")
+    firsts = od.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_od")
+    )
+    marked = od.join(firsts, "o_custkey").select(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("m"),
+        F.when(F.to_date("o_orderdate") > F.col("first_od"), 1)
+        .otherwise(0).alias("is_repeat"),
+    )
+    n = F.count(F.lit(1))
+    rep = F.sum("is_repeat")
+    return marked.groupBy(F.col("m").cast("date").alias("month")).agg(
+        n.cast("bigint").alias("n_orders"),
+        rep.cast("bigint").alias("n_repeat"),
+        F.concat(
+            rep.cast("bigint").cast("string"), F.lit("/"),
+            n.cast("bigint").cast("string"),
+        ).alias("repeat_ratio_exact"),
+        F.floor(rep * 10000 / n).cast("bigint").alias("repeat_bps"),
+    )
+
+
+@register(
+    "ext_text_ttr",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS l FROM documents
+    ), stats AS (
+        SELECT doc_id,
+               CAST(len(l) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(l)) AS BIGINT) AS n_types
+        FROM toks WHERE len(l) > 0
+    )
+    SELECT doc_id, n_tokens, n_types,
+           {dround('n_types * 1.0 / n_tokens', 6)} AS ttr,
+           CASE WHEN 10 * n_types < 4 * n_tokens THEN 'low'
+                WHEN 10 * n_types < 7 * n_tokens THEN 'mid'
+                ELSE 'high' END AS diversity_band
+    FROM stats
+    """,
+)
+def ext_text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document: distinct tokens over total tokens —
+    the lexical-diversity signal (low TTR = repetitive/template text)
+    complementing ext_text_repetition's line-level and
+    ext_text_gopher_rules' character-level cuts. Banding thresholds
+    (0.4 / 0.7) compare as exact integer cross-multiplications
+    (10*types < 4*tokens), so no float decides a band; the reported TTR
+    divides the same integers in double, 6dp-rounded.
+
+    Scale shape: pure per-row map (tokenize + distinct inside the row) —
+    ZERO shuffles, whole-stage codegen end to end."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    stats = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_types"),
+    ).filter(F.col("n_tokens") > 0)
+    return stats.select(
+        "doc_id", "n_tokens", "n_types",
+        F.round(F.col("n_types") * 1.0 / F.col("n_tokens"), 6).alias("ttr"),
+        F.when(10 * F.col("n_types") < 4 * F.col("n_tokens"), "low")
+        .when(10 * F.col("n_types") < 7 * F.col("n_tokens"), "mid")
+        .otherwise("high")
+        .alias("diversity_band"),
+    )
