@@ -125,6 +125,7 @@ HEADLINE = [
     "ext_activity_heatmap",
     "ext_reorder_rate",
     "ext_text_ttr",
+    "ext_spend_gini",
 ]
 
 

@@ -5184,3 +5184,76 @@ def ext_text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("high")
         .alias("diversity_band"),
     )
+
+
+@register(
+    "ext_spend_gini",
+    f"""
+    WITH spend AS (
+        SELECT c.c_nationkey AS nationkey, o.o_custkey,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT nationkey, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY nationkey ORDER BY cents, o_custkey
+               ) AS rk
+        FROM spend
+    ), sums AS (
+        SELECT nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS HUGEINT) AS total_cents,
+               SUM(CAST(rk AS HUGEINT) * cents) AS weighted
+        FROM ranked GROUP BY 1
+    )
+    SELECT n.n_name AS nation, s.n_customers,
+           CAST(s.total_cents AS BIGINT) AS total_cents,
+           {dround('''(2.0 * CAST(s.weighted AS DOUBLE)
+                       / (CAST(s.n_customers AS DOUBLE) * CAST(s.total_cents AS DOUBLE)))
+                      - (CAST(s.n_customers AS DOUBLE) + 1.0) / CAST(s.n_customers AS DOUBLE)''', 6)}
+               AS gini
+    FROM sums s JOIN nation n ON n.n_nationkey = s.nationkey
+    """,
+)
+def ext_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend inequality per nation: the Gini coefficient of
+    per-customer order totals via the rank-weighted closed form
+    G = 2·Σ(i·x_(i))/(n·Σx) − (n+1)/n — the whale-concentration metric
+    behind revenue-risk dashboards (ext_label_balance applies the same
+    idea to k label shares; this key measures it over the full customer
+    distribution). Spend is exact cents; the rank-weighted sum
+    accumulates in 128-bit integers (rank × cents passes 2^63 at
+    warehouse scale) so both engines divide identical exact operands.
+
+    Scale shape: fact collapses to (nation, customer) first; the ranking
+    window partitions by nation over customer-dimension rows (the
+    ext_part_pareto discipline); one aggregate onto the 25-nation grid."""
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    spend = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("nationkey").orderBy("cents", "o_custkey")
+    ranked = spend.withColumn("rk", F.row_number().over(w))
+    dec = lambda c: c.cast("decimal(38,0)")
+    sums = ranked.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("decimal(38,0)").alias("total_cents"),
+        F.sum(dec(F.col("rk")) * F.col("cents")).alias("weighted"),
+    )
+    nat = load(spark, sf_dir, "nation")
+    n_d = F.col("n_customers").cast("double")
+    return sums.join(nat, F.col("nationkey") == nat.n_nationkey).select(
+        F.col("n_name").alias("nation"), "n_customers",
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+        F.round(
+            2.0 * F.col("weighted").cast("double")
+            / (n_d * F.col("total_cents").cast("double"))
+            - (n_d + 1.0) / n_d,
+            6,
+        ).alias("gini"),
+    )
