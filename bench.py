@@ -126,6 +126,7 @@ HEADLINE = [
     "ext_reorder_rate",
     "ext_text_ttr",
     "ext_spend_gini",
+    "ext_peak_concurrency",
 ]
 
 

@@ -5257,3 +5257,112 @@ def ext_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "ext_peak_concurrency",
+    f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > INTERVAL {BOUNCE_GAP_MIN} MINUTE
+                    OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM marked
+    ), spans AS (
+        SELECT user_id, session_id, MIN(ts) AS s_ts, MAX(ts) AS e_ts
+        FROM sess GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, session_id, s_ts AS ts, 1 AS delta FROM spans
+        UNION ALL
+        SELECT user_id, session_id, e_ts AS ts, -1 AS delta FROM spans
+    ), run AS (
+        SELECT ts, delta,
+               SUM(delta) OVER (
+                   ORDER BY ts, delta, user_id, session_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS concurrent
+        FROM bounds
+    )
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions_started
+    FROM run GROUP BY 1
+    """,
+)
+def ext_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the sweep line: every
+    {BOUNCE_GAP_MIN}-min-gap session contributes a +1 at its first event
+    and a -1 at its last; the running sum over the globally ordered
+    boundary stream is the live concurrency, and each day reports its
+    maximum — the capacity-sizing number behind ext_activity_heatmap's
+    rhythm view. Tie rule (documented, both engines): at an equal
+    timestamp the ordering (ts, delta, user, session) retires ends
+    before starts, so a back-to-back session handoff never double
+    counts.
+
+    Scale shape: the GLOBAL running sum uses the ext_text_pack two-level
+    scan — date-partitioned local cumsums, a days-sized ordered offset
+    scan over per-day delta subtotals (so midnight-crossing state carries
+    over exactly), and a broadcast join back. No corpus-wide
+    single-partition window; the plan test asserts the corpus-side sum
+    windows are date-partitioned."""
+    ev = load(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_lag)
+    marked = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts").cast("long") - prev_ts.cast("long") > BOUNCE_GAP_MIN * 60),
+            1,
+        ).otherwise(0).alias("is_start"),
+    )
+    w_run = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("session_id", F.sum("is_start").over(w_run))
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts")
+    )
+    bounds = (
+        spans.select("user_id", "session_id", F.col("s_ts").alias("ts"),
+                     F.lit(1).alias("delta"))
+        .unionByName(
+            spans.select("user_id", "session_id", F.col("e_ts").alias("ts"),
+                         F.lit(-1).alias("delta"))
+        )
+        .withColumn("d", F.to_date("ts"))
+    )
+    w_local = (
+        Window.partitionBy("d").orderBy("ts", "delta", "user_id", "session_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bounds.withColumn("local_run", F.sum("delta").over(w_local))
+    subtot = bounds.groupBy("d").agg(F.sum("delta").alias("day_delta"))
+    w_day = (
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = subtot.withColumn(
+        "offset", F.coalesce(F.sum("day_delta").over(w_day), F.lit(0))
+    ).select("d", "offset")
+    run = local.join(F.broadcast(offsets), "d").withColumn(
+        "concurrent", F.col("offset") + F.col("local_run")
+    )
+    return run.groupBy("d").agg(
+        F.max("concurrent").cast("bigint").alias("peak_concurrent"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_sessions_started"),
+    )
