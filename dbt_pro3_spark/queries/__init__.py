@@ -182,16 +182,37 @@ _PRIORITY_TAIL = [
 _CORE_MODULES_LAST_KEY = "audit_rowcount_log"
 
 # Keys the driver's bounded CORRECTNESS window has already verified green in
-# rounds 1-2 (union of CORRECTNESS_r01/r02 key sets). The driver samples the
-# first ~50 keys of queries() per round, so verified keys rotate to the tail
-# and the window lands on never-sampled keys: round 3 covers the remaining
-# SURVEY §2 tail (dq_filter_then_window .. audit_rowcount_log), all nine
-# §2.K keys, and the LLM-pipeline dedup/ANN/text set. The §2 core stays
-# pinned green by the in-repo oracle suite (tests/test_oracle_parity.py runs
-# every oracled key through the identical DuckDB compare).
-# NOTE src_file_metadata is deliberately absent: it erred `no_oracle` in both
-# rounds and is re-contracted this round, so it must re-enter the window.
+# rounds 1-3 (union of CORRECTNESS_r01/r02/r03 key sets). The driver samples
+# the first ~50 keys of queries() per round, so verified keys rotate to the
+# tail and the window lands on never-sampled keys: round 4 covers the next
+# tranche of LLM-pipeline / streaming / scale_ops keys that have never had a
+# driver row. The previously-verified core stays pinned green by the in-repo
+# oracle suite (tests/test_oracle_parity.py runs every oracled key through
+# the identical DuckDB compare).
+# The three rows-only keys (ext_dedup_fuzzy, ext_ann_lsh, ext_ann_ivf) got
+# their best-possible driver check in r03 (rows recorded, no_oracle by
+# design) and rotate out with the rest.
 _DRIVER_VERIFIED = {
+    # r03 window (CORRECTNESS_r03.json — 47 hash-green + 3 rows-only)
+    "src_file_metadata", "dq_filter_then_window", "derive_business_cols",
+    "test_not_null", "test_unique", "audit_rowcount_log",
+    "ext_json_extract", "ext_window_tumbling", "ext_window_sliding",
+    "ext_session_window", "ext_watermark_stream", "ext_dedup_exact",
+    "ext_dedup_fuzzy", "ext_topk_cosine", "ext_text_tokenize",
+    "ext_dedup_simhash", "ext_dedup_minhash_banded",
+    "ext_dedup_ngram_jaccard", "ext_dedup_embedding",
+    "ext_dedup_embedding_exact", "ext_dedup_clusters", "ext_ann_lsh",
+    "ext_ann_ivf", "ext_topk_cosine_pandas", "ext_text_langid",
+    "ext_text_quality", "ext_text_token_count", "ext_text_fingerprint",
+    "ext_text_edit_distance", "ext_text_edit_distance_blocked",
+    "ext_privacy_pseudonymize", "ext_mm_decode", "ext_mm_frame_sample",
+    "ext_stateful_running_agg", "ext_stream_stream_join",
+    "ext_stream_dedup", "ext_stream_foreachbatch_merge", "src_csv_rescued",
+    "scan_partition_pruned", "ext_asof_join", "ext_text_pii_redact",
+    "ext_text_chunk", "ext_data_split", "ext_sample_per_group",
+    "ext_text_repetition", "ext_docs_composition", "ext_stream_static_join",
+    "ext_approx_distinct", "ext_approx_quantile", "ext_mm_resize",
+    # r01+r02 windows
     "agg_conditional_count", "agg_conditional_sum", "agg_count_distinct",
     "agg_count_star", "agg_groupby_multikey", "agg_scalar_count",
     "agg_sum_avg_min_max", "case_multibranch", "cast_inline_double",

@@ -2750,6 +2750,7 @@ def ext_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VOCAB_COVER_KS = [5, 10, 25, 50, 100, 1000]  # coverage checkpoints
 VOCAB_COVER_MAXK = max(VOCAB_COVER_KS)
+VOCAB_TOPK_SALTS = 32  # level-1 hash groups for the two-level top-K prune
 
 
 @register(
@@ -2785,12 +2786,14 @@ def ext_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     token); the cumulative count is an exact BIGINT running sum.
 
     Scale shape: the vocab aggregate is the only corpus-sized shuffle
-    (map-side combined); the ranking window is vocabulary-sized, and the
-    cumulative sum is restricted to rank <= {VOCAB_COVER_MAXK} rows
-    before windowing, so the single-partition window never sees more
-    than {VOCAB_COVER_MAXK} rows. At a 100 TB corpus with a billion-entry
-    long tail, the same prefilter applies after an approx count
-    threshold bounds the top-{VOCAB_COVER_MAXK} candidate set."""
+    (map-side combined). The global ranking window is two-level: each of
+    {VOCAB_TOPK_SALTS} deterministic hash groups keeps its local
+    top-{VOCAB_COVER_MAXK} (any global top-K row is in its group's local
+    top-K for every disjoint grouping), so the final single-partition
+    window sees at most {VOCAB_TOPK_SALTS}x{VOCAB_COVER_MAXK} rows
+    regardless of vocabulary size — the ext_partition_skew_report
+    discipline. At a 100 TB corpus with a billion-entry long tail the
+    bound is unchanged."""
     docs = load(spark, sf_dir, "documents")
     v = docs.select(
         F.explode(tx.tokens(F.col("text"))).alias("tok")
@@ -2798,9 +2801,18 @@ def ext_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )  # 2 consumers: totals + ranked cumulative
     tot = v.agg(F.sum("c").alias("t"), F.count(F.lit(1)).alias("vs"))
+    # Level 1: local top-K within each deterministic hash group.
+    w_grp = Window.partitionBy("grp").orderBy(F.desc("c"), "tok")
+    pruned = (
+        v.withColumn("grp", F.pmod(F.xxhash64("tok"), F.lit(VOCAB_TOPK_SALTS)))
+        .withColumn("lrk", F.row_number().over(w_grp))
+        .filter(F.col("lrk") <= VOCAB_COVER_MAXK)
+        .drop("grp", "lrk")
+    )
+    # Level 2: global rank + running sum over the bounded candidate set.
     w = Window.orderBy(F.desc("c"), "tok")
     cum = (
-        v.select(
+        pruned.select(
             F.row_number().over(w).alias("rk"),
             F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cumc"),
         )
@@ -2912,7 +2924,11 @@ def ext_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CHUNK_TOKENS = 64  # chunk width (tokens) for chunk-granularity fuzzy dedup
-CHUNK_ID_BASE = 10_000  # chunk_id = doc_id * base + chunk_index
+# chunk_id = doc_id * base + chunk_index. Both engines clamp chunk_index to
+# < base, so a pathological document beyond base*CHUNK_TOKENS (= 64M) tokens
+# truncates its chunk list rather than silently colliding into another
+# doc_id's chunk-id space (the bound is documented in the key's docstring).
+CHUNK_ID_BASE = 1_000_000
 
 
 def _chunk_fuzzy_oracle() -> str:
@@ -2922,7 +2938,8 @@ def _chunk_fuzzy_oracle() -> str:
                list_slice(d.l, t.ci * {CHUNK_TOKENS} + 1, (t.ci + 1) * {CHUNK_TOKENS}) AS l
         FROM (SELECT doc_id, {_TOKS_SQL} AS l FROM documents) d,
              unnest(generate_series(0,
-                 CAST(FLOOR((len(d.l) - 1) / {CHUNK_TOKENS}.0) AS BIGINT))) AS t(ci)"""
+                 LEAST(CAST(FLOOR((len(d.l) - 1) / {CHUNK_TOKENS}.0) AS BIGINT),
+                       {CHUNK_ID_BASE - 1}))) AS t(ci)"""
     base = _minhash_banded_oracle(toks_sql=toks_sql)
     return f"""
     SELECT r.doc_a AS chunk_a, r.doc_b AS chunk_b,
@@ -2948,7 +2965,11 @@ def ext_dedup_chunk_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reuses ded.minhash_banded_pairs verbatim on the chunk table — the
     signature pipeline, banding, and oracle SQL exist ONCE; only the
     (doc_id, l) source differs (chunk_id = doc_id * {CHUNK_ID_BASE} +
-    chunk index, recovered by integer division in the output).
+    chunk index, recovered by integer division in the output). Bound:
+    chunk index is clamped below {CHUNK_ID_BASE} on both engines, so a
+    document longer than {CHUNK_ID_BASE}x{CHUNK_TOKENS} (= 64M) tokens
+    truncates its chunk list instead of colliding into a neighbouring
+    doc_id's chunk-id space — an explicit, documented cap.
 
     Scale shape: identical to the doc-level key — banded equi-joins on
     4-row band hashes, exact verify on candidates only — but the unit is
@@ -2964,7 +2985,11 @@ def ext_dedup_chunk_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci",
         F.explode(
             F.sequence(
-                F.lit(0), F.floor((F.col("n") - 1) / CHUNK_TOKENS).cast("int")
+                F.lit(0),
+                F.least(
+                    F.floor((F.col("n") - 1) / CHUNK_TOKENS).cast("int"),
+                    F.lit(CHUNK_ID_BASE - 1),
+                ),
             )
         ),
     ).select(
@@ -4904,7 +4929,9 @@ def ext_ship_lag_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, n_months, sx AS total_qty,
            CASE WHEN n_months < 2 OR sx = 0 THEN NULL
-                ELSE {dround('''n_months * 1.0 * (n_months * sxx - sx * sx)
+                ELSE {dround('''n_months * 1.0
+                               * CAST(CAST(n_months AS HUGEINT) * sxx
+                                      - CAST(sx AS HUGEINT) * sx AS DOUBLE)
                                / ((n_months - 1.0) * sx * sx)''', 6)} END AS cv_squared,
            CASE WHEN n_months < 2 OR sx = 0 THEN 'Z'
                 WHEN 4 * CAST(n_months AS HUGEINT)
@@ -5289,7 +5316,7 @@ def ext_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), run AS (
         SELECT ts, delta,
                SUM(delta) OVER (
-                   ORDER BY ts, delta, user_id, session_id
+                   ORDER BY ts, delta DESC, user_id, session_id
                    ROWS UNBOUNDED PRECEDING
                ) AS concurrent
         FROM bounds
@@ -5308,9 +5335,14 @@ def ext_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary stream is the live concurrency, and each day reports its
     maximum — the capacity-sizing number behind ext_activity_heatmap's
     rhythm view. Tie rule (documented, both engines): at an equal
-    timestamp the ordering (ts, delta, user, session) retires ends
-    before starts, so a back-to-back session handoff never double
-    counts.
+    timestamp the ordering (ts, delta DESC, user, session) admits
+    starts BEFORE retiring ends. Session spans are closed intervals
+    (MIN ts..MAX ts), so a single-event session is a point interval —
+    starts-first means its +1 lands before its own -1 and the session
+    occupies its instant (peak >= 1 on any day with a session start).
+    Consequence: two sessions handing off at the same instant count
+    as 2 concurrent at that instant, matching closed-interval overlap
+    semantics.
 
     Scale shape: the GLOBAL running sum uses the ext_text_pack two-level
     scan — date-partitioned local cumsums, a days-sized ordered offset
@@ -5347,7 +5379,8 @@ def ext_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("d", F.to_date("ts"))
     )
     w_local = (
-        Window.partitionBy("d").orderBy("ts", "delta", "user_id", "session_id")
+        Window.partitionBy("d")
+        .orderBy("ts", F.col("delta").desc(), "user_id", "session_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = bounds.withColumn("local_run", F.sum("delta").over(w_local))

@@ -506,3 +506,60 @@ def test_privacy_erasure_cascade_recompute(spark):
         forget.select("c_custkey"), orders.o_custkey == F.col("c_custkey"), "left_anti"
     )
     assert kept_orders.filter(F.col("o_custkey") % 97 == 0).count() == 0
+
+
+def test_peak_concurrency_point_sessions_count(spark):
+    """ADVICE r03 (medium): session spans are closed intervals, so a
+    single-event session must occupy its instant — any day with at least
+    one session START must report peak_concurrent >= 1, and the daily peak
+    must equal a direct interval-overlap recompute at the day's boundary
+    events (starts admitted before ends at equal timestamps)."""
+    out = _Q["ext_peak_concurrency"](spark, SF_DIR).collect()
+    assert len(out) > 0
+    for r in out:
+        if r["n_sessions_started"] > 0:
+            assert r["peak_concurrent"] >= 1, (
+                f"day {r['d']}: {r['n_sessions_started']} starts but "
+                f"peak {r['peak_concurrent']}"
+            )
+
+    # Independent recompute: closed-interval overlap count at every start
+    # instant. For each session span [s, e], concurrency sampled at any
+    # start time t is |{spans: s <= t <= e}|; the max over a day's starts
+    # is that day's peak under starts-first ordering.
+    ev = load(spark, SF_DIR, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_lag)
+    marked = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+            1,
+        ).otherwise(0).alias("is_start"),
+    )
+    w_run = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        marked.withColumn("session_id", F.sum("is_start").over(w_run))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts"))
+    )
+    # sample a couple of days to keep the O(starts x spans) check cheap
+    days = sorted(r["d"] for r in out)[:2]
+    reported = {r["d"]: r["peak_concurrent"] for r in out}
+    for day in days:
+        starts = [
+            r["s_ts"]
+            for r in spans.filter(F.to_date("s_ts") == F.lit(day)).collect()
+        ]
+        if not starts:
+            continue
+        all_spans = spans.collect()
+        peak = max(
+            sum(1 for sp in all_spans if sp["s_ts"] <= t <= sp["e_ts"])
+            for t in starts
+        )
+        assert reported[day] == peak, f"day {day}: {reported[day]} != {peak}"
