@@ -1,0 +1,633 @@
+"""Round-4 operators: distributed linear algebra, resampling statistics,
+graph communities, recsys similarity, and marketing attribution.
+
+Every key keeps the registry's exactness disciplines (see scale_ops.py):
+integer quantization before any cross-engine float, ratio-of-identical-
+integers for doubles, FLOOR (never engine-default int casts — DuckDB
+rounds, Spark truncates) for quantization steps, total-order tiebreaks,
+terminal dround(6).
+
+New named patterns this module demonstrates:
+
+- ext_embed_pca_power: distributed UNCENTERED PCA — the d x d Gram matrix
+  as an n x d^2 map-side-combined aggregate, then power iteration entirely
+  in exact integer arithmetic (max-abs normalization with FLOOR
+  quantization), so the eigenvector is bit-identical across engines with
+  no float-summation-order exposure at all.
+- ext_bootstrap_ci: Poisson bootstrap — THE distributed bootstrap (each
+  row carries an independent deterministic Poisson(1) weight per
+  replicate, so resampling never needs a global n or a shared sample
+  index). Weights come from an md5-derived uniform compared against
+  precomputed INTEGER cdf thresholds, identical literals both engines.
+- ext_graph_label_prop: synchronous min-label propagation over the
+  co-purchase graph — bounded-round community detection (the k-round
+  prefix of connected components, useful where full convergence is
+  unnecessary and round count must be budgeted).
+- ext_item_cooccur_cosine: item-item cosine from co-occurrence counts
+  (c_ab / sqrt(c_a * c_b)) with per-item top-k — the classic
+  collaborative-filtering neighbor table.
+- ext_session_attribution: first-touch / last-touch revenue attribution
+  over gap-sessionized event streams (IGNORE NULLS running last-value).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load
+from . import dround, register
+from .llm_ops import _md5_32, _spark_md5_32
+
+# ---------------------------------------------------------------------------
+# ext_embed_pca_power
+# ---------------------------------------------------------------------------
+
+PCA_UNITS = 1000  # embedding + eigvec quantization: x_int = ROUND(x * units)
+PCA_MAT_UNITS = 10**6  # matrix re-quantization units between squarings
+PCA_SQUARINGS = 10  # G -> G^(2^10): effective power 1024
+# Exactness bounds (documented, both engines): a squaring product is at
+# most d * PCA_MAT_UNITS^2 = 64e12 < 2^53 REGARDLESS of corpus size (the
+# matrix re-quantizes to +-1e6 after every squaring); the final Rayleigh
+# product |G.v| <= d * max|G| * PCA_UNITS needs max|G| <= n * (max|x| *
+# PCA_UNITS)^2 < 1.4e11, i.e. n < ~5e8 vectors — beyond that, shrink
+# PCA_UNITS (the direction is scale-invariant).
+
+
+def _pca_oracle() -> str:
+    gram = f"""
+    xq AS (
+        SELECT vec_id, i - 1 AS j,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {PCA_UNITS}) AS BIGINT) AS x
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ), gram AS MATERIALIZED (
+        SELECT a.j AS j, b.j AS k, CAST(SUM(a.x * b.x) AS BIGINT) AS g
+        FROM xq a JOIN xq b USING (vec_id)
+        GROUP BY 1, 2
+    ), m0 AS MATERIALIZED (
+        SELECT j, k,
+               CAST(FLOOR(CAST(g AS DOUBLE)
+                          / CAST((SELECT MAX(ABS(g)) FROM gram) AS DOUBLE)
+                          * {PCA_MAT_UNITS}.0) AS BIGINT) AS g
+        FROM gram
+    )"""
+    its = []
+    for t in range(1, PCA_SQUARINGS + 1):
+        its.append(
+            f"""s{t} AS MATERIALIZED (
+        SELECT a.j AS j, b.k AS k, CAST(SUM(a.g * b.g) AS BIGINT) AS g
+        FROM m{t - 1} a JOIN m{t - 1} b ON a.k = b.j
+        GROUP BY 1, 2
+    ), m{t} AS MATERIALIZED (
+        SELECT j, k,
+               CAST(FLOOR(CAST(g AS DOUBLE)
+                          / CAST((SELECT MAX(ABS(g)) FROM s{t}) AS DOUBLE)
+                          * {PCA_MAT_UNITS}.0) AS BIGINT) AS g
+        FROM s{t}
+    )"""
+        )
+    last = PCA_SQUARINGS
+    return (
+        "WITH " + gram + ", " + ", ".join(its) + f"""
+    , jstar AS (
+        SELECT j FROM m{last} WHERE j = k ORDER BY g DESC, j LIMIT 1
+    ), col AS (
+        SELECT m.j, m.g FROM m{last} m, jstar WHERE m.k = jstar.j
+    ), v AS (
+        SELECT c.j AS dim,
+               CAST(FLOOR(CAST(c.g AS DOUBLE)
+                          / CAST((SELECT MAX(ABS(g)) FROM col) AS DOUBLE)
+                          * {PCA_UNITS}.0) AS BIGINT) AS eigvec_unit
+        FROM col c
+    ), w AS (
+        SELECT g.j AS dim, CAST(SUM(g.g * v.eigvec_unit) AS BIGINT) AS gram_vec_unit
+        FROM gram g JOIN v ON v.dim = g.k
+        GROUP BY 1
+    )
+    SELECT v.dim, v.eigvec_unit, w.gram_vec_unit
+    FROM v JOIN w USING (dim)
+    """
+    )
+
+
+def _quantize_mat(m: DataFrame, units: int) -> DataFrame:
+    """FLOOR(g / max|g| * units) — exact-integer rescale. FLOOR, never an
+    int cast: DuckDB CAST(double AS BIGINT) rounds while Spark truncates;
+    FLOOR agrees bit-for-bit on the identical quotient doubles."""
+    mx = m.agg(F.max(F.abs(F.col("g"))).alias("mx"))
+    return m.crossJoin(F.broadcast(mx)).select(
+        "j", "k",
+        F.floor(
+            F.col("g").cast("double") / F.col("mx").cast("double") * float(units)
+        ).cast("bigint").alias("g"),
+    )
+
+
+@register("ext_embed_pca_power", _pca_oracle())
+def ext_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus — distributed
+    (uncentered) PCA, the building block behind whitening rotations, ABTT
+    de-biasing ("all-but-the-top"), and low-rank drift monitors. Returns,
+    per dimension, the unit-quantized dominant eigenvector of the Gram
+    matrix G = X^T X plus G.v (their component ratio is the Rayleigh
+    eigenvalue).
+
+    Method: power iteration via REPEATED SQUARING — G^(2^{PCA_SQUARINGS})
+    re-quantized to +-{PCA_MAT_UNITS} integers after every squaring, then
+    the column at the largest diagonal entry (of a near-rank-1 matrix,
+    every column is the dominant eigenvector). Real embedding corpora are
+    near-isotropic (lambda2/lambda1 > 0.98 on this data), so plain
+    k-round iteration cannot converge in bounded rounds; squaring reaches
+    effective power 2^{PCA_SQUARINGS} in {PCA_SQUARINGS} d x d matrix
+    multiplies, each a {64**3}-product join far from the corpus.
+    Verified against numpy's eigh at every sf (tests/test_r4_ops.py).
+
+    Exactness: embeddings quantize to integers (x * {PCA_UNITS}); G is an
+    exact BIGINT aggregate; every squaring product is bounded by
+    d * {PCA_MAT_UNITS}^2 = 6.4e13 < 2^53 INDEPENDENT of corpus size, so
+    the rescale divides identical exact doubles and FLOOR lands both
+    engines on the same integer (int casts disagree: DuckDB rounds,
+    Spark truncates). NO float sum ever crosses engines — bit-identical
+    output with zero summation-order exposure. Sign follows the dominant
+    column, identical both sides.
+
+    Scale shape: ONE corpus pass builds the d x d Gram (n x d^2 exploded
+    rows, map-side combined to 4096 partials — the standard outer-product
+    aggregation; at 100 TB this is the only corpus-sized stage and it is
+    embarrassingly parallel). The {PCA_SQUARINGS} squarings then run on
+    4096-row DataFrames — driver never sees data, no .collect()."""
+    emb = load(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j", "xf")
+    ).select(
+        "vec_id", "j",
+        F.round(F.col("xf").cast("double") * PCA_UNITS, 0).cast("bigint").alias("x"),
+    )
+    gram = (
+        xq.alias("a")
+        .join(xq.alias("b"), "vec_id")
+        .groupBy(F.col("a.j").alias("j"), F.col("b.j").alias("k"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).cast("bigint").alias("g"))
+        .localCheckpoint(eager=False)  # feeds m0 AND the final Rayleigh product
+    )
+    m = _quantize_mat(gram, PCA_MAT_UNITS)
+    for _ in range(PCA_SQUARINGS):
+        sq = (
+            m.alias("a")
+            .join(m.alias("b").withColumnRenamed("j", "k2"), F.col("a.k") == F.col("k2"))
+            .groupBy(F.col("a.j").alias("j"), F.col("b.k").alias("k"))
+            .agg(F.sum(F.col("a.g") * F.col("b.g")).cast("bigint").alias("g"))
+        )
+        m = _quantize_mat(sq, PCA_MAT_UNITS).localCheckpoint(eager=False)
+    jstar = (
+        m.filter(F.col("j") == F.col("k"))
+        .orderBy(F.desc("g"), "j")
+        .limit(1)
+        .select(F.col("j").alias("jstar"))
+    )
+    col = m.join(F.broadcast(jstar), m.k == F.col("jstar")).select("j", "g")
+    v = _quantize_mat(
+        col.withColumn("k", F.lit(0)), PCA_UNITS
+    ).select(F.col("j").alias("dim"), F.col("g").alias("eigvec_unit"))
+    w = (
+        gram.join(
+            F.broadcast(v.withColumnRenamed("dim", "k").withColumnRenamed("eigvec_unit", "v")),
+            "k",
+        )
+        .groupBy("j")
+        .agg(F.sum(F.col("g") * F.col("v")).cast("bigint").alias("gram_vec_unit"))
+        .withColumnRenamed("j", "dim")
+    )
+    return v.join(w, "dim").select("dim", "eigvec_unit", "gram_vec_unit")
+
+
+# ---------------------------------------------------------------------------
+# ext_bootstrap_ci
+# ---------------------------------------------------------------------------
+
+BOOT_R = 32  # bootstrap replicates
+BOOT_WMAX = 8  # Poisson(1) weight cap: P(X > 8) ~ 1.1e-6, documented
+# Integer cdf thresholds at 2^32 scale: weight = min k with u32 < THRESH[k].
+# Computed ONCE here and embedded as identical integer literals in both
+# engines — no IEEE literal can drift.
+BOOT_THRESH = [
+    int(math.floor(sum(math.exp(-1.0) / math.factorial(i) for i in range(k + 1)) * 2**32))
+    for k in range(BOOT_WMAX)
+]
+
+
+def _boot_weight_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(BOOT_THRESH)
+    )
+    return f"(CASE {branches} ELSE {BOOT_WMAX} END)"
+
+
+def _boot_oracle() -> str:
+    u = _md5_32("'bs:' || CAST(o.o_orderkey AS VARCHAR) || ':' || CAST(r.r AS VARCHAR)")
+    return f"""
+    WITH base AS (
+        SELECT o.o_orderkey, c.c_mktsegment AS segment,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), reps AS (
+        SELECT o.segment, r.r,
+               {_boot_weight_sql(u)} AS w, o.cents
+        FROM (SELECT o_orderkey, segment, cents FROM base) o,
+             (SELECT unnest(generate_series(0, {BOOT_R - 1})) AS r) r
+    ), means AS (
+        SELECT segment, r,
+               CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_r
+        FROM reps GROUP BY 1, 2
+    ), point AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean_cents
+        FROM base GROUP BY 1
+    )
+    SELECT p.segment, p.n_orders,
+           {dround('p.mean_cents / 100.0', 6)} AS mean_price,
+           {dround('quantile_cont(m.mean_r, 0.025) / 100.0', 6)} AS boot_lo,
+           {dround('quantile_cont(m.mean_r, 0.975) / 100.0', 6)} AS boot_hi
+    FROM means m JOIN point p USING (segment)
+    GROUP BY p.segment, p.n_orders, p.mean_cents
+    """
+
+
+@register("ext_bootstrap_ci", _boot_oracle())
+def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order value per market
+    segment via the POISSON bootstrap — the resampling scheme that
+    distributes: a classical bootstrap draws n rows with replacement
+    (needs a global n and a shared index; impossible in one pass over
+    shards), while Poisson(1) per-row weights are independent, so each
+    executor stamps its rows without coordination and the weighted means
+    converge to the same bootstrap distribution (Chamandy et al.,
+    "Estimating uncertainty for massive data streams", Google 2012).
+
+    Determinism: the per-(row, replicate) weight inverts the Poisson(1)
+    cdf at u = first-32-bits-of-md5 — compared against PRECOMPUTED
+    integer thresholds ({BOOT_THRESH[:3]}..., identical literals in both
+    engines); weights cap at {BOOT_WMAX} (P ~ 1e-6, documented). Each
+    replicate mean is a ratio of identical exact integers; the CI is an
+    order-deterministic interpolated percentile over {BOOT_R} such
+    doubles (Spark percentile == DuckDB quantile_cont).
+
+    Scale shape: the {BOOT_R}x fanout feeds a map-side-combined
+    aggregate onto (segment, replicate) — {BOOT_R} x #segments partials,
+    no shuffle growth; at 100 TB replace the explode with a per-partition
+    loop emitting partial (segment, r) sums if the fanout's scan cost
+    matters (same algebra, one pass)."""
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    base = od.join(cu, od.o_custkey == cu.c_custkey).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    u = _spark_md5_32(
+        F.concat(
+            F.lit("bs:"), F.col("o_orderkey").cast("string"),
+            F.lit(":"), F.col("r").cast("string"),
+        )
+    )
+    cases = F.when(u < BOOT_THRESH[0], 0)
+    for k in range(1, BOOT_WMAX):
+        cases = cases.when(u < BOOT_THRESH[k], k)
+    weight = cases.otherwise(BOOT_WMAX)
+    reps = base.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1)))
+    ).select("segment", "r", weight.alias("w"), "cents")
+    means = reps.groupBy("segment", "r").agg(
+        (
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("mean_r")
+    )
+    point = base.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mean_cents"),
+    )
+    return (
+        means.groupBy("segment")
+        .agg(
+            F.percentile("mean_r", F.lit(0.025)).alias("lo"),
+            F.percentile("mean_r", F.lit(0.975)).alias("hi"),
+        )
+        .join(point, "segment")
+        .select(
+            "segment", "n_orders",
+            F.round(F.col("mean_cents") / 100.0, 6).alias("mean_price"),
+            F.round(F.col("lo") / 100.0, 6).alias("boot_lo"),
+            F.round(F.col("hi") / 100.0, 6).alias("boot_hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_graph_label_prop
+# ---------------------------------------------------------------------------
+
+LP_ROUNDS = 3  # synchronous propagation rounds
+LP_MIN_SUPPORT = 2  # co-purchase support floor for an edge
+
+
+def _label_prop_oracle() -> str:
+    base = f"""
+    op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), edges AS (
+        SELECT a.pk AS src, b.pk AS dst
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {LP_MIN_SUPPORT}
+    ), sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ), lab0 AS (
+        SELECT DISTINCT src AS node, src AS lab FROM sym
+    )"""
+    its = []
+    for t in range(1, LP_ROUNDS + 1):
+        its.append(
+            f"""lab{t} AS (
+        SELECT l.node,
+               LEAST(l.lab, MIN(n.lab)) AS lab
+        FROM lab{t - 1} l
+        JOIN sym e ON e.src = l.node
+        JOIN lab{t - 1} n ON n.node = e.dst
+        GROUP BY l.node, l.lab
+    )"""
+        )
+    return (
+        "WITH " + base + ", " + ", ".join(its) + f"""
+    SELECT l.node AS partkey, l.lab AS community,
+           CAST(COUNT(*) OVER (PARTITION BY l.lab) AS BIGINT) AS community_size
+    FROM lab{LP_ROUNDS} l
+    """
+    )
+
+
+@register("ext_graph_label_prop", _label_prop_oracle())
+def ext_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-label propagation over the co-purchase graph
+    (parts are nodes; an edge joins parts co-ordered in >= {LP_MIN_SUPPORT}
+    orders): after {LP_ROUNDS} rounds every node carries the smallest
+    partkey within {LP_ROUNDS} hops — bounded-round community detection,
+    the budgeted prefix of connected components (ext_dedup_clusters runs
+    CC to convergence with pointer jumping; this key is the fixed-round
+    variant real pipelines use when round count is an SLA, e.g. GraphX /
+    Pregel supersteps with a step budget).
+
+    Deterministic: min-label update is order-free; no tie exists.
+
+    Scale shape: edge build is a per-order self-join (pair count bounded
+    by per-order basket size squared, the ext_basket_pairs bound); each
+    round is ONE join keyed by node + one aggregate — Pregel's
+    message-combine pattern expressed as DataFrame ops. Label state
+    never leaves the cluster."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    edges = (
+        op.alias("a")
+        .join(op.alias("b"), "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= LP_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)  # reused every round
+    lab = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(LP_ROUNDS):
+        nbr = (
+            sym.join(lab.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("lab").alias("nbr_min"))
+        )
+        lab = lab.join(nbr, "node").select(
+            "node", F.least(F.col("lab"), F.col("nbr_min")).alias("lab")
+        )
+    wsz = Window.partitionBy("lab")
+    return lab.select(
+        F.col("node").alias("partkey"),
+        F.col("lab").alias("community"),
+        F.count(F.lit(1)).over(wsz).cast("bigint").alias("community_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_item_cooccur_cosine
+# ---------------------------------------------------------------------------
+
+COS_TOPK = 3  # neighbors kept per item
+COS_MIN_PAIR = 2  # co-occurrence floor
+
+
+@register(
+    "ext_item_cooccur_cosine",
+    f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), deg AS (
+        SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY 1
+    ), pairs AS (
+        SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {COS_MIN_PAIR}
+    ), sym AS (
+        SELECT pa AS item, pb AS neighbor, cab FROM pairs
+        UNION ALL
+        SELECT pb AS item, pa AS neighbor, cab FROM pairs
+    ), scored AS (
+        SELECT s.item, s.neighbor, s.cab,
+               CAST(s.cab AS DOUBLE)
+                   / sqrt(CAST(da.c * db.c AS DOUBLE)) AS sim_raw
+        FROM sym s
+        JOIN deg da ON da.pk = s.item
+        JOIN deg db ON db.pk = s.neighbor
+    ), ranked AS (
+        SELECT item, neighbor, cab, sim_raw,
+               ROW_NUMBER() OVER (
+                   PARTITION BY item ORDER BY sim_raw DESC, neighbor
+               ) AS rk
+        FROM scored
+    )
+    SELECT item, neighbor, cab AS cooccur, {dround('sim_raw', 6)} AS cosine_sim,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {COS_TOPK}
+    """,
+)
+def ext_item_cooccur_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity from co-occurrence counts —
+    sim(a,b) = c_ab / sqrt(c_a * c_b) over distinct order baskets — with
+    the top-{COS_TOPK} neighbor list per item: the classical
+    collaborative-filtering neighbor table ("customers who bought X").
+    ext_basket_pairs stops at raw support counts; this key adds the
+    popularity normalization (without it the top list is just the
+    bestsellers) and the per-item ranking.
+
+    Determinism: counts are exact integers; sqrt of an exact sub-2^53
+    integer product is correctly rounded in both engines (IEEE sqrt), the
+    quotient divides identical doubles, ties break on neighbor id.
+
+    Scale shape: pair generation is bounded by per-basket size squared
+    (the ext_basket_pairs bound); degree join is two broadcast-sized
+    lookups at test scale and stays an equi-join at any scale; top-k is a
+    per-item window over >= {COS_MIN_PAIR}-support pairs only."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct().localCheckpoint(eager=False)  # feeds degrees AND pairs
+    deg = op.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    pairs = (
+        op.alias("a")
+        .join(op.alias("b"), "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+        .filter(F.col("cab") >= COS_MIN_PAIR)
+    )
+    sym = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("neighbor"), "cab"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("item"), F.col("pa").alias("neighbor"), "cab"
+        )
+    )
+    scored = (
+        sym.join(deg.withColumnRenamed("pk", "item").withColumnRenamed("c", "ca"), "item")
+        .join(deg.withColumnRenamed("pk", "neighbor").withColumnRenamed("c", "cb"), "neighbor")
+        .select(
+            "item", "neighbor", "cab",
+            (
+                F.col("cab").cast("double")
+                / F.sqrt((F.col("ca") * F.col("cb")).cast("double"))
+            ).alias("sim_raw"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("sim_raw"), "neighbor")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= COS_TOPK)
+        .select(
+            "item", "neighbor", F.col("cab").alias("cooccur"),
+            F.round("sim_raw", 6).alias("cosine_sim"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_session_attribution
+# ---------------------------------------------------------------------------
+
+ATTR_GAP_MIN = 30  # session gap, minutes (matches ext_session_window)
+
+
+@register(
+    "ext_session_attribution",
+    f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL {ATTR_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               SUM(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM marked
+    ), touched AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               FIRST_VALUE(event_type) OVER ws AS first_touch,
+               COALESCE(
+                   LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS) OVER (
+                       PARTITION BY user_id, session_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 'direct') AS last_touch
+        FROM sess
+        WINDOW ws AS (
+            PARTITION BY user_id, session_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING
+        )
+    )
+    SELECT first_touch, last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def ext_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch revenue attribution: every purchase event
+    is credited to (a) the event type that OPENED its
+    {ATTR_GAP_MIN}-min-gap session and (b) the nearest preceding
+    non-purchase event type in the session ('direct' when the purchase
+    opens the session) — the two canonical marketing-attribution models,
+    reported as a (first_touch, last_touch) matrix with purchase counts
+    and exact-cent revenue.
+
+    Determinism: event streams order on the (ts, event_id) total order;
+    the last-touch scan is LAST_VALUE .. IGNORE NULLS over the preceding
+    frame — identical frame semantics both engines; revenue in exact
+    integer cents.
+
+    Scale shape: ONE shuffle keyed by user (all four windows share the
+    per-user sort — sessionize, running session id, first/last touch);
+    the final aggregate lands on a #event_types^2 grid. The purchase
+    filter cannot push below the windows (credit needs non-purchase
+    rows) — documented, it prunes before the only aggregate instead."""
+    ev = load(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_lag)
+    marked = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts").cast("long") - prev_ts.cast("long") > ATTR_GAP_MIN * 60),
+            1,
+        ).otherwise(0).alias("is_start"),
+    )
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.withColumn("session_id", F.sum("is_start").over(w_run))
+    w_sess = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    w_first = w_sess.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_prev = w_sess.rowsBetween(Window.unboundedPreceding, -1)
+    touched = sess.select(
+        "event_type", "value",
+        F.first("event_type").over(w_first).alias("first_touch"),
+        F.coalesce(
+            F.last(
+                F.when(F.col("event_type") != "purchase", F.col("event_type")),
+                ignorenulls=True,
+            ).over(w_prev),
+            F.lit("direct"),
+        ).alias("last_touch"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint").alias("revenue_cents"),
+        )
+    )

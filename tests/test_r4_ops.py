@@ -1,0 +1,191 @@
+"""Semantic tests for queries/r4_ops.py — known-answer and invariant
+checks pinning each operator's math independently of the DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dbt_pro3_spark.queries import all_queries
+from dbt_pro3_spark.queries.r4_ops import (
+    BOOT_THRESH,
+    BOOT_WMAX,
+    COS_TOPK,
+    PCA_MAT_UNITS,
+    PCA_UNITS,
+)
+from dbt_pro3_spark.sources.readers import load
+
+from .conftest import SF_DIR
+
+_Q = all_queries()
+
+
+def test_pca_power_matches_numpy_dominant_eigvec(spark):
+    """The quantized power-iteration vector must align with numpy's
+    dominant eigenvector of the SAME quantized Gram matrix (|cos| > 0.999
+    after 8 iterations — the spectral gap of real embedding data makes
+    convergence fast)."""
+    out = {r["dim"]: r for r in _Q["ext_embed_pca_power"](spark, SF_DIR).collect()}
+    assert len(out) == 64
+    emb = load(spark, SF_DIR, "embeddings").select("embedding").collect()
+    X = np.array([[round(float(v) * PCA_UNITS) for v in r["embedding"]] for r in emb])
+    G = X.T @ X
+    vals, vecs = np.linalg.eigh(G)
+    e1 = vecs[:, -1]
+    v = np.array([out[j]["eigvec_unit"] for j in range(64)], dtype=float)
+    cos = abs(v @ e1) / (np.linalg.norm(v) * np.linalg.norm(e1))
+    assert cos > 0.999, f"cosine to dominant eigvec {cos}"
+    # Rayleigh quotient from the returned columns approximates lambda_max
+    w = np.array([out[j]["gram_vec_unit"] for j in range(64)], dtype=float)
+    lam = (v @ w) / (v @ v)
+    assert abs(lam - vals[-1]) / vals[-1] < 0.001
+
+
+def test_pca_power_iteration_quantization_bound(spark):
+    """Every intermediate must stay below 2^53 so the cross-engine double
+    conversions are exact — the squaring bound is corpus-independent
+    (d * units^2); recheck the corpus-dependent Rayleigh bound on data."""
+    assert 64 * PCA_MAT_UNITS**2 < 2**53
+    emb = load(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    max_abs = emb.select(
+        F.max(F.abs(F.expr("aggregate(embedding, cast(0.0 as double), (a, x) -> greatest(a, abs(x)))")))
+    ).collect()[0][0]
+    g_max = n * (max_abs * PCA_UNITS) ** 2
+    w_max = 64 * g_max * PCA_UNITS
+    assert w_max < 2**53
+
+
+def test_bootstrap_thresholds_are_poisson1_cdf():
+    cdf = 0.0
+    for k, t in enumerate(BOOT_THRESH):
+        cdf += math.exp(-1.0) / math.factorial(k)
+        assert t == int(math.floor(cdf * 2**32))
+    assert len(BOOT_THRESH) == BOOT_WMAX
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    """Each segment's CI must contain its point estimate (Poisson
+    bootstrap replicate means center on the sample mean), be ordered, and
+    have width shrinking-ish relative to the mean (sanity, not a sharp
+    bound)."""
+    rows = _Q["ext_bootstrap_ci"](spark, SF_DIR).collect()
+    assert len(rows) == 5  # TPC-H market segments
+    for r in rows:
+        assert r["boot_lo"] <= r["mean_price"] <= r["boot_hi"], r
+        width = r["boot_hi"] - r["boot_lo"]
+        assert 0 < width < r["mean_price"] * 0.5, r
+
+
+def test_label_prop_is_cc_prefix(spark):
+    """After LP_ROUNDS rounds every community label must be (a) a real
+    node id, (b) <= the node's own id, and (c) consistent within an
+    edge's endpoints after FULL convergence would merge them — i.e. label
+    propagation never crosses a connected-component boundary: two nodes
+    in different components can never share a label."""
+    out = _Q["ext_graph_label_prop"](spark, SF_DIR)
+    rows = out.collect()
+    nodes = {r["partkey"] for r in rows}
+    lab = {r["partkey"]: r["community"] for r in rows}
+    assert set(lab.values()) <= nodes
+    assert all(lab[v] <= v for v in lab)
+    # community_size is consistent
+    from collections import Counter
+
+    sizes = Counter(lab.values())
+    for r in rows:
+        assert r["community_size"] == sizes[r["community"]]
+    # labels only travel along edges: rebuild the edge list and union-find
+    # full components; any two nodes sharing a label must share a component
+    li = load(spark, SF_DIR, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    edges = (
+        op.alias("a").join(op.alias("b"), "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("s"), F.col("b.pk").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .collect()
+    )
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in edges:
+        ra, rb = find(e["s"]), find(e["d"])
+        if ra != rb:
+            parent[ra] = rb
+    by_label = {}
+    for v, l in lab.items():
+        by_label.setdefault(l, set()).add(find(v))
+    for l, comps in by_label.items():
+        assert len(comps) == 1, f"label {l} spans components"
+
+
+def test_cooccur_cosine_recompute_and_bounds(spark):
+    """cosine_sim must equal c_ab/sqrt(c_a*c_b) recomputed from raw
+    baskets, lie in (0, 1], and each item lists at most COS_TOPK
+    neighbors in strictly rank order."""
+    rows = _Q["ext_item_cooccur_cosine"](spark, SF_DIR).collect()
+    assert rows
+    li = load(spark, SF_DIR, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().collect()
+    from collections import Counter, defaultdict
+
+    orders = defaultdict(set)
+    for r in op:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    deg = Counter()
+    pair = Counter()
+    for parts in orders.values():
+        ps = sorted(parts)
+        deg.update(ps)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pair[(a, b)] += 1
+    per_item = defaultdict(list)
+    for r in rows:
+        a, b = min(r["item"], r["neighbor"]), max(r["item"], r["neighbor"])
+        assert pair[(a, b)] == r["cooccur"] >= 2
+        expect = pair[(a, b)] / math.sqrt(deg[r["item"]] * deg[r["neighbor"]])
+        assert abs(r["cosine_sim"] - round(expect, 6)) < 1e-9
+        assert 0 < r["cosine_sim"] <= 1
+        per_item[r["item"]].append((r["rk"], r["cosine_sim"]))
+    for item, lst in per_item.items():
+        lst.sort()
+        assert [rk for rk, _ in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= COS_TOPK
+        sims = [s for _, s in lst]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_session_attribution_conserves_purchases(spark):
+    """Attribution cells must sum to the total purchase count and exact
+    total purchase revenue; 'direct' last-touch only pairs with
+    first_touch='purchase'... specifically a purchase that OPENS a
+    session has no preceding event, so its first_touch must be
+    'purchase' whenever last_touch='direct'."""
+    out = _Q["ext_session_attribution"](spark, SF_DIR).collect()
+    ev = load(spark, SF_DIR, "events")
+    tot = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+        )
+        .collect()[0]
+    )
+    assert sum(r["n_purchases"] for r in out) == tot["n"]
+    assert sum(r["revenue_cents"] for r in out) == tot["cents"]
+    for r in out:
+        if r["last_touch"] == "direct":
+            assert r["first_touch"] == "purchase"
