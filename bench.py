@@ -127,6 +127,11 @@ HEADLINE = [
     "ext_text_ttr",
     "ext_spend_gini",
     "ext_peak_concurrency",
+    "ext_embed_pca_power",
+    "ext_bootstrap_ci",
+    "ext_graph_label_prop",
+    "ext_item_cooccur_cosine",
+    "ext_session_attribution",
 ]
 
 

@@ -159,20 +159,31 @@ def ext_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel). The {PCA_SQUARINGS} squarings then run on
     4096-row DataFrames — driver never sees data, no .collect()."""
     emb = load(spark, sf_dir, "embeddings")
-    xq = emb.select(
-        "vec_id", F.posexplode("embedding").alias("j", "xf")
-    ).select(
-        "vec_id", "j",
-        F.round(F.col("xf").cast("double") * PCA_UNITS, 0).cast("bigint").alias("x"),
+    # Outer product WITHOUT a self-join: quantize the array once, then a
+    # double posexplode streams the n x d^2 product rows straight into the
+    # map-side-combined (j, k) aggregate — no shuffle until 4096 partials
+    # (the self-join formulation shuffles the full exploded table first;
+    # measured ~3x slower).
+    arrq = emb.select(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * PCA_UNITS, 0).cast("bigint"),
+        ).alias("aq")
     )
+    pairs = arrq.select(
+        F.posexplode("aq").alias("j", "xj"), "aq"
+    ).select("j", "xj", F.posexplode("aq").alias("k", "xk"))
     gram = (
-        xq.alias("a")
-        .join(xq.alias("b"), "vec_id")
-        .groupBy(F.col("a.j").alias("j"), F.col("b.j").alias("k"))
-        .agg(F.sum(F.col("a.x") * F.col("b.x")).cast("bigint").alias("g"))
+        pairs.groupBy("j", "k")
+        .agg(F.sum(F.col("xj") * F.col("xk")).cast("bigint").alias("g"))
         .localCheckpoint(eager=False)  # feeds m0 AND the final Rayleigh product
     )
-    m = _quantize_mat(gram, PCA_MAT_UNITS)
+    # The squaring chain operates on d^2 = 4096-row frames: coalesce to ONE
+    # partition so each of the PCA_SQUARINGS joins+aggregates is a single
+    # task instead of shuffle_partitions tasks — at any corpus scale the
+    # matrix side is d^2 rows, so this never limits parallelism (the
+    # corpus-sized Gram aggregate above keeps full parallelism).
+    m = _quantize_mat(gram, PCA_MAT_UNITS).coalesce(1)
     for _ in range(PCA_SQUARINGS):
         sq = (
             m.alias("a")
@@ -180,7 +191,7 @@ def ext_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("a.j").alias("j"), F.col("b.k").alias("k"))
             .agg(F.sum(F.col("a.g") * F.col("b.g")).cast("bigint").alias("g"))
         )
-        m = _quantize_mat(sq, PCA_MAT_UNITS).localCheckpoint(eager=False)
+        m = _quantize_mat(sq, PCA_MAT_UNITS).coalesce(1).localCheckpoint(eager=False)
     jstar = (
         m.filter(F.col("j") == F.col("k"))
         .orderBy(F.desc("g"), "j")
