@@ -37,6 +37,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..ext import text as tx
 from ..sources.readers import load
 from . import dround, register
 from .llm_ops import _md5_32, _spark_md5_32
@@ -56,9 +57,15 @@ PCA_SQUARINGS = 10  # G -> G^(2^10): effective power 1024
 # PCA_UNITS (the direction is scale-invariant).
 
 
-def _pca_oracle() -> str:
+def _pca_chain() -> str:
+    """WITH-body (no 'WITH', no final SELECT) computing xq, gram and the
+    dominant eigenvector CTE `v(dim, eigvec_unit)` — shared by the
+    ext_embed_pca_power and ext_embed_pca_project oracles. Every CTE that
+    is referenced more than once is MATERIALIZED: without the hint DuckDB
+    inlines each reference and the squaring chain expands to 2^10 copies
+    of the base scan (observed as an fd-exhaustion failure)."""
     gram = f"""
-    xq AS (
+    xq AS MATERIALIZED (
         SELECT vec_id, i - 1 AS j,
                CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {PCA_UNITS}) AS BIGINT) AS x
         FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
@@ -90,18 +97,25 @@ def _pca_oracle() -> str:
         )
     last = PCA_SQUARINGS
     return (
-        "WITH " + gram + ", " + ", ".join(its) + f"""
+        gram + ", " + ", ".join(its) + f"""
     , jstar AS (
         SELECT j FROM m{last} WHERE j = k ORDER BY g DESC, j LIMIT 1
-    ), col AS (
+    ), col AS MATERIALIZED (
         SELECT m.j, m.g FROM m{last} m, jstar WHERE m.k = jstar.j
-    ), v AS (
+    ), v AS MATERIALIZED (
         SELECT c.j AS dim,
                CAST(FLOOR(CAST(c.g AS DOUBLE)
                           / CAST((SELECT MAX(ABS(g)) FROM col) AS DOUBLE)
                           * {PCA_UNITS}.0) AS BIGINT) AS eigvec_unit
         FROM col c
-    ), w AS (
+    )"""
+    )
+
+
+def _pca_oracle() -> str:
+    return (
+        "WITH " + _pca_chain() + """
+    , w AS (
         SELECT g.j AS dim, CAST(SUM(g.g * v.eigvec_unit) AS BIGINT) AS gram_vec_unit
         FROM gram g JOIN v ON v.dim = g.k
         GROUP BY 1
@@ -123,6 +137,57 @@ def _quantize_mat(m: DataFrame, units: int) -> DataFrame:
             F.col("g").cast("double") / F.col("mx").cast("double") * float(units)
         ).cast("bigint").alias("g"),
     )
+
+
+def _pca_eigvec(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(gram, v): the exact-integer Gram matrix (j, k, g) and the dominant
+    eigenvector (dim, eigvec_unit) via quantized repeated squaring —
+    shared by ext_embed_pca_power and ext_embed_pca_project."""
+    emb = load(spark, sf_dir, "embeddings")
+    # Outer product WITHOUT a self-join: quantize the array once, then a
+    # double posexplode streams the n x d^2 product rows straight into the
+    # map-side-combined (j, k) aggregate — no shuffle until 4096 partials
+    # (the self-join formulation shuffles the full exploded table first;
+    # measured ~3x slower).
+    arrq = emb.select(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * PCA_UNITS, 0).cast("bigint"),
+        ).alias("aq")
+    )
+    pairs = arrq.select(
+        F.posexplode("aq").alias("j", "xj"), "aq"
+    ).select("j", "xj", F.posexplode("aq").alias("k", "xk"))
+    gram = (
+        pairs.groupBy("j", "k")
+        .agg(F.sum(F.col("xj") * F.col("xk")).cast("bigint").alias("g"))
+        .localCheckpoint(eager=False)  # feeds m0 AND the caller's reuse
+    )
+    # The squaring chain operates on d^2 = 4096-row frames: coalesce to ONE
+    # partition so each of the PCA_SQUARINGS joins+aggregates is a single
+    # task instead of shuffle_partitions tasks — at any corpus scale the
+    # matrix side is d^2 rows, so this never limits parallelism (the
+    # corpus-sized Gram aggregate above keeps full parallelism).
+    m = _quantize_mat(gram, PCA_MAT_UNITS).coalesce(1)
+    for _ in range(PCA_SQUARINGS):
+        sq = (
+            m.alias("a")
+            .join(m.alias("b").withColumnRenamed("j", "k2"), F.col("a.k") == F.col("k2"))
+            .groupBy(F.col("a.j").alias("j"), F.col("b.k").alias("k"))
+            .agg(F.sum(F.col("a.g") * F.col("b.g")).cast("bigint").alias("g"))
+        )
+        m = _quantize_mat(sq, PCA_MAT_UNITS).coalesce(1).localCheckpoint(eager=False)
+    jstar = (
+        m.filter(F.col("j") == F.col("k"))
+        .orderBy(F.desc("g"), "j")
+        .limit(1)
+        .select(F.col("j").alias("jstar"))
+    )
+    col = m.join(F.broadcast(jstar), m.k == F.col("jstar")).select("j", "g")
+    v = _quantize_mat(
+        col.withColumn("k", F.lit(0)), PCA_UNITS
+    ).select(F.col("j").alias("dim"), F.col("g").alias("eigvec_unit"))
+    return gram, v
 
 
 @register("ext_embed_pca_power", _pca_oracle())
@@ -158,50 +223,7 @@ def ext_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; at 100 TB this is the only corpus-sized stage and it is
     embarrassingly parallel). The {PCA_SQUARINGS} squarings then run on
     4096-row DataFrames — driver never sees data, no .collect()."""
-    emb = load(spark, sf_dir, "embeddings")
-    # Outer product WITHOUT a self-join: quantize the array once, then a
-    # double posexplode streams the n x d^2 product rows straight into the
-    # map-side-combined (j, k) aggregate — no shuffle until 4096 partials
-    # (the self-join formulation shuffles the full exploded table first;
-    # measured ~3x slower).
-    arrq = emb.select(
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * PCA_UNITS, 0).cast("bigint"),
-        ).alias("aq")
-    )
-    pairs = arrq.select(
-        F.posexplode("aq").alias("j", "xj"), "aq"
-    ).select("j", "xj", F.posexplode("aq").alias("k", "xk"))
-    gram = (
-        pairs.groupBy("j", "k")
-        .agg(F.sum(F.col("xj") * F.col("xk")).cast("bigint").alias("g"))
-        .localCheckpoint(eager=False)  # feeds m0 AND the final Rayleigh product
-    )
-    # The squaring chain operates on d^2 = 4096-row frames: coalesce to ONE
-    # partition so each of the PCA_SQUARINGS joins+aggregates is a single
-    # task instead of shuffle_partitions tasks — at any corpus scale the
-    # matrix side is d^2 rows, so this never limits parallelism (the
-    # corpus-sized Gram aggregate above keeps full parallelism).
-    m = _quantize_mat(gram, PCA_MAT_UNITS).coalesce(1)
-    for _ in range(PCA_SQUARINGS):
-        sq = (
-            m.alias("a")
-            .join(m.alias("b").withColumnRenamed("j", "k2"), F.col("a.k") == F.col("k2"))
-            .groupBy(F.col("a.j").alias("j"), F.col("b.k").alias("k"))
-            .agg(F.sum(F.col("a.g") * F.col("b.g")).cast("bigint").alias("g"))
-        )
-        m = _quantize_mat(sq, PCA_MAT_UNITS).coalesce(1).localCheckpoint(eager=False)
-    jstar = (
-        m.filter(F.col("j") == F.col("k"))
-        .orderBy(F.desc("g"), "j")
-        .limit(1)
-        .select(F.col("j").alias("jstar"))
-    )
-    col = m.join(F.broadcast(jstar), m.k == F.col("jstar")).select("j", "g")
-    v = _quantize_mat(
-        col.withColumn("k", F.lit(0)), PCA_UNITS
-    ).select(F.col("j").alias("dim"), F.col("g").alias("eigvec_unit"))
+    gram, v = _pca_eigvec(spark, sf_dir)
     w = (
         gram.join(
             F.broadcast(v.withColumnRenamed("dim", "k").withColumnRenamed("eigvec_unit", "v")),
@@ -641,4 +663,417 @@ def ext_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
             .cast("bigint").alias("revenue_cents"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_embed_pca_project
+# ---------------------------------------------------------------------------
+
+PROJ_TOPK = 50  # spectral outliers reported
+PROJ_SALTS = 32  # level-1 hash groups for the two-level top-k
+
+
+def _pca_project_oracle() -> str:
+    return (
+        "WITH " + _pca_chain() + f"""
+    , proj AS (
+        SELECT x.vec_id, CAST(SUM(x.x * v.eigvec_unit) AS BIGINT) AS proj_units
+        FROM xq x JOIN v ON v.dim = x.j
+        GROUP BY 1
+    ), ranked AS (
+        SELECT vec_id, proj_units,
+               ROW_NUMBER() OVER (ORDER BY ABS(proj_units) DESC, vec_id) AS rk
+        FROM proj
+    )
+    SELECT vec_id, proj_units, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {PROJ_TOPK}
+    """
+    )
+
+
+@register("ext_embed_pca_project", _pca_project_oracle())
+def ext_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral outlier scan: project every embedding onto the corpus'
+    dominant principal direction (ext_embed_pca_power's eigenvector) and
+    report the top-{PROJ_TOPK} vectors by |projection| — the vectors that
+    load the first principal component hardest. This is the detection
+    half of ABTT de-biasing and the standard first look at "what is this
+    dominant direction actually made of" (cluster artifacts, length
+    effects, template boilerplate).
+
+    Exactness: the projection is an exact BIGINT dot product of the
+    quantized embedding with the quantized eigenvector (|score| <=
+    d * max|x_int| * {PCA_UNITS} ~ 3.4e7 — nowhere near 2^53); ranking
+    ties break on vec_id.
+
+    Scale shape: the eigenvector pipeline is corpus-flat (see
+    ext_embed_pca_power); the projection is ONE corpus pass — explode,
+    broadcast-join the 64-row eigenvector, per-vector aggregate. The
+    global top-k runs two-level ({PROJ_SALTS} hash-group local top-k,
+    then a bounded {PROJ_SALTS}x{PROJ_TOPK}-row final window) — the
+    ext_text_vocab_coverage discipline, never a corpus-sized
+    single-partition sort."""
+    _, v = _pca_eigvec(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "vec_id", "dim",
+        F.round(F.col("xf").cast("double") * PCA_UNITS, 0).cast("bigint").alias("x"),
+    )
+    proj = (
+        xq.join(F.broadcast(v), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("x") * F.col("eigvec_unit")).cast("bigint").alias("proj_units"))
+    )
+    w_grp = Window.partitionBy("grp").orderBy(F.desc(F.abs(F.col("proj_units"))), "vec_id")
+    pruned = (
+        proj.withColumn("grp", F.pmod(F.xxhash64("vec_id"), F.lit(PROJ_SALTS)))
+        .withColumn("lrk", F.row_number().over(w_grp))
+        .filter(F.col("lrk") <= PROJ_TOPK)
+        .drop("grp", "lrk")
+    )
+    w = Window.orderBy(F.desc(F.abs(F.col("proj_units"))), "vec_id")
+    return (
+        pruned.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= PROJ_TOPK)
+        .select("vec_id", "proj_units", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_source_lang_mix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_source_lang_mix",
+    f"""
+    WITH c AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ), tot AS (
+        SELECT source, SUM(n) AS t, COUNT(*) AS n_langs FROM c GROUP BY 1
+    ), ent AS (
+        SELECT c.source,
+               SUM(CAST(ROUND(-(c.n * 1.0 / tot.t) * ln(c.n * 1.0 / tot.t)
+                              * 1000000000.0) AS BIGINT)) AS ent_units
+        FROM c JOIN tot USING (source) GROUP BY 1
+    ), top AS (
+        SELECT source, lang AS top_lang, n AS top_n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n DESC, lang
+               ) AS rk
+        FROM c
+    )
+    SELECT t.source, CAST(t.t AS BIGINT) AS n_docs,
+           CAST(t.n_langs AS BIGINT) AS n_langs,
+           p.top_lang,
+           {dround('p.top_n * 1.0 / t.t', 6)} AS top_share,
+           {dround('e.ent_units / 1000000000.0', 6)} AS lang_entropy
+    FROM tot t
+    JOIN ent e USING (source)
+    JOIN top p ON p.source = t.source AND p.rk = 1
+    """,
+)
+def ext_source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language composition report: document count, distinct
+    languages, the majority language and its share, and the Shannon
+    entropy of the language distribution — the mix audit a multilingual
+    curation pipeline runs per crawl/source before deciding per-language
+    sampling weights (a source whose entropy spikes between snapshots
+    changed its upstream composition).
+
+    Determinism: shares are ratios of exact counts; entropy accumulates
+    in integer nano-units per language BEFORE summing (the ext_drift_psi
+    discipline), so the cross-language sum is an exact integer in both
+    engines; majority ties break on lang.
+
+    Scale shape: one (source, lang) aggregate — a grid bounded by
+    #sources x #languages — then all math on grid rows; the majority
+    pick is a window over the tiny grid, never over documents."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_tot = Window.partitionBy("source")
+    w_rank = Window.partitionBy("source").orderBy(F.desc("n"), "lang")
+    share = F.col("n") * F.lit(1.0) / F.col("t")
+    enriched = (
+        c.withColumn("t", F.sum("n").over(w_tot))
+        .withColumn("n_langs", F.count(F.lit(1)).over(w_tot))
+        .withColumn(
+            "ent_units",
+            F.round(-share * F.log(share) * 1000000000.0, 0).cast("bigint"),
+        )
+        .withColumn("rk", F.row_number().over(w_rank))
+    )
+    return (
+        enriched.groupBy("source")
+        .agg(
+            F.max("t").cast("bigint").alias("n_docs"),
+            F.max("n_langs").cast("bigint").alias("n_langs"),
+            F.max(F.when(F.col("rk") == 1, F.col("lang"))).alias("top_lang"),
+            F.max(F.when(F.col("rk") == 1, F.col("n"))).alias("top_n"),
+            F.sum("ent_units").alias("ent_units"),
+        )
+        .select(
+            "source", "n_docs", "n_langs", "top_lang",
+            F.round(F.col("top_n") * 1.0 / F.col("n_docs"), 6).alias("top_share"),
+            F.round(F.col("ent_units") / 1000000000.0, 6).alias("lang_entropy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_assoc_rules
+# ---------------------------------------------------------------------------
+
+RULE_MIN_SUPPORT = 3  # co-occurrence floor for a rule
+RULE_MIN_CONF_NUM = 1  # confidence floor as exact rational: conf >= 1/20
+RULE_MIN_CONF_DEN = 20  # (TPC-H baskets are sparse: parts recur across many
+# orders, so pairwise confidence is low; 5% keeps a non-degenerate rule set
+# at every test sf while still gating noise)
+
+
+@register(
+    "ext_assoc_rules",
+    f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), nb AS (
+        SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM op
+    ), deg AS (
+        SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY 1
+    ), pairs AS (
+        SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {RULE_MIN_SUPPORT}
+    ), sym AS (
+        SELECT pa AS antecedent, pb AS consequent, cab FROM pairs
+        UNION ALL
+        SELECT pb AS antecedent, pa AS consequent, cab FROM pairs
+    )
+    SELECT s.antecedent, s.consequent, s.cab AS support_ab,
+           {dround('CAST(s.cab AS DOUBLE) / CAST(da.c AS DOUBLE)', 6)} AS confidence,
+           {dround('''CAST(s.cab * nb.n_baskets AS DOUBLE)
+                      / CAST(da.c * db.c AS DOUBLE)''', 6)} AS lift
+    FROM sym s
+    JOIN deg da ON da.pk = s.antecedent
+    JOIN deg db ON db.pk = s.consequent
+    CROSS JOIN nb
+    WHERE s.cab * {RULE_MIN_CONF_DEN} >= da.c * {RULE_MIN_CONF_NUM}
+      AND s.cab * nb.n_baskets > da.c * db.c
+    """,
+)
+def ext_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (Apriori level 2): for each
+    co-purchased part pair, the rule antecedent -> consequent with
+    support, confidence = c_ab/c_a and lift = c_ab*N/(c_a*c_b); rules
+    kept when support >= {RULE_MIN_SUPPORT}, confidence >=
+    {RULE_MIN_CONF_NUM}/{RULE_MIN_CONF_DEN} and lift > 1 — the
+    market-basket complement of ext_item_cooccur_cosine (cosine ranks
+    neighbors symmetrically; rules are DIRECTED and lift-gated, the
+    cross-sell/recommendation primitive).
+
+    Determinism: BOTH gates are exact integer cross-multiplications
+    (c_ab*{RULE_MIN_CONF_DEN} >= c_a and c_ab*N > c_a*c_b) — no float
+    threshold can flip a rule between engines; reported confidence/lift
+    are ratios of identical exact sub-2^53 integer products, dround(6).
+
+    Scale shape: identical bounds to ext_item_cooccur_cosine (per-basket
+    pair explosion, {RULE_MIN_SUPPORT}+-support filter inside the
+    aggregate); the basket count is a 1-row broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct().localCheckpoint(eager=False)  # degrees + pairs + basket count
+    nb = op.agg(F.countDistinct("ok").cast("bigint").alias("n_baskets"))
+    deg = op.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    pairs = (
+        op.alias("a")
+        .join(op.alias("b"), "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+        .filter(F.col("cab") >= RULE_MIN_SUPPORT)
+    )
+    sym = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "cab"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "cab"
+        )
+    )
+    scored = (
+        sym.join(deg.withColumnRenamed("pk", "antecedent").withColumnRenamed("c", "ca"),
+                 "antecedent")
+        .join(deg.withColumnRenamed("pk", "consequent").withColumnRenamed("c", "cb"),
+              "consequent")
+        .crossJoin(F.broadcast(nb))
+    )
+    return (
+        scored.filter(
+            (F.col("cab") * RULE_MIN_CONF_DEN >= F.col("ca") * RULE_MIN_CONF_NUM)
+            & (F.col("cab") * F.col("n_baskets") > F.col("ca") * F.col("cb"))
+        )
+        .select(
+            "antecedent", "consequent", F.col("cab").alias("support_ab"),
+            F.round(F.col("cab").cast("double") / F.col("ca").cast("double"), 6)
+            .alias("confidence"),
+            F.round(
+                (F.col("cab") * F.col("n_baskets")).cast("double")
+                / (F.col("ca") * F.col("cb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_ts_decompose
+# ---------------------------------------------------------------------------
+
+TSD_HALF = 3  # centered moving-average half-width (full window = 7 days)
+
+
+@register(
+    "ext_ts_decompose",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), ma AS (
+        SELECT d, cents,
+               SUM(cents) OVER w AS s7, COUNT(*) OVER w AS n7
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN {TSD_HALF} PRECEDING
+                     AND {TSD_HALF} FOLLOWING)
+    ), det AS (
+        SELECT d, cents, s7,
+               7 * cents - s7 AS u
+        FROM ma WHERE n7 = 7
+    ), season AS (
+        SELECT dayofweek(d) AS dow,
+               CAST(SUM(u) AS BIGINT) AS su, CAST(COUNT(*) AS BIGINT) AS nu
+        FROM det GROUP BY 1
+    )
+    SELECT det.d,
+           {dround('det.cents / 100.0', 6)} AS revenue,
+           {dround('det.s7 / 7.0 / 100.0', 6)} AS trend,
+           {dround('s.su * 1.0 / (7 * s.nu) / 100.0', 6)} AS seasonal,
+           {dround('''(det.u * 1.0 / 7.0
+                       - s.su * 1.0 / (7 * s.nu)) / 100.0''', 6)} AS residual
+    FROM det JOIN season s ON s.dow = dayofweek(det.d)
+    """,
+)
+def ext_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily revenue series:
+    trend = centered 7-day moving average, seasonal = day-of-week mean
+    of the detrended series, residual = remainder — the decomposition
+    behind anomaly baselines and seasonality-aware forecasts
+    (ext_anomaly_rolling_z flags deviations; this key explains them).
+    Edge days without a full 7-day window are excluded (documented).
+
+    Determinism trick: the detrended value r_d - S_d/7 is held as the
+    EXACT integer u_d = 7*r_d - S_d (cents scaled by 7), so the
+    day-of-week seasonal mean is a ratio of exact integer sums — no
+    float sum ever crosses engines; every reported double divides
+    identical integers, dround(6).
+
+    Scale shape: the corpus collapses to one row per DAY first; all
+    windows and the dow grid run on the days series (the
+    win_lag_12_global post-aggregation discipline — a years-long daily
+    series is thousands of rows, not a distributed concern)."""
+    od = load(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint").alias("cents")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-TSD_HALF, TSD_HALF)
+    det = (
+        daily.withColumn("s7", F.sum("cents").over(w7))
+        .withColumn("n7", F.count(F.lit(1)).over(w7))
+        .filter(F.col("n7") == 7)
+        .withColumn("u", 7 * F.col("cents") - F.col("s7"))
+        .withColumn("dow", F.dayofweek("d"))
+    )
+    season = det.groupBy("dow").agg(
+        F.sum("u").cast("bigint").alias("su"),
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+    )
+    seas = F.col("su") * 1.0 / (7 * F.col("nu"))
+    return det.join(F.broadcast(season), "dow").select(
+        "d",
+        F.round(F.col("cents") / 100.0, 6).alias("revenue"),
+        F.round(F.col("s7") / 7.0 / 100.0, 6).alias("trend"),
+        F.round(seas / 100.0, 6).alias("seasonal"),
+        F.round((F.col("u") * 1.0 / 7.0 - seas) / 100.0, 6).alias("residual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_tokenizer_fertility
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_tokenizer_fertility",
+    r"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS BIGINT) AS ws,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS sub,
+               n_chars
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS words,
+           CAST(SUM(sub) AS BIGINT) AS subword_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(CAST(SUM(sub) AS DOUBLE) / SUM(ws) AS DECIMAL(20,6))
+               AS fertility,
+           CAST(CAST(SUM(n_chars) AS DOUBLE) / SUM(sub) AS DECIMAL(20,6))
+               AS chars_per_token
+    FROM per_doc GROUP BY 1
+    """,
+)
+def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source: subword-tokens-per-word (how many
+    BPE-ish pieces an average word shatters into) and chars-per-token —
+    THE tokenizer-efficiency metrics compared across languages/domains
+    before committing to a vocabulary (fertility >> 1 on a domain means
+    its text is expensive to train on and truncates earlier at fixed
+    context length). Uses the same whitespace + pre-tokenization regex
+    pair as ext_text_token_count, aggregated corpus-level.
+
+    Determinism: both ratios divide exact integer token sums (the
+    per-doc counts are exact; sums are exact BIGINTs), then round to a
+    6dp DECIMAL on both engines.
+
+    Scale shape: pure per-row token counting (codegen regex, no UDF)
+    into ONE map-side-combined aggregate keyed by source — a
+    #sources-row result, no second shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    ws, bpe = tx.token_counts(F.col("text"))
+    per_doc = docs.select(
+        "source", ws.cast("bigint").alias("ws"),
+        bpe.cast("bigint").alias("sub"), "n_chars",
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("words"),
+        F.sum("sub").cast("bigint").alias("subword_tokens"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        (F.sum("sub").cast("double") / F.sum("ws"))
+        .cast("decimal(20,6)").alias("fertility"),
+        (F.sum("n_chars").cast("double") / F.sum("sub"))
+        .cast("decimal(20,6)").alias("chars_per_token"),
     )

@@ -189,3 +189,124 @@ def test_session_attribution_conserves_purchases(spark):
     for r in out:
         if r["last_touch"] == "direct":
             assert r["first_touch"] == "purchase"
+
+
+def test_pca_project_consistent_with_eigvec(spark):
+    """proj_units must equal the exact integer dot product of the
+    quantized embedding with the reported eigenvector, and ranks must
+    follow |proj| DESC with vec_id tiebreak."""
+    eig = {r["dim"]: r["eigvec_unit"]
+           for r in _Q["ext_embed_pca_power"](spark, SF_DIR).collect()}
+    out = _Q["ext_embed_pca_project"](spark, SF_DIR).collect()
+    assert len(out) == 50
+    emb = {r["vec_id"]: r["embedding"]
+           for r in load(spark, SF_DIR, "embeddings").collect()}
+    for r in out:
+        xq = [round(float(v) * PCA_UNITS) for v in emb[r["vec_id"]]]
+        assert r["proj_units"] == sum(xq[j] * eig[j] for j in range(64))
+    seq = sorted(out, key=lambda r: r["rk"])
+    keys = [(-abs(r["proj_units"]), r["vec_id"]) for r in seq]
+    assert keys == sorted(keys)
+
+
+def test_source_lang_mix_recompute(spark):
+    """Counts, majority pick and entropy must match a direct recompute."""
+    out = {r["source"]: r for r in _Q["ext_source_lang_mix"](spark, SF_DIR).collect()}
+    docs = load(spark, SF_DIR, "documents").select("source", "lang").collect()
+    from collections import Counter, defaultdict
+
+    per_src = defaultdict(Counter)
+    for r in docs:
+        per_src[r["source"]][r["lang"]] += 1
+    assert set(out) == set(per_src)
+    for src, cnt in per_src.items():
+        row = out[src]
+        t = sum(cnt.values())
+        assert row["n_docs"] == t and row["n_langs"] == len(cnt)
+        top_lang = min(cnt, key=lambda l: (-cnt[l], l))
+        assert row["top_lang"] == top_lang
+        assert abs(row["top_share"] - round(cnt[top_lang] / t, 6)) < 1e-9
+        ent = sum(round(-(n / t) * math.log(n / t) * 1e9) for n in cnt.values())
+        assert abs(row["lang_entropy"] - round(ent / 1e9, 6)) < 1e-9
+
+
+def test_assoc_rules_gates_and_recompute(spark):
+    """Every emitted rule must satisfy the integer gates and match a
+    direct recompute of support/confidence/lift; no qualifying rule may
+    be missing."""
+    rows = _Q["ext_assoc_rules"](spark, SF_DIR).collect()
+    assert rows
+    li = load(spark, SF_DIR, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().collect()
+    from collections import Counter, defaultdict
+
+    orders = defaultdict(set)
+    for r in op:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    nb = len(orders)
+    deg = Counter()
+    pair = Counter()
+    for parts in orders.values():
+        ps = sorted(parts)
+        deg.update(ps)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pair[(a, b)] += 1
+    expected = set()
+    for (a, b), cab in pair.items():
+        if cab < 3:
+            continue
+        for ant, con in ((a, b), (b, a)):
+            if cab * 20 >= deg[ant] and cab * nb > deg[ant] * deg[con]:
+                expected.add((ant, con))
+    got = {(r["antecedent"], r["consequent"]) for r in rows}
+    assert got == expected
+    for r in rows:
+        a, b = min(r["antecedent"], r["consequent"]), max(r["antecedent"], r["consequent"])
+        cab = pair[(a, b)]
+        assert r["support_ab"] == cab
+        assert abs(r["confidence"] - round(cab / deg[r["antecedent"]], 6)) < 1e-9
+        assert abs(
+            r["lift"] - round(cab * nb / (deg[r["antecedent"]] * deg[r["consequent"]]), 6)
+        ) < 1e-9
+
+
+def test_ts_decompose_identity_and_trend(spark):
+    """revenue == trend + seasonal + residual (6dp parts, 3-ulp slack),
+    and trend must equal the 7-day centered mean of revenue."""
+    rows = _Q["ext_ts_decompose"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["revenue"] - (r["trend"] + r["seasonal"] + r["residual"])) < 5e-6
+    daily = {r["d"]: r["revenue"] for r in rows}
+    # recompute trend where all 7 neighbors are themselves reported days
+    import datetime
+
+    checked = 0
+    for r in rows:
+        window = [
+            daily.get(r["d"] + datetime.timedelta(days=off)) for off in range(-3, 4)
+        ]
+        if all(v is not None for v in window):
+            assert abs(r["trend"] - sum(window) / 7) < 5e-5
+            checked += 1
+    assert checked > 100
+
+
+def test_tokenizer_fertility_bounds_and_recompute(spark):
+    """fertility >= 1 (every whitespace token yields >= 1 subword token);
+    spot-check one source against a python regex recompute."""
+    import re as _re
+
+    rows = {r["source"]: r for r in _Q["ext_tokenizer_fertility"](spark, SF_DIR).collect()}
+    assert rows
+    for r in rows.values():
+        assert float(r["fertility"]) >= 1.0
+        assert float(r["chars_per_token"]) > 0
+    src = sorted(rows)[0]
+    docs = load(spark, SF_DIR, "documents").filter(F.col("source") == src).collect()
+    ws = sum(len([t for t in d["text"].split(" ") if t]) for d in docs)
+    sub = sum(len(_re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", d["text"])) for d in docs)
+    chars = sum(d["n_chars"] for d in docs)
+    row = rows[src]
+    assert row["words"] == ws and row["subword_tokens"] == sub and row["chars"] == chars
