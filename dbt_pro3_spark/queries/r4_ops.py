@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from ..ext import text as tx
 from ..sources.readers import load
 from . import dround, register
-from .llm_ops import _md5_32, _spark_md5_32
+from .llm_ops import _TOKS_SQL, _md5_32, _spark_md5_32
 
 # ---------------------------------------------------------------------------
 # ext_embed_pca_power
@@ -1076,4 +1076,270 @@ def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(20,6)").alias("fertility"),
         (F.sum("n_chars").cast("double") / F.sum("sub"))
         .cast("decimal(20,6)").alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_embed_centroid_classify
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_embed_centroid_classify",
+    f"""
+    WITH xq AS MATERIALIZED (
+        SELECT vec_id, label, i - 1 AS j,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {PCA_UNITS}) AS BIGINT) AS x
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ), cent AS MATERIALIZED (
+        SELECT label AS c_label, j,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS nl
+        FROM xq GROUP BY 1, 2
+    ), dist AS (
+        SELECT x.vec_id, x.label AS label_true, c.c_label,
+               SUM(CAST(c.nl * x.x - c.s AS HUGEINT)
+                   * CAST(c.nl * x.x - c.s AS HUGEINT)) AS d_num,
+               MAX(c.nl) AS nl
+        FROM xq x JOIN cent c ON c.j = x.j
+        GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT vec_id, label_true, c_label,
+               CAST(CAST(d_num AS VARCHAR) AS DOUBLE)
+                   / CAST(nl * nl AS DOUBLE) AS d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY CAST(CAST(d_num AS VARCHAR) AS DOUBLE)
+                                / CAST(nl * nl AS DOUBLE), c_label
+               ) AS rk
+        FROM dist
+    )
+    SELECT label_true, c_label AS label_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM scored WHERE rk = 1
+    GROUP BY 1, 2
+    """,
+)
+def ext_embed_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification audit: assign every embedding to
+    its closest LABEL CENTROID (squared euclidean) and report the
+    (true label, predicted label) confusion grid — the cheapest possible
+    probe of whether an embedding space separates its labels (Rocchio
+    classifier; the diagonal mass IS the separability score, and
+    off-diagonal cells name the confusable label pairs before anyone
+    trains a real classifier head).
+
+    Exactness: with quantized x and exact centroid sums S_l (count n_l),
+    argmin_l ||x - S_l/n_l||^2 is computed from the EXACT integer
+    D_l = sum_j (n_l*x_j - S_lj)^2 divided by n_l^2. D_l can pass 2^53,
+    so it accumulates in 128-bit (decimal38 / HUGEINT) and converts via
+    the correctly-rounded path — Spark BigDecimal.doubleValue vs DuckDB
+    VARCHAR->strtod (DuckDB's direct HUGEINT->DOUBLE cast is NOT
+    correctly rounded; fuzzed, ~1.7% of >2^53 values off by 1 ulp).
+    n_l^2 stays below 2^53 for any n_l < 9.4e7 per label (documented).
+    Ties break on label.
+
+    Scale shape: centroids are a d x #labels aggregate (one corpus
+    pass, map-side combined); classification is the corpus-sized
+    explode joined to the BROADCAST centroid grid (#labels * d rows),
+    aggregated per (vector, label) then an argmin window per vector —
+    no pairwise vector joins anywhere."""
+    emb = load(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("j", "xf")
+    ).select(
+        "vec_id", "label", "j",
+        F.round(F.col("xf").cast("double") * PCA_UNITS, 0).cast("bigint").alias("x"),
+    ).localCheckpoint(eager=False)  # feeds centroids AND classification
+    cent = xq.groupBy(F.col("label").alias("c_label"), "j").agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.countDistinct("vec_id").cast("bigint").alias("nl"),
+    )
+    diff = (F.col("nl") * F.col("x") - F.col("s")).cast("decimal(38,0)")
+    dist = (
+        xq.join(F.broadcast(cent), "j")
+        .groupBy("vec_id", F.col("label").alias("label_true"), "c_label")
+        .agg(
+            F.sum(diff * diff).alias("d_num"),
+            F.max("nl").alias("nl"),
+        )
+    )
+    d = F.col("d_num").cast("double") / (F.col("nl") * F.col("nl")).cast("double")
+    w = Window.partitionBy("vec_id").orderBy(d.asc(), F.col("c_label"))
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("label_true", F.col("c_label").alias("label_pred"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_text_readability
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_text_readability",
+    f"""
+    WITH counts AS (
+        SELECT doc_id,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
+               GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                        1) AS n_sentences,
+               GREATEST(CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                            AS BIGINT),
+                        CAST(len({_TOKS_SQL}) AS BIGINT)) AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           {dround('''206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                      - 84.6 * (n_syllables * 1.0 / n_words)''', 6)} AS flesch
+    FROM counts WHERE n_words > 0
+    """,
+)
+def ext_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from deterministic proxies:
+    words = whitespace tokens, sentences = terminal-punctuation runs
+    (clamped >= 1), syllables = vowel-group runs (clamped >= words, the
+    standard regex proxy — every word has >= 1 syllable). Readability is
+    a stock quality-filter feature (very low scores flag legalese /
+    machine-generated sludge; implausibly high scores flag listicles and
+    keyword stuffing) cheap enough to run corpus-wide.
+
+    Determinism: all three counts are exact integers; the Flesch
+    formula's constants are identical decimal literals in both engines
+    and every ratio divides identical integers, evaluated in the same
+    association order, then dround(6).
+
+    Scale shape: pure per-row regex counting in codegen — zero shuffles,
+    zero UDFs, zero joins."""
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(tx.tokens(F.col("text"))).cast("bigint")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0)).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    n_syl = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[aeiouyAEIOUY]+"), 0)).cast("bigint"),
+        n_words,
+    )
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    return out.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.round(
+            206.835
+            - 1.015 * (F.col("n_words") * F.lit(1.0) / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables") * F.lit(1.0) / F.col("n_words")),
+            6,
+        ).alias("flesch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_customer_rfm
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_customer_rfm",
+    f"""
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), anchor AS (
+        SELECT MAX(last_order) AS now_d FROM base
+    ), feat AS (
+        SELECT b.custkey,
+               CAST(a.now_d - b.last_order AS BIGINT) AS recency_days,
+               b.frequency, b.cents
+        FROM base b CROSS JOIN anchor a
+    ), scored AS (
+        SELECT custkey, recency_days, frequency, cents,
+               NTILE(5) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency, custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY cents, custkey) AS m_score
+        FROM feat
+    )
+    SELECT custkey, recency_days, frequency,
+           {dround('cents / 100.0', 6)} AS monetary,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                    THEN 'champion'
+                WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                WHEN r_score <= 2 AND m_score >= 4 THEN 'at_risk_whale'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def ext_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days since last order,
+    anchored to the corpus max date), Frequency (order count) and
+    Monetary (exact-cent lifetime spend), each scored into quintiles by
+    NTILE(5), then mapped to the classic marketing segments (champion /
+    loyal / at-risk whale / hibernating / regular) — the segmentation
+    every CRM export runs; complements ext_cohort_ltv (time dimension)
+    and ext_spend_gini (concentration dimension).
+
+    Determinism: every NTILE ordering is a total order (feature,
+    custkey); NTILE's equal-fill-remainder-first rule is identical in
+    both engines; segment boundaries compare integer scores only.
+
+    Scale shape: the fact collapses to ONE row per customer first; the
+    three quintile windows sort the customer dimension (at 100 TB swap
+    for approx-quantile threshold broadcasts — the ext_quality_filter
+    shape — documented tradeoff, exact NTILE kept for the scores
+    themselves)."""
+    od = load(spark, sf_dir, "orders")
+    base = od.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint").alias("cents"),
+    )
+    anchor = base.agg(F.max("last_order").alias("now_d"))
+    feat = base.crossJoin(F.broadcast(anchor)).select(
+        "custkey",
+        F.datediff("now_d", "last_order").cast("bigint").alias("recency_days"),
+        "frequency", "cents",
+    )
+    scored = (
+        feat.withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy(F.desc("recency_days"), F.col("custkey"))),
+        )
+        .withColumn(
+            "f_score", F.ntile(5).over(Window.orderBy("frequency", "custkey"))
+        )
+        .withColumn("m_score", F.ntile(5).over(Window.orderBy("cents", "custkey")))
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("m_score") >= 4), "at_risk_whale")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "custkey", "recency_days", "frequency",
+        F.round(F.col("cents") / 100.0, 6).alias("monetary"),
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+        F.col("m_score").cast("bigint").alias("m_score"),
+        seg.alias("segment"),
     )

@@ -310,3 +310,89 @@ def test_tokenizer_fertility_bounds_and_recompute(spark):
     chars = sum(d["n_chars"] for d in docs)
     row = rows[src]
     assert row["words"] == ws and row["subword_tokens"] == sub and row["chars"] == chars
+
+
+def test_centroid_classify_matches_numpy(spark):
+    """The confusion grid must match a numpy recompute of exact-integer
+    nearest-centroid assignment (D_l = sum (n_l x - S_l)^2, argmin of
+    D_l/n_l^2, label tiebreak)."""
+    out = {(r["label_true"], r["label_pred"]): r["n_vectors"]
+           for r in _Q["ext_embed_centroid_classify"](spark, SF_DIR).collect()}
+    emb = load(spark, SF_DIR, "embeddings").collect()
+    X = {r["vec_id"]: np.array([round(float(v) * PCA_UNITS) for v in r["embedding"]],
+                               dtype=np.int64)
+         for r in emb}
+    lab = {r["vec_id"]: r["label"] for r in emb}
+    from collections import Counter, defaultdict
+
+    S = defaultdict(lambda: np.zeros(64, dtype=np.int64))
+    n = Counter()
+    for vid, x in X.items():
+        S[lab[vid]] += x
+        n[lab[vid]] += 1
+    expect = Counter()
+    for vid, x in X.items():
+        best = min(
+            sorted(n),
+            key=lambda l: (
+                float(np.sum((int(n[l]) * x.astype(object) - S[l].astype(object)) ** 2))
+                / (n[l] * n[l]),
+                l,
+            ),
+        )
+        expect[(lab[vid], best)] += 1
+    assert out == dict(expect)
+
+
+def test_readability_recompute_sample(spark):
+    """Flesch must match a python recompute on every doc (exact counts,
+    same formula, 6dp)."""
+    import re as _re
+
+    rows = _Q["ext_text_readability"](spark, SF_DIR).collect()
+    docs = {r["doc_id"]: r["text"] for r in load(spark, SF_DIR, "documents").collect()}
+    assert len(rows) > 0
+    for r in rows[:100]:
+        text = docs[r["doc_id"]]
+        w = len([t for t in text.split(" ") if t])
+        s = max(len(_re.findall(r"[.!?]+", text)), 1)
+        syl = max(len(_re.findall(r"[aeiouyAEIOUY]+", text)), w)
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (w, s, syl)
+        flesch = 206.835 - 1.015 * (w * 1.0 / s) - 84.6 * (syl * 1.0 / w)
+        assert abs(r["flesch"] - round(flesch, 6)) < 1e-9
+
+
+def test_rfm_quintiles_and_segments(spark):
+    """Each score dimension must split customers into 5 near-equal
+    buckets (NTILE contract: sizes differ by at most 1), scores must be
+    monotone in their feature (given the deterministic tiebreak), and
+    the segment label must re-derive from the scores."""
+    rows = _Q["ext_customer_rfm"](spark, SF_DIR).collect()
+    assert rows
+    from collections import Counter
+
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = Counter(r[col] for r in rows)
+        assert set(sizes) == {1, 2, 3, 4, 5}
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (col, sizes)
+    # monotonicity: sort by the ntile ordering key and check scores ascend
+    by_m = sorted(rows, key=lambda r: (r["monetary"], r["custkey"]))
+    m_seq = [r["m_score"] for r in by_m]
+    assert m_seq == sorted(m_seq)
+    by_r = sorted(rows, key=lambda r: (-r["recency_days"], r["custkey"]))
+    r_seq = [r["r_score"] for r in by_r]
+    assert r_seq == sorted(r_seq)
+    for r in rows:
+        rs, fs, ms = r["r_score"], r["f_score"], r["m_score"]
+        if rs >= 4 and fs >= 4 and ms >= 4:
+            want = "champion"
+        elif rs >= 3 and fs >= 3:
+            want = "loyal"
+        elif rs <= 2 and ms >= 4:
+            want = "at_risk_whale"
+        elif rs <= 2 and fs <= 2:
+            want = "hibernating"
+        else:
+            want = "regular"
+        assert r["segment"] == want
