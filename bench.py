@@ -132,6 +132,14 @@ HEADLINE = [
     "ext_graph_label_prop",
     "ext_item_cooccur_cosine",
     "ext_session_attribution",
+    "ext_embed_pca_project",
+    "ext_source_lang_mix",
+    "ext_assoc_rules",
+    "ext_ts_decompose",
+    "ext_tokenizer_fertility",
+    "ext_embed_centroid_classify",
+    "ext_text_readability",
+    "ext_customer_rfm",
 ]
 
 
