@@ -1343,3 +1343,85 @@ def ext_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_score").cast("bigint").alias("m_score"),
         seg.alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_text_template_mask
+# ---------------------------------------------------------------------------
+
+TMPL_PREFIX_TOKENS = 10  # masked-prefix width defining a template family
+
+
+@register(
+    "ext_text_template_mask",
+    f"""
+    WITH masked AS (
+        SELECT doc_id, source,
+               array_to_string(list_slice(list_filter(string_split(
+                   regexp_replace(lower(text), '[0-9]+', '#', 'g'), ' '),
+                   x -> x <> ''), 1, {TMPL_PREFIX_TOKENS}), ' ') AS template
+        FROM documents
+    ), grp AS (
+        SELECT template,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               MIN(doc_id) AS example_doc
+        FROM masked GROUP BY 1
+        HAVING COUNT(*) >= 2
+    ), tot AS (
+        SELECT COUNT(*) AS t FROM documents
+    )
+    SELECT g.template, g.n_docs, g.n_sources, g.example_doc,
+           {dround('g.n_docs * 1.0 / tot.t', 6)} AS corpus_share
+    FROM grp g CROSS JOIN tot
+    """,
+)
+def ext_text_template_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-family mining via masked normalization: lowercase the
+    text, mask every digit run to '#', and group documents by their
+    first {TMPL_PREFIX_TOKENS} masked tokens. Families of >= 2 docs are
+    boilerplate templates — the "Invoice #### issued ##/##" class where
+    numbers change but the scaffold repeats, invisible to exact-hash
+    dedup (every instance hashes differently) and under-scored by
+    whole-doc MinHash when the variable tail dominates. CCNet-style
+    pipelines run exactly this pass to strip templated sludge. Reports
+    each family's size, source spread, representative doc and corpus
+    share.
+
+    Determinism: masking is a deterministic regex in both engines; the
+    representative is MIN(doc_id); shares divide exact counts.
+
+    Scale shape: ONE aggregate keyed by the short masked prefix (at
+    100 TB hash it to 8 bytes first — the ext_text_prefix_dup note);
+    the total is a 1-row broadcast. A pathologically hot template is a
+    real boilerplate family the pipeline WANTS surfaced."""
+    docs = load(spark, sf_dir, "documents")
+    masked = docs.select(
+        "doc_id", "source",
+        F.array_join(
+            F.slice(
+                F.array_remove(
+                    F.split(
+                        F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#"), " "
+                    ),
+                    "",
+                ),
+                1, TMPL_PREFIX_TOKENS,
+            ),
+            " ",
+        ).alias("template"),
+    )
+    grp = (
+        masked.groupBy("template")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("t"))
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "template", "n_docs", "n_sources", "example_doc",
+        F.round(F.col("n_docs") * 1.0 / F.col("t"), 6).alias("corpus_share"),
+    )

@@ -396,3 +396,31 @@ def test_rfm_quintiles_and_segments(spark):
         else:
             want = "regular"
         assert r["segment"] == want
+
+
+def test_template_mask_families_recompute(spark):
+    """Template families must match a python recompute of the masked
+    10-token prefix grouping, and every family must be invisible to
+    exact-hash dedup unless its members are byte-identical."""
+    import re as _re
+
+    rows = _Q["ext_text_template_mask"](spark, SF_DIR).collect()
+    assert rows
+    docs = load(spark, SF_DIR, "documents").collect()
+    from collections import defaultdict
+
+    fam = defaultdict(list)
+    for d in docs:
+        masked = _re.sub(r"[0-9]+", "#", d["text"].lower())
+        toks = [t for t in masked.split(" ") if t][:10]
+        fam[" ".join(toks)].append(d)
+    expect = {k: v for k, v in fam.items() if len(v) >= 2}
+    got = {r["template"]: r for r in rows}
+    assert set(got) == set(expect)
+    n_total = len(docs)
+    for k, members in expect.items():
+        r = got[k]
+        assert r["n_docs"] == len(members)
+        assert r["n_sources"] == len({m["source"] for m in members})
+        assert r["example_doc"] == min(m["doc_id"] for m in members)
+        assert abs(r["corpus_share"] - round(len(members) / n_total, 6)) < 1e-9
