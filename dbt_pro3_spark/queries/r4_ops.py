@@ -1425,3 +1425,178 @@ def ext_text_template_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         "template", "n_docs", "n_sources", "example_doc",
         F.round(F.col("n_docs") * 1.0 / F.col("t"), 6).alias("corpus_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_target_encode_loo
+# ---------------------------------------------------------------------------
+
+TENC_SMOOTH = 10  # pseudo-observations of the global mean mixed per category
+
+
+@register(
+    "ext_target_encode_loo",
+    f"""
+    WITH y AS (
+        SELECT o_orderkey, o_orderpriority AS category,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), cat AS (
+        SELECT category, CAST(SUM(cents) AS BIGINT) AS s_cat,
+               CAST(COUNT(*) AS BIGINT) AS n_cat
+        FROM y GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS g, CAST(COUNT(*) AS BIGINT) AS n
+        FROM y
+    )
+    SELECT y.o_orderkey, y.category,
+           {dround('y.cents / 100.0', 6)} AS price,
+           {dround(f'''CAST(CAST(CAST(tot.n AS HUGEINT) * (c.s_cat - y.cents)
+                                 + {TENC_SMOOTH} * CAST(tot.g AS HUGEINT)
+                            AS VARCHAR) AS DOUBLE)
+                       / (CAST(tot.n AS DOUBLE)
+                          * (c.n_cat - 1 + {TENC_SMOOTH}))
+                       / 100.0''', 6)} AS loo_encoding
+    FROM y JOIN cat c USING (category) CROSS JOIN tot
+    """,
+)
+def ext_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature
+    (o_orderpriority) against a continuous target (order value): each
+    row's encoding is the mean target of its category EXCLUDING itself,
+    smoothed toward the global mean with {TENC_SMOOTH}
+    pseudo-observations — the standard leakage-controlled categorical
+    encoder for gradient-boosting / linear feature pipelines (plain
+    category means leak the row's own label; LOO + smoothing is the
+    CatBoost-paper fix expressible in one pass).
+
+    Exactness: encoding = (N*(S_c - y_i) + m*G) / (N*(n_c - 1 + m)) —
+    numerator and denominator are exact integers (numerator widened to
+    128-bit: N*S_c passes 2^53 at warehouse scale, converted via the
+    correctly-rounded VARCHAR->DOUBLE path; denominator stays < 2^53),
+    so every row's encoding divides identical values in both engines.
+
+    Scale shape: ONE category aggregate (tiny grid) broadcast back over
+    the fact — the encoding itself is a per-row expression; no window,
+    no second shuffle."""
+    od = load(spark, sf_dir, "orders")
+    y = od.select(
+        "o_orderkey", F.col("o_orderpriority").alias("category"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    cat = y.groupBy("category").agg(
+        F.sum("cents").cast("bigint").alias("s_cat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cat"),
+    )
+    tot = y.agg(
+        F.sum("cents").cast("bigint").alias("g"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    num = (
+        dec(F.col("n")) * (F.col("s_cat") - F.col("cents"))
+        + F.lit(TENC_SMOOTH) * dec(F.col("g"))
+    )
+    den = F.col("n").cast("double") * (F.col("n_cat") - 1 + F.lit(TENC_SMOOTH))
+    return (
+        y.join(F.broadcast(cat), "category")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderkey", "category",
+            F.round(F.col("cents") / 100.0, 6).alias("price"),
+            F.round(num.cast("double") / den / 100.0, 6).alias("loo_encoding"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_fk_discovery
+# ---------------------------------------------------------------------------
+
+# Candidate inclusion dependencies probed (child column -> parent column).
+# Includes deliberate NEGATIVE candidates so the report demonstrably
+# rejects non-keys rather than rubber-stamping the list.
+FK_CANDIDATES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),  # negative
+    ("part", "p_partkey", "supplier", "s_suppkey"),  # negative
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        parts.append(
+            f"""
+    SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+           (SELECT CAST(COUNT(DISTINCT {cc}) AS BIGINT) FROM {ct}
+            WHERE {cc} IS NOT NULL) AS n_child_distinct,
+           (SELECT CAST(COUNT(DISTINCT c.{cc}) AS BIGINT)
+            FROM {ct} c JOIN {pt} p ON p.{pc} = c.{cc}) AS n_contained"""
+        )
+    body = "\nUNION ALL".join(parts)
+    return f"""
+    WITH probes AS ({body})
+    SELECT child, parent, n_child_distinct, n_contained,
+           {dround('n_contained * 1.0 / n_child_distinct', 6)} AS containment,
+           CASE WHEN n_contained = n_child_distinct THEN 'fk_candidate'
+                ELSE 'rejected' END AS verdict
+    FROM probes
+    """
+
+
+@register("ext_fk_discovery", _fk_oracle())
+def ext_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key) discovery over declared
+    candidate column pairs: for each child -> parent candidate, the
+    distinct child values, how many of them exist in the parent, the
+    containment ratio, and an exact verdict (containment = 1 <=>
+    FK-candidate) — the data-profiling pass (Metanome-style IND
+    checking, bounded to a candidate list) that catalogs run before
+    trusting joins; the list deliberately includes negative candidates
+    so the probe demonstrably rejects.
+
+    Determinism: every number is an exact distinct count; the verdict
+    compares integers.
+
+    Scale shape: each probe is a distinct-collapse of the child column
+    (map-side combined) + one equi-join against the parent key —
+    per-candidate cost is two column scans, never a row-wise cross
+    table compare; candidates evaluate independently (one union of
+    tiny aggregates)."""
+    results = None
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        child = load(spark, sf_dir, ct).select(F.col(cc).alias("v")).filter(
+            F.col("v").isNotNull()
+        ).distinct()
+        parent = load(spark, sf_dir, pt).select(F.col(pc).alias("v")).distinct()
+        probe = (
+            child.join(parent, "v", "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_contained"))
+            .crossJoin(
+                F.broadcast(
+                    child.agg(
+                        F.count(F.lit(1)).cast("bigint").alias("n_child_distinct")
+                    )
+                )
+            )
+            .select(
+                F.lit(f"{ct}.{cc}").alias("child"),
+                F.lit(f"{pt}.{pc}").alias("parent"),
+                "n_child_distinct", "n_contained",
+            )
+        )
+        results = probe if results is None else results.unionByName(probe)
+    return results.select(
+        "child", "parent", "n_child_distinct", "n_contained",
+        F.round(F.col("n_contained") * 1.0 / F.col("n_child_distinct"), 6)
+        .alias("containment"),
+        F.when(F.col("n_contained") == F.col("n_child_distinct"), "fk_candidate")
+        .otherwise("rejected").alias("verdict"),
+    )

@@ -424,3 +424,57 @@ def test_template_mask_families_recompute(spark):
         assert r["n_sources"] == len({m["source"] for m in members})
         assert r["example_doc"] == min(m["doc_id"] for m in members)
         assert abs(r["corpus_share"] - round(len(members) / n_total, 6)) < 1e-9
+
+
+def test_target_encode_loo_no_leakage_and_recompute(spark):
+    """The encoding must equal the smoothed LOO mean recomputed in
+    python, and removing a row's own target must matter: for any
+    category, rows with different targets get different encodings."""
+    rows = _Q["ext_target_encode_loo"](spark, SF_DIR).collect()
+    assert rows
+    od = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    from collections import defaultdict
+
+    cents = {r["o_orderkey"]: round(r["o_totalprice"] * 100) for r in od}
+    cat_of = {r["o_orderkey"]: r["o_orderpriority"] for r in od}
+    S = defaultdict(int)
+    n = defaultdict(int)
+    for k, c in cents.items():
+        S[cat_of[k]] += c
+        n[cat_of[k]] += 1
+    G = sum(cents.values())
+    N = len(cents)
+    m = 10
+    for r in rows[:200]:
+        k = r["o_orderkey"]
+        c = cat_of[k]
+        enc = (N * (S[c] - cents[k]) + m * G) / (N * (n[c] - 1 + m)) / 100.0
+        assert abs(r["loo_encoding"] - round(enc, 6)) < 1e-9
+    by_cat = defaultdict(list)
+    for r in rows:
+        by_cat[r["category"]].append((r["price"], r["loo_encoding"]))
+    for cat, lst in by_cat.items():
+        prices = {p for p, _ in lst}
+        encs = {e for _, e in lst}
+        if len(prices) > 1:
+            assert len(encs) > 1, f"{cat}: encodings ignore own-row exclusion"
+
+
+def test_fk_discovery_verdicts(spark):
+    """The true TPC-H FKs must come back fk_candidate with containment
+    1.0; the planted negatives must be rejected with containment < 1."""
+    rows = {r["child"]: r for r in _Q["ext_fk_discovery"](spark, SF_DIR).collect()}
+    assert len(rows) == 9
+    positives = [
+        "orders.o_custkey", "lineitem.l_orderkey", "lineitem.l_partkey",
+        "lineitem.l_suppkey", "customer.c_nationkey", "supplier.s_nationkey",
+        "nation.n_regionkey",
+    ]
+    for child in positives:
+        r = rows[child]
+        assert r["verdict"] == "fk_candidate" and r["containment"] == 1.0, r
+    for child in ("orders.o_orderkey", "part.p_partkey"):
+        r = rows[child]
+        assert r["verdict"] == "rejected" and r["containment"] < 1.0, r
