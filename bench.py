@@ -140,6 +140,9 @@ HEADLINE = [
     "ext_embed_centroid_classify",
     "ext_text_readability",
     "ext_customer_rfm",
+    "ext_text_template_mask",
+    "ext_target_encode_loo",
+    "ext_fk_discovery",
 ]
 
 
