@@ -201,3 +201,44 @@ def test_churn_features_scalar_broadcast_only(spark):
     p = plan_str(_QUERIES["ext_user_churn_features"](spark, SF_DIR))
     assert "CartesianProduct" not in p
     assert "HashAggregate" in p
+
+
+def test_pca_gram_stage_has_no_join(spark):
+    """The corpus-sized Gram stage must be generate+aggregate only — the
+    only joins in the PCA plan are on d^2-row matrix frames (hash or
+    broadcast), never a corpus-side join or cartesian."""
+    p = plan_str(_QUERIES["ext_embed_pca_power"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    # the Gram stage itself sits behind a lazy localCheckpoint (lineage
+    # truncated in explain); its generate+aggregate shape is asserted by
+    # construction in _pca_eigvec and exercised by the parity suite
+
+
+def test_centroid_classify_broadcasts_grid(spark):
+    """The #labels x d centroid grid must broadcast against the corpus
+    explode — a shuffle join there would re-shuffle the corpus."""
+    p = plan_str(_QUERIES["ext_embed_centroid_classify"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pca_project_broadcasts_eigvec(spark):
+    """The 64-row eigenvector must broadcast into the projection pass."""
+    p = plan_str(_QUERIES["ext_embed_pca_project"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_target_encode_broadcasts_category_grid(spark):
+    """The category grid and the global totals must both broadcast —
+    the fact table is scanned once with per-row expressions only."""
+    p = plan_str(_QUERIES["ext_target_encode_loo"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p  # no window anywhere in this key
+
+
+def test_session_attribution_single_user_sort(spark):
+    """All four windows must share one user-keyed sort: the plan carries
+    exactly one shuffle of the events table (plus the final grid agg)."""
+    p = plan_str(_QUERIES["ext_session_attribution"](spark, SF_DIR))
+    assert p.count("Exchange hashpartitioning(user_id") <= 1
