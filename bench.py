@@ -143,6 +143,7 @@ HEADLINE = [
     "ext_text_template_mask",
     "ext_target_encode_loo",
     "ext_fk_discovery",
+    "ext_incremental_agg_maintain",
 ]
 
 

@@ -28,6 +28,21 @@ New named patterns this module demonstrates:
   collaborative-filtering neighbor table.
 - ext_session_attribution: first-touch / last-touch revenue attribution
   over gap-sessionized event streams (IGNORE NULLS running last-value).
+- ext_embed_pca_project: spectral outlier scan — one corpus pass against
+  the broadcast eigenvector, two-level top-k.
+- ext_source_lang_mix / ext_tokenizer_fertility / ext_text_readability /
+  ext_text_template_mask: corpus-composition, tokenizer-cost, quality and
+  boilerplate-family reports — all grid-sized after one collapse.
+- ext_assoc_rules: directed market-basket rules with exact integer
+  confidence/lift gates.
+- ext_ts_decompose: additive trend/seasonal/residual with the detrended
+  series held as exact integers (7r - S7).
+- ext_embed_centroid_classify: Rocchio confusion grid; 128-bit exact
+  distances via the correctly-rounded VARCHAR->DOUBLE oracle path.
+- ext_customer_rfm: NTILE quintile scores -> CRM segments.
+- ext_target_encode_loo: CatBoost-style leakage-controlled categorical
+  encoding from one broadcast grid.
+- ext_fk_discovery: inclusion-dependency probes with planted negatives.
 """
 
 from __future__ import annotations
@@ -1599,4 +1614,117 @@ def ext_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("containment"),
         F.when(F.col("n_contained") == F.col("n_child_distinct"), "fk_candidate")
         .otherwise("rejected").alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_incremental_agg_maintain
+# ---------------------------------------------------------------------------
+
+AGG_CUTOFF = "1997-01-01"  # state = orders before, batch = orders on/after
+
+
+@register(
+    "ext_incremental_agg_maintain",
+    f"""
+    WITH state AS (
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS min_cents,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS max_cents
+        FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '{AGG_CUTOFF}'
+        GROUP BY 1
+    ), batch AS (
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS min_cents,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS max_cents
+        FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '{AGG_CUTOFF}'
+        GROUP BY 1
+    ), merged AS (
+        SELECT COALESCE(s.priority, b.priority) AS priority,
+               COALESCE(s.n, 0) + COALESCE(b.n, 0) AS n,
+               COALESCE(s.sum_cents, 0) + COALESCE(b.sum_cents, 0) AS sum_cents,
+               LEAST(COALESCE(s.min_cents, 9223372036854775807),
+                     COALESCE(b.min_cents, 9223372036854775807)) AS min_cents,
+               GREATEST(COALESCE(s.max_cents, -9223372036854775808),
+                        COALESCE(b.max_cents, -9223372036854775808)) AS max_cents
+        FROM state s FULL OUTER JOIN batch b ON b.priority = s.priority
+    )
+    SELECT priority, CAST(n AS BIGINT) AS n_orders,
+           {dround('sum_cents / 100.0', 6)} AS total_price,
+           {dround('sum_cents * 1.0 / n / 100.0', 6)} AS avg_price,
+           {dround('min_cents / 100.0', 6)} AS min_price,
+           {dround('max_cents / 100.0', 6)} AS max_price
+    FROM merged
+    """,
+)
+def ext_incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized aggregate via MERGEABLE
+    partial states: the stored state (orders before {AGG_CUTOFF}) and the
+    new batch (on/after) each carry (count, sum, min, max) partials, and
+    the refreshed aggregate is the pairwise merge — count+count, sum+sum,
+    min of mins, max of maxes — with AVG derived at read time from
+    sum/count (avg itself is NOT mergeable; storing sum+count is the
+    standard fix). This is the algebra behind every incremental
+    materialized view and streaming state store: refresh cost is
+    O(batch + state), never O(history). The oracle computes the same
+    merge from scratch — equality with the two-phase result IS the
+    mergeability proof.
+
+    Determinism: all partials are exact integers (cents); identity
+    elements for min/max on a state-only or batch-only group are the
+    BIGINT extremes, spelled identically in both engines.
+
+    Scale shape: two partition-prunable scans (at 100 TB the state is a
+    stored table, not a rescan), each map-side combined onto the tiny
+    priority grid; the merge is a grid-sized full-outer join."""
+    od = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("sum_cents"),
+            F.min(cents).cast("bigint").alias("min_cents"),
+            F.max(cents).cast("bigint").alias("max_cents"),
+        )
+
+    cut = F.to_date(F.col("o_orderdate")) < F.lit(AGG_CUTOFF).cast("date")
+    state = partials(od.filter(cut))
+    batch = partials(od.filter(~cut))
+    s, b = state.alias("s"), batch.alias("b")
+    lo, hi = 9223372036854775807, -9223372036854775808
+    merged = s.join(b, F.col("s.priority") == F.col("b.priority"), "full_outer").select(
+        F.coalesce(F.col("s.priority"), F.col("b.priority")).alias("priority"),
+        (F.coalesce(F.col("s.n"), F.lit(0)) + F.coalesce(F.col("b.n"), F.lit(0)))
+        .cast("bigint").alias("n"),
+        (
+            F.coalesce(F.col("s.sum_cents"), F.lit(0))
+            + F.coalesce(F.col("b.sum_cents"), F.lit(0))
+        ).cast("bigint").alias("sum_cents"),
+        F.least(
+            F.coalesce(F.col("s.min_cents"), F.lit(lo)),
+            F.coalesce(F.col("b.min_cents"), F.lit(lo)),
+        ).alias("min_cents"),
+        F.greatest(
+            F.coalesce(F.col("s.max_cents"), F.lit(hi)),
+            F.coalesce(F.col("b.max_cents"), F.lit(hi)),
+        ).alias("max_cents"),
+    )
+    return merged.select(
+        "priority",
+        F.col("n").alias("n_orders"),
+        F.round(F.col("sum_cents") / 100.0, 6).alias("total_price"),
+        F.round(F.col("sum_cents") * 1.0 / F.col("n") / 100.0, 6).alias("avg_price"),
+        F.round(F.col("min_cents") / 100.0, 6).alias("min_price"),
+        F.round(F.col("max_cents") / 100.0, 6).alias("max_price"),
     )

@@ -478,3 +478,31 @@ def test_fk_discovery_verdicts(spark):
     for child in ("orders.o_orderkey", "part.p_partkey"):
         r = rows[child]
         assert r["verdict"] == "rejected" and r["containment"] < 1.0, r
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    """The two-phase merged aggregate must equal a from-scratch aggregate
+    over ALL orders — the mergeability contract."""
+    rows = {r["priority"]: r
+            for r in _Q["ext_incremental_agg_maintain"](spark, SF_DIR).collect()}
+    od = load(spark, SF_DIR, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    full = {
+        r["priority"]: r
+        for r in od.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("s"),
+            F.min(cents).alias("mn"),
+            F.max(cents).alias("mx"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(full)
+    for p, r in rows.items():
+        f = full[p]
+        assert r["n_orders"] == f["n"]
+        assert abs(r["total_price"] - round(f["s"] / 100.0, 6)) < 1e-9
+        assert abs(r["avg_price"] - round(f["s"] / f["n"] / 100.0, 6)) < 1e-9
+        assert abs(r["min_price"] - round(f["mn"] / 100.0, 6)) < 1e-9
+        assert abs(r["max_price"] - round(f["mx"] / 100.0, 6)) < 1e-9
