@@ -144,6 +144,7 @@ HEADLINE = [
     "ext_target_encode_loo",
     "ext_fk_discovery",
     "ext_incremental_agg_maintain",
+    "ext_sample_weighted",
 ]
 
 

@@ -1728,3 +1728,68 @@ def ext_incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("min_cents") / 100.0, 6).alias("min_price"),
         F.round(F.col("max_cents") / 100.0, 6).alias("max_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_sample_weighted
+# ---------------------------------------------------------------------------
+
+WS_K = 5  # docs kept per source
+
+
+def _ws_oracle() -> str:
+    u32 = _md5_32("'ws:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+               CAST(ROUND(ln(({u32} + 1.0) / 4294967296.0)
+                          / n_chars * 1000000000.0) AS BIGINT) AS key_units
+        FROM documents WHERE n_chars > 0
+    ), ranked AS (
+        SELECT doc_id, source, weight, key_units,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY key_units DESC, doc_id
+               ) AS rk
+        FROM keyed
+    )
+    SELECT source, doc_id, weight, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {WS_K}
+    """
+
+
+@register("ext_sample_weighted", _ws_oracle())
+def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement, {WS_K} docs
+    per source, via the Efraimidis-Spirakis one-pass scheme: each row
+    draws key = ln(u)/w from a deterministic uniform u and its weight w
+    (document length here; any quality score plugs in), and the top-k
+    keys per group ARE a weighted sample without replacement — THE
+    distributed algorithm for 'sample k docs per domain proportional to
+    quality' in data-mixing pipelines, because it needs no group totals,
+    no rejection loop, and merges under top-k (mergeable across
+    partitions, unlike inverse-CDF sampling).
+
+    Determinism: u derives from md5(doc_id) (identical both engines,
+    +1 to avoid ln(0)); ln(u)/w divides identical doubles and is frozen
+    to integer nano-units per row BEFORE ranking (the entropy-units
+    discipline), with doc_id tiebreak.
+
+    Scale shape: one narrow pass computes keys; ONE shuffle keyed by
+    source for the top-k window (at mega-group scale, the two-level
+    local-top-k prune applies — ext_text_vocab_coverage's shape)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u32 = _spark_md5_32(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+    key_units = F.round(
+        F.log((u32 + 1.0) / 4294967296.0) / F.col("n_chars") * 1000000000.0, 0
+    ).cast("bigint")
+    keyed = docs.select(
+        "doc_id", "source",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        key_units.alias("key_units"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("key_units"), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WS_K)
+        .select("source", "doc_id", "weight", F.col("rk").cast("bigint").alias("rk"))
+    )

@@ -506,3 +506,25 @@ def test_incremental_agg_merge_equals_full_recompute(spark):
         assert abs(r["avg_price"] - round(f["s"] / f["n"] / 100.0, 6)) < 1e-9
         assert abs(r["min_price"] - round(f["mn"] / 100.0, 6)) < 1e-9
         assert abs(r["max_price"] - round(f["mx"] / 100.0, 6)) < 1e-9
+
+
+def test_sample_weighted_bias_and_determinism(spark):
+    """The E-S sample must (a) be deterministic across two runs, (b) pick
+    exactly WS_K docs per source, and (c) be length-biased: the sampled
+    docs' mean weight must exceed the corpus mean weight (weights vary
+    enough in this corpus that k=5 of ~25 per source shows the bias)."""
+    a = _Q["ext_sample_weighted"](spark, SF_DIR).collect()
+    b = _Q["ext_sample_weighted"](spark, SF_DIR).collect()
+    key = lambda r: (r["source"], r["rk"])
+    assert sorted((key(r), r["doc_id"]) for r in a) == \
+           sorted((key(r), r["doc_id"]) for r in b)
+    from collections import Counter
+
+    per_src = Counter(r["source"] for r in a)
+    docs = load(spark, SF_DIR, "documents").select("source", "n_chars").collect()
+    src_n = Counter(r["source"] for r in docs)
+    for s, k in per_src.items():
+        assert k == min(5, src_n[s])
+    mean_sample = sum(r["weight"] for r in a) / len(a)
+    mean_corpus = sum(r["n_chars"] for r in docs) / len(docs)
+    assert mean_sample > mean_corpus
