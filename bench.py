@@ -145,6 +145,7 @@ HEADLINE = [
     "ext_fk_discovery",
     "ext_incremental_agg_maintain",
     "ext_sample_weighted",
+    "ext_exact_quantiles_twopass",
 ]
 
 

@@ -1793,3 +1793,128 @@ def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= WS_K)
         .select("source", "doc_id", "weight", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_exact_quantiles_twopass
+# ---------------------------------------------------------------------------
+
+EQ_BUCKET = 65536  # counting-sort bucket width (cents)
+EQ_QUARTILES = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)]
+
+
+def _eq_oracle() -> str:
+    rows = []
+    for label, num, den in EQ_QUARTILES:
+        rows.append(
+            f"""
+    SELECT '{label}' AS quantile, n.n AS n_rows,
+           {dround(f'''(({den} - ((n.n - 1) * {num}) % {den})
+                        * (SELECT c FROM ranked WHERE rn = ((n.n - 1) * {num}) // {den} + 1)
+                        + (((n.n - 1) * {num}) % {den})
+                        * (SELECT c FROM ranked
+                           WHERE rn = LEAST(((n.n - 1) * {num}) // {den} + 2, n.n)))
+                       * 1.0 / {den} / 100.0''', 6)} AS value
+    FROM n"""
+        )
+    body = "\nUNION ALL".join(rows)
+    return f"""
+    WITH cents AS MATERIALIZED (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+    ), ranked AS MATERIALIZED (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM cents
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cents
+    )
+    {body}
+    """
+
+
+@register("ext_exact_quantiles_twopass", _eq_oracle())
+def ext_exact_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated quartiles of a warehouse-scale column WITHOUT a
+    global sort: pass 1 builds a counting-sort histogram over
+    {EQ_BUCKET}-cent buckets (map-side combined; the bucket table is
+    range/{EQ_BUCKET} rows — thousands, not billions); the cumulative
+    bucket counts locate which bucket holds each needed order statistic;
+    pass 2 ranks ONLY inside those few buckets (each ~N/#buckets rows)
+    and picks the exact k-th values. This is how exact percentiles are
+    done at 100 TB — the agg_percentile key's per-group sort is the
+    small-data shape, approx_percentile trades exactness; this key gives
+    exactness AND scale (two scans, no corpus-wide sort, the only
+    unpartitioned window runs on the tiny bucket table).
+
+    Exactness: order statistics are exact integer cents; the
+    interpolation q = ((den-f)*v_lo + f*v_hi) / den is assembled from
+    exact integers (f = (N-1)*num mod den), so both engines divide
+    identical values. Duplicate cents make within-bucket row_number ties
+    arbitrary but the SELECTED VALUE identical — order statistics
+    depend on values, not row identity.
+
+    Scale shape: pass-1 histogram is one map-side-combined aggregate;
+    the 6 order-statistic positions and the bucket cumsum live on
+    grid-sized frames (broadcast); pass-2 filters the corpus to the
+    target buckets (predicate on the bucket expression) and windows
+    within bucket only."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("c")
+    ).withColumn("bucket", (F.col("c") / EQ_BUCKET).cast("bigint"))
+    n = cents.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    quart = spark.createDataFrame(EQ_QUARTILES, ["quantile", "num", "den"])
+    pos = (
+        quart.crossJoin(F.broadcast(n))
+        .withColumn("m", (F.col("n") - 1) * F.col("num"))
+        .withColumn("k_lo", (F.col("m") / F.col("den")).cast("bigint") + 1)
+        .withColumn("frac_num", F.pmod(F.col("m"), F.col("den")))
+        .select(
+            "quantile", "num", "den", "n", "frac_num",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("lo").alias("side"), F.col("k_lo").alias("k")),
+                    F.struct(
+                        F.lit("hi").alias("side"),
+                        F.least(F.col("k_lo") + 1, F.col("n")).alias("k"),
+                    ),
+                )
+            ).alias("pk"),
+        )
+        .select("quantile", "den", "frac_num", F.col("pk.side"), F.col("pk.k"))
+    )
+    hist = cents.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "cum_prev", F.col("cum") - F.col("cnt")
+    )
+    located = pos.join(
+        F.broadcast(cum),
+        (pos.k > F.col("cum_prev")) & (pos.k <= F.col("cum")),
+    ).select("quantile", "den", "frac_num", "side", "k", "bucket",
+             (F.col("k") - F.col("cum_prev")).alias("within_k"))
+    target_buckets = located.select("bucket").distinct()
+    w_b = Window.partitionBy("bucket").orderBy("c")
+    in_bucket = (
+        cents.join(F.broadcast(target_buckets), "bucket", "left_semi")
+        .withColumn("rn", F.row_number().over(w_b))
+    )
+    vals = located.join(
+        in_bucket, (located.bucket == in_bucket.bucket) & (located.within_k == in_bucket.rn)
+    ).select("quantile", "den", "frac_num", "side", "c")
+    agg = vals.groupBy("quantile", "den", "frac_num").agg(
+        F.max(F.when(F.col("side") == "lo", F.col("c"))).alias("v_lo"),
+        F.max(F.when(F.col("side") == "hi", F.col("c"))).alias("v_hi"),
+    )
+    return agg.crossJoin(F.broadcast(n)).select(
+        "quantile",
+        F.col("n").alias("n_rows"),
+        F.round(
+            (
+                (F.col("den") - F.col("frac_num")) * F.col("v_lo")
+                + F.col("frac_num") * F.col("v_hi")
+            )
+            * F.lit(1.0)
+            / F.col("den")
+            / 100.0,
+            6,
+        ).alias("value"),
+    )

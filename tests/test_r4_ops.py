@@ -528,3 +528,19 @@ def test_sample_weighted_bias_and_determinism(spark):
     mean_sample = sum(r["weight"] for r in a) / len(a)
     mean_corpus = sum(r["n_chars"] for r in docs) / len(docs)
     assert mean_sample > mean_corpus
+
+
+def test_exact_quantiles_match_numpy(spark):
+    """The two-pass bucket method must reproduce numpy's linear
+    interpolation quartiles on the exact cents column."""
+    rows = {r["quantile"]: r
+            for r in _Q["ext_exact_quantiles_twopass"](spark, SF_DIR).collect()}
+    li = load(spark, SF_DIR, "lineitem").select("l_extendedprice").collect()
+    cents = np.array(sorted(round(r["l_extendedprice"] * 100) for r in li),
+                     dtype=np.int64)
+    n = len(cents)
+    for label, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+        r = rows[label]
+        assert r["n_rows"] == n
+        want = float(np.percentile(cents, p * 100, method="linear")) / 100.0
+        assert abs(r["value"] - round(want, 6)) < 2e-6, (label, r["value"], want)
