@@ -146,6 +146,8 @@ HEADLINE = [
     "ext_incremental_agg_maintain",
     "ext_sample_weighted",
     "ext_exact_quantiles_twopass",
+    "ext_sketch_hll_custom",
+    "ext_sketch_kmv",
 ]
 
 

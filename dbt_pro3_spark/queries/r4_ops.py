@@ -1918,3 +1918,186 @@ def ext_exact_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_sketch_hll_custom
+# ---------------------------------------------------------------------------
+
+HLL_P = 6  # register-index bits -> m = 64 registers (demonstration precision)
+HLL_M = 1 << HLL_P
+HLL_WBITS = 32 - HLL_P  # 26-bit rho field
+HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007)
+
+
+def _rho_case_sql(w: str) -> str:
+    branches = " ".join(
+        f"WHEN {w} >= {1 << p} THEN {HLL_WBITS - p}"
+        for p in range(HLL_WBITS - 1, -1, -1)
+    )
+    return f"(CASE {branches} ELSE {HLL_WBITS + 1} END)"
+
+
+def _rho_case_spark(w):
+    expr = F.lit(HLL_WBITS + 1)
+    for p in range(0, HLL_WBITS):
+        expr = F.when(w >= (1 << p), HLL_WBITS - p).otherwise(expr)
+    return expr
+
+
+def _hll_oracle() -> str:
+    u = _md5_32("'hll:' || CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type, user_id,
+               {u} % {HLL_M} AS idx,
+               {_rho_case_sql(f"({u} // {HLL_M})")} AS rho
+        FROM events
+    ), regs AS (
+        SELECT event_type, idx, MAX(rho) AS m FROM hashed GROUP BY 1, 2
+    ), sums AS (
+        SELECT event_type,
+               CAST(SUM(1 << ({HLL_WBITS + 1} - m)) AS BIGINT) AS s_units,
+               CAST(COUNT(*) AS BIGINT) AS nz
+        FROM regs GROUP BY 1
+    ), exact AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT s.event_type, s.nz AS nonzero_registers, e.exact_distinct,
+           {dround(f'''CASE WHEN {HLL_M} - s.nz > 0
+                        AND {HLL_ALPHA} * {HLL_M * HLL_M}.0
+                            / (CAST(s.s_units AS DOUBLE) / {1 << (HLL_WBITS + 1)}.0
+                               + ({HLL_M} - s.nz))
+                            <= {2.5 * HLL_M}
+                       THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - s.nz))
+                       ELSE {HLL_ALPHA} * {HLL_M * HLL_M}.0
+                            / (CAST(s.s_units AS DOUBLE) / {1 << (HLL_WBITS + 1)}.0
+                               + ({HLL_M} - s.nz)) END''', 6)} AS hll_estimate
+    FROM sums s JOIN exact e USING (event_type)
+    """
+
+
+@register("ext_sketch_hll_custom", _hll_oracle())
+def ext_sketch_hll_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from first principles — not Spark's approx HLL
+    but the actual register algebra, so the ORACLE CHECKS THE REGISTERS
+    bit-for-bit: per (event_type, user) the md5-derived hash splits into
+    a {HLL_P}-bit register index and a {HLL_WBITS}-bit field whose
+    leading-zero count (+1) is rho; registers keep MAX(rho) — the
+    mergeable state that makes HLL THE distributed distinct-count
+    sketch (union = elementwise max; shards sketch independently).
+    Reports the standard estimate alpha*m^2/sum(2^-M_j) with the
+    small-range linear-counting correction, next to the exact distinct
+    so the error is visible ({HLL_M} registers is demonstration
+    precision, ~13% rse — the algebra, not the constant, is the point;
+    ext_approx_distinct wraps the production-precision built-in).
+
+    Exactness: rho comes from an integer comparison ladder (no libm);
+    sum(2^-M_j) accumulates as the INTEGER sum(2^({HLL_WBITS + 1}-M_j))
+    rescaled once — no float summation at all; the correction's ln
+    applies to a ratio of identical integers.
+
+    Scale shape: distinct-collapse, then a (group, 64)-register
+    aggregate (map-side combined), then math on register rows."""
+    ev = load(spark, sf_dir, "events")
+    u = _spark_md5_32(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    hashed = ev.select(
+        "event_type", "user_id",
+        F.pmod(u, F.lit(HLL_M)).alias("idx"),
+        _rho_case_spark(F.floor(u / HLL_M)).alias("rho"),
+    ).distinct()
+    regs = hashed.groupBy("event_type", "idx").agg(F.max("rho").alias("m"))
+    sums = regs.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(1L, {HLL_WBITS + 1} - m)").cast("bigint"))
+        .cast("bigint").alias("s_units"),
+        F.count(F.lit(1)).cast("bigint").alias("nz"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    denom = (
+        F.col("s_units").cast("double") / float(1 << (HLL_WBITS + 1))
+        + (HLL_M - F.col("nz"))
+    )
+    raw = HLL_ALPHA * float(HLL_M * HLL_M) / denom
+    est = F.when(
+        ((HLL_M - F.col("nz")) > 0) & (raw <= 2.5 * HLL_M),
+        float(HLL_M) * F.log(float(HLL_M) / (HLL_M - F.col("nz"))),
+    ).otherwise(raw)
+    return sums.join(exact, "event_type").select(
+        "event_type",
+        F.col("nz").alias("nonzero_registers"),
+        "exact_distinct",
+        F.round(est, 6).alias("hll_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_sketch_kmv
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  # minimum hash values kept
+
+
+@register(
+    "ext_sketch_kmv",
+    f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type, user_id,
+               {_md5_32("'kmv:' || CAST(user_id AS VARCHAR)")} AS h
+        FROM events
+    ), ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+        FROM hashed
+    )
+    SELECT event_type, nd AS exact_distinct,
+           CAST(h AS BIGINT) AS kth_hash,
+           {dround(f'''CASE WHEN nd <= {KMV_K} THEN nd * 1.0
+                       ELSE ({KMV_K} - 1) * 4294967296.0 / h END''', 6)}
+               AS kmv_estimate
+    FROM ranked WHERE rk = LEAST({KMV_K}, nd)
+    """,
+)
+def ext_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch: keep the {KMV_K} smallest hash
+    values per group; the k-th smallest hash h_k estimates cardinality
+    as (k-1) * 2^32 / h_k (uniform hashes: the k-th order statistic of n
+    uniforms sits near k/n of the range). KMV is the OTHER classic
+    mergeable distinct sketch (merge = union then re-truncate to k) and,
+    unlike HLL, also supports set INTERSECTION estimates — which is why
+    theta-sketch engines (Druid/DataSketches) build on it. Groups at or
+    under {KMV_K} distinct values report exactly.
+
+    Exactness: the k-th smallest md5 hash is a deterministic integer in
+    both engines (user_id tiebreak on hash collisions); the estimate
+    divides identical exact integers. The exact distinct count rides
+    along so the error is visible.
+
+    Scale shape: distinct-collapse, then a per-group top-k — at scale
+    the two-level local-top-k prune bounds the sort (each partition
+    keeps its own {KMV_K} minima first: KMV state is mergeable by
+    construction, which is the whole point)."""
+    ev = load(spark, sf_dir, "events")
+    u = _spark_md5_32(F.concat(F.lit("kmv:"), F.col("user_id").cast("string")))
+    hashed = ev.select("event_type", "user_id", u.alias("h")).distinct()
+    w_rk = Window.partitionBy("event_type").orderBy("h", "user_id")
+    w_all = Window.partitionBy("event_type")
+    ranked = hashed.select(
+        "event_type", "h",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("nd"),
+    )
+    est = F.when(
+        F.col("nd") <= KMV_K, F.col("nd") * F.lit(1.0)
+    ).otherwise(F.lit(float(KMV_K - 1)) * 4294967296.0 / F.col("h"))
+    return ranked.filter(
+        F.col("rk") == F.least(F.lit(KMV_K).cast("bigint"), F.col("nd"))
+    ).select(
+        "event_type",
+        F.col("nd").alias("exact_distinct"),
+        F.col("h").cast("bigint").alias("kth_hash"),
+        F.round(est, 6).alias("kmv_estimate"),
+    )

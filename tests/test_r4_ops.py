@@ -544,3 +544,64 @@ def test_exact_quantiles_match_numpy(spark):
         assert r["n_rows"] == n
         want = float(np.percentile(cents, p * 100, method="linear")) / 100.0
         assert abs(r["value"] - round(want, 6)) < 2e-6, (label, r["value"], want)
+
+
+def test_hll_registers_and_error(spark):
+    """The HLL estimate must match a python recompute of the SAME
+    register algebra, and land within 4 sigma (1.04/sqrt(64) rse) of
+    the exact count for every event type."""
+    import hashlib
+
+    rows = {r["event_type"]: r
+            for r in _Q["ext_sketch_hll_custom"](spark, SF_DIR).collect()}
+    ev = load(spark, SF_DIR, "events").select("event_type", "user_id").distinct().collect()
+    from collections import defaultdict
+
+    regs = defaultdict(dict)
+    exact = defaultdict(set)
+    for r in ev:
+        exact[r["event_type"]].add(r["user_id"])
+        h = int(hashlib.md5(f"hll:{r['user_id']}".encode()).hexdigest()[:8], 16)
+        idx, w = h % 64, h // 64
+        rho = 27 - w.bit_length() if w else 27
+        regs[r["event_type"]][idx] = max(regs[r["event_type"]].get(idx, 0), rho)
+    for et, rr in rows.items():
+        m = regs[et]
+        assert rr["nonzero_registers"] == len(m)
+        assert rr["exact_distinct"] == len(exact[et])
+        s = sum(2.0 ** -v for v in m.values()) + (64 - len(m))
+        raw = 0.709 * 64 * 64 / s
+        zeros = 64 - len(m)
+        est = 64 * math.log(64 / zeros) if zeros > 0 and raw <= 2.5 * 64 else raw
+        assert abs(rr["hll_estimate"] - round(est, 6)) < 1e-6
+        rse = 1.04 / math.sqrt(64)
+        assert abs(est - len(exact[et])) <= 4 * rse * len(exact[et]), (et, est)
+
+
+def test_kmv_estimate_error(spark):
+    """KMV must report exactly for groups <= k distinct and within 4
+    sigma (~1/sqrt(k-2)) otherwise; the k-th hash must match python."""
+    import hashlib
+
+    rows = {r["event_type"]: r for r in _Q["ext_sketch_kmv"](spark, SF_DIR).collect()}
+    ev = load(spark, SF_DIR, "events").select("event_type", "user_id").distinct().collect()
+    from collections import defaultdict
+
+    users = defaultdict(set)
+    for r in ev:
+        users[r["event_type"]].add(r["user_id"])
+    for et, us in users.items():
+        r = rows[et]
+        n = len(us)
+        assert r["exact_distinct"] == n
+        hs = sorted(
+            (int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:8], 16), u) for u in us
+        )
+        k = min(64, n)
+        assert r["kth_hash"] == hs[k - 1][0]
+        if n <= 64:
+            assert r["kmv_estimate"] == float(n)
+        else:
+            est = 63 * 4294967296.0 / hs[63][0]
+            assert abs(r["kmv_estimate"] - round(est, 6)) < 1e-6
+            assert abs(est - n) <= 4 * n / math.sqrt(62), (et, est, n)
