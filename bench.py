@@ -149,6 +149,7 @@ HEADLINE = [
     "ext_sketch_hll_custom",
     "ext_sketch_kmv",
     "ext_text_bigram_kn",
+    "ext_survival_km",
 ]
 
 

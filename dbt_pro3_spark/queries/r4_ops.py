@@ -2210,3 +2210,107 @@ def ext_text_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(p_kn, 6).alias("p_kn"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_survival_km
+# ---------------------------------------------------------------------------
+
+KM_CENSOR_DAYS = 90  # last order within this window of corpus end = censored
+
+
+@register(
+    "ext_survival_km",
+    f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               MIN(CAST(o_orderdate AS DATE)) AS f,
+               MAX(CAST(o_orderdate AS DATE)) AS l
+        FROM orders GROUP BY 1
+    ), anchor AS (
+        SELECT MAX(l) AS now_d FROM cust
+    ), obs AS (
+        SELECT c.o_custkey,
+               CASE WHEN a.now_d - c.l <= {KM_CENSOR_DAYS}
+                    THEN CAST(a.now_d - c.f AS BIGINT)
+                    ELSE CAST(c.l - c.f AS BIGINT) END AS t_days,
+               CASE WHEN a.now_d - c.l <= {KM_CENSOR_DAYS} THEN 0 ELSE 1 END AS event
+        FROM cust c CROSS JOIN anchor a
+    ), grid AS (
+        SELECT t_days,
+               CAST(SUM(event) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS ending_here
+        FROM obs GROUP BY 1
+    ), risk AS (
+        SELECT t_days, d,
+               SUM(ending_here) OVER (
+                   ORDER BY t_days DESC ROWS UNBOUNDED PRECEDING
+               ) AS n_at_risk
+        FROM grid
+    ), units AS (
+        SELECT t_days, d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+               CAST(ROUND(ln((n_at_risk - d) * 1.0 / n_at_risk)
+                          * 1000000000.0) AS BIGINT) AS lnu
+        FROM risk WHERE d > 0 AND n_at_risk > d
+    )
+    SELECT t_days, n_at_risk, d AS n_events,
+           {dround('''exp(SUM(lnu) OVER (
+                          ORDER BY t_days ROWS UNBOUNDED PRECEDING
+                      ) / 1000000000.0)''', 6)} AS survival
+    FROM units
+    """,
+)
+def ext_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer lifetime (first order to
+    churn): customers whose last order falls within {KM_CENSOR_DAYS}
+    days of the corpus end are right-CENSORED (still alive — the whole
+    point of KM over a naive lifetime histogram, which biases toward
+    short lives); the rest churn at t = last - first days. At each event
+    time S(t) multiplies by (1 - d_t/n_t) over the risk set — the
+    retention curve product teams put under 'median customer lifetime'.
+    Times where every at-risk customer dies (n == d) terminate the curve
+    and are excluded from the log-product (ln(0)).
+
+    Determinism: d and the risk set are exact integers (risk = a
+    suffix-sum over the time grid); each factor's ln applies to a ratio
+    of identical integers and freezes to integer nano-units per row
+    BEFORE the cumulative sum, so the product accumulates exactly;
+    the final exp maps identical doubles through dround(6).
+
+    Scale shape: the fact collapses to one row per CUSTOMER, then one
+    row per distinct lifetime; every window runs on the days-sized grid
+    (the win_lag_12_global post-aggregation discipline)."""
+    od = load(spark, sf_dir, "orders")
+    cust = od.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("f"),
+        F.max(F.to_date("o_orderdate")).alias("l"),
+    )
+    anchor = cust.agg(F.max("l").alias("now_d"))
+    censored = F.datediff("now_d", "l") <= KM_CENSOR_DAYS
+    obs = cust.crossJoin(F.broadcast(anchor)).select(
+        F.when(censored, F.datediff("now_d", "f"))
+        .otherwise(F.datediff("l", "f")).cast("bigint").alias("t_days"),
+        F.when(censored, 0).otherwise(1).alias("event"),
+    )
+    grid = obs.groupBy("t_days").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("ending_here"),
+    )
+    w_risk = Window.orderBy(F.desc("t_days")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = grid.withColumn("n_at_risk", F.sum("ending_here").over(w_risk))
+    units = risk.filter((F.col("d") > 0) & (F.col("n_at_risk") > F.col("d"))).select(
+        "t_days", "d",
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.round(
+            F.log((F.col("n_at_risk") - F.col("d")) * F.lit(1.0) / F.col("n_at_risk"))
+            * 1000000000.0,
+            0,
+        ).cast("bigint").alias("lnu"),
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    return units.select(
+        "t_days", "n_at_risk", F.col("d").alias("n_events"),
+        F.round(F.exp(F.sum("lnu").over(w_cum) / 1000000000.0), 6).alias("survival"),
+    )

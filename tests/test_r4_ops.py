@@ -638,3 +638,50 @@ def test_bigram_kn_probability_axioms(spark):
         assert r["p_kn"] > 0
         mle = pair[(a, b)] / c_w1[a]
         assert abs(r["p_mle"] - round(mle, 6)) < 1e-9
+
+
+def test_survival_km_monotone_and_recompute(spark):
+    """S(t) must be non-increasing in (0, 1], and match a python
+    lifelines-style recompute of the KM product."""
+    rows = sorted(_Q["ext_survival_km"](spark, SF_DIR).collect(),
+                  key=lambda r: r["t_days"])
+    assert rows
+    surv = [r["survival"] for r in rows]
+    assert all(0 < s <= 1 for s in surv)
+    assert all(a >= b - 1e-9 for a, b in zip(surv, surv[1:]))
+    od = load(spark, SF_DIR, "orders").select("o_custkey", "o_orderdate").collect()
+    from collections import defaultdict
+    import datetime
+
+    fl = {}
+    for r in od:
+        d = r["o_orderdate"] if isinstance(r["o_orderdate"], datetime.date) else r["o_orderdate"].date()
+        k = r["o_custkey"]
+        f, l = fl.get(k, (d, d))
+        fl[k] = (min(f, d), max(l, d))
+    now = max(l for _, l in fl.values())
+    obs = []
+    for f, l in fl.values():
+        if (now - l).days <= 90:
+            obs.append(((now - f).days, 0))
+        else:
+            obs.append(((l - f).days, 1))
+    times = sorted({t for t, e in obs if e == 1})
+    s = 1.0
+    expect = {}
+    for t in times:
+        n = sum(1 for tt, _ in obs if tt >= t)
+        d = sum(1 for tt, e in obs if tt == t and e == 1)
+        if n > d:
+            # nano-unit freeze mirrors the engines
+            s_units = round(math.log((n - d) / n) * 1e9)
+            s *= math.exp(s_units / 1e9)
+            expect[t] = (n, d, s)
+    got = {r["t_days"]: r for r in rows}
+    assert set(got) == set(expect)
+    for t, (n, d, _) in expect.items():
+        assert got[t]["n_at_risk"] == n and got[t]["n_events"] == d
+    # spot value check (cumulative float path differs slightly from the
+    # engines' integer-unit cumsum; 6dp is the contract)
+    for t in list(expect)[:20]:
+        assert abs(got[t]["survival"] - expect[t][2]) < 5e-6
