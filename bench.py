@@ -150,6 +150,7 @@ HEADLINE = [
     "ext_sketch_kmv",
     "ext_text_bigram_kn",
     "ext_survival_km",
+    "ext_funnel_latency",
 ]
 
 

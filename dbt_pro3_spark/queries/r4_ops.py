@@ -2347,3 +2347,152 @@ def ext_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_days", "n_at_risk", F.col("d").alias("n_events"),
         F.round(F.exp(F.sum("lnu").over(w_cum) / 1000000000.0), 6).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_funnel_latency
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_funnel_latency",
+    f"""
+    WITH t1 AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+        SELECT e.user_id, MIN(t1.first_view) AS first_view, MIN(e.ts) AS first_click
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.first_view
+        GROUP BY e.user_id
+    ), t3 AS (
+        SELECT e.user_id, MIN(t2.first_click) AS first_click,
+               MIN(e.ts) AS first_purchase
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.first_click
+        GROUP BY e.user_id
+    ), lat AS (
+        SELECT 'view_to_click' AS transition,
+               epoch_us(first_click) - epoch_us(first_view) AS lat_us
+        FROM t2
+        UNION ALL
+        SELECT 'click_to_purchase' AS transition,
+               epoch_us(first_purchase) - epoch_us(first_click) AS lat_us
+        FROM t3
+    ), ranked AS (
+        SELECT transition, lat_us,
+               ROW_NUMBER() OVER (PARTITION BY transition ORDER BY lat_us) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY transition) AS BIGINT) AS n
+        FROM lat
+    ), stats AS (
+        SELECT transition, MAX(n) AS n_users,
+               MAX(CASE WHEN rk = ((n - 1) * 1) // 2 + 1 THEN lat_us END) AS med_lo,
+               MAX(CASE WHEN rk = LEAST(((n - 1) * 1) // 2 + 2, n) THEN lat_us END)
+                   AS med_hi,
+               MAX(CASE WHEN rk = ((n - 1) * 9) // 10 + 1 THEN lat_us END) AS p90_lo,
+               MAX(CASE WHEN rk = LEAST(((n - 1) * 9) // 10 + 2, n) THEN lat_us END)
+                   AS p90_hi,
+               MAX(((n - 1) * 1) % 2) AS med_f,
+               MAX(((n - 1) * 9) % 10) AS p90_f
+        FROM ranked GROUP BY 1
+    )
+    SELECT transition, n_users,
+           {dround('((2 - med_f) * med_lo + med_f * med_hi) * 1.0 / 2 / 1000000.0', 6)}
+               AS median_s,
+           {dround('((10 - p90_f) * p90_lo + p90_f * p90_hi) * 1.0 / 10 / 1000000.0', 6)}
+               AS p90_s
+    FROM stats
+    """,
+)
+def ext_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel transition latency: for users progressing through
+    ext_event_funnel's view -> click -> purchase sequence, the median
+    and p90 seconds between consecutive first-completions — the metric
+    that turns a funnel COUNT report into a 'where do users stall'
+    report (a step can convert well but take days — invisible to
+    counts).
+
+    Determinism: latencies are exact integer MICROseconds (DuckDB's
+    epoch() returns fractional-second doubles while a Spark long cast
+    truncates — epoch_us/unix_micros agree exactly); the percentiles
+    are assembled from EXACT ORDER STATISTICS (rank k via row_number,
+    interpolation ((den-f)*v_lo + f*v_hi)/den from integer fractions) —
+    built-in percentile/quantile_cont interpolate with algebraically
+    different formulas across engines (lower+(frac)*(hi-lo) vs
+    (1-frac)*lo+frac*hi) and a last-ulp difference was observed landing
+    exactly on a 6dp rounding tie; order statistics cannot drift.
+
+    Scale shape: the funnel's conditional MIN aggregates all key on
+    user_id (one partitioning reused across stages, shrinking survivor
+    sets); the rank window partitions by transition over per-user rows
+    (at 100 TB swap for the two-pass bucket method of
+    ext_exact_quantiles_twopass — documented)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("first_view").alias("first_view"), F.min("ts").alias("first_click"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2.select("user_id", "first_click"), "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(
+            F.min("first_click").alias("first_click"),
+            F.min("ts").alias("first_purchase"),
+        )
+    )
+    lat = t2.select(
+        F.lit("view_to_click").alias("transition"),
+        (
+            F.unix_micros("first_click") - F.unix_micros("first_view")
+        ).alias("lat_us"),
+    ).unionByName(
+        t3.select(
+            F.lit("click_to_purchase").alias("transition"),
+            (
+                F.unix_micros("first_purchase") - F.unix_micros("first_click")
+            ).alias("lat_us"),
+        )
+    )
+    w_rk = Window.partitionBy("transition").orderBy("lat_us")
+    w_n = Window.partitionBy("transition")
+    ranked = lat.select(
+        "transition", "lat_us",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_n).cast("bigint").alias("n"),
+    )
+    med_klo = F.expr("(n - 1) div 2 + 1")
+    med_khi = F.least(med_klo + 1, F.col("n"))
+    p90_klo = F.expr("((n - 1) * 9) div 10 + 1")
+    p90_khi = F.least(p90_klo + 1, F.col("n"))
+    stats = ranked.groupBy("transition").agg(
+        F.max("n").alias("n_users"),
+        F.max(F.when(F.col("rk") == med_klo, F.col("lat_us"))).alias("med_lo"),
+        F.max(F.when(F.col("rk") == med_khi, F.col("lat_us"))).alias("med_hi"),
+        F.max(F.when(F.col("rk") == p90_klo, F.col("lat_us"))).alias("p90_lo"),
+        F.max(F.when(F.col("rk") == p90_khi, F.col("lat_us"))).alias("p90_hi"),
+        F.max(F.expr("(n - 1) % 2")).alias("med_f"),
+        F.max(F.expr("((n - 1) * 9) % 10")).alias("p90_f"),
+    )
+    return stats.select(
+        "transition", "n_users",
+        F.round(
+            ((2 - F.col("med_f")) * F.col("med_lo") + F.col("med_f") * F.col("med_hi"))
+            * F.lit(1.0) / 2 / 1000000.0,
+            6,
+        ).alias("median_s"),
+        F.round(
+            ((10 - F.col("p90_f")) * F.col("p90_lo") + F.col("p90_f") * F.col("p90_hi"))
+            * F.lit(1.0) / 10 / 1000000.0,
+            6,
+        ).alias("p90_s"),
+    )

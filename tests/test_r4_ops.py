@@ -685,3 +685,46 @@ def test_survival_km_monotone_and_recompute(spark):
     # engines' integer-unit cumsum; 6dp is the contract)
     for t in list(expect)[:20]:
         assert abs(got[t]["survival"] - expect[t][2]) < 5e-6
+
+
+def test_funnel_latency_recompute(spark):
+    """Transition latencies must match a python recompute of the ordered
+    funnel's first-completion chain and its exact order-statistic
+    percentiles."""
+    rows = {r["transition"]: r for r in _Q["ext_funnel_latency"](spark, SF_DIR).collect()}
+    ev = load(spark, SF_DIR, "events").select("user_id", "event_type", "ts").collect()
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append((r["ts"], r["event_type"]))
+    v2c, c2p = [], []
+    for evs in per_user.values():
+        views = [t for t, e in evs if e == "view"]
+        if not views:
+            continue
+        t1 = min(views)
+        clicks = [t for t, e in evs if e == "click" and t > t1]
+        if not clicks:
+            continue
+        t2 = min(clicks)
+        v2c.append(int((t2 - t1).total_seconds() * 1e6))
+        purchases = [t for t, e in evs if e == "purchase" and t > t2]
+        if purchases:
+            t3 = min(purchases)
+            c2p.append(int((t3 - t2).total_seconds() * 1e6))
+
+    def ostat(vals, num, den):
+        vals = sorted(vals)
+        n = len(vals)
+        m = (n - 1) * num
+        lo = vals[m // den]
+        hi = vals[min(m // den + 1, n - 1)]
+        f = m % den
+        return ((den - f) * lo + f * hi) / den / 1e6
+
+    assert rows["view_to_click"]["n_users"] == len(v2c)
+    assert rows["click_to_purchase"]["n_users"] == len(c2p)
+    assert abs(rows["view_to_click"]["median_s"] - round(ostat(v2c, 1, 2), 6)) < 1e-6
+    assert abs(rows["view_to_click"]["p90_s"] - round(ostat(v2c, 9, 10), 6)) < 1e-6
+    assert abs(rows["click_to_purchase"]["p90_s"] - round(ostat(c2p, 9, 10), 6)) < 1e-6
