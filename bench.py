@@ -151,6 +151,7 @@ HEADLINE = [
     "ext_text_bigram_kn",
     "ext_survival_km",
     "ext_funnel_latency",
+    "ext_seasonal_anomaly",
 ]
 
 

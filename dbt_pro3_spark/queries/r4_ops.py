@@ -2496,3 +2496,133 @@ def ext_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p90_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_seasonal_anomaly
+# ---------------------------------------------------------------------------
+
+SA_Z = 3.0  # robust z-score threshold
+SA_MAD_K = 1.4826  # MAD -> sigma consistency constant (normal)
+
+
+@register(
+    "ext_seasonal_anomaly",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), ma AS (
+        SELECT d, cents,
+               SUM(cents) OVER w AS s7, COUNT(*) OVER w AS n7
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN {TSD_HALF} PRECEDING
+                     AND {TSD_HALF} FOLLOWING)
+    ), det AS (
+        SELECT d, cents, 7 * cents - s7 AS u, dayofweek(d) AS dow
+        FROM ma WHERE n7 = 7
+    ), season AS (
+        SELECT dow, CAST(SUM(u) AS BIGINT) AS su, CAST(COUNT(*) AS BIGINT) AS nu
+        FROM det GROUP BY 1
+    ), resid AS MATERIALIZED (
+        SELECT det.d, det.cents,
+               CAST(ROUND((det.u * s.nu - s.su) * 1.0
+                          / (7 * s.nu) / 100.0 * 1000000.0) AS BIGINT) AS r_units
+        FROM det JOIN season s USING (dow)
+    ), ranked AS (
+        SELECT ABS(r_units) AS a,
+               ROW_NUMBER() OVER (ORDER BY ABS(r_units)) AS rk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM resid
+    ), mad AS (
+        SELECT (MAX(CASE WHEN rk = (n - 1) // 2 + 1 THEN a END)
+                * (2 - MAX((n - 1) % 2))
+                + MAX(CASE WHEN rk = LEAST((n - 1) // 2 + 2, n) THEN a END)
+                * MAX((n - 1) % 2)) * 1.0 / 2 AS mad_units
+        FROM ranked
+    )
+    SELECT r.d, {dround('r.cents / 100.0', 6)} AS revenue,
+           {dround('r.r_units / 1000000.0', 6)} AS residual,
+           {dround(f'r.r_units / ({SA_MAD_K} * m.mad_units)', 6)} AS robust_z
+    FROM resid r CROSS JOIN mad m
+    WHERE m.mad_units > 0
+      AND ABS(r.r_units / ({SA_MAD_K} * m.mad_units)) > {SA_Z}
+    """,
+)
+def ext_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware revenue anomaly days: ext_ts_decompose's
+    residual (trend and day-of-week effects removed) scored by a ROBUST
+    z — residual / ({SA_MAD_K} * MAD) — and days beyond |z| > {SA_Z}
+    reported. MAD (median absolute deviation) instead of stddev because
+    anomalies inflate the stddev that is supposed to detect them; the
+    {SA_MAD_K} factor makes MAD sigma-consistent under normality. This
+    is ext_anomaly_rolling_z's seasonal sibling: rolling-z flags 'unusual
+    vs recent days', this flags 'unusual vs what this weekday usually
+    does after detrending'.
+
+    Determinism: residuals freeze to integer micro-units (identical
+    doubles in, identical integers out); the MAD median is an exact
+    order statistic over those integers (no engine quantile functions —
+    see ext_funnel_latency's interpolation pitfall); the z ratio divides
+    identical values.
+
+    Scale shape: everything after the daily collapse runs on the
+    days-sized grid."""
+    od = load(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint").alias("cents")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-TSD_HALF, TSD_HALF)
+    det = (
+        daily.withColumn("s7", F.sum("cents").over(w7))
+        .withColumn("n7", F.count(F.lit(1)).over(w7))
+        .filter(F.col("n7") == 7)
+        .withColumn("u", 7 * F.col("cents") - F.col("s7"))
+        .withColumn("dow", F.dayofweek("d"))
+    )
+    season = det.groupBy("dow").agg(
+        F.sum("u").cast("bigint").alias("su"),
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+    )
+    resid = det.join(F.broadcast(season), "dow").select(
+        "d", "cents",
+        F.round(
+            (F.col("u") * F.col("nu") - F.col("su")) * F.lit(1.0)
+            / (7 * F.col("nu")) / 100.0 * 1000000.0,
+            0,
+        ).cast("bigint").alias("r_units"),
+    ).localCheckpoint(eager=False)  # feeds the MAD rank AND the output scan
+    w_rk = Window.orderBy(F.abs(F.col("r_units")))
+    w_all = Window.partitionBy()
+    ranked = resid.select(
+        F.abs(F.col("r_units")).alias("a"),
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+    )
+    klo = F.expr("(n - 1) div 2 + 1")
+    khi = F.least(klo + 1, F.col("n"))
+    mad = ranked.agg(
+        (
+            (
+                F.max(F.when(F.col("rk") == klo, F.col("a")))
+                * (2 - F.max(F.expr("(n - 1) % 2")))
+                + F.max(F.when(F.col("rk") == khi, F.col("a")))
+                * F.max(F.expr("(n - 1) % 2"))
+            )
+            * F.lit(1.0) / 2
+        ).alias("mad_units")
+    )
+    z = F.col("r_units") / (SA_MAD_K * F.col("mad_units"))
+    return (
+        resid.crossJoin(F.broadcast(mad))
+        .filter((F.col("mad_units") > 0) & (F.abs(z) > SA_Z))
+        .select(
+            "d",
+            F.round(F.col("cents") / 100.0, 6).alias("revenue"),
+            F.round(F.col("r_units") / 1000000.0, 6).alias("residual"),
+            F.round(z, 6).alias("robust_z"),
+        )
+    )

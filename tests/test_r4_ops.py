@@ -728,3 +728,22 @@ def test_funnel_latency_recompute(spark):
     assert abs(rows["view_to_click"]["median_s"] - round(ostat(v2c, 1, 2), 6)) < 1e-6
     assert abs(rows["view_to_click"]["p90_s"] - round(ostat(v2c, 9, 10), 6)) < 1e-6
     assert abs(rows["click_to_purchase"]["p90_s"] - round(ostat(c2p, 9, 10), 6)) < 1e-6
+
+
+def test_seasonal_anomaly_flags_match_recompute(spark):
+    """Flagged days must be exactly those whose micro-unit residual
+    exceeds 3 * 1.4826 * MAD, recomputed in python from the decompose
+    residuals."""
+    rows = {r["d"]: r for r in _Q["ext_seasonal_anomaly"](spark, SF_DIR).collect()}
+    dec = _Q["ext_ts_decompose"](spark, SF_DIR).collect()
+    units = {r["d"]: round(r["residual"] * 1e6) for r in dec}
+    vals = sorted(abs(v) for v in units.values())
+    n = len(vals)
+    m = (n - 1) // 2
+    f = (n - 1) % 2
+    mad = ((2 - f) * vals[m] + f * vals[min(m + 1, n - 1)]) / 2
+    assert mad > 0
+    expect = {d for d, v in units.items() if abs(v / (1.4826 * mad)) > 3.0}
+    assert set(rows) == expect
+    for d in expect:
+        assert abs(rows[d]["robust_z"] - round(units[d] / (1.4826 * mad), 6)) < 1e-6
