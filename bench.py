@@ -152,6 +152,7 @@ HEADLINE = [
     "ext_survival_km",
     "ext_funnel_latency",
     "ext_seasonal_anomaly",
+    "ext_source_js_divergence",
 ]
 
 

@@ -2626,3 +2626,140 @@ def ext_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("robust_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_source_js_divergence
+# ---------------------------------------------------------------------------
+
+JSD_V = 256  # global top-V tokens kept; everything else folds into <oov>
+JSD_SALTS = 32  # level-1 hash groups for the top-V prune
+
+
+@register(
+    "ext_source_js_divergence",
+    f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), cnt AS MATERIALIZED (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+    ), gcnt AS (
+        SELECT tok, SUM(c) AS g FROM cnt GROUP BY 1
+    ), topv AS MATERIALIZED (
+        SELECT tok FROM (
+            SELECT tok, ROW_NUMBER() OVER (ORDER BY g DESC, tok) AS rk FROM gcnt
+        ) WHERE rk <= {JSD_V}
+    ), tot AS MATERIALIZED (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY 1
+    ), vec AS MATERIALIZED (
+        SELECT s.source, g.tok, COALESCE(c.c, 0) AS c, s.t
+        FROM tot s
+        CROSS JOIN (SELECT tok FROM topv UNION ALL SELECT '<oov>') g
+        LEFT JOIN (
+            SELECT source, tok, c FROM cnt SEMI JOIN topv USING (tok)
+            UNION ALL
+            SELECT cnt.source, '<oov>' AS tok, SUM(cnt.c) AS c
+            FROM cnt ANTI JOIN topv USING (tok)
+            GROUP BY 1, 2
+        ) c ON c.source = s.source AND c.tok = g.tok
+    ), terms AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(ROUND((
+                   CASE WHEN a.c > 0 THEN
+                       0.5 * (a.c * 1.0 / a.t)
+                       * ln(2.0 * (a.c * 1.0 / a.t)
+                            / ((a.c * 1.0 / a.t) + (b.c * 1.0 / b.t)))
+                   ELSE 0.0 END
+                   + CASE WHEN b.c > 0 THEN
+                       0.5 * (b.c * 1.0 / b.t)
+                       * ln(2.0 * (b.c * 1.0 / b.t)
+                            / ((a.c * 1.0 / a.t) + (b.c * 1.0 / b.t)))
+                   ELSE 0.0 END) * 1000000000.0) AS BIGINT) AS u
+        FROM vec a JOIN vec b ON a.tok = b.tok AND a.source < b.source
+        WHERE a.c > 0 OR b.c > 0
+    )
+    SELECT source_a, source_b,
+           {dround('SUM(u) / 1000000000.0', 6)} AS jsd_nats
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def ext_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between sources' unigram
+    distributions (restricted to the global top-{JSD_V} tokens, long
+    tail folded into an <oov> bucket) — the symmetric, bounded (<= ln 2)
+    distributional-distance matrix curation teams use to find redundant
+    crawls and to pick maximally-diverse mixture components
+    (ext_source_overlap measures shared n-gram SETS; JSD measures
+    distributional SHAPE — two sources can share every token yet weight
+    them very differently).
+
+    Determinism: probabilities are ratios of exact counts over the SAME
+    densified token grid (zeros explicit, so both engines see identical
+    term sets); each JSD term freezes to integer nano-units per
+    (pair, token) BEFORE summation; zero-sided terms take the exact
+    0.5*p*ln(2) branch via CASE, never ln(0).
+
+    Scale shape: one corpus-sized (source, token) aggregate; the top-V
+    cut uses the two-level prune ({JSD_SALTS} hash groups); everything
+    after runs on the #sources x ({JSD_V}+1) grid and its
+    #sources^2/2 x ({JSD_V}+1) pair explosion — grid-sized by
+    construction (at 1000 sources that is ~128M tiny rows, one
+    shuffle)."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # feeds glob, tot, vec
+    )
+    glob = cnt.groupBy("tok").agg(F.sum("c").alias("g"))
+    w_grp = Window.partitionBy("grp").orderBy(F.desc("g"), "tok")
+    pruned = (
+        glob.withColumn("grp", F.pmod(F.xxhash64("tok"), F.lit(JSD_SALTS)))
+        .withColumn("lrk", F.row_number().over(w_grp))
+        .filter(F.col("lrk") <= JSD_V)
+        .drop("grp", "lrk")
+    )
+    w_all = Window.orderBy(F.desc("g"), "tok")
+    topv = (
+        pruned.withColumn("rk", F.row_number().over(w_all))
+        .filter(F.col("rk") <= JSD_V)
+        .select("tok")
+        .localCheckpoint(eager=False)  # feeds grid, semi and anti joins
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("t"))
+    in_top = cnt.join(F.broadcast(topv), "tok", "left_semi")
+    oov = (
+        cnt.join(F.broadcast(topv), "tok", "left_anti")
+        .groupBy("source")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .select("source", F.lit("<oov>").alias("tok"), "c")
+    )
+    counts = in_top.select("source", "tok", "c").unionByName(oov)
+    grid = tot.crossJoin(
+        F.broadcast(topv.unionByName(topv.sparkSession.createDataFrame([("<oov>",)], ["tok"]).limit(1)))
+    )
+    vec = (
+        grid.join(counts, ["source", "tok"], "left")
+        .select("source", "tok", F.coalesce(F.col("c"), F.lit(0)).alias("c"), "t")
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    a, b = vec.alias("a"), vec.alias("b")
+    pa = F.col("a.c") * F.lit(1.0) / F.col("a.t")
+    pb = F.col("b.c") * F.lit(1.0) / F.col("b.t")
+    term = (
+        F.when(F.col("a.c") > 0, 0.5 * pa * F.log(2.0 * pa / (pa + pb))).otherwise(0.0)
+        + F.when(F.col("b.c") > 0, 0.5 * pb * F.log(2.0 * pb / (pa + pb))).otherwise(0.0)
+    )
+    terms = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") < F.col("b.source")))
+        .filter((F.col("a.c") > 0) | (F.col("b.c") > 0))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.round(term * 1000000000.0, 0).cast("bigint").alias("u"),
+        )
+    )
+    return terms.groupBy("source_a", "source_b").agg(
+        F.round(F.sum("u") / 1000000000.0, 6).alias("jsd_nats")
+    )

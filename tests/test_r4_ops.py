@@ -747,3 +747,51 @@ def test_seasonal_anomaly_flags_match_recompute(spark):
     assert set(rows) == expect
     for d in expect:
         assert abs(rows[d]["robust_z"] - round(units[d] / (1.4826 * mad), 6)) < 1e-6
+
+
+def test_js_divergence_axioms_and_recompute(spark):
+    """JSD must be symmetric-complete (all source pairs once), bounded in
+    [0, ln 2], and match a python recompute on a sampled pair."""
+    rows = _Q["ext_source_js_divergence"](spark, SF_DIR).collect()
+    pairs = {(r["source_a"], r["source_b"]) for r in rows}
+    docs = load(spark, SF_DIR, "documents").select("source", "text").collect()
+    sources = sorted({d["source"] for d in docs})
+    assert len(pairs) == len(sources) * (len(sources) - 1) // 2
+    assert all(a < b for a, b in pairs)
+    ln2 = math.log(2)
+    for r in rows:
+        assert -1e-9 <= r["jsd_nats"] <= ln2 + 1e-9
+    # recompute one pair
+    from collections import Counter
+
+    cnt = {s: Counter() for s in sources}
+    for d in docs:
+        cnt[d["source"]].update(t for t in d["text"].split(" ") if t)
+    glob = Counter()
+    for c in cnt.values():
+        glob.update(c)
+    topv = {t for t, _ in sorted(glob.items(), key=lambda kv: (-kv[1], kv[0]))[:256]}
+    sa, sb = sources[0], sources[1]
+
+    def vec(s):
+        v = {t: cnt[s].get(t, 0) for t in topv}
+        v["<oov>"] = sum(n for t, n in cnt[s].items() if t not in topv)
+        return v, sum(cnt[s].values())
+
+    va, ta = vec(sa)
+    vb, tb = vec(sb)
+    units = 0
+    for t in set(va) | set(vb):
+        p, q = va[t] / ta, vb[t] / tb
+        if p == 0 and q == 0:
+            continue
+        term = 0.0
+        if p > 0:
+            term += 0.5 * p * math.log(2 * p / (p + q))
+        if q > 0:
+            term += 0.5 * q * math.log(2 * q / (p + q))
+        units += round(term * 1e9)
+    want = round(units / 1e9, 6)
+    got = next(r["jsd_nats"] for r in rows
+               if r["source_a"] == sa and r["source_b"] == sb)
+    assert abs(got - want) < 1e-9
