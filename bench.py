@@ -153,6 +153,7 @@ HEADLINE = [
     "ext_funnel_latency",
     "ext_seasonal_anomaly",
     "ext_source_js_divergence",
+    "ext_exact_quantiles_grouped",
 ]
 
 

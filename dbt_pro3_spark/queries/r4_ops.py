@@ -2763,3 +2763,111 @@ def ext_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("source_a", "source_b").agg(
         F.round(F.sum("u") / 1000000000.0, 6).alias("jsd_nats")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_exact_quantiles_grouped
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_exact_quantiles_grouped",
+    f"""
+    WITH cents AS MATERIALIZED (
+        SELECT l_returnflag AS grp,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem
+    ), ranked AS MATERIALIZED (
+        SELECT grp, c,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+        FROM cents
+    ), stats AS (
+        SELECT grp, MAX(n) AS n_rows,
+               MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN c END) AS v_lo,
+               MAX(CASE WHEN rn = LEAST((n - 1) // 2 + 2, n) THEN c END) AS v_hi,
+               MAX((n - 1) % 2) AS f
+        FROM ranked GROUP BY 1
+    )
+    SELECT grp AS l_returnflag, n_rows,
+           {dround('((2 - f) * v_lo + f * v_hi) * 1.0 / 2 / 100.0', 6)}
+               AS median_price
+    FROM stats
+    """,
+)
+def ext_exact_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median WITHOUT a per-group sort — the grouped
+    form of ext_exact_quantiles_twopass, and the direct answer to
+    agg_percentile's documented tradeoff ('at 100 TB prefer approx;
+    exact requires a per-group sort'): pass 1 builds a per-(group,
+    bucket) counting histogram, the cumulative bucket table (grid-sized)
+    locates each group's middle order statistics, pass 2 ranks only
+    inside the located buckets. Exact AND scale-safe, per group.
+
+    Exactness: order statistics are exact integer cents; the even-count
+    interpolation is assembled from exact integers (ext_funnel_latency's
+    discipline — no engine quantile functions).
+
+    Scale shape: pass-1 histogram is one map-side-combined aggregate on
+    (group, bucket); the cumsum windows partition by group over the
+    bucket grid; pass-2 windows run only inside the ~#groups target
+    buckets (each ~N_g/#buckets rows)."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("c"),
+    ).withColumn("bucket", (F.col("c") / EQ_BUCKET).cast("bigint"))
+    n = cents.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pos = (
+        n.withColumn("k_lo", F.expr("(n - 1) div 2 + 1"))
+        .withColumn("f", F.expr("(n - 1) % 2"))
+        .select(
+            "grp", "n", "f",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("lo").alias("side"), F.col("k_lo").alias("k")),
+                    F.struct(
+                        F.lit("hi").alias("side"),
+                        F.least(F.col("k_lo") + 1, F.col("n")).alias("k"),
+                    ),
+                )
+            ).alias("pk"),
+        )
+        .select("grp", "n", "f", F.col("pk.side"), F.col("pk.k"))
+    )
+    hist = cents.groupBy("grp", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.partitionBy("grp").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "cum_prev", F.col("cum") - F.col("cnt")
+    )
+    located = pos.join(
+        F.broadcast(cum.withColumnRenamed("grp", "grp2")),
+        (pos.grp == F.col("grp2"))
+        & (pos.k > F.col("cum_prev"))
+        & (pos.k <= F.col("cum")),
+    ).select("grp", "n", "f", "side", "bucket",
+             (F.col("k") - F.col("cum_prev")).alias("within_k"))
+    targets = located.select("grp", "bucket").distinct()
+    w_b = Window.partitionBy("grp", "bucket").orderBy("c")
+    in_bucket = (
+        cents.join(F.broadcast(targets), ["grp", "bucket"], "left_semi")
+        .withColumn("rn", F.row_number().over(w_b))
+    )
+    vals = located.join(in_bucket, ["grp", "bucket"]).filter(
+        F.col("within_k") == F.col("rn")
+    ).select("grp", "n", "f", "side", "c")
+    agg = vals.groupBy("grp", "n", "f").agg(
+        F.max(F.when(F.col("side") == "lo", F.col("c"))).alias("v_lo"),
+        F.max(F.when(F.col("side") == "hi", F.col("c"))).alias("v_hi"),
+    )
+    return agg.select(
+        F.col("grp").alias("l_returnflag"),
+        F.col("n").alias("n_rows"),
+        F.round(
+            ((2 - F.col("f")) * F.col("v_lo") + F.col("f") * F.col("v_hi"))
+            * F.lit(1.0) / 2 / 100.0,
+            6,
+        ).alias("median_price"),
+    )

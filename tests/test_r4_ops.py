@@ -795,3 +795,22 @@ def test_js_divergence_axioms_and_recompute(spark):
     got = next(r["jsd_nats"] for r in rows
                if r["source_a"] == sa and r["source_b"] == sb)
     assert abs(got - want) < 1e-9
+
+
+def test_grouped_median_matches_numpy(spark):
+    """Per-group medians from the bucket method must equal numpy's linear
+    median of each group's exact cents."""
+    rows = {r["l_returnflag"]: r
+            for r in _Q["ext_exact_quantiles_grouped"](spark, SF_DIR).collect()}
+    li = load(spark, SF_DIR, "lineitem").select("l_returnflag", "l_extendedprice").collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in li:
+        groups[r["l_returnflag"]].append(round(r["l_extendedprice"] * 100))
+    assert set(rows) == set(groups)
+    for g, vals in groups.items():
+        want = float(np.percentile(np.array(vals, dtype=np.int64), 50,
+                                   method="linear")) / 100.0
+        assert rows[g]["n_rows"] == len(vals)
+        assert abs(rows[g]["median_price"] - round(want, 6)) < 2e-6
