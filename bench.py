@@ -154,6 +154,8 @@ HEADLINE = [
     "ext_seasonal_anomaly",
     "ext_source_js_divergence",
     "ext_exact_quantiles_grouped",
+    "ext_changepoint_cusum",
+    "ext_lorenz_points",
 ]
 
 

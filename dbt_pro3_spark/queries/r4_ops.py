@@ -2871,3 +2871,176 @@ def ext_exact_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("median_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_changepoint_cusum
+# ---------------------------------------------------------------------------
+
+CUSUM_TOPK = 5  # candidate changepoints reported
+
+
+@register(
+    "ext_changepoint_cusum",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily
+    ), cum AS (
+        SELECT d, cents,
+               SUM(cents) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS pfx,
+               ROW_NUMBER() OVER (ORDER BY d) AS k
+        FROM daily
+    ), dev AS (
+        SELECT c.d, c.cents,
+               CAST(t.n AS HUGEINT) * c.pfx - CAST(c.k AS HUGEINT) * t.s
+                   AS s_units,
+               t.n, t.s
+        FROM cum c CROSS JOIN tot t
+    ), ranked AS (
+        SELECT d, cents, s_units,
+               ROW_NUMBER() OVER (ORDER BY ABS(s_units) DESC, d) AS rk
+        FROM dev
+    )
+    SELECT d, {dround('cents / 100.0', 6)} AS revenue,
+           {dround('''CAST(CAST(s_units AS VARCHAR) AS DOUBLE)
+                      / CAST(n AS DOUBLE) / 100.0''', 6)} AS cusum,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT r.*, t.n FROM ranked r CROSS JOIN tot t)
+    WHERE rk <= {CUSUM_TOPK}
+    """,
+)
+def ext_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily revenue series: the
+    cumulative sum of deviations from the global mean peaks (in absolute
+    value) exactly where the series' level shifts — the top-{CUSUM_TOPK}
+    |CUSUM| days are the candidate changepoints (Page 1954; the
+    mean-shift special case is also the first split of binary
+    segmentation). Complements ext_seasonal_anomaly: that flags single
+    outlier DAYS, this locates sustained LEVEL SHIFTS.
+
+    Exactness: the deviation prefix multiplies through by n —
+    S_k = n*prefix_k - k*total, an exact 128-bit integer (n*prefix
+    passes 2^63 at warehouse scale), ranked as integers; the reported
+    CUSUM divides via the correctly-rounded VARCHAR->DOUBLE path.
+
+    Scale shape: daily collapse first; prefix sums and ranking run on
+    the days-sized grid."""
+    od = load(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint").alias("cents")
+    )
+    tot = daily.agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w_ord = Window.orderBy("d")
+    cum = daily.withColumn(
+        "pfx", F.sum("cents").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("k", F.row_number().over(w_ord))
+    dec = lambda c: c.cast("decimal(38,0)")
+    dev = cum.crossJoin(F.broadcast(tot)).select(
+        "d", "cents", "n",
+        (dec(F.col("n")) * F.col("pfx") - dec(F.col("k")) * F.col("s"))
+        .alias("s_units"),
+    )
+    w_rk = Window.orderBy(F.abs(F.col("s_units")).desc(), "d")
+    return (
+        dev.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= CUSUM_TOPK)
+        .select(
+            "d",
+            F.round(F.col("cents") / 100.0, 6).alias("revenue"),
+            F.round(
+                F.col("s_units").cast("double") / F.col("n").cast("double") / 100.0, 6
+            ).alias("cusum"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_lorenz_points
+# ---------------------------------------------------------------------------
+
+LORENZ_DECILES = 10
+
+
+@register(
+    "ext_lorenz_points",
+    f"""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT cents,
+               NTILE({LORENZ_DECILES}) OVER (ORDER BY cents, o_custkey) AS decile
+        FROM spend
+    ), per AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM ranked GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(cents) AS HUGEINT) AS t, CAST(SUM(n_customers) AS BIGINT) AS nc
+        FROM per
+    )
+    SELECT CAST(p.decile AS BIGINT) AS decile, p.n_customers,
+           {dround('p.cents / 100.0', 6)} AS decile_spend,
+           {dround('''CAST(SUM(p.cents) OVER (
+                          ORDER BY p.decile ROWS UNBOUNDED PRECEDING
+                      ) AS DOUBLE) / CAST(t.t AS DOUBLE)''', 6)} AS cum_share
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def ext_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve points for customer spend: customers sorted by
+    lifetime spend split into {LORENZ_DECILES} deciles, each reporting
+    its spend and the CUMULATIVE share of total spend — the curve whose
+    area complement is ext_spend_gini's coefficient, and the standard
+    'bottom 50% of customers hold X% of revenue' chart feed.
+
+    Determinism: NTILE over the (cents, custkey) total order; shares
+    divide exact integer prefix sums (the prefix runs over 10 decile
+    rows; at warehouse scale the total widens to 128-bit — its double
+    conversion stays exact below 2^53 ~ 90 trillion cents and the
+    divide is a ratio of identical values either way).
+
+    Scale shape: fact collapses to one row per customer; the only
+    customer-dimension sort is the NTILE (at extreme scale: bucket by
+    the two-pass histogram, ext_exact_quantiles_twopass's method);
+    everything after runs on {LORENZ_DECILES} rows."""
+    od = load(spark, sf_dir, "orders")
+    spend = od.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint").alias("cents")
+    )
+    ranked = spend.select(
+        "cents",
+        F.ntile(LORENZ_DECILES).over(Window.orderBy("cents", "o_custkey")).alias("decile"),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    tot = per.agg(F.sum("cents").cast("decimal(38,0)").alias("t"))
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_customers",
+            F.round(F.col("cents") / 100.0, 6).alias("decile_spend"),
+            F.round(
+                F.sum("cents").over(w_cum).cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+    )

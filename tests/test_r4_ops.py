@@ -814,3 +814,49 @@ def test_grouped_median_matches_numpy(spark):
                                    method="linear")) / 100.0
         assert rows[g]["n_rows"] == len(vals)
         assert abs(rows[g]["median_price"] - round(want, 6)) < 2e-6
+
+
+def test_cusum_peak_matches_recompute(spark):
+    """The top |CUSUM| day must equal a python recompute of
+    S_k = n*prefix_k - k*total over the daily series."""
+    rows = sorted(_Q["ext_changepoint_cusum"](spark, SF_DIR).collect(),
+                  key=lambda r: r["rk"])
+    od = load(spark, SF_DIR, "orders").select("o_orderdate", "o_totalprice").collect()
+    from collections import defaultdict
+
+    daily = defaultdict(int)
+    for r in od:
+        d = r["o_orderdate"]
+        if hasattr(d, "date") and not isinstance(d, __import__("datetime").date):
+            d = d.date()
+        elif hasattr(d, "hour"):
+            d = d.date()
+        daily[d] += round(r["o_totalprice"] * 100)
+    days = sorted(daily)
+    total = sum(daily.values())
+    n = len(days)
+    pfx = 0
+    s = {}
+    for k, d in enumerate(days, start=1):
+        pfx += daily[d]
+        s[d] = n * pfx - k * total
+    expect = sorted(days, key=lambda d: (-abs(s[d]), d))[:5]
+    assert [r["d"] for r in rows] == expect
+    for r in rows:
+        assert abs(r["cusum"] - round(s[r["d"]] / n / 100.0, 6)) < 1e-6
+
+
+def test_lorenz_points_monotone_and_complete(spark):
+    """Cumulative shares must be strictly increasing, end at 1.0, and
+    the deciles must partition customers near-evenly."""
+    rows = sorted(_Q["ext_lorenz_points"](spark, SF_DIR).collect(),
+                  key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["cum_share"] for r in rows]
+    assert all(b > a for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-9
+    sizes = [r["n_customers"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # Lorenz curve lies below the diagonal (inequality exists)
+    for i, r in enumerate(rows[:-1], start=1):
+        assert r["cum_share"] <= i / 10 + 1e-9
