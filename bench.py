@@ -156,6 +156,8 @@ HEADLINE = [
     "ext_exact_quantiles_grouped",
     "ext_changepoint_cusum",
     "ext_lorenz_points",
+    "ext_keyword_pmi",
+    "ext_session_path_topk",
 ]
 
 

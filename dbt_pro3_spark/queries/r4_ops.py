@@ -3044,3 +3044,201 @@ def ext_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_keyword_pmi
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 20  # per-source token-count floor
+PMI_TOPK = 5  # distinctive terms per source
+
+
+@register(
+    "ext_keyword_pmi",
+    f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), cnt AS MATERIALIZED (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+    ), stot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS st FROM cnt GROUP BY 1
+    ), gtok AS (
+        SELECT tok, CAST(SUM(c) AS BIGINT) AS g FROM cnt GROUP BY 1
+    ), gt AS (
+        SELECT CAST(SUM(g) AS BIGINT) AS t FROM gtok
+    ), scored AS (
+        SELECT c.source, c.tok, c.c,
+               ln((c.c * 1.0 / s.st) / (g.g * 1.0 / t.t)) AS pmi_raw,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.source
+                   ORDER BY ln((c.c * 1.0 / s.st) / (g.g * 1.0 / t.t)) DESC, c.tok
+               ) AS rk
+        FROM cnt c
+        JOIN stot s USING (source)
+        JOIN gtok g USING (tok)
+        CROSS JOIN gt t
+        WHERE c.c >= {PMI_MIN_COUNT}
+    )
+    SELECT source, tok, c AS n_occurrences,
+           {dround('pmi_raw', 6)} AS pmi, CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= {PMI_TOPK}
+    """,
+)
+def ext_keyword_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive keywords per source via pointwise mutual information:
+    PMI(tok; source) = ln( p(tok|source) / p(tok) ) for tokens above a
+    {PMI_MIN_COUNT}-occurrence floor, top-{PMI_TOPK} per source — the
+    'what makes this domain different' report (tf-idf ranks important-
+    WITHIN; PMI ranks characteristic-OF, the standard corpus-linguistics
+    keyness measure). Complements ext_source_js_divergence: JSD says HOW
+    different two sources are, PMI says WHAT makes them different.
+
+    Determinism: both probabilities are ratios of exact counts; ln
+    applies to a ratio of identical doubles and is used only as a
+    per-row ranking/report value (never summed across rows); ranking
+    ties break on token.
+
+    Scale shape: one (source, token) aggregate; marginals are
+    grid-sized joins; the ranking window partitions by source over the
+    count-floored grid."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # feeds both marginals + the join
+    )
+    stot = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("st"))
+    gtok = cnt.groupBy("tok").agg(F.sum("c").cast("bigint").alias("g"))
+    gt = gtok.agg(F.sum("g").cast("bigint").alias("t"))
+    pmi = F.log(
+        (F.col("c") * F.lit(1.0) / F.col("st"))
+        / (F.col("g") * F.lit(1.0) / F.col("t"))
+    )
+    w = Window.partitionBy("source").orderBy(pmi.desc(), F.col("tok"))
+    return (
+        cnt.filter(F.col("c") >= PMI_MIN_COUNT)
+        .join(F.broadcast(stot), "source")
+        .join(gtok, "tok")
+        .crossJoin(F.broadcast(gt))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PMI_TOPK)
+        .select(
+            "source", "tok", F.col("c").alias("n_occurrences"),
+            F.round(pmi, 6).alias("pmi"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_session_path_topk
+# ---------------------------------------------------------------------------
+
+PATH_LEN = 4  # first events kept per session path
+PATH_TOPK = 10  # paths reported
+
+
+@register(
+    "ext_session_path_topk",
+    f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL {ATTR_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM marked
+    ), numbered AS (
+        SELECT user_id, session_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, session_id ORDER BY ts, event_id
+               ) AS pos
+        FROM sess
+    ), paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY pos) AS path
+        FROM numbered WHERE pos <= {PATH_LEN}
+        GROUP BY 1, 2
+    ), counted AS (
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM paths GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_sessions) AS BIGINT) AS t FROM counted
+    ), ranked AS (
+        SELECT path, n_sessions,
+               ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rk
+        FROM counted
+    )
+    SELECT r.path, r.n_sessions, CAST(r.rk AS BIGINT) AS rk,
+           {dround('r.n_sessions * 1.0 / t.t', 6)} AS share
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rk <= {PATH_TOPK}
+    """,
+)
+def ext_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths: each {ATTR_GAP_MIN}-min-gap session's first
+    {PATH_LEN} event types joined into a path string ('view>click>...'),
+    counted and ranked — the path-exploration report behind Sankey /
+    flow visualizations and the qualitative companion to
+    ext_event_transition's one-step Markov matrix (paths expose
+    multi-step patterns a transition matrix marginalizes away).
+
+    Determinism: session order is the (ts, event_id) total order; the
+    path string aggregates in explicit pos order on both engines
+    (Spark: array_agg over a sorted window prefix; DuckDB: string_agg
+    ORDER BY pos); ranking ties break on the path string.
+
+    Scale shape: ONE user-keyed sort shared by sessionize + numbering;
+    the path aggregate keys on (user, session); the top-k ranks the
+    #distinct-paths grid (bounded by event_type^{PATH_LEN})."""
+    ev = load(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_lag)
+    marked = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts").cast("long") - prev_ts.cast("long") > ATTR_GAP_MIN * 60),
+            1,
+        ).otherwise(0).alias("is_start"),
+    )
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.withColumn("session_id", F.sum("is_start").over(w_run))
+    w_pos = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    numbered = sess.withColumn("pos", F.row_number().over(w_pos)).filter(
+        F.col("pos") <= PATH_LEN
+    )
+    paths = (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "event_type"))
+                ).getField("event_type"),
+                ">",
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    tot = counted.agg(F.sum("n_sessions").cast("bigint").alias("t"))
+    w_rk = Window.orderBy(F.desc("n_sessions"), "path")
+    return (
+        counted.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= PATH_TOPK)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "path", "n_sessions",
+            F.col("rk").cast("bigint").alias("rk"),
+            F.round(F.col("n_sessions") * 1.0 / F.col("t"), 6).alias("share"),
+        )
+    )

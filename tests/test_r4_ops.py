@@ -860,3 +860,50 @@ def test_lorenz_points_monotone_and_complete(spark):
     # Lorenz curve lies below the diagonal (inequality exists)
     for i, r in enumerate(rows[:-1], start=1):
         assert r["cum_share"] <= i / 10 + 1e-9
+
+
+def test_keyword_pmi_recompute(spark):
+    """PMI values and per-source rankings must match a python
+    recompute; every reported token must clear the count floor."""
+    rows = _Q["ext_keyword_pmi"](spark, SF_DIR).collect()
+    assert rows
+    docs = load(spark, SF_DIR, "documents").select("source", "text").collect()
+    from collections import Counter, defaultdict
+
+    cnt = defaultdict(Counter)
+    for d in docs:
+        cnt[d["source"]].update(t for t in d["text"].split(" ") if t)
+    stot = {s: sum(c.values()) for s, c in cnt.items()}
+    gtok = Counter()
+    for c in cnt.values():
+        gtok.update(c)
+    T = sum(gtok.values())
+    for r in rows:
+        s, t = r["source"], r["tok"]
+        assert cnt[s][t] == r["n_occurrences"] >= 20
+        pmi = math.log((cnt[s][t] / stot[s]) / (gtok[t] / T))
+        assert abs(r["pmi"] - round(pmi, 6)) < 1e-9
+    per_src = defaultdict(list)
+    for r in rows:
+        per_src[r["source"]].append((r["rk"], r["pmi"]))
+    for s, lst in per_src.items():
+        lst.sort()
+        pmis = [p for _, p in lst]
+        assert pmis == sorted(pmis, reverse=True)
+        assert len(lst) <= 5
+
+
+def test_session_path_shares_and_prefix(spark):
+    """Path shares must sum to <= 1 over the top-10, every path must
+    have at most 4 steps from the known event alphabet, and the counts
+    must be rank-ordered."""
+    rows = sorted(_Q["ext_session_path_topk"](spark, SF_DIR).collect(),
+                  key=lambda r: r["rk"])
+    assert len(rows) == 10
+    alphabet = {"view", "click", "purchase", "signup", "error"}
+    ns = [r["n_sessions"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert sum(r["share"] for r in rows) <= 1.0 + 1e-9
+    for r in rows:
+        steps = r["path"].split(">")
+        assert 1 <= len(steps) <= 4 and set(steps) <= alphabet
