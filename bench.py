@@ -158,6 +158,7 @@ HEADLINE = [
     "ext_lorenz_points",
     "ext_keyword_pmi",
     "ext_session_path_topk",
+    "ext_abc_xyz_matrix",
 ]
 
 

@@ -3242,3 +3242,98 @@ def ext_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_sessions") * 1.0 / F.col("t"), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_abc_xyz_matrix
+# ---------------------------------------------------------------------------
+
+
+def _abc_xyz_oracle() -> str:
+    from .scale_ops import _REV_CENTS_SQL
+
+    return f"""
+    WITH rev AS (
+        SELECT l_partkey, SUM({_REV_CENTS_SQL}) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+        SELECT SUM(cents) AS tc FROM rev
+    ), abc AS (
+        SELECT r.l_partkey,
+               CASE WHEN SUM(r.cents) OVER (ORDER BY r.cents DESC, r.l_partkey)
+                         * 1.0 / t.tc <= 0.80 THEN 'A'
+                    WHEN SUM(r.cents) OVER (ORDER BY r.cents DESC, r.l_partkey)
+                         * 1.0 / t.tc <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               CAST(r.cents AS BIGINT) AS cents
+        FROM rev r CROSS JOIN tot t
+    ), monthly AS (
+        SELECT l.l_partkey,
+               date_trunc('month', CAST(o.o_orderdate AS DATE)) AS m,
+               SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS qty
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ), stats AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_months,
+               CAST(SUM(qty) AS BIGINT) AS sx,
+               CAST(SUM(qty * qty) AS BIGINT) AS sxx
+        FROM monthly GROUP BY 1
+    ), xyz AS (
+        SELECT l_partkey,
+               CASE WHEN n_months < 2 OR sx = 0 THEN 'Z'
+                    WHEN 4 * CAST(n_months AS HUGEINT)
+                         * (CAST(n_months AS HUGEINT) * sxx
+                            - CAST(sx AS HUGEINT) * sx)
+                         < CAST(n_months - 1 AS HUGEINT) * sx * sx THEN 'X'
+                    WHEN CAST(n_months AS HUGEINT)
+                         * (CAST(n_months AS HUGEINT) * sxx
+                            - CAST(sx AS HUGEINT) * sx)
+                         < CAST(n_months - 1 AS HUGEINT) * sx * sx THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM stats
+    )
+    SELECT a.abc_class, x.xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           {dround('SUM(a.cents) * 1.0 / MAX(t.tc)', 6)} AS revenue_share
+    FROM abc a JOIN xyz x USING (l_partkey) CROSS JOIN tot t
+    GROUP BY 1, 2
+    """
+
+
+@register("ext_abc_xyz_matrix", _abc_xyz_oracle())
+def ext_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC x XYZ stocking-policy matrix: cross ext_part_pareto's
+    revenue classes (A/B/C by cumulative 80/95% share) with
+    ext_demand_xyz's variability classes (X/Y/Z by demand CV) and report
+    each cell's part count and revenue share — AX parts get tight
+    just-in-time stock, CZ parts get make-to-order or delisting; this
+    grid IS the standard inventory segmentation deliverable, and the key
+    demonstrates composite reuse: the Spark side JOINS the two
+    registered queries' outputs rather than re-deriving either.
+
+    Determinism: inherited entirely from the two parent keys (exact
+    integer cumulative shares; 128-bit cross-multiplied CV thresholds);
+    cell shares divide exact integer sums.
+
+    Scale shape: both parents collapse the fact to the part dimension
+    before their windows; the matrix join is part-dimension-sized and
+    the output is a 9-cell grid."""
+    from .scale_ops import ext_demand_xyz, ext_part_pareto
+
+    abc = ext_part_pareto(spark, sf_dir).select("l_partkey", "abc_class", "cents")
+    xyz = ext_demand_xyz(spark, sf_dir).select(
+        F.col("l_partkey"), "xyz_class"
+    )
+    tot = abc.agg(F.sum("cents").cast("decimal(38,0)").alias("tc"))
+    return (
+        abc.join(xyz, "l_partkey")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum("cents") * F.lit(1.0) / F.max("tc").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+    )

@@ -907,3 +907,28 @@ def test_session_path_shares_and_prefix(spark):
     for r in rows:
         steps = r["path"].split(">")
         assert 1 <= len(steps) <= 4 and set(steps) <= alphabet
+
+
+def test_abc_xyz_matrix_consistent_with_parents(spark):
+    """Matrix cells must exactly partition the joined parent outputs,
+    and revenue shares must sum to 1."""
+    cells = {(r["abc_class"], r["xyz_class"]): r
+             for r in _Q["ext_abc_xyz_matrix"](spark, SF_DIR).collect()}
+    abc = {r["l_partkey"]: (r["abc_class"], r["cents"])
+           for r in _Q["ext_part_pareto"](spark, SF_DIR).collect()}
+    xyz = {r["l_partkey"]: r["xyz_class"]
+           for r in _Q["ext_demand_xyz"](spark, SF_DIR).collect()}
+    from collections import Counter
+
+    counts = Counter()
+    rev = Counter()
+    for pk, (a, cents) in abc.items():
+        if pk in xyz:
+            counts[(a, xyz[pk])] += 1
+            rev[(a, xyz[pk])] += cents
+    total = sum(rev.values())
+    assert set(cells) == set(counts)
+    for cell, r in cells.items():
+        assert r["n_parts"] == counts[cell]
+        assert abs(r["revenue_share"] - round(rev[cell] / total, 6)) < 1e-6
+    assert abs(sum(r["revenue_share"] for r in cells.values()) - 1.0) < 1e-4
