@@ -159,6 +159,8 @@ HEADLINE = [
     "ext_keyword_pmi",
     "ext_session_path_topk",
     "ext_abc_xyz_matrix",
+    "ext_text_burstiness",
+    "ext_embed_isotropy",
 ]
 
 

@@ -3337,3 +3337,157 @@ def ext_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_text_burstiness
+# ---------------------------------------------------------------------------
+
+BURST_MIN_CF = 50  # corpus-frequency floor
+BURST_TOPK = 50  # burstiest tokens reported
+
+
+@register(
+    "ext_text_burstiness",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), stats AS (
+        SELECT tok,
+               CAST(COUNT(*) AS BIGINT) AS cf,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY 1
+    ), nd AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+        SELECT s.tok, s.cf, s.df,
+               CAST(s.cf AS DOUBLE) / s.df AS burst_raw,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(s.cf AS DOUBLE) / s.df DESC, s.tok
+               ) AS rk,
+               n.n_docs
+        FROM stats s CROSS JOIN nd n
+        WHERE s.cf >= {BURST_MIN_CF}
+    )
+    SELECT tok, cf, df, {dround('burst_raw', 6)} AS burstiness,
+           {dround('df * 1.0 / n_docs', 6)} AS doc_coverage,
+           CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= {BURST_TOPK}
+    """,
+)
+def ext_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Church & Gale): corpus frequency over document
+    frequency — a token with cf/df >> 1 concentrates its occurrences in
+    few documents (names, topical jargon, boilerplate runs) while
+    function words spread evenly. Burstiness separates topical from
+    grammatical vocabulary WITHOUT any labels, feeds stop-word and
+    keyword lists, and high-burst + high-coverage tokens flag template
+    contamination (the ext_text_template_mask families seen from the
+    token side).
+
+    Determinism: cf and df are exact counts; burstiness divides
+    identical integers, ranked with a token tiebreak.
+
+    Scale shape: one (token) aggregate carrying a distinct-doc count
+    (two-phase distinct); ranking windows the count-floored vocabulary
+    (two-level prune applies at billion-token vocabularies)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    stats = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    burst = F.col("cf").cast("double") / F.col("df")
+    w = Window.orderBy(burst.desc(), F.col("tok"))
+    return (
+        stats.filter(F.col("cf") >= BURST_MIN_CF)
+        .crossJoin(F.broadcast(nd))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BURST_TOPK)
+        .select(
+            "tok", "cf", "df",
+            F.round(burst, 6).alias("burstiness"),
+            F.round(F.col("df") * 1.0 / F.col("n_docs"), 6).alias("doc_coverage"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_embed_isotropy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_embed_isotropy",
+    "WITH "
+    + _pca_chain()
+    + f"""
+    , w AS (
+        SELECT g.j AS dim, CAST(SUM(g.g * v.eigvec_unit) AS BIGINT) AS wv
+        FROM gram g JOIN v ON v.dim = g.k
+        GROUP BY 1
+    ), ray AS (
+        SELECT CAST(SUM(CAST(v.eigvec_unit AS HUGEINT) * w.wv) AS HUGEINT) AS vw,
+               CAST(SUM(v.eigvec_unit * v.eigvec_unit) AS BIGINT) AS vv
+        FROM v JOIN w USING (dim)
+    ), tr AS (
+        SELECT CAST(SUM(g) AS BIGINT) AS trace_units,
+               CAST(COUNT(*) AS BIGINT) AS d2
+        FROM gram WHERE j = k
+    )
+    SELECT CAST(64 AS BIGINT) AS d, t.trace_units,
+           {dround('''CAST(CAST(r.vw AS VARCHAR) AS DOUBLE) / r.vv''', 6)}
+               AS lambda1_units,
+           {dround('''CAST(CAST(r.vw AS VARCHAR) AS DOUBLE) / r.vv
+                      / t.trace_units''', 6)} AS top_component_share,
+           {dround('''1.0 - CAST(CAST(r.vw AS VARCHAR) AS DOUBLE) / r.vv
+                      / t.trace_units''', 6)} AS isotropy
+    FROM ray r CROSS JOIN tr t
+    """,
+)
+def ext_embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy score: the dominant eigenvalue's share of
+    the Gram trace (sum of all eigenvalues) — a one-row health metric
+    for an embedding corpus. Anisotropic spaces (top share >> 1/d)
+    concentrate mass in a few rogue directions, which hurts cosine
+    retrieval; ABTT-style fixes remove the top components this key
+    sizes. Completes the embedding-health family: norm stats (scalar),
+    dim stats (per-dimension), PCA direction (vector), isotropy (the
+    whole spectrum summarized by its head vs total).
+
+    Exactness: the trace is an exact integer (sum of Gram diagonal);
+    lambda1 is the Rayleigh quotient v.Gv / v.v from exact integers
+    (the 128-bit numerator converts via the correctly-rounded
+    VARCHAR->DOUBLE path); shares divide identical values.
+
+    Scale shape: the Gram build is the one corpus pass (shared with
+    ext_embed_pca_power's pipeline); everything else is d- or 1-row."""
+    gram, v = _pca_eigvec(spark, sf_dir)
+    w = (
+        gram.join(
+            F.broadcast(v.withColumnRenamed("dim", "k").withColumnRenamed("eigvec_unit", "vv_")),
+            "k",
+        )
+        .groupBy("j")
+        .agg(F.sum(F.col("g") * F.col("vv_")).cast("bigint").alias("wv"))
+        .withColumnRenamed("j", "dim")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    ray = v.join(w, "dim").agg(
+        F.sum(dec(F.col("eigvec_unit")) * F.col("wv")).alias("vw"),
+        F.sum(F.col("eigvec_unit") * F.col("eigvec_unit")).cast("bigint").alias("vv"),
+    )
+    tr = gram.filter(F.col("j") == F.col("k")).agg(
+        F.sum("g").cast("bigint").alias("trace_units"),
+        F.count(F.lit(1)).cast("bigint").alias("d2"),
+    )
+    lam = F.col("vw").cast("double") / F.col("vv")
+    return ray.crossJoin(F.broadcast(tr)).select(
+        F.lit(64).cast("bigint").alias("d"),
+        "trace_units",
+        F.round(lam, 6).alias("lambda1_units"),
+        F.round(lam / F.col("trace_units"), 6).alias("top_component_share"),
+        F.round(1.0 - lam / F.col("trace_units"), 6).alias("isotropy"),
+    )

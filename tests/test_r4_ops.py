@@ -932,3 +932,42 @@ def test_abc_xyz_matrix_consistent_with_parents(spark):
         assert r["n_parts"] == counts[cell]
         assert abs(r["revenue_share"] - round(rev[cell] / total, 6)) < 1e-6
     assert abs(sum(r["revenue_share"] for r in cells.values()) - 1.0) < 1e-4
+
+
+def test_burstiness_recompute_and_bounds(spark):
+    """burstiness = cf/df >= 1 always; values must match a python
+    recompute; ranking must be monotone."""
+    rows = sorted(_Q["ext_text_burstiness"](spark, SF_DIR).collect(),
+                  key=lambda r: r["rk"])
+    assert rows
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    from collections import Counter
+
+    cf = Counter()
+    df = Counter()
+    for d in docs:
+        toks = [t for t in d["text"].split(" ") if t]
+        cf.update(toks)
+        df.update(set(toks))
+    for r in rows:
+        assert (r["cf"], r["df"]) == (cf[r["tok"]], df[r["tok"]])
+        assert r["burstiness"] >= 1.0
+        assert abs(r["burstiness"] - round(cf[r["tok"]] / df[r["tok"]], 6)) < 1e-9
+    bs = [r["burstiness"] for r in rows]
+    assert bs == sorted(bs, reverse=True)
+
+
+def test_isotropy_matches_numpy_spectrum(spark):
+    """lambda1/trace from the key must match numpy's top eigenvalue share
+    of the quantized Gram spectrum (within the power-iteration rounding:
+    1e-4 relative)."""
+    row = _Q["ext_embed_isotropy"](spark, SF_DIR).collect()[0]
+    emb = load(spark, SF_DIR, "embeddings").select("embedding").collect()
+    X = np.array([[round(float(v) * PCA_UNITS) for v in r["embedding"]] for r in emb])
+    G = X.T @ X
+    vals = np.linalg.eigvalsh(G)
+    assert row["trace_units"] == int(np.trace(G))
+    share = vals[-1] / np.trace(G)
+    assert abs(row["top_component_share"] - share) < 1e-4
+    assert abs(row["isotropy"] - (1 - share)) < 1e-4
+    assert 0 < row["isotropy"] < 1
