@@ -161,6 +161,8 @@ HEADLINE = [
     "ext_abc_xyz_matrix",
     "ext_text_burstiness",
     "ext_embed_isotropy",
+    "ext_privacy_l_diversity",
+    "ext_ts_autocorrelation",
 ]
 
 

@@ -3491,3 +3491,154 @@ def ext_embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lam / F.col("trace_units"), 6).alias("top_component_share"),
         F.round(1.0 - lam / F.col("trace_units"), 6).alias("isotropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_privacy_l_diversity
+# ---------------------------------------------------------------------------
+
+LDIV_L = 3  # required distinct sensitive values per QI group
+
+
+@register(
+    "ext_privacy_l_diversity",
+    f"""
+    WITH joined AS (
+        SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+               o.o_orderpriority AS sensitive
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT nation, segment,
+           CAST(COUNT(*) AS BIGINT) AS k_rows,
+           CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l_distinct,
+           CAST(CASE WHEN COUNT(DISTINCT sensitive) >= {LDIV_L}
+                     THEN 1 ELSE 0 END AS BIGINT) AS satisfies_l
+    FROM joined GROUP BY 1, 2
+    """,
+)
+def ext_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: for each quasi-identifier group (nation x
+    market segment), the group size k and the number of DISTINCT
+    sensitive values (order priority standing in for the sensitive
+    attribute) — k-anonymity (ext_privacy_kanon) stops homogeneity
+    attacks only if every QI group also carries >= l distinct sensitive
+    values; a k-anonymous group where everyone shares one diagnosis
+    still leaks it. Groups failing l={LDIV_L} are the re-identification
+    risk surface a release must generalize or suppress.
+
+    Determinism: all counts exact; the flag compares integers.
+
+    Scale shape: two broadcast dimension joins onto the fact, one
+    map-side-combined aggregate with a two-phase exact distinct onto
+    the QI grid."""
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    na = load(spark, sf_dir, "nation")
+    joined = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("sensitive"),
+        )
+    )
+    return joined.groupBy("nation", "segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_rows"),
+        F.countDistinct("sensitive").cast("bigint").alias("l_distinct"),
+        F.when(F.countDistinct("sensitive") >= LDIV_L, 1)
+        .otherwise(0).cast("bigint").alias("satisfies_l"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_ts_autocorrelation
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 14  # daily-revenue autocorrelation lags reported
+
+
+@register(
+    "ext_ts_autocorrelation",
+    f"""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS t
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily
+    ), dev AS MATERIALIZED (
+        SELECT d.t,
+               CAST(t2.n AS HUGEINT) * d.cents - CAST(t2.s AS HUGEINT) AS u
+        FROM daily d CROSS JOIN tot t2
+    ), denom AS (
+        SELECT CAST(SUM(u * u) AS HUGEINT) AS d0 FROM dev
+    ), lags AS (
+        SELECT l.lag,
+               CAST(SUM(a.u * b.u) AS HUGEINT) AS num,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag) l
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.t = a.t + l.lag
+        GROUP BY 1
+    )
+    SELECT l.lag, l.n_pairs,
+           {dround('''CAST(CAST(l.num AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(d.d0 AS VARCHAR) AS DOUBLE)''', 6)} AS acf
+    FROM lags l CROSS JOIN denom d
+    """,
+)
+def ext_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..{ACF_MAX_LAG}
+    — the diagnostic that sizes seasonality (the lag-7 spike is the
+    weekly cycle ext_ts_decompose removes) and tells a forecaster how
+    much memory the series has. Standard ACF normalization: lag-k
+    autocovariance over the lag-0 variance, computed over the overlap.
+
+    Exactness: deviations multiply through by n (u_t = n*x_t - S, exact
+    128-bit: u ~ 1e12 at sf0.1, u*u ~ 1e24, summed ~ 1e27 — far inside
+    HUGEINT/decimal38); numerator and denominator convert via the
+    correctly-rounded VARCHAR->DOUBLE path and divide identically.
+
+    Scale shape: daily collapse first; the lag join is the days grid
+    against itself at {ACF_MAX_LAG} offsets — grid-sized (a year of
+    days x 14), never corpus-sized."""
+    od = load(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint").alias("cents")
+    ).withColumn("t", F.row_number().over(Window.orderBy("d")))
+    tot = daily.agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "t", (dec(F.col("n")) * F.col("cents") - dec(F.col("s"))).alias("u")
+    ).localCheckpoint(eager=False)  # both sides of the lag join + denom
+    denom = dev.agg(F.sum(F.col("u") * F.col("u")).alias("d0"))
+    lags = dev.sparkSession.createDataFrame(
+        [(l,) for l in range(1, ACF_MAX_LAG + 1)], ["lag"]
+    )
+    a = dev.alias("a")
+    b = dev.withColumnRenamed("u", "u2").withColumnRenamed("t", "t2").alias("b")
+    pairs = (
+        lags.crossJoin(a)
+        .join(b, F.col("t2") == F.col("t") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("u") * F.col("u2")).alias("num"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    return pairs.crossJoin(F.broadcast(denom)).select(
+        "lag", "n_pairs",
+        F.round(
+            F.col("num").cast("double") / F.col("d0").cast("double"), 6
+        ).alias("acf"),
+    )

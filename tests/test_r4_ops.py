@@ -971,3 +971,52 @@ def test_isotropy_matches_numpy_spectrum(spark):
     assert abs(row["top_component_share"] - share) < 1e-4
     assert abs(row["isotropy"] - (1 - share)) < 1e-4
     assert 0 < row["isotropy"] < 1
+
+
+def test_l_diversity_recompute(spark):
+    """Group sizes, distinct-sensitive counts and flags must match a
+    python recompute of the QI grouping."""
+    rows = {(r["nation"], r["segment"]): r
+            for r in _Q["ext_privacy_l_diversity"](spark, SF_DIR).collect()}
+    od = load(spark, SF_DIR, "orders").select("o_custkey", "o_orderpriority").collect()
+    cu = {r["c_custkey"]: (r["c_nationkey"], r["c_mktsegment"])
+          for r in load(spark, SF_DIR, "customer").collect()}
+    na = {r["n_nationkey"]: r["n_name"] for r in load(spark, SF_DIR, "nation").collect()}
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in od:
+        nk, seg = cu[r["o_custkey"]]
+        groups[(na[nk], seg)].append(r["o_orderpriority"])
+    assert set(rows) == set(groups)
+    for k, vals in groups.items():
+        r = rows[k]
+        assert r["k_rows"] == len(vals)
+        assert r["l_distinct"] == len(set(vals))
+        assert r["satisfies_l"] == (1 if len(set(vals)) >= 3 else 0)
+
+
+def test_acf_matches_numpy(spark):
+    """ACF values must match numpy's normalized autocovariance of the
+    daily cents series (mean-through-n exact formulation)."""
+    rows = {r["lag"]: r for r in _Q["ext_ts_autocorrelation"](spark, SF_DIR).collect()}
+    od = load(spark, SF_DIR, "orders").select("o_orderdate", "o_totalprice").collect()
+    from collections import defaultdict
+
+    daily = defaultdict(int)
+    for r in od:
+        d = r["o_orderdate"]
+        if hasattr(d, "hour"):
+            d = d.date()
+        daily[d] += round(r["o_totalprice"] * 100)
+    xs = [daily[d] for d in sorted(daily)]
+    n = len(xs)
+    s = sum(xs)
+    u = [n * x - s for x in xs]
+    d0 = sum(v * v for v in u)
+    for lag in range(1, 15):
+        num = sum(u[i] * u[i + lag] for i in range(n - lag))
+        r = rows[lag]
+        assert r["n_pairs"] == n - lag
+        assert abs(r["acf"] - round(num / d0, 6)) < 1e-9
+        assert -1.0 <= r["acf"] <= 1.0
