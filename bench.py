@@ -163,6 +163,7 @@ HEADLINE = [
     "ext_embed_isotropy",
     "ext_privacy_l_diversity",
     "ext_ts_autocorrelation",
+    "ext_two_sample_ks",
 ]
 
 

@@ -3642,3 +3642,122 @@ def ext_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("num").cast("double") / F.col("d0").cast("double"), 6
         ).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_two_sample_ks
+# ---------------------------------------------------------------------------
+
+KS_SEG_A = "BUILDING"
+KS_SEG_B = "MACHINERY"
+
+
+@register(
+    "ext_two_sample_ks",
+    f"""
+    WITH vals AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+    ), grid AS (
+        SELECT cents,
+               CAST(COUNT(*) FILTER (WHERE seg = '{KS_SEG_A}') AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (WHERE seg = '{KS_SEG_B}') AS BIGINT) AS c2
+        FROM vals GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM grid
+    ), run AS (
+        SELECT SUM(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS r1,
+               SUM(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS r2
+        FROM grid
+    ), dmax AS (
+        SELECT MAX(ABS(CAST(r.r1 AS HUGEINT) * t.n2
+                       - CAST(r.r2 AS HUGEINT) * t.n1)) AS d_num
+        FROM run r CROSS JOIN tot t
+    )
+    SELECT t.n1, t.n2,
+           {dround('''CAST(CAST(d.d_num AS VARCHAR) AS DOUBLE)
+                      / (CAST(t.n1 AS DOUBLE) * t.n2)''', 6)} AS d_stat,
+           {dround('''2.0 * exp(-2.0
+                      * ((CAST(CAST(d.d_num AS VARCHAR) AS DOUBLE)
+                          / (CAST(t.n1 AS DOUBLE) * t.n2))
+                         * (CAST(CAST(d.d_num AS VARCHAR) AS DOUBLE)
+                            / (CAST(t.n1 AS DOUBLE) * t.n2))
+                         * (CAST(t.n1 AS DOUBLE) * t.n2 / (t.n1 + t.n2))))''', 6)}
+               AS p_approx
+    FROM dmax d CROSS JOIN tot t
+    """,
+)
+def ext_two_sample_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between two market segments'
+    order-value distributions: D = sup |ECDF_1 - ECDF_2| with the
+    asymptotic first-term p-value 2*exp(-2 D^2 n1 n2/(n1+n2)) —
+    the DISTRIBUTIONAL two-sample test complementing ext_ab_ztest
+    (which compares means: two segments can share a mean and differ
+    wildly in shape) and ext_drift_psi (binned; KS is binless).
+
+    Exactness: the supremum is computed on the integer lattice —
+    |R1*n2 - R2*n1| over the merged value grid is an exact 128-bit
+    integer (ECDF differences are rationals with denominator n1*n2; no
+    float ECDF ever exists), converted once via the correctly-rounded
+    VARCHAR->DOUBLE path. The p-value's exp/pow apply to identical
+    doubles (first-term asymptotic, documented).
+
+    Scale shape: values collapse to a distinct-value grid with per-group
+    counts first; the ECDF running sums use the TWO-LEVEL prefix scan
+    (value-bucket local cumsums + bucket-offset series — the
+    ext_peak_concurrency discipline), so no corpus-sized single
+    partition window; the sup is a plain max aggregate."""
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    vals = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .filter(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    grid = vals.groupBy("cents").agg(
+        F.count(F.when(F.col("seg") == KS_SEG_A, 1)).cast("bigint").alias("c1"),
+        F.count(F.when(F.col("seg") == KS_SEG_B, 1)).cast("bigint").alias("c2"),
+    ).withColumn("bucket", (F.col("cents") / EQ_BUCKET).cast("bigint"))
+    tot = grid.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    # two-level prefix scan: bucket-local cumsums + bucket offsets
+    w_local = Window.partitionBy("bucket").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = grid.withColumn("l1", F.sum("c1").over(w_local)).withColumn(
+        "l2", F.sum("c2").over(w_local)
+    )
+    sub = grid.groupBy("bucket").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sub.select(
+        "bucket",
+        F.coalesce(F.sum("b1").over(w_off), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("b2").over(w_off), F.lit(0)).alias("o2"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    run = local.join(F.broadcast(offsets), "bucket").select(
+        (F.col("o1") + F.col("l1")).alias("r1"),
+        (F.col("o2") + F.col("l2")).alias("r2"),
+    )
+    dmax = run.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(dec(F.col("r1")) * F.col("n2") - dec(F.col("r2")) * F.col("n1"))
+        ).alias("d_num")
+    )
+    d = F.col("d_num").cast("double") / (F.col("n1").cast("double") * F.col("n2"))
+    lam = d * d * (F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2")))
+    return dmax.crossJoin(F.broadcast(tot)).select(
+        "n1", "n2",
+        F.round(d, 6).alias("d_stat"),
+        F.round(2.0 * F.exp(-2.0 * lam), 6).alias("p_approx"),
+    )

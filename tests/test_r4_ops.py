@@ -1020,3 +1020,34 @@ def test_acf_matches_numpy(spark):
         assert r["n_pairs"] == n - lag
         assert abs(r["acf"] - round(num / d0, 6)) < 1e-9
         assert -1.0 <= r["acf"] <= 1.0
+
+
+def test_ks_matches_scipy_style_recompute(spark):
+    """D must equal the exact supremum of |ECDF1 - ECDF2| recomputed in
+    python on integer cents, and the asymptotic p must follow."""
+    row = _Q["ext_two_sample_ks"](spark, SF_DIR).collect()[0]
+    od = load(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice").collect()
+    seg = {r["c_custkey"]: r["c_mktsegment"]
+           for r in load(spark, SF_DIR, "customer").collect()}
+    a, b = [], []
+    for r in od:
+        s = seg[r["o_custkey"]]
+        if s == "BUILDING":
+            a.append(round(r["o_totalprice"] * 100))
+        elif s == "MACHINERY":
+            b.append(round(r["o_totalprice"] * 100))
+    n1, n2 = len(a), len(b)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    from collections import Counter
+
+    c1, c2 = Counter(a), Counter(b)
+    r1 = r2 = 0
+    d_num = 0
+    for v in sorted(set(a) | set(b)):
+        r1 += c1.get(v, 0)
+        r2 += c2.get(v, 0)
+        d_num = max(d_num, abs(r1 * n2 - r2 * n1))
+    d = d_num / (n1 * n2)
+    assert abs(row["d_stat"] - round(d, 6)) < 1e-9
+    p = 2.0 * math.exp(-2.0 * d * d * (n1 * n2 / (n1 + n2)))
+    assert abs(row["p_approx"] - round(p, 6)) < 1e-6
