@@ -164,6 +164,7 @@ HEADLINE = [
     "ext_privacy_l_diversity",
     "ext_ts_autocorrelation",
     "ext_two_sample_ks",
+    "ext_rank_effect_stats",
 ]
 
 

@@ -3761,3 +3761,135 @@ def ext_two_sample_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d, 6).alias("d_stat"),
         F.round(2.0 * F.exp(-2.0 * lam), 6).alias("p_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_rank_effect_stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_rank_effect_stats",
+    f"""
+    WITH vals AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+    ), grid AS (
+        SELECT cents,
+               CAST(COUNT(*) FILTER (WHERE seg = '{KS_SEG_A}') AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (WHERE seg = '{KS_SEG_B}') AS BIGINT) AS c2
+        FROM vals GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM grid
+    ), run AS (
+        SELECT c1, c2,
+               COALESCE(SUM(c1) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p1,
+               COALESCE(SUM(c2) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p2
+        FROM grid
+    ), sums AS (
+        SELECT CAST(SUM(CAST(c1 AS HUGEINT) * p2) AS HUGEINT) AS gt,
+               CAST(SUM(CAST(c2 AS HUGEINT) * p1) AS HUGEINT) AS lt,
+               CAST(SUM(CAST(c1 AS HUGEINT) * c2) AS HUGEINT) AS ties
+        FROM run
+    )
+    SELECT t.n1, t.n2,
+           {dround('''(CAST(CAST(s.gt AS VARCHAR) AS DOUBLE)
+                       + 0.5 * CAST(CAST(s.ties AS VARCHAR) AS DOUBLE))''', 6)}
+               AS u_stat,
+           {dround('''(CAST(CAST(s.gt AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(s.lt AS VARCHAR) AS DOUBLE))
+                      / (CAST(t.n1 AS DOUBLE) * t.n2)''', 6)} AS cliffs_delta,
+           {dround('''((CAST(CAST(s.gt AS VARCHAR) AS DOUBLE)
+                        + 0.5 * CAST(CAST(s.ties AS VARCHAR) AS DOUBLE))
+                       - CAST(t.n1 AS DOUBLE) * t.n2 / 2.0)
+                      / sqrt(CAST(t.n1 AS DOUBLE) * t.n2
+                             * (t.n1 + t.n2 + 1.0) / 12.0)''', 6)} AS z_approx
+    FROM sums s CROSS JOIN tot t
+    """,
+)
+def ext_rank_effect_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U and Cliff's delta between two segments' order
+    values — the RANK-based two-sample family: U counts cross-group
+    pairs where A exceeds B (ties half-weighted), Cliff's delta
+    normalizes (gt - lt)/(n1*n2) into the [-1, 1] nonparametric effect
+    size. Completes the two-sample suite: ext_ab_ztest compares means,
+    ext_two_sample_ks compares distribution SHAPE, this key answers
+    'how often is a random A larger than a random B' — the statistic
+    that survives outliers and skew. The normal z uses the standard
+    no-tie-correction approximation (documented).
+
+    Exactness: gt / lt / tie pair counts are exact 128-bit integers
+    assembled from the value grid's prefix sums (never a per-row rank);
+    every reported double derives from those integers via the
+    correctly-rounded VARCHAR->DOUBLE path, with structurally identical
+    expressions in both engines.
+
+    Scale shape: identical to ext_two_sample_ks — distinct-value grid
+    with per-group counts, prefix sums (two-level scan pattern applies
+    at scale; single grid window here matches the oracle), three scalar
+    sums."""
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    vals = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .filter(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    grid = vals.groupBy("cents").agg(
+        F.count(F.when(F.col("seg") == KS_SEG_A, 1)).cast("bigint").alias("c1"),
+        F.count(F.when(F.col("seg") == KS_SEG_B, 1)).cast("bigint").alias("c2"),
+    ).withColumn("bucket", (F.col("cents") / EQ_BUCKET).cast("bigint"))
+    tot = grid.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    # two-level EXCLUSIVE prefix scan (bucket-local + bucket offsets)
+    w_local = Window.partitionBy("bucket").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = grid.withColumn(
+        "l1", F.coalesce(F.sum("c1").over(w_local), F.lit(0))
+    ).withColumn("l2", F.coalesce(F.sum("c2").over(w_local), F.lit(0)))
+    sub = grid.groupBy("bucket").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sub.select(
+        "bucket",
+        F.coalesce(F.sum("b1").over(w_off), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("b2").over(w_off), F.lit(0)).alias("o2"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    run = local.join(F.broadcast(offsets), "bucket").select(
+        "c1", "c2",
+        (F.col("o1") + F.col("l1")).alias("p1"),
+        (F.col("o2") + F.col("l2")).alias("p2"),
+    )
+    sums = run.agg(
+        F.sum(dec(F.col("c1")) * F.col("p2")).alias("gt"),
+        F.sum(dec(F.col("c2")) * F.col("p1")).alias("lt"),
+        F.sum(dec(F.col("c1")) * F.col("c2")).alias("ties"),
+    )
+    gt = F.col("gt").cast("double")
+    lt = F.col("lt").cast("double")
+    ties = F.col("ties").cast("double")
+    n1d = F.col("n1").cast("double")
+    u = gt + 0.5 * ties
+    return sums.crossJoin(F.broadcast(tot)).select(
+        "n1", "n2",
+        F.round(u, 6).alias("u_stat"),
+        F.round((gt - lt) / (n1d * F.col("n2")), 6).alias("cliffs_delta"),
+        F.round(
+            (u - n1d * F.col("n2") / 2.0)
+            / F.sqrt(n1d * F.col("n2") * (F.col("n1") + F.col("n2") + 1.0) / 12.0),
+            6,
+        ).alias("z_approx"),
+    )

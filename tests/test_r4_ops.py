@@ -1051,3 +1051,38 @@ def test_ks_matches_scipy_style_recompute(spark):
     assert abs(row["d_stat"] - round(d, 6)) < 1e-9
     p = 2.0 * math.exp(-2.0 * d * d * (n1 * n2 / (n1 + n2)))
     assert abs(row["p_approx"] - round(p, 6)) < 1e-6
+
+
+def test_rank_effect_matches_recompute(spark):
+    """U, Cliff's delta and the z approximation must match an O(n log n)
+    python recompute over the exact integer cents."""
+    row = _Q["ext_rank_effect_stats"](spark, SF_DIR).collect()[0]
+    od = load(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice").collect()
+    seg = {r["c_custkey"]: r["c_mktsegment"]
+           for r in load(spark, SF_DIR, "customer").collect()}
+    from collections import Counter
+
+    c1, c2 = Counter(), Counter()
+    for r in od:
+        s = seg[r["o_custkey"]]
+        v = round(r["o_totalprice"] * 100)
+        if s == "BUILDING":
+            c1[v] += 1
+        elif s == "MACHINERY":
+            c2[v] += 1
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    gt = lt = ties = 0
+    p1 = p2 = 0
+    for v in sorted(set(c1) | set(c2)):
+        gt += c1.get(v, 0) * p2
+        lt += c2.get(v, 0) * p1
+        ties += c1.get(v, 0) * c2.get(v, 0)
+        p1 += c1.get(v, 0)
+        p2 += c2.get(v, 0)
+    u = gt + 0.5 * ties
+    assert abs(row["u_stat"] - round(u, 6)) < 1e-6
+    assert abs(row["cliffs_delta"] - round((gt - lt) / (n1 * n2), 6)) < 1e-9
+    z = (u - n1 * n2 / 2.0) / math.sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0)
+    assert abs(row["z_approx"] - round(z, 6)) < 1e-6
+    assert -1.0 <= row["cliffs_delta"] <= 1.0
