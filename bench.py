@@ -165,6 +165,7 @@ HEADLINE = [
     "ext_ts_autocorrelation",
     "ext_two_sample_ks",
     "ext_rank_effect_stats",
+    "ext_mixture_temperature",
 ]
 
 

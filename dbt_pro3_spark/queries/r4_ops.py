@@ -3893,3 +3893,74 @@ def ext_rank_effect_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_mixture_temperature
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.7  # exponential smoothing temperature (XLM-R standard)
+
+
+@register(
+    "ext_mixture_temperature",
+    f"""
+    WITH cnt AS (
+        SELECT source, CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS toks
+        FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(toks) AS BIGINT) AS t FROM cnt
+    ), powed AS MATERIALIZED (
+        SELECT c.source, c.toks,
+               c.toks * 1.0 / t.t AS p_nat,
+               pow(c.toks * 1.0 / t.t, {MIX_ALPHA}) AS p_pow
+        FROM cnt c CROSS JOIN tot t
+    ), z AS (
+        SELECT SUM(p_pow) AS zsum FROM powed
+    )
+    SELECT p.source, p.toks,
+           {dround('p.p_nat', 6)} AS natural_share,
+           {dround('p.p_pow / z.zsum', 6)} AS sampling_share,
+           {dround('(p.p_pow / z.zsum) / p.p_nat', 6)} AS epochs_factor
+    FROM powed p CROSS JOIN z
+    """,
+)
+def ext_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling weights: q_s proportional to
+    p_s^{MIX_ALPHA} over each source's natural token share p_s — the
+    exponential-smoothing formula (alpha={MIX_ALPHA}, the XLM-R /
+    multilingual-BERT standard) that up-samples small sources without
+    letting them dominate. epochs_factor = q_s/p_s is how many passes
+    over each source one mixture epoch implies — the number that must
+    stay below the memorization budget (ext_mixture_resample applies a
+    given factor; this key DERIVES the factors from a temperature).
+
+    Determinism: token counts are exact; p_s is a ratio of identical
+    integers; pow applies to identical doubles with the same exponent
+    literal (the same observed-parity class as ln; dround(6) guards the
+    terminal values). The normalizer is a float sum over the ~#sources
+    grid — summation-order ulps on ~20 O(0.1) terms sit near 1e-17,
+    twelve orders below the 6dp boundary (unlike corpus-sized float
+    sums, which the registry always freezes to integer units first);
+    verified by the oracle gate at three SFs.
+
+    Scale shape: one source-keyed token aggregate; all math on the
+    #sources grid."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(
+        F.sum(F.size(tx.tokens(F.col("text")))).cast("bigint").alias("toks")
+    )
+    tot = cnt.agg(F.sum("toks").cast("bigint").alias("t"))
+    powed = cnt.crossJoin(F.broadcast(tot)).select(
+        "source", "toks",
+        (F.col("toks") * F.lit(1.0) / F.col("t")).alias("p_nat"),
+        F.pow(F.col("toks") * F.lit(1.0) / F.col("t"), MIX_ALPHA).alias("p_pow"),
+    ).localCheckpoint(eager=False)  # feeds z AND the output
+    z = powed.agg(F.sum("p_pow").alias("zsum"))
+    return powed.crossJoin(F.broadcast(z)).select(
+        "source", "toks",
+        F.round(F.col("p_nat"), 6).alias("natural_share"),
+        F.round(F.col("p_pow") / F.col("zsum"), 6).alias("sampling_share"),
+        F.round((F.col("p_pow") / F.col("zsum")) / F.col("p_nat"), 6)
+        .alias("epochs_factor"),
+    )

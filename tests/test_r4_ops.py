@@ -1086,3 +1086,20 @@ def test_rank_effect_matches_recompute(spark):
     z = (u - n1 * n2 / 2.0) / math.sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0)
     assert abs(row["z_approx"] - round(z, 6)) < 1e-6
     assert -1.0 <= row["cliffs_delta"] <= 1.0
+
+
+def test_mixture_temperature_axioms(spark):
+    """Sampling shares must sum to 1, up-weight small sources
+    (epochs_factor > 1 for below-average sources, < 1 for the largest),
+    and preserve the size ordering."""
+    rows = sorted(_Q["ext_mixture_temperature"](spark, SF_DIR).collect(),
+                  key=lambda r: r["toks"])
+    assert abs(sum(r["sampling_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["natural_share"] for r in rows) - 1.0) < 1e-4
+    assert rows[0]["epochs_factor"] > 1.0  # smallest source up-sampled
+    assert rows[-1]["epochs_factor"] < 1.0  # largest source down-sampled
+    nat = [r["natural_share"] for r in rows]
+    smp = [r["sampling_share"] for r in rows]
+    assert smp == sorted(smp) and nat == sorted(nat)
+    # smoothing: sampling shares are strictly less spread than natural
+    assert (smp[-1] - smp[0]) < (nat[-1] - nat[0]) + 1e-9
