@@ -1,0 +1,747 @@
+"""Round-4 batch-B operators: probabilistic membership, grouped trend
+fitting, windowed correlation, categorical independence testing, and
+model-evaluation reports (calibration / decile lift).
+
+Every key keeps the registry's exactness disciplines (scale_ops.py
+header): integer quantization before any cross-engine float,
+ratio-of-identical-integers for doubles, FLOOR (never engine-default int
+casts) for quantization steps, per-row integer-unit rounding BEFORE any
+corpus-sized float sum, total-order tiebreaks, terminal dround(6).
+
+New named patterns this module demonstrates:
+
+- ext_sketch_bloom: a Bloom filter as a relational aggregate — the bitset
+  is a grid of 63-bit words built with one map-side-combined bit_or
+  aggregate, broadcast back for probing (three broadcast hash joins, no
+  probe-side shuffle). 63-bit words are deliberate: DuckDB raises on
+  `1::BIGINT << 63` (signed overflow) while Spark wraps, so the sign bit
+  is never used and the word grid is bit-identical across engines.
+- ext_trend_ols: per-group ordinary-least-squares trend where every
+  moment (n, Σx, Σy, Σxx, Σxy, Σyy) is an exact BIGINT and the slope is
+  a ratio of identical integers — per-group regression with zero
+  float-summation-order exposure.
+- ext_ts_rolling_corr: rolling Pearson correlation over a monthly grid
+  with the second-moment window sums widened to 128-bit (Spark
+  decimal(38,0) / DuckDB HUGEINT) so squares of month-level cent totals
+  cannot wrap; HUGEINT→DOUBLE goes through the correctly-rounded
+  VARCHAR path (see spark-graft discipline: DuckDB's direct
+  HUGEINT→DOUBLE cast is off by 1 ulp above 2^53).
+- ext_chi2_independence: chi-square grid test with per-cell
+  contributions frozen to integer nano-units before the grid sum (the
+  ext_drift_psi discipline), so the statistic is bit-identical.
+- ext_eval_calibration: reliability bins + Brier score where the
+  squared error is EXACT per-row integer arithmetic in milli-unit² space
+  ((p_mills - 1000·y)², ≤ 10^6), so even the corpus-sized Brier sum is
+  an integer.
+- ext_eval_lift: decile gains/lift chart whose global spend ranking is
+  a two-level value-range-bucketed rank (the ext_text_pack prefix-sum
+  shape) — no corpus-sized single-partition window.
+
+Reference parity: the reference exposes only dbt SQL models
+(/root/reference/models/*.sql); these keys are beyond-reference
+LLM-pipeline / analytics surface mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load
+from . import dround, register
+from .llm_ops import _md5_32, _spark_md5_32
+
+# ---------------------------------------------------------------------------
+# ext_sketch_bloom — Bloom-filter membership sketch, build + probe + audit
+# ---------------------------------------------------------------------------
+
+BLOOM_WORD_BITS = 63  # sign-safe word width (DuckDB raises on 1<<63)
+BLOOM_WORDS = 260
+BLOOM_M = BLOOM_WORDS * BLOOM_WORD_BITS  # 16380 bits
+BLOOM_K = 3
+BLOOM_SEG = "BUILDING"
+
+
+def _bloom_oracle() -> str:
+    p_exprs = []
+    for i in range(BLOOM_K):
+        h = _md5_32(f"'bl{i}:' || CAST(c_custkey AS VARCHAR)")
+        p_exprs.append(f"{h} % {BLOOM_M} AS p{i}")
+    p_cols = ",\n               ".join(p_exprs)
+    joins = "\n        ".join(
+        f"LEFT JOIN words w{i} ON w{i}.w = CAST(FLOOR(pr.p{i} / {BLOOM_WORD_BITS}.0) AS BIGINT)"
+        for i in range(BLOOM_K)
+    )
+    hits = ",\n               ".join(
+        f"COALESCE((w{i}.bits >> (pr.p{i} % {BLOOM_WORD_BITS})) & 1, 0) AS h{i}"
+        for i in range(BLOOM_K)
+    )
+    allhit = " * ".join(f"h{i}" for i in range(BLOOM_K))
+    return f"""
+    WITH probe AS MATERIALIZED (
+        SELECT c_custkey,
+               CASE WHEN c_mktsegment = '{BLOOM_SEG}' THEN 1 ELSE 0 END AS is_mem,
+               {p_cols}
+        FROM customer
+    ), pos AS (
+        SELECT p0 AS p FROM probe WHERE is_mem = 1
+        UNION ALL SELECT p1 FROM probe WHERE is_mem = 1
+        UNION ALL SELECT p2 FROM probe WHERE is_mem = 1
+    ), words AS MATERIALIZED (
+        SELECT CAST(FLOOR(p / {BLOOM_WORD_BITS}.0) AS BIGINT) AS w,
+               bit_or(CAST(1 AS BIGINT) << (p % {BLOOM_WORD_BITS})) AS bits
+        FROM pos GROUP BY 1
+    ), hit AS (
+        SELECT pr.c_custkey, pr.is_mem,
+               {hits}
+        FROM probe pr
+        {joins}
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(is_mem) AS BIGINT) AS n_members,
+               CAST(SUM(CASE WHEN {allhit} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pos,
+               CAST(SUM(CASE WHEN {allhit} = 1 AND is_mem = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_pos,
+               CAST(SUM(CASE WHEN {allhit} = 0 AND is_mem = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_neg
+        FROM hit
+    ), wstat AS (
+        SELECT CAST(SUM(bit_count(bits)) AS BIGINT) AS bits_set FROM words
+    )
+    SELECT a.n_probes, a.n_members, a.n_bloom_pos, a.n_false_pos, a.n_false_neg,
+           {dround('a.n_false_pos * 1.0 / (a.n_probes - a.n_members)', 6)} AS fp_rate,
+           ws.bits_set,
+           {dround(f'ws.bits_set * 1.0 / {BLOOM_M}', 6)} AS fill_ratio
+    FROM agg a CROSS JOIN wstat ws
+    """
+
+
+@register("ext_sketch_bloom", _bloom_oracle())
+def ext_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch: build a {BLOOM_M}-bit filter
+    (k={BLOOM_K} md5-derived hash functions) over the '{BLOOM_SEG}'
+    customer segment, probe EVERY customer against it, and audit the
+    result — false-negative count (must be 0: a Bloom filter never
+    misses a member), measured false-positive rate, and bitset fill
+    ratio. The join-prefilter sketch every scale-out engine ships.
+
+    Determinism: bit positions are md5_32-derived integers; the word
+    grid uses {BLOOM_WORD_BITS}-bit words so the BIGINT sign bit is
+    never shifted into (DuckDB raises on `1 << 63`, Spark wraps — the
+    one semantic divergence in the engines' shift ops, designed out).
+    All reported numbers are exact integers or ratios of them.
+
+    Scale shape: the build is one map-side-combined bit_or aggregate
+    collapsing members to ≤{BLOOM_WORDS} word rows; the probe is
+    {BLOOM_K} broadcast hash joins against that grid — the probe side
+    never shuffles, exactly how a 1000-executor join prefilter deploys
+    a Bloom filter. At 100 TB the filter grid is still {BLOOM_WORDS}
+    rows (size it up by raising BLOOM_WORDS, not by changing shape)."""
+    cust = load(spark, sf_dir, "customer")
+    probe = cust.select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == BLOOM_SEG, 1).otherwise(0).alias("is_mem"),
+        *[
+            (
+                _spark_md5_32(
+                    F.concat(F.lit(f"bl{i}:"), F.col("c_custkey").cast("string"))
+                )
+                % BLOOM_M
+            ).alias(f"p{i}")
+            for i in range(BLOOM_K)
+        ],
+    ).localCheckpoint(eager=False)  # feeds build AND probe sides
+    pos = None
+    for i in range(BLOOM_K):
+        part = probe.filter(F.col("is_mem") == 1).select(F.col(f"p{i}").alias("p"))
+        pos = part if pos is None else pos.unionAll(part)
+    words = (
+        pos.select(
+            F.floor(F.col("p") / float(BLOOM_WORD_BITS)).cast("bigint").alias("w"),
+            (F.col("p") % BLOOM_WORD_BITS).alias("b"),
+        )
+        .groupBy("w")
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)))")
+            .alias("bits")
+        )
+        .localCheckpoint(eager=False)  # feeds 3 probe joins AND the fill stat
+    )
+    hit = probe
+    for i in range(BLOOM_K):
+        wi = words.select(
+            F.col("w").alias(f"w{i}"), F.col("bits").alias(f"bits{i}")
+        )
+        hit = hit.join(
+            F.broadcast(wi),
+            F.floor(F.col(f"p{i}") / float(BLOOM_WORD_BITS)).cast("bigint")
+            == F.col(f"w{i}"),
+            "left",
+        )
+    for i in range(BLOOM_K):
+        hit = hit.withColumn(
+            f"h{i}",
+            F.coalesce(
+                F.expr(
+                    f"shiftright(bits{i}, CAST(p{i} % {BLOOM_WORD_BITS} AS INT)) & 1"
+                ),
+                F.lit(0),
+            ).cast("int"),
+        )
+    allhit = F.col("h0") * F.col("h1") * F.col("h2")
+    agg = hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum("is_mem").cast("bigint").alias("n_members"),
+        F.sum(F.when(allhit == 1, 1).otherwise(0)).cast("bigint").alias("n_bloom_pos"),
+        F.sum(F.when((allhit == 1) & (F.col("is_mem") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.sum(F.when((allhit == 0) & (F.col("is_mem") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_neg"),
+    )
+    wstat = words.agg(F.sum(F.bit_count("bits")).cast("bigint").alias("bits_set"))
+    return agg.crossJoin(F.broadcast(wstat)).select(
+        "n_probes", "n_members", "n_bloom_pos", "n_false_pos", "n_false_neg",
+        F.round(
+            F.col("n_false_pos") * F.lit(1.0) / (F.col("n_probes") - F.col("n_members")),
+            6,
+        ).alias("fp_rate"),
+        "bits_set",
+        F.round(F.col("bits_set") * F.lit(1.0) / BLOOM_M, 6).alias("fill_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_trend_ols — per-part OLS revenue trend from exact integer moments
+# ---------------------------------------------------------------------------
+
+OLS_MIN_MONTHS = 6
+
+
+@register(
+    "ext_trend_ols",
+    f"""
+    WITH m AS (
+        SELECT l_partkey,
+               CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS x,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1, 2
+    ), s AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM m GROUP BY 1
+        HAVING COUNT(*) >= {OLS_MIN_MONTHS}
+    )
+    SELECT l_partkey, n AS n_months,
+           {dround('(n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)', 6)}
+               AS slope_cents_per_month,
+           {dround('(sy - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)) * sx) / n', 6)}
+               AS intercept_cents,
+           CASE WHEN n * syy - sy * sy = 0 THEN NULL
+                ELSE {dround('((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * 1.0 * ((n * syy - sy * sy) * 1.0))', 6)}
+           END AS r2,
+           CASE WHEN n * sxy - sx * sy > 0 THEN 'up'
+                WHEN n * sxy - sx * sy < 0 THEN 'down'
+                ELSE 'flat' END AS trend
+    FROM s
+    """,
+)
+def ext_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part OLS revenue trend: regress monthly revenue (exact integer
+    cents) on the absolute month index and report slope, intercept, R²
+    and an exact-sign trend class for every part with ≥{OLS_MIN_MONTHS}
+    active months — the grouped linear-trend fit behind demand planning
+    and drift triage, computed as a pure aggregate (no window, no ML
+    library).
+
+    Determinism: every regression moment (n, Σx, Σy, Σxx, Σxy, Σyy) is
+    an exact BIGINT; slope is a ratio of identical integers and R² is
+    assembled from the same integers in identical double expressions.
+    Magnitude bound: x ≈ 24e3 (absolute month), y = monthly part cents;
+    Σxy stays < 2^63 while per-part monthly revenue < ~4.5e12 cents —
+    five orders above the observed data; widen the moments to
+    decimal(38,0)/HUGEINT (the ext_ts_rolling_corr recipe) before that.
+
+    Scale shape: two hash aggregates — (part, month) then part — both
+    map-side combined; no join, no window, no sort. Output is one row
+    per qualifying part."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    m = (
+        li.select(
+            "l_partkey",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("x"),
+            cents.alias("c"),
+        )
+        .groupBy("l_partkey", "x")
+        .agg(F.sum("c").cast("bigint").alias("y"))
+    )
+    s = (
+        m.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+        .filter(F.col("n") >= OLS_MIN_MONTHS)
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num * F.lit(1.0) / den
+    return s.select(
+        "l_partkey",
+        F.col("n").alias("n_months"),
+        F.round(slope, 6).alias("slope_cents_per_month"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        .alias("intercept_cents"),
+        F.when(deny == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (num * F.lit(1.0) * num) / (den * F.lit(1.0) * (deny * F.lit(1.0))),
+                6,
+            )
+        )
+        .alias("r2"),
+        F.when(num > 0, "up").when(num < 0, "down").otherwise("flat").alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_ts_rolling_corr — rolling Pearson corr over the monthly grid
+# ---------------------------------------------------------------------------
+
+CORR_WIN = 6  # months
+
+
+@register(
+    "ext_ts_rolling_corr",
+    f"""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qx,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS qy
+        FROM lineitem GROUP BY 1
+    ), w AS (
+        SELECT month, qx, qy,
+               CAST(COUNT(*) OVER win AS HUGEINT) AS n,
+               CAST(SUM(qx) OVER win AS HUGEINT) AS sx,
+               CAST(SUM(qy) OVER win AS HUGEINT) AS sy,
+               SUM(CAST(qx AS HUGEINT) * qx) OVER win AS sxx,
+               SUM(CAST(qx AS HUGEINT) * qy) OVER win AS sxy,
+               SUM(CAST(qy AS HUGEINT) * qy) OVER win AS syy,
+               ROW_NUMBER() OVER (ORDER BY month) AS rn
+        FROM m
+        WINDOW win AS (ORDER BY month ROWS BETWEEN {CORR_WIN - 1} PRECEDING
+                       AND CURRENT ROW)
+    )
+    SELECT month, qx AS qty_units, qy AS rev_cents,
+           {dround('''CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / NULLIF(sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+                      * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)), 0)''', 6)}
+               AS corr{CORR_WIN}
+    FROM w WHERE rn >= {CORR_WIN}
+    ORDER BY month
+    """,
+)
+def ext_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {CORR_WIN}-month Pearson correlation between shipped
+    quantity and net revenue over the monthly grid — the co-movement
+    monitor that flags when volume and revenue decouple (mix shift,
+    discount drift). Emitted only for complete windows.
+
+    Determinism: month-level inputs are exact BIGINTs; the second-moment
+    window sums are widened to 128-bit (Spark decimal(38,0) sums, DuckDB
+    HUGEINT) so cent-total squares cannot wrap at ANY scale factor; the
+    128-bit→double step goes through the correctly-rounded VARCHAR path
+    on DuckDB (its direct HUGEINT→DOUBLE cast misrounds ~1.7% of values
+    above 2^53) against Spark's BigDecimal.doubleValue — bit-identical.
+    sqrt(a)·sqrt(b) (not sqrt(a·b)) keeps both operands inside exactly
+    convertible range and is the same expression both engines.
+
+    Scale shape: one corpus-sized month aggregate (map-side combined);
+    every window runs over the ~#months grid post-aggregation — the
+    win_lag_12_global precedent, never a corpus-sized ordered window."""
+    li = load(spark, sf_dir, "lineitem")
+    m = (
+        li.select(
+            F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+            F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("month")
+        .agg(
+            F.sum("q").cast("bigint").alias("qx"),
+            F.sum("c").cast("bigint").alias("qy"),
+        )
+    )
+    win = Window.orderBy("month").rowsBetween(-(CORR_WIN - 1), 0)
+    d38 = "decimal(38,0)"
+    w = (
+        m.withColumn("n", F.count(F.lit(1)).over(win).cast(d38))
+        .withColumn("sx", F.sum("qx").over(win).cast(d38))
+        .withColumn("sy", F.sum("qy").over(win).cast(d38))
+        .withColumn(
+            "sxx", F.sum(F.col("qx").cast(d38) * F.col("qx")).over(win).cast(d38)
+        )
+        .withColumn(
+            "sxy", F.sum(F.col("qx").cast(d38) * F.col("qy")).over(win).cast(d38)
+        )
+        .withColumn(
+            "syy", F.sum(F.col("qy").cast(d38) * F.col("qy")).over(win).cast(d38)
+        )
+        .withColumn("rn", F.row_number().over(Window.orderBy("month")))
+        .filter(F.col("rn") >= CORR_WIN)
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return w.select(
+        "month",
+        F.col("qx").alias("qty_units"),
+        F.col("qy").alias("rev_cents"),
+        F.round(
+            num / F.nullif(F.sqrt(denx) * F.sqrt(deny), F.lit(0.0)), 6
+        ).alias(f"corr{CORR_WIN}"),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# ext_chi2_independence — chi-square grid test, integer-nano-unit sum
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_chi2_independence",
+    f"""
+    WITH g AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), t AS MATERIALIZED (
+        SELECT seg, pri, obs,
+               CAST(SUM(obs) OVER (PARTITION BY seg) AS BIGINT) AS rt,
+               CAST(SUM(obs) OVER (PARTITION BY pri) AS BIGINT) AS ct,
+               CAST(SUM(obs) OVER () AS BIGINT) AS n
+        FROM g
+    ), u AS (
+        SELECT n,
+               CAST(ROUND(
+                   (obs - (rt * ct) * 1.0 / n) * (obs - (rt * ct) * 1.0 / n)
+                   / ((rt * ct) * 1.0 / n) * 1000000000.0
+               ) AS BIGINT) AS units
+        FROM t
+    ), dims AS (
+        SELECT CAST(COUNT(DISTINCT seg) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT pri) AS BIGINT) AS c
+        FROM g
+    )
+    SELECT MAX(u.n) AS n,
+           d.r AS n_rows, d.c AS n_cols,
+           (d.r - 1) * (d.c - 1) AS dof,
+           {dround('SUM(u.units) / 1000000000.0', 6)} AS chi2,
+           {dround('''sqrt((SUM(u.units) / 1000000000.0)
+                      / (MAX(u.n) * LEAST(d.r - 1, d.c - 1)))''', 6)} AS cramers_v
+    FROM u CROSS JOIN dims d
+    GROUP BY d.r, d.c
+    """,
+)
+def ext_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between customer market segment
+    and order priority: observed-vs-expected over the contingency grid,
+    with the statistic, degrees of freedom, and Cramér's V effect size —
+    the categorical-association screen run before trusting a segmentation.
+
+    Determinism: observed/row/column/total counts are exact BIGINTs;
+    expected counts are ratios of identical integers; each cell's
+    (o-e)²/e contribution is frozen to integer NANO-UNITS per cell
+    before the grid sum (the ext_drift_psi discipline), so the chi²
+    total has no float-summation-order exposure. Cramér's V derives
+    from the same summed integer.
+
+    Scale shape: one shuffle (orders⋈customer on custkey, then the
+    segment×priority aggregate — map-side combined to a ≤25-cell grid);
+    all test math runs on the grid. Marginals use grid-sized windows."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+        .localCheckpoint(eager=False)  # grid feeds marginals AND dims
+    )
+    t = (
+        g.withColumn("rt", F.sum("obs").over(Window.partitionBy("seg")).cast("bigint"))
+        .withColumn("ct", F.sum("obs").over(Window.partitionBy("pri")).cast("bigint"))
+        .withColumn(
+            "n", F.sum("obs").over(Window.partitionBy(F.lit(1))).cast("bigint")
+        )
+    )
+    e = (F.col("rt") * F.col("ct")) * F.lit(1.0) / F.col("n")
+    u = t.select(
+        "n",
+        F.round((F.col("obs") - e) * (F.col("obs") - e) / e * 1000000000.0)
+        .cast("bigint")
+        .alias("units"),
+    )
+    dims = g.agg(
+        F.countDistinct("seg").cast("bigint").alias("r"),
+        F.countDistinct("pri").cast("bigint").alias("c"),
+    )
+    chi2 = F.sum("units") / 1000000000.0
+    return (
+        u.crossJoin(F.broadcast(dims))
+        .groupBy("r", "c")
+        .agg(
+            F.max("n").alias("n"),
+            chi2.alias("_chi2"),
+            F.sqrt(
+                (F.sum("units") / 1000000000.0)
+                / (F.max("n") * F.least(F.max("r") - 1, F.max("c") - 1))
+            ).alias("_cv"),
+        )
+        .select(
+            "n",
+            F.col("r").alias("n_rows"),
+            F.col("c").alias("n_cols"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+            F.round(F.col("_chi2"), 6).alias("chi2"),
+            F.round(F.col("_cv"), 6).alias("cramers_v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_eval_calibration — reliability bins + exact-integer Brier score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_eval_calibration",
+    f"""
+    WITH r AS (
+        SELECT CAST(ROUND(l_discount * 1000) AS BIGINT) AS pm,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ), b AS (
+        SELECT LEAST(CAST(FLOOR(pm / 10.0) AS BIGINT), 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pm) AS BIGINT) AS sum_pm,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM((pm - 1000 * y) * (pm - 1000 * y)) AS BIGINT) AS sum_sq
+        FROM r GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(sum_sq) AS BIGINT) AS tsq
+        FROM b
+    )
+    SELECT b.bin, b.n, b.n_pos,
+           {dround('b.sum_pm * 1.0 / (1000 * b.n)', 6)} AS mean_pred,
+           {dround('b.n_pos * 1.0 / b.n', 6)} AS frac_pos,
+           {dround('b.n_pos * 1.0 / b.n - b.sum_pm * 1.0 / (1000 * b.n)', 6)} AS calib_gap,
+           {dround('t.tsq * 1.0 / (1000000.0 * t.tn)', 6)} AS brier_overall
+    FROM b CROSS JOIN tot t
+    ORDER BY b.bin
+    """,
+)
+def ext_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration report: treating the line-item discount as a
+    pseudo-probability of return (milli-unit score 0..100) and the
+    actual return flag as the label, bin scores into deciles and report
+    mean predicted vs observed positive rate per bin (the reliability
+    diagram) plus the overall Brier score — the standard probabilistic-
+    forecast audit, here exercised end-to-end on deterministic columns.
+
+    Determinism: the score is quantized to integer mills BEFORE any
+    math; the per-row squared error (pm - 1000y)² is EXACT integer
+    arithmetic in milli-unit² space (≤10^6 per row), so the corpus-sized
+    Brier sum is an integer sum — zero float-summation-order exposure.
+    All reported doubles are ratios of identical integers, dround(6).
+
+    Scale shape: one map-side-combined 10-bin aggregate; the overall
+    Brier total is a broadcast of the 10-row grid's re-aggregate. No
+    joins, no windows, no sort beyond the 10-row output."""
+    li = load(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.round(F.col("l_discount") * 1000).cast("bigint").alias("pm"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    sq = (F.col("pm") - 1000 * F.col("y")) * (F.col("pm") - 1000 * F.col("y"))
+    b = (
+        r.groupBy(
+            F.least(F.floor(F.col("pm") / 10.0).cast("bigint"), F.lit(9).cast("bigint"))
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pm").cast("bigint").alias("sum_pm"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum(sq).cast("bigint").alias("sum_sq"),
+        )
+        .localCheckpoint(eager=False)  # feeds bins AND the overall total
+    )
+    tot = b.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("sum_sq").cast("bigint").alias("tsq"),
+    )
+    mean_pred = F.col("sum_pm") * F.lit(1.0) / (1000 * F.col("n"))
+    frac_pos = F.col("n_pos") * F.lit(1.0) / F.col("n")
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bin", "n", "n_pos",
+            F.round(mean_pred, 6).alias("mean_pred"),
+            F.round(frac_pos, 6).alias("frac_pos"),
+            F.round(frac_pos - mean_pred, 6).alias("calib_gap"),
+            F.round(F.col("tsq") * F.lit(1.0) / (1000000.0 * F.col("tn")), 6)
+            .alias("brier_overall"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_eval_lift — decile lift/gains via two-level value-range ranking
+# ---------------------------------------------------------------------------
+
+LIFT_BUCKET_CENTS = 250_000  # spend-range bucket width for the two-level rank
+
+
+@register(
+    "ext_eval_lift",
+    f"""
+    WITH cs AS (
+        SELECT c.c_custkey,
+               CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+                    AS BIGINT) AS spend,
+               CAST(MAX(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS resp
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ), rk AS (
+        SELECT c_custkey, spend, resp,
+               ROW_NUMBER() OVER (ORDER BY spend DESC, c_custkey) AS rnk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM cs
+    ), d AS (
+        SELECT CAST(FLOOR((rnk - 1) * 10.0 / n) AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(resp) AS BIGINT) AS n_resp,
+               CAST(SUM(spend) AS BIGINT) AS spend_cents
+        FROM rk GROUP BY 1
+    ), t AS (
+        SELECT CAST(SUM(n_cust) AS BIGINT) AS tn, CAST(SUM(n_resp) AS BIGINT) AS tr
+        FROM d
+    )
+    SELECT d.decile, d.n_cust, d.n_resp, d.spend_cents,
+           {dround('d.n_resp * 1.0 / d.n_cust', 6)} AS resp_rate,
+           {dround('(d.n_resp * 1.0 / d.n_cust) / (t.tr * 1.0 / t.tn)', 6)} AS lift,
+           {dround('''SUM(d.n_resp) OVER (ORDER BY d.decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      * 1.0 / t.tr''', 6)} AS cum_gain
+    FROM d CROSS JOIN t
+    ORDER BY d.decile
+    """,
+)
+def ext_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains chart: rank customers by lifetime spend (exact
+    integer cents), split into ranked deciles, and report per-decile
+    response rate (placed ≥1 urgent order), lift vs the base rate, and
+    cumulative gains — the targeting-model report card.
+
+    Determinism: the ranking is a total order (spend DESC, custkey);
+    deciles come from FLOOR((rank-1)·10/n) on exact integers; every
+    reported double is a ratio of identical integers, dround(6).
+
+    Scale shape: the global rank is TWO-LEVEL — spend-range buckets
+    ({LIFT_BUCKET_CENTS}-cent width) get a partitioned local
+    row_number, bucket subtotals (a ~hundreds-row grid) get the ordered
+    offset scan, and broadcast offsets join back (the ext_text_pack
+    prefix-sum shape; descending bucket order IS descending spend order
+    because buckets are value ranges). The only single-partition window
+    runs over the bucket grid and the 10-row decile grid — never the
+    customer corpus. The oracle's plain ROW_NUMBER is the semantic spec;
+    the Spark plan is the 1000-executor shape."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cs = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("spend"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("resp"),
+        )
+        .withColumn(
+            "bucket", F.floor(F.col("spend") / float(LIFT_BUCKET_CENTS)).cast("bigint")
+        )
+        .localCheckpoint(eager=False)  # feeds local ranks AND bucket subtotals
+    )
+    w_local = Window.partitionBy("bucket").orderBy(F.desc("spend"), "c_custkey")
+    local = cs.withColumn("lrk", F.row_number().over(w_local))
+    subtot = cs.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_bucket = Window.orderBy(F.desc("bucket"))
+    offsets = subtot.withColumn(
+        "offset", (F.sum("cnt").over(w_bucket) - F.col("cnt")).cast("bigint")
+    ).select("bucket", "offset")
+    n_tot = cs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rk = (
+        local.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("rnk", (F.col("offset") + F.col("lrk")).cast("bigint"))
+    )
+    d = (
+        rk.groupBy(
+            F.floor((F.col("rnk") - 1) * 10.0 / F.col("n")).cast("bigint")
+            .alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.sum("resp").cast("bigint").alias("n_resp"),
+            F.sum("spend").cast("bigint").alias("spend_cents"),
+        )
+        .localCheckpoint(eager=False)  # feeds deciles AND totals
+    )
+    t = d.agg(
+        F.sum("n_cust").cast("bigint").alias("tn"),
+        F.sum("n_resp").cast("bigint").alias("tr"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    rate = F.col("n_resp") * F.lit(1.0) / F.col("n_cust")
+    return (
+        d.crossJoin(F.broadcast(t))
+        .withColumn("cum_resp", F.sum("n_resp").over(w_cum).cast("bigint"))
+        .select(
+            "decile", "n_cust", "n_resp", "spend_cents",
+            F.round(rate, 6).alias("resp_rate"),
+            F.round(rate / (F.col("tr") * F.lit(1.0) / F.col("tn")), 6).alias("lift"),
+            F.round(F.col("cum_resp") * F.lit(1.0) / F.col("tr"), 6).alias("cum_gain"),
+        )
+        .orderBy("decile")
+    )
