@@ -166,6 +166,12 @@ HEADLINE = [
     "ext_two_sample_ks",
     "ext_rank_effect_stats",
     "ext_mixture_temperature",
+    "ext_sketch_bloom",
+    "ext_trend_ols",
+    "ext_ts_rolling_corr",
+    "ext_chi2_independence",
+    "ext_eval_calibration",
+    "ext_eval_lift",
 ]
 
 
