@@ -745,3 +745,453 @@ def ext_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_eval_threshold_sweep — F1-optimal decision threshold from suffix sums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_eval_threshold_sweep",
+    f"""
+    WITH r AS (
+        SELECT CAST(ROUND(l_discount * 1000) AS BIGINT) AS pm,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ), g AS (
+        SELECT pm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        FROM r GROUP BY 1
+    ), s AS (
+        SELECT pm,
+               CAST(SUM(pos) OVER (ORDER BY pm DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+               CAST(SUM(n) OVER (ORDER BY pm DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp,
+               CAST(SUM(pos) OVER () AS BIGINT) AS p
+        FROM g
+    ), f AS (
+        SELECT pm AS threshold_mills, tp, pp - tp AS fp, p - tp AS fn,
+               CAST(ROUND(2.0 * tp * 1000000000.0 / (pp + p)) AS BIGINT) AS f1_units,
+               pp, p
+        FROM s
+    )
+    SELECT threshold_mills, tp, fp, fn,
+           {dround('tp * 1.0 / pp', 6)} AS precision_,
+           {dround('tp * 1.0 / p', 6)} AS recall_,
+           {dround('f1_units / 1000000000.0', 6)} AS f1,
+           CASE WHEN ROW_NUMBER() OVER (ORDER BY f1_units DESC, threshold_mills)
+                = 1 THEN 1 ELSE 0 END AS is_best
+    FROM f
+    ORDER BY threshold_mills
+    """,
+)
+def ext_eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold sweep: for every observed score threshold
+    (the milli-unit pseudo-probability of ext_eval_calibration), the
+    confusion counts if we predict positive at score >= threshold, plus
+    precision/recall/F1 and a flag on the F1-optimal threshold — the
+    operating-point report that turns a scored corpus into a classifier.
+
+    Determinism: per-score counts are exact; TP/PP at each threshold are
+    suffix sums over the <=101-row score grid; F1 = 2TP/(PP+P) is frozen
+    to integer nano-units per row before the argmax ranking, so the
+    is_best row is the same on both engines (tiebreak: lowest threshold).
+
+    Scale shape: one map-side-combined score-grid aggregate; every
+    window (suffix sums, argmax rank) runs over the bounded score grid —
+    never the corpus."""
+    li = load(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.round(F.col("l_discount") * 1000).cast("bigint").alias("pm"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    g = r.groupBy("pm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w_sfx = Window.orderBy(F.desc("pm")).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(F.lit(1))
+    s = (
+        g.withColumn("tp", F.sum("pos").over(w_sfx).cast("bigint"))
+        .withColumn("pp", F.sum("n").over(w_sfx).cast("bigint"))
+        .withColumn("p", F.sum("pos").over(w_all).cast("bigint"))
+    )
+    f = s.select(
+        F.col("pm").alias("threshold_mills"),
+        "tp",
+        (F.col("pp") - F.col("tp")).alias("fp"),
+        (F.col("p") - F.col("tp")).alias("fn"),
+        F.round(2.0 * F.col("tp") * 1000000000.0 / (F.col("pp") + F.col("p")))
+        .cast("bigint")
+        .alias("f1_units"),
+        "pp", "p",
+    )
+    w_best = Window.orderBy(F.desc("f1_units"), "threshold_mills")
+    return f.select(
+        "threshold_mills", "tp", "fp", "fn",
+        F.round(F.col("tp") * F.lit(1.0) / (F.col("tp") + F.col("fp")), 6)
+        .alias("precision_"),
+        F.round(F.col("tp") * F.lit(1.0) / F.col("p"), 6).alias("recall_"),
+        F.round(F.col("f1_units") / 1000000000.0, 6).alias("f1"),
+        F.when(F.row_number().over(w_best) == 1, 1).otherwise(0).alias("is_best"),
+    ).orderBy("threshold_mills")
+
+
+# ---------------------------------------------------------------------------
+# ext_weighted_quantiles — dollar-weighted order-value quantiles
+# ---------------------------------------------------------------------------
+
+WQ_TWENTIETHS = [2, 5, 10, 15, 18]  # q = k/20
+WQ_BUCKET_CENTS = 1_000_000  # value-range bucket width for the two-level scan
+
+
+def _wq_oracle() -> str:
+    ks = ", ".join(f"({k})" for k in WQ_TWENTIETHS)
+    return f"""
+    WITH v AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS val,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS w
+        FROM orders GROUP BY 1
+    ), c AS MATERIALIZED (
+        SELECT val, w,
+               CAST(SUM(w) OVER (ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(SUM(w) OVER () AS BIGINT) AS tot
+        FROM v
+    ), q AS (SELECT k FROM (VALUES {ks}) t(k))
+    SELECT CAST(q.k AS BIGINT) AS q_twentieths,
+           {dround('q.k / 20.0', 6)} AS q,
+           c.val AS value_cents, c.cum AS cum_weight_cents, c.tot AS total_weight_cents
+    FROM q JOIN c
+      ON c.cum >= CAST(FLOOR((q.k * c.tot + 19) / 20.0) AS BIGINT)
+     AND c.cum - c.w < CAST(FLOOR((q.k * c.tot + 19) / 20.0) AS BIGINT)
+    ORDER BY q_twentieths
+    """
+
+
+@register("ext_weighted_quantiles", _wq_oracle())
+def ext_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted quantiles: the order value at which 10/25/50/75/90% of
+    total DOLLARS sit at-or-below — the dollar-weighted distribution
+    (`where does the median dollar live`), not the order-count one.
+    Weight = the order's own value in exact integer cents.
+
+    Determinism: the quantile is an exact order statistic — smallest
+    value whose cumulative weight reaches ceil(q*W), all integers; no
+    interpolation (sidesteps the Spark/DuckDB percentile-interpolation
+    divergence entirely).
+
+    Scale shape: the value-grid cumulative weight is TWO-LEVEL
+    (ext_text_pack shape): {WQ_BUCKET_CENTS}-cent value-range buckets
+    get partitioned local prefix sums, the bucket-subtotal grid gets the
+    only ordered scan, broadcast offsets join back. Threshold selection
+    is a broadcast nested-loop band join against the 5-row quantile
+    grid. The oracle's single cumulative window is the semantic spec;
+    the Spark plan is the 1000-executor shape."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    v = (
+        o.select(cents.alias("val"))
+        .groupBy("val")
+        .agg(F.sum("val").cast("bigint").alias("w"))
+        .withColumn(
+            "bucket", F.floor(F.col("val") / float(WQ_BUCKET_CENTS)).cast("bigint")
+        )
+        .localCheckpoint(eager=False)  # feeds local scans AND bucket subtotals
+    )
+    w_local = Window.partitionBy("bucket").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = v.withColumn("local_cum", F.sum("w").over(w_local).cast("bigint"))
+    subtot = v.groupBy("bucket").agg(F.sum("w").cast("bigint").alias("bt"))
+    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = subtot.withColumn(
+        "offset", (F.sum("bt").over(w_bucket) - F.col("bt")).cast("bigint")
+    ).select("bucket", "offset")
+    tot = v.agg(F.sum("w").cast("bigint").alias("tot"))
+    c = (
+        local.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("cum", (F.col("offset") + F.col("local_cum")).cast("bigint"))
+    )
+    q = spark.createDataFrame([(k,) for k in WQ_TWENTIETHS], ["k"])
+    thr = F.floor((F.col("k") * F.col("tot") + 19) / 20.0).cast("bigint")
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("cum") >= thr) & (F.col("cum") - F.col("w") < thr),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("q_twentieths"),
+            F.round(F.col("k") / 20.0, 6).alias("q"),
+            F.col("val").alias("value_cents"),
+            F.col("cum").alias("cum_weight_cents"),
+            F.col("tot").alias("total_weight_cents"),
+        )
+        .orderBy("q_twentieths")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_linkage_patterns — blocked record-linkage agreement-pattern profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_linkage_patterns",
+    f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT CASE WHEN CAST(FLOOR(a.c_acctbal / 1000.0) AS BIGINT)
+                       = CAST(FLOOR(b.c_acctbal / 1000.0) AS BIGINT)
+                    THEN 1 ELSE 0 END AS a_bucket,
+               CASE WHEN (a.c_acctbal >= 0) = (b.c_acctbal >= 0)
+                    THEN 1 ELSE 0 END AS a_sign,
+               CASE WHEN ABS(a.c_acctbal - b.c_acctbal) < 500.0
+                    THEN 1 ELSE 0 END AS a_close
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+    ), g AS MATERIALIZED (
+        SELECT 4 * a_bucket + 2 * a_sign + a_close AS pattern,
+               a_bucket, a_sign, a_close,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1, 2, 3, 4
+    ), m AS (
+        SELECT CAST(SUM(n_pairs) AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN a_bucket = 1 THEN n_pairs ELSE 0 END) AS BIGINT) AS mb,
+               CAST(SUM(CASE WHEN a_sign = 1 THEN n_pairs ELSE 0 END) AS BIGINT) AS ms,
+               CAST(SUM(CASE WHEN a_close = 1 THEN n_pairs ELSE 0 END) AS BIGINT) AS mc
+        FROM g
+    ), e AS (
+        SELECT g.pattern, g.n_pairs, m.d,
+               g.n_pairs * 1.0 / m.d AS frac,
+               (CASE WHEN g.a_bucket = 1 THEN m.mb * 1.0 / m.d
+                     ELSE 1.0 - m.mb * 1.0 / m.d END)
+             * (CASE WHEN g.a_sign = 1 THEN m.ms * 1.0 / m.d
+                     ELSE 1.0 - m.ms * 1.0 / m.d END)
+             * (CASE WHEN g.a_close = 1 THEN m.mc * 1.0 / m.d
+                     ELSE 1.0 - m.mc * 1.0 / m.d END) AS expected
+        FROM g CROSS JOIN m
+    )
+    SELECT pattern, n_pairs,
+           {dround('frac', 6)} AS frac,
+           {dround('expected', 6)} AS expected_frac,
+           {dround('frac / NULLIF(expected, 0)', 6)} AS obs_exp_ratio,
+           {dround('ln(frac / NULLIF(expected, 0))', 6)} AS fs_weight
+    FROM e
+    ORDER BY pattern
+    """,
+)
+def ext_linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage agreement-pattern profile (the Fellegi-Sunter
+    evidence table): block candidate customer pairs on (nation,
+    segment), evaluate three agreement fields on the balance (same
+    thousand-bucket, same sign, within-500 closeness), and report each
+    pattern's observed frequency against its expectation under
+    independent field agreement, plus the log-odds weight — the table a
+    linkage engine thresholds to call matches.
+
+    Determinism: pair and marginal counts are exact integers; observed
+    and expected fractions are ratios/products of identical integers;
+    the single ln per 8-row grid applies to identical doubles (the
+    mixture-temperature parity class), dround(6).
+
+    Scale shape: candidate generation is BLOCKED — the self-join runs
+    on (nation, segment) equi-keys, so pair cost is sum of block-size
+    squares, never corpus². At 100 TB, refine the block key (add the
+    balance thousand-bucket) to hold block sizes flat; the pattern grid
+    is 8 rows regardless of corpus."""
+    c = load(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("ak"),
+        F.col("c_nationkey").alias("an"),
+        F.col("c_mktsegment").alias("asg"),
+        F.col("c_acctbal").alias("ab"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("bk"),
+        F.col("c_nationkey").alias("bn"),
+        F.col("c_mktsegment").alias("bsg"),
+        F.col("c_acctbal").alias("bb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("an") == F.col("bn"))
+        & (F.col("asg") == F.col("bsg"))
+        & (F.col("ak") < F.col("bk")),
+    ).select(
+        F.when(
+            F.floor(F.col("ab") / 1000.0).cast("bigint")
+            == F.floor(F.col("bb") / 1000.0).cast("bigint"),
+            1,
+        )
+        .otherwise(0)
+        .alias("a_bucket"),
+        F.when((F.col("ab") >= 0) == (F.col("bb") >= 0), 1).otherwise(0)
+        .alias("a_sign"),
+        F.when(F.abs(F.col("ab") - F.col("bb")) < 500.0, 1).otherwise(0)
+        .alias("a_close"),
+    )
+    g = (
+        pairs.groupBy("a_bucket", "a_sign", "a_close")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn(
+            "pattern",
+            (4 * F.col("a_bucket") + 2 * F.col("a_sign") + F.col("a_close")),
+        )
+        .localCheckpoint(eager=False)  # 8-row grid feeds marginals AND output
+    )
+    m = g.agg(
+        F.sum("n_pairs").cast("bigint").alias("d"),
+        F.sum(F.when(F.col("a_bucket") == 1, F.col("n_pairs")).otherwise(0))
+        .cast("bigint")
+        .alias("mb"),
+        F.sum(F.when(F.col("a_sign") == 1, F.col("n_pairs")).otherwise(0))
+        .cast("bigint")
+        .alias("ms"),
+        F.sum(F.when(F.col("a_close") == 1, F.col("n_pairs")).otherwise(0))
+        .cast("bigint")
+        .alias("mc"),
+    )
+    e = g.crossJoin(F.broadcast(m))
+    frac = F.col("n_pairs") * F.lit(1.0) / F.col("d")
+    rb = F.col("mb") * F.lit(1.0) / F.col("d")
+    rs = F.col("ms") * F.lit(1.0) / F.col("d")
+    rc = F.col("mc") * F.lit(1.0) / F.col("d")
+    expected = (
+        F.when(F.col("a_bucket") == 1, rb).otherwise(1.0 - rb)
+        * F.when(F.col("a_sign") == 1, rs).otherwise(1.0 - rs)
+        * F.when(F.col("a_close") == 1, rc).otherwise(1.0 - rc)
+    )
+    ratio = frac / F.nullif(expected, F.lit(0.0))
+    return e.select(
+        "pattern", "n_pairs",
+        F.round(frac, 6).alias("frac"),
+        F.round(expected, 6).alias("expected_frac"),
+        F.round(ratio, 6).alias("obs_exp_ratio"),
+        F.round(F.log(ratio), 6).alias("fs_weight"),
+    ).orderBy("pattern")
+
+
+# ---------------------------------------------------------------------------
+# ext_price_elasticity — log-log demand slope per brand, 128-bit moments
+# ---------------------------------------------------------------------------
+
+ELAST_MIN_POINTS = 8
+
+
+@register(
+    "ext_price_elasticity",
+    f"""
+    WITH pp AS (
+        SELECT p.p_brand AS brand,
+               CAST(ROUND(l.l_extendedprice / l.l_quantity * 100) AS BIGINT) AS up_cents,
+               CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ), xy AS (
+        SELECT brand,
+               CAST(ROUND(ln(up_cents * 1.0) * 1000000000.0) AS BIGINT) AS xu,
+               CAST(ROUND(ln(qty * 1.0) * 1000000000.0) AS BIGINT) AS yu
+        FROM pp
+    ), s AS (
+        SELECT brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xu) AS BIGINT) AS sx,
+               CAST(SUM(yu) AS BIGINT) AS sy,
+               SUM(CAST(xu AS HUGEINT) * xu) AS sxx,
+               SUM(CAST(xu AS HUGEINT) * yu) AS sxy,
+               SUM(CAST(yu AS HUGEINT) * yu) AS syy
+        FROM xy GROUP BY 1
+        HAVING COUNT(*) >= {ELAST_MIN_POINTS}
+    )
+    SELECT brand, n AS n_price_points,
+           {dround('''CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                          AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                          AS VARCHAR) AS DOUBLE)''', 6)} AS elasticity,
+           CASE WHEN CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy = 0 THEN NULL
+                ELSE {dround('''(CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                          AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                          AS VARCHAR) AS DOUBLE))
+                    / (CAST(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                          AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+                          AS VARCHAR) AS DOUBLE))''', 6)}
+           END AS r2
+    FROM s
+    ORDER BY brand
+    """,
+)
+def ext_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per brand: the OLS slope of ln(total
+    quantity sold) on ln(unit price) across a brand's observed price
+    points — the log-log regression whose slope IS the elasticity, plus
+    fit R². Brands need >={ELAST_MIN_POINTS} distinct price points.
+
+    Determinism: unit price is quantized to integer cents; both logs
+    apply to exact-integer-valued doubles and are frozen to integer
+    NANO-units per row/point BEFORE summation (the ext_drift_psi ln
+    discipline); second moments are 128-bit (HUGEINT / decimal(38,0))
+    since nano-ln squares reach ~6e20 per term; the 128-bit->double
+    step uses DuckDB's correctly-rounded VARCHAR path; R² is assembled
+    from those identical doubles (num² would overflow 128-bit).
+
+    Scale shape: one lineitem⋈part equi-join (at 100 TB: broadcast part
+    or co-partition on partkey), one (brand, price) aggregate, one
+    brand aggregate — all map-side combined; no windows, no sort beyond
+    the ~25-row output."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    pp = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+            .cast("bigint")
+            .alias("up_cents"),
+            F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+        )
+        .groupBy("brand", "up_cents")
+        .agg(F.sum("q").cast("bigint").alias("qty"))
+    )
+    xy = pp.select(
+        "brand",
+        F.round(F.log(F.col("up_cents") * F.lit(1.0)) * 1000000000.0)
+        .cast("bigint")
+        .alias("xu"),
+        F.round(F.log(F.col("qty") * F.lit(1.0)) * 1000000000.0)
+        .cast("bigint")
+        .alias("yu"),
+    )
+    d38 = "decimal(38,0)"
+    s = (
+        xy.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("xu").cast("bigint").alias("sx"),
+            F.sum("yu").cast("bigint").alias("sy"),
+            F.sum(F.col("xu").cast(d38) * F.col("xu")).alias("sxx"),
+            F.sum(F.col("xu").cast(d38) * F.col("yu")).alias("sxy"),
+            F.sum(F.col("yu").cast(d38) * F.col("yu")).alias("syy"),
+        )
+        .filter(F.col("n") >= ELAST_MIN_POINTS)
+    )
+    num = (
+        F.col("n").cast(d38) * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy")
+    ).cast("double")
+    den = (
+        F.col("n").cast(d38) * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx")
+    ).cast("double")
+    deny_i = F.col("n").cast(d38) * F.col("syy") - F.col("sy").cast(d38) * F.col("sy")
+    return s.select(
+        "brand",
+        F.col("n").alias("n_price_points"),
+        F.round(num / den, 6).alias("elasticity"),
+        F.when(deny_i == 0, F.lit(None).cast("double"))
+        .otherwise(F.round((num * num) / (den * deny_i.cast("double")), 6))
+        .alias("r2"),
+    ).orderBy("brand")
