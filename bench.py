@@ -172,6 +172,10 @@ HEADLINE = [
     "ext_chi2_independence",
     "ext_eval_calibration",
     "ext_eval_lift",
+    "ext_eval_threshold_sweep",
+    "ext_weighted_quantiles",
+    "ext_linkage_patterns",
+    "ext_price_elasticity",
 ]
 
 

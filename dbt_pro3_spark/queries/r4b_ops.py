@@ -36,6 +36,14 @@ New named patterns this module demonstrates:
 - ext_eval_lift: decile gains/lift chart whose global spend ranking is
   a two-level value-range-bucketed rank (the ext_text_pack prefix-sum
   shape) — no corpus-sized single-partition window.
+- ext_eval_threshold_sweep: F1-optimal operating point from suffix sums
+  over the score grid, argmax ranked on nano-unit-frozen F1.
+- ext_weighted_quantiles: exact weighted order statistics by two-level
+  value-range prefix scan + broadcast band join (no interpolation).
+- ext_linkage_patterns: blocked Fellegi-Sunter agreement-pattern
+  evidence table with independence-expected baselines and log-odds.
+- ext_price_elasticity: grouped log-log OLS with per-row nano-unit ln
+  freezing and 128-bit second moments.
 
 Reference parity: the reference exposes only dbt SQL models
 (/root/reference/models/*.sql); these keys are beyond-reference
