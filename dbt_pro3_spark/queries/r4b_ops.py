@@ -1203,3 +1203,447 @@ def ext_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((num * num) / (den * deny_i.cast("double")), 6))
         .alias("r2"),
     ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# ext_ses_forecast — dyadic-exact exponential smoothing over the month grid
+# ---------------------------------------------------------------------------
+
+SES_L = 40  # truncation depth: terms below 2^-40 (~1e-4 cents) are dropped
+
+
+@register(
+    "ext_ses_forecast",
+    f"""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1
+    ), r AS MATERIALIZED (
+        SELECT month, y, ROW_NUMBER() OVER (ORDER BY month) AS rn FROM m
+    ), terms AS (
+        SELECT t.rn AS trn, t.month, t.y,
+               j.y AS yj,
+               CASE WHEN j.rn = 1 THEN t.rn - 1 ELSE t.rn - j.rn + 1 END AS e
+        FROM (SELECT r.*, unnest(generate_series(0, {SES_L - 1})) AS off FROM r) t
+        JOIN r j ON j.rn = t.rn - t.off
+    ), s AS (
+        SELECT trn, month, y,
+               SUM(CAST(yj AS HUGEINT)
+                   * (CAST(1 AS BIGINT) << ({SES_L} - e))) AS su
+        FROM terms GROUP BY 1, 2, 3
+    )
+    SELECT month, y AS rev_cents,
+           {dround(f'CAST(CAST(su AS VARCHAR) AS DOUBLE) / {float(2 ** SES_L)}', 6)}
+               AS ses_cents
+    FROM s
+    ORDER BY month
+    """,
+)
+def ext_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing (alpha = 1/2) of monthly revenue — the
+    one-step-ahead forecast s_t = (y_t + s_(t-1))/2, i.e. each month's
+    smoothed level doubles as next month's forecast. Truncated at
+    {SES_L} terms: dropped contributions are below 2^-{SES_L} cents.
+
+    Determinism: alpha = 1/2 makes every smoothing weight a POWER OF
+    TWO, so each term y_j * 2^-(k) is an exact dyadic rational — the
+    whole smoothed value is computed on a 2^{SES_L} integer lattice
+    (HUGEINT / decimal(38,0)), and the final division by 2^{SES_L} is
+    exact double scaling. No float summation anywhere; the one
+    128-bit->double step uses the correctly-rounded VARCHAR path.
+
+    Scale shape: one corpus-sized month collapse; the term fan-out is
+    an {SES_L}-way sequence explode on the ~#months grid joined back
+    EQUI on row number (no band join); all windows grid-sized."""
+    li = load(spark, sf_dir, "lineitem")
+    m = (
+        li.select(
+            F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("y"),
+        )
+        .groupBy("month")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+    )
+    r = m.withColumn("rn", F.row_number().over(Window.orderBy("month"))).localCheckpoint(
+        eager=False
+    )  # grid feeds both sides of the lag join
+    t = r.withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(SES_L - 1)))).select(
+        F.col("rn").alias("trn"), "month", "y", (F.col("rn") - F.col("off")).alias("jrn")
+    )
+    j = r.select(F.col("rn").alias("jrn"), F.col("y").alias("yj"))
+    e = F.when(F.col("jrn") == 1, F.col("trn") - 1).otherwise(
+        F.col("trn") - F.col("jrn") + 1
+    )
+    terms = t.join(F.broadcast(j), "jrn").withColumn("e", e)
+    s = terms.groupBy("trn", "month", "y").agg(
+        F.sum(
+            F.col("yj").cast("decimal(38,0)")
+            * F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({SES_L} - e AS INT))")
+        ).alias("su")
+    )
+    return s.select(
+        "month",
+        F.col("y").alias("rev_cents"),
+        F.round(F.col("su").cast("double") / float(2 ** SES_L), 6).alias("ses_cents"),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# ext_gini_feature_importance — decision-stump split gains per feature
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_gini_feature_importance",
+    f"""
+    WITH r AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+               CAST(CAST(FLOOR(ROUND(l_discount * 1000) / 10.0) AS BIGINT)
+                    AS VARCHAR) AS f_discount,
+               CAST(CAST(FLOOR(ROUND(l_quantity) / 10.0) AS BIGINT)
+                    AS VARCHAR) AS f_quantity,
+               CAST(month(l_shipdate) AS VARCHAR) AS f_month,
+               l_linestatus AS f_status
+        FROM lineitem
+    ), x AS (
+        SELECT y, 'discount' AS feature, f_discount AS val FROM r
+        UNION ALL SELECT y, 'quantity', f_quantity FROM r
+        UNION ALL SELECT y, 'month', f_month FROM r
+        UNION ALL SELECT y, 'status', f_status FROM r
+    ), g AS (
+        SELECT feature, val,
+               CAST(COUNT(*) AS BIGINT) AS nv,
+               CAST(SUM(y) AS BIGINT) AS pv
+        FROM x GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p FROM r
+    ), u AS (
+        SELECT g.feature,
+               CAST(ROUND((g.nv * 1000000000.0 / t.n)
+                    * (1.0 - (g.pv * g.pv + (g.nv - g.pv) * (g.nv - g.pv)) * 1.0
+                       / (g.nv * g.nv))) AS BIGINT) AS units,
+               CAST(ROUND((1.0 - (t.p * t.p + (t.n - t.p) * (t.n - t.p)) * 1.0
+                    / (t.n * t.n)) * 1000000000.0) AS BIGINT) AS parent_units
+        FROM g CROSS JOIN tot t
+    ), f AS (
+        SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM(units) AS BIGINT) AS gu,
+               MAX(parent_units) AS pu
+        FROM u GROUP BY 1
+    )
+    SELECT feature, n_values,
+           {dround('pu / 1000000000.0', 6)} AS parent_impurity,
+           {dround('gu / 1000000000.0', 6)} AS weighted_impurity,
+           {dround('(pu - gu) / 1000000000.0', 6)} AS gini_gain,
+           CAST(ROW_NUMBER() OVER (ORDER BY pu - gu DESC, feature) AS BIGINT) AS rk
+    FROM f
+    ORDER BY rk
+    """,
+)
+def ext_gini_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump feature screen: for four candidate features
+    (discount decile, quantity bucket, ship month, line status), the
+    Gini impurity reduction a one-level split on that feature achieves
+    predicting the return flag — the split-gain ranking a tree learner
+    computes at its root, as a pure relational aggregate.
+
+    Determinism: all class counts are exact BIGINTs; each value's
+    weighted-impurity contribution is frozen to integer nano-units
+    (identical double expression from identical integers) before the
+    per-feature sum; the ranking compares those exact integers with a
+    feature-name tiebreak.
+
+    Scale shape: one 4-way per-row explode (union in the oracle) into a
+    map-side-combined (feature, value) aggregate — grids are 2..31
+    rows; parent stats broadcast back. No windows beyond the 4-row
+    ranking."""
+    li = load(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.floor(F.round(F.col("l_discount") * 1000) / 10.0)
+        .cast("bigint")
+        .cast("string")
+        .alias("f_discount"),
+        F.floor(F.round(F.col("l_quantity")) / 10.0)
+        .cast("bigint")
+        .cast("string")
+        .alias("f_quantity"),
+        F.month("l_shipdate").cast("string").alias("f_month"),
+        F.col("l_linestatus").alias("f_status"),
+    )
+    x = r.select(
+        "y",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("discount").alias("feature"), F.col("f_discount").alias("val")
+                ),
+                F.struct(F.lit("quantity").alias("feature"), F.col("f_quantity").alias("val")),
+                F.struct(F.lit("month").alias("feature"), F.col("f_month").alias("val")),
+                F.struct(F.lit("status").alias("feature"), F.col("f_status").alias("val")),
+            )
+        ).alias("fv"),
+    ).select("y", F.col("fv.feature").alias("feature"), F.col("fv.val").alias("val"))
+    g = x.groupBy("feature", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nv"),
+        F.sum("y").cast("bigint").alias("pv"),
+    )
+    tot = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("p"),
+    )
+    nv, pv = F.col("nv"), F.col("pv")
+    n, p = F.col("n"), F.col("p")
+    u = g.crossJoin(F.broadcast(tot)).select(
+        "feature",
+        F.round(
+            (nv * 1000000000.0 / n)
+            * (1.0 - (pv * pv + (nv - pv) * (nv - pv)) * F.lit(1.0) / (nv * nv))
+        )
+        .cast("bigint")
+        .alias("units"),
+        F.round(
+            (1.0 - (p * p + (n - p) * (n - p)) * F.lit(1.0) / (n * n)) * 1000000000.0
+        )
+        .cast("bigint")
+        .alias("parent_units"),
+    )
+    f = u.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum("units").cast("bigint").alias("gu"),
+        F.max("parent_units").alias("pu"),
+    )
+    w_rk = Window.orderBy((F.col("pu") - F.col("gu")).desc(), "feature")
+    return f.select(
+        "feature", "n_values",
+        F.round(F.col("pu") / 1000000000.0, 6).alias("parent_impurity"),
+        F.round(F.col("gu") / 1000000000.0, 6).alias("weighted_impurity"),
+        F.round((F.col("pu") - F.col("gu")) / 1000000000.0, 6).alias("gini_gain"),
+        F.row_number().over(w_rk).cast("bigint").alias("rk"),
+    ).orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# ext_chi2_gof — day-of-week goodness-of-fit (sample-ratio-mismatch check)
+# ---------------------------------------------------------------------------
+
+GOF_CRIT_95_DOF6 = 12.591587243743977  # chi2 95th percentile, 6 dof (inlined)
+
+
+@register(
+    "ext_chi2_gof",
+    f"""
+    WITH d AS (
+        SELECT ((CAST(o_orderdate AS DATE) - DATE '1995-01-02') % 7 + 7) % 7 AS dow
+        FROM orders
+    ), g AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS obs FROM d GROUP BY 1
+    ), t AS (
+        SELECT CAST(SUM(obs) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS cells
+        FROM g
+    ), u AS (
+        SELECT t.n, t.cells,
+               CAST(ROUND((g.obs - t.n / 7.0) * (g.obs - t.n / 7.0)
+                    / (t.n / 7.0) * 1000000000.0) AS BIGINT) AS units,
+               ABS(g.obs - t.n / 7.0) / t.n AS dev_share
+        FROM g CROSS JOIN t
+    )
+    SELECT MAX(n) AS n, MAX(cells) AS n_cells, CAST(6 AS BIGINT) AS dof,
+           {dround('SUM(units) / 1000000000.0', 6)} AS chi2,
+           {dround('MAX(dev_share)', 6)} AS max_dev_share,
+           CASE WHEN SUM(units) / 1000000000.0 > {GOF_CRIT_95_DOF6!r}
+                THEN 1 ELSE 0 END AS is_suspect
+    FROM u
+    """,
+)
+def ext_chi2_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of order day-of-week against a uniform
+    split — the sample-ratio-mismatch (SRM) check every experimentation
+    platform runs before trusting an assignment: observed per-bucket
+    counts vs the expected equal share, the chi² statistic against the
+    95% critical value (6 dof, constant inlined identically in both
+    engines), and the worst single-bucket deviation share.
+
+    Determinism: day-of-week comes from integer date arithmetic against
+    an anchor Monday (sign-safe double-mod — DuckDB's % is signed,
+    Spark's pmod is not); per-cell contributions are frozen to integer
+    nano-units before the 7-row sum (ext_drift_psi discipline).
+
+    Scale shape: one map-side-combined 7-row aggregate; all test math
+    on the 7-row grid."""
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        F.pmod(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-02").cast("date")),
+            F.lit(7),
+        ).alias("dow")
+    )
+    g = d.groupBy("dow").agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    t = g.agg(
+        F.sum("obs").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("cells"),
+    )
+    e = F.col("n") / 7.0
+    u = g.crossJoin(F.broadcast(t)).select(
+        "n", "cells",
+        F.round((F.col("obs") - e) * (F.col("obs") - e) / e * 1000000000.0)
+        .cast("bigint")
+        .alias("units"),
+        (F.abs(F.col("obs") - e) / F.col("n")).alias("dev_share"),
+    )
+    chi2 = F.sum("units") / 1000000000.0
+    return u.agg(
+        F.max("n").alias("n"),
+        F.max("cells").alias("n_cells"),
+        F.lit(6).cast("bigint").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.max("dev_share"), 6).alias("max_dev_share"),
+        F.when(chi2 > GOF_CRIT_95_DOF6, 1).otherwise(0).alias("is_suspect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_text_rake — RAKE keyphrase extraction (degree/frequency scoring)
+# ---------------------------------------------------------------------------
+
+RAKE_STOPS = ("the", "a")
+RAKE_TOPK = 25
+RAKE_SALTS = 32
+
+
+def _rake_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in RAKE_STOPS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, l, unnest(generate_series(1, len(l))) AS pos
+        FROM (SELECT doc_id, {{toks_sql}} AS l FROM documents) t
+    ), tk AS (
+        SELECT doc_id, pos, l[pos] AS tok,
+               CASE WHEN l[pos] IN ({stops}) THEN 1 ELSE 0 END AS st
+        FROM toks
+    ), pid AS MATERIALIZED (
+        SELECT doc_id, pos, tok, st,
+               SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+        FROM tk
+    ), words AS MATERIALIZED (
+        SELECT doc_id, pid, pos, tok,
+               CAST(COUNT(*) OVER (PARTITION BY doc_id, pid) AS BIGINT) AS plen
+        FROM pid WHERE st = 0
+    ), ws AS MATERIALIZED (
+        SELECT tok,
+               CAST(ROUND(SUM(plen) * 1000000000.0 / COUNT(*)) AS BIGINT) AS units
+        FROM words GROUP BY 1
+    ), ph AS MATERIALIZED (
+        SELECT w.doc_id, w.pid,
+               string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS plen,
+               CAST(SUM(ws.units) AS BIGINT) AS units
+        FROM words w JOIN ws ON ws.tok = w.tok
+        GROUP BY 1, 2
+    ), pg AS (
+        SELECT phrase, MAX(plen) AS phrase_len,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               MAX(units) AS units
+        FROM ph GROUP BY 1
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY units DESC, phrase) AS BIGINT) AS rk,
+           phrase, phrase_len, n_occurrences,
+           {dround('units / 1000000000.0', 6)} AS rake_score
+    FROM pg
+    ORDER BY units DESC, phrase
+    LIMIT {RAKE_TOPK}
+    """
+
+
+@register("ext_text_rake", None)  # oracle attached below (needs _TOKS_SQL)
+def ext_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction: phrases are maximal stopword-free runs
+    ({'/'.join(RAKE_STOPS)} as delimiters); each word scores
+    degree/frequency (degree = summed length of phrases containing it),
+    a phrase scores the sum of its word scores, and the global
+    top-{RAKE_TOPK} phrases are reported — the classic unsupervised
+    keyword extractor, fully relational.
+
+    Determinism: word scores are frozen to integer nano-units (ratio of
+    exact integers) so phrase scores are integer sums; the top-k order
+    is (score, phrase) total order; phrase strings are rebuilt
+    position-sorted (array_sort over (pos, tok) structs — collect_list
+    alone is order-nondeterministic).
+
+    Scale shape: per-doc phrase numbering is a doc-partitioned
+    prefix-sum window (doc-keyed shuffle, the sessionize precedent);
+    word stats are a vocabulary-sized aggregate broadcast back; the
+    global top-k over the distinct-phrase grid is two-level
+    ({RAKE_SALTS} hash groups keep local top-{RAKE_TOPK}, then one
+    bounded final sort — the vocab_coverage discipline)."""
+    from ..ext import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.posexplode(tx.tokens(F.col("text"))).alias("pos", "tok")
+    ).withColumn(
+        "st", F.when(F.col("tok").isin(*RAKE_STOPS), 1).otherwise(0)
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pid = tk.withColumn("pid", F.sum("st").over(w_doc))
+    words = pid.filter(F.col("st") == 0).withColumn(
+        "plen", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "pid")).cast("bigint")
+    )
+    ws = words.groupBy("tok").agg(
+        F.round(F.sum("plen") * 1000000000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("units")
+    )
+    ph = (
+        words.join(F.broadcast(ws), "tok")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda x: x.tok,
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("plen"),
+            F.sum("units").cast("bigint").alias("units"),
+        )
+    )
+    pg = ph.groupBy("phrase").agg(
+        F.max("plen").alias("phrase_len"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.max("units").alias("units"),
+    )
+    # Two-level top-k: any global top-k row is in its hash group's local top-k.
+    w_grp = Window.partitionBy("grp").orderBy(F.desc("units"), "phrase")
+    pruned = (
+        pg.withColumn("grp", F.pmod(F.xxhash64("phrase"), F.lit(RAKE_SALTS)))
+        .withColumn("lrk", F.row_number().over(w_grp))
+        .filter(F.col("lrk") <= RAKE_TOPK)
+        .drop("grp", "lrk")
+    )
+    w_rk = Window.orderBy(F.desc("units"), "phrase")
+    return (
+        pruned.withColumn("rk", F.row_number().over(w_rk).cast("bigint"))
+        .filter(F.col("rk") <= RAKE_TOPK)
+        .select(
+            "rk", "phrase", "phrase_len", "n_occurrences",
+            F.round(F.col("units") / 1000000000.0, 6).alias("rake_score"),
+        )
+        .orderBy("rk")
+    )
+
+
+from . import ORACLE as _ORACLE  # noqa: E402
+from .llm_ops import _TOKS_SQL as _T  # noqa: E402
+
+_ORACLE["ext_text_rake"] = _rake_oracle().replace("{toks_sql}", _T)
