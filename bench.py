@@ -176,6 +176,10 @@ HEADLINE = [
     "ext_weighted_quantiles",
     "ext_linkage_patterns",
     "ext_price_elasticity",
+    "ext_ses_forecast",
+    "ext_gini_feature_importance",
+    "ext_chi2_gof",
+    "ext_text_rake",
 ]
 
 
