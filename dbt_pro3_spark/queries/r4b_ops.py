@@ -1647,3 +1647,420 @@ from . import ORACLE as _ORACLE  # noqa: E402
 from .llm_ops import _TOKS_SQL as _T  # noqa: E402
 
 _ORACLE["ext_text_rake"] = _rake_oracle().replace("{toks_sql}", _T)
+
+
+# ---------------------------------------------------------------------------
+# ext_moments_profile — exact-integer skewness / kurtosis of order values
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_moments_profile",
+    f"""
+    WITH v AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               SUM(CAST(c AS HUGEINT) * c) AS s2,
+               SUM(CAST(c AS HUGEINT) * c * c) AS s3,
+               SUM(CAST(c AS HUGEINT) * c * c * c) AS s4
+        FROM v
+    ), d AS (
+        SELECT n,
+               s1 * 1.0 / n AS m1,
+               CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n AS r2,
+               CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / n AS r3,
+               CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / n AS r4
+        FROM s
+    ), m AS (
+        SELECT n, m1,
+               r2 - m1 * m1 AS m2,
+               r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+               r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+                  - 3.0 * m1 * m1 * m1 * m1 AS m4
+        FROM d
+    )
+    SELECT n,
+           {dround('m1', 6)} AS mean_cents,
+           {dround('sqrt(m2)', 6)} AS std_cents,
+           {dround('m3 / (sqrt(m2) * m2)', 6)} AS skewness,
+           {dround('m4 / (m2 * m2) - 3.0', 6)} AS kurtosis_excess
+    FROM m
+    """,
+)
+def ext_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profile of order values: mean, standard
+    deviation, skewness and excess kurtosis from the first four raw
+    moments — the numeric-profiling step that flags heavy tails before
+    choosing clip/winsorize thresholds.
+
+    Determinism: all four raw moment sums are EXACT (cents as BIGINT;
+    2nd-4th powers in 128-bit — c^4 ~ 6e30 per row, the HUGEINT /
+    decimal(38,0) sum holds to ~sf10 order volume; rescale to dollars
+    beyond). Central moments are assembled from those exact sums in
+    identical double expressions (VARCHAR-path conversion on DuckDB);
+    skew divides by sqrt(m2)*m2, the same expression both engines.
+
+    Scale shape: one map-side-combined scalar aggregate — no shuffle
+    beyond the 1-row combine, no window, no join."""
+    o = load(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    v = o.select(c.alias("c"))
+    cc = F.col("c").cast(d38)
+    s = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(cc * F.col("c")).alias("s2"),
+        F.sum(cc * F.col("c") * F.col("c")).alias("s3"),
+        F.sum(cc * F.col("c") * F.col("c") * F.col("c")).alias("s4"),
+    )
+    m1 = F.col("s1") * F.lit(1.0) / F.col("n")
+    r2 = F.col("s2").cast("double") / F.col("n")
+    r3 = F.col("s3").cast("double") / F.col("n")
+    r4 = F.col("s4").cast("double") / F.col("n")
+    d = s.select("n", m1.alias("m1"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4"))
+    m1c, r2c, r3c, r4c = F.col("m1"), F.col("r2"), F.col("r3"), F.col("r4")
+    m = d.select(
+        "n", "m1",
+        (r2c - m1c * m1c).alias("m2"),
+        (r3c - 3.0 * m1c * r2c + 2.0 * m1c * m1c * m1c).alias("m3"),
+        (
+            r4c - 4.0 * m1c * r3c + 6.0 * m1c * m1c * r2c
+            - 3.0 * m1c * m1c * m1c * m1c
+        ).alias("m4"),
+    )
+    m2c, m3c, m4c = F.col("m2"), F.col("m3"), F.col("m4")
+    return m.select(
+        "n",
+        F.round(F.col("m1"), 6).alias("mean_cents"),
+        F.round(F.sqrt(m2c), 6).alias("std_cents"),
+        F.round(m3c / (F.sqrt(m2c) * m2c), 6).alias("skewness"),
+        F.round(m4c / (m2c * m2c) - 3.0, 6).alias("kurtosis_excess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_feature_mi — mutual information feature screen (entropy counterpart
+# of ext_gini_feature_importance)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_feature_mi",
+    f"""
+    WITH r AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+               CAST(CAST(FLOOR(ROUND(l_discount * 1000) / 10.0) AS BIGINT)
+                    AS VARCHAR) AS f_discount,
+               CAST(CAST(FLOOR(ROUND(l_quantity) / 10.0) AS BIGINT)
+                    AS VARCHAR) AS f_quantity,
+               CAST(month(l_shipdate) AS VARCHAR) AS f_month,
+               l_linestatus AS f_status
+        FROM lineitem
+    ), x AS (
+        SELECT y, 'discount' AS feature, f_discount AS val FROM r
+        UNION ALL SELECT y, 'quantity', f_quantity FROM r
+        UNION ALL SELECT y, 'month', f_month FROM r
+        UNION ALL SELECT y, 'status', f_status FROM r
+    ), cell AS (
+        SELECT feature, val, y, CAST(COUNT(*) AS BIGINT) AS nxy
+        FROM x GROUP BY 1, 2, 3
+    ), marg AS MATERIALIZED (
+        SELECT feature, val, y, nxy,
+               CAST(SUM(nxy) OVER (PARTITION BY feature, val) AS BIGINT) AS nx,
+               CAST(SUM(nxy) OVER (PARTITION BY feature, y) AS BIGINT) AS ny,
+               CAST(SUM(nxy) OVER (PARTITION BY feature) AS BIGINT) AS n
+        FROM cell
+    ), u AS (
+        SELECT feature,
+               CAST(ROUND((nxy * 1.0 / n)
+                    * ln((nxy * 1.0 * n) / (nx * 1.0 * ny))
+                    * 1000000000.0) AS BIGINT) AS units
+        FROM marg
+    ), hy AS (
+        SELECT feature,
+               CAST(ROUND(SUM(CASE WHEN rn = 1
+                    THEN -(ny * 1.0 / n) * ln(ny * 1.0 / n) * 1000000000.0
+                    ELSE 0 END)) AS BIGINT) AS hy_units
+        FROM (
+            SELECT feature, y, ny, n,
+                   ROW_NUMBER() OVER (PARTITION BY feature, y ORDER BY val) AS rn
+            FROM marg
+        ) GROUP BY 1
+    ), f AS (
+        SELECT u.feature, CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(u.units) AS BIGINT) AS mi_units,
+               MAX(h.hy_units) AS hy_units
+        FROM u JOIN hy h ON h.feature = u.feature
+        GROUP BY 1
+    )
+    SELECT feature, n_cells,
+           {dround('mi_units / 1000000000.0', 6)} AS mutual_information,
+           {dround('mi_units * 1.0 / hy_units', 6)} AS normalized_mi,
+           CAST(ROW_NUMBER() OVER (ORDER BY mi_units DESC, feature) AS BIGINT) AS rk
+    FROM f
+    ORDER BY rk
+    """,
+)
+def ext_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature screen: I(feature; return flag) for
+    the same four candidate features as ext_gini_feature_importance,
+    plus the label-entropy-normalized score — the information-theoretic
+    counterpart of the Gini split gain (catches associations an
+    impurity split can under-rank).
+
+    Determinism: every probability is a ratio of exact integers; each
+    cell's p*ln(p_xy/(p_x p_y)) term is frozen to integer nano-units
+    before the per-feature sum (the ext_drift_psi ln discipline — the
+    ln argument (nxy*n)/(nx*ny) is a ratio of exact sub-2^53 integer
+    products); H(y) is frozen the same way over the 2-row label grid.
+
+    Scale shape: one 4-way per-row explode into map-side-combined
+    (feature, value, label) grids (4..62 rows); marginals are grid
+    windows; everything downstream is grid math."""
+    li = load(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.floor(F.round(F.col("l_discount") * 1000) / 10.0)
+        .cast("bigint")
+        .cast("string")
+        .alias("f_discount"),
+        F.floor(F.round(F.col("l_quantity")) / 10.0)
+        .cast("bigint")
+        .cast("string")
+        .alias("f_quantity"),
+        F.month("l_shipdate").cast("string").alias("f_month"),
+        F.col("l_linestatus").alias("f_status"),
+    )
+    x = r.select(
+        "y",
+        F.explode(
+            F.array(
+                F.struct(F.lit("discount").alias("feature"), F.col("f_discount").alias("val")),
+                F.struct(F.lit("quantity").alias("feature"), F.col("f_quantity").alias("val")),
+                F.struct(F.lit("month").alias("feature"), F.col("f_month").alias("val")),
+                F.struct(F.lit("status").alias("feature"), F.col("f_status").alias("val")),
+            )
+        ).alias("fv"),
+    ).select("y", F.col("fv.feature").alias("feature"), F.col("fv.val").alias("val"))
+    cell = x.groupBy("feature", "val", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nxy")
+    )
+    marg = (
+        cell.withColumn(
+            "nx", F.sum("nxy").over(Window.partitionBy("feature", "val")).cast("bigint")
+        )
+        .withColumn(
+            "ny", F.sum("nxy").over(Window.partitionBy("feature", "y")).cast("bigint")
+        )
+        .withColumn(
+            "n", F.sum("nxy").over(Window.partitionBy("feature")).cast("bigint")
+        )
+        .localCheckpoint(eager=False)  # grid feeds MI cells AND H(y)
+    )
+    u = marg.select(
+        "feature",
+        F.round(
+            (F.col("nxy") * F.lit(1.0) / F.col("n"))
+            * F.log(
+                (F.col("nxy") * F.lit(1.0) * F.col("n"))
+                / (F.col("nx") * F.lit(1.0) * F.col("ny"))
+            )
+            * 1000000000.0
+        )
+        .cast("bigint")
+        .alias("units"),
+    )
+    hy = (
+        marg.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("feature", "y").orderBy("val")
+            ),
+        )
+        .groupBy("feature")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("rn") == 1,
+                        -(F.col("ny") * F.lit(1.0) / F.col("n"))
+                        * F.log(F.col("ny") * F.lit(1.0) / F.col("n"))
+                        * 1000000000.0,
+                    ).otherwise(0.0)
+                )
+            )
+            .cast("bigint")
+            .alias("hy_units")
+        )
+    )
+    f = (
+        u.join(hy, "feature")
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("units").cast("bigint").alias("mi_units"),
+            F.max("hy_units").alias("hy_units"),
+        )
+    )
+    w_rk = Window.orderBy(F.desc("mi_units"), "feature")
+    return f.select(
+        "feature", "n_cells",
+        F.round(F.col("mi_units") / 1000000000.0, 6).alias("mutual_information"),
+        F.round(F.col("mi_units") * F.lit(1.0) / F.col("hy_units"), 6)
+        .alias("normalized_mi"),
+        F.row_number().over(w_rk).cast("bigint").alias("rk"),
+    ).orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# ext_text_collocations — Dunning G^2 bigram collocation mining
+# ---------------------------------------------------------------------------
+
+COLL_TOPK = 25
+COLL_SALTS = 32
+
+
+def _coll_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+        FROM (SELECT doc_id, {{toks_sql}} AS l FROM documents) t
+        WHERE len(l) >= 2
+    ), bg AS MATERIALIZED (
+        SELECT l[i] AS w1, l[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS k
+        FROM toks GROUP BY 1, 2
+    ), lt AS MATERIALIZED (
+        SELECT w1, CAST(SUM(k) AS BIGINT) AS r FROM bg GROUP BY 1
+    ), rt AS MATERIALIZED (
+        SELECT w2, CAST(SUM(k) AS BIGINT) AS cc FROM bg GROUP BY 1
+    ), n AS (
+        SELECT CAST(SUM(k) AS BIGINT) AS nn FROM bg
+    ), cells AS (
+        SELECT bg.w1, bg.w2, bg.k,
+               CAST(
+                 CASE WHEN bg.k > 0 THEN ROUND(bg.k *
+                      ln((bg.k * 1.0 * n.nn) / (lt.r * 1.0 * rt.cc))
+                      * 1000000000.0) ELSE 0 END AS BIGINT)
+             + CAST(
+                 CASE WHEN lt.r - bg.k > 0 THEN ROUND((lt.r - bg.k) *
+                      ln(((lt.r - bg.k) * 1.0 * n.nn) / (lt.r * 1.0 * (n.nn - rt.cc)))
+                      * 1000000000.0) ELSE 0 END AS BIGINT)
+             + CAST(
+                 CASE WHEN rt.cc - bg.k > 0 THEN ROUND((rt.cc - bg.k) *
+                      ln(((rt.cc - bg.k) * 1.0 * n.nn) / ((n.nn - lt.r) * 1.0 * rt.cc))
+                      * 1000000000.0) ELSE 0 END AS BIGINT)
+             + CAST(
+                 CASE WHEN n.nn - lt.r - rt.cc + bg.k > 0 THEN
+                      ROUND((n.nn - lt.r - rt.cc + bg.k) *
+                      ln(((n.nn - lt.r - rt.cc + bg.k) * 1.0 * n.nn)
+                         / ((n.nn - lt.r) * 1.0 * (n.nn - rt.cc)))
+                      * 1000000000.0) ELSE 0 END AS BIGINT) AS g2h_units
+        FROM bg JOIN lt ON lt.w1 = bg.w1
+                JOIN rt ON rt.w2 = bg.w2
+                CROSS JOIN n
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY g2h_units DESC, w1, w2) AS BIGINT) AS rk,
+           w1 || ' ' || w2 AS bigram, k AS n_pair,
+           {dround('2.0 * g2h_units / 1000000000.0', 6)} AS g2
+    FROM cells
+    ORDER BY g2h_units DESC, w1, w2
+    LIMIT {COLL_TOPK}
+    """
+
+
+@register("ext_text_collocations", None)  # oracle attached below
+def ext_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: Dunning's G² log-likelihood-ratio test over
+    adjacent-token bigrams — the statistically-sound collocation
+    extractor (robust where PMI over-ranks rare pairs; complements
+    ext_keyword_pmi). Reports the top-{COLL_TOPK} bigrams.
+
+    Determinism: all 2x2 table cells are exact integers derived from
+    the bigram/margin counts; each of the four O*ln(O/E) terms is
+    frozen to integer nano-units (ln arguments are ratios of exact
+    sub-2^53 integer products; zero cells contribute exactly 0), so
+    the ranking compares exact integers with a (w1, w2) tiebreak.
+    Magnitude bound: k*N < 2^53 holds while total bigram count N and
+    the hottest bigram keep k*N below 9e15 (~1e8 bigrams corpus-wide
+    at observed skew); beyond that split the ln into frozen ln-parts.
+
+    Scale shape: one doc-positional explode into a map-side-combined
+    bigram aggregate; margins are vocabulary-sized re-aggregates of
+    the bigram grid joined back (broadcast); top-k over the bigram
+    grid is two-level ({COLL_SALTS} hash groups)."""
+    from ..ext import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.posexplode(tx.tokens(F.col("text"))).alias("i", "tok")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    bg = (
+        tk.withColumn("w2", F.lead("tok", 1).over(w_doc))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(F.col("tok").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        .localCheckpoint(eager=False)  # feeds margins AND cells
+    )
+    lt = bg.groupBy("w1").agg(F.sum("k").cast("bigint").alias("r"))
+    rt = bg.groupBy("w2").agg(F.sum("k").cast("bigint").alias("cc"))
+    n = bg.agg(F.sum("k").cast("bigint").alias("nn"))
+
+    def term(o, row, col):
+        return (
+            F.when(
+                o > 0,
+                F.round(
+                    o
+                    * F.log((o * F.lit(1.0) * F.col("nn")) / (row * F.lit(1.0) * col))
+                    * 1000000000.0
+                ),
+            )
+            .otherwise(0)
+            .cast("bigint")
+        )
+
+    k = F.col("k")
+    r = F.col("r")
+    cc = F.col("cc")
+    nn = F.col("nn")
+    cells = (
+        bg.join(F.broadcast(lt), "w1")
+        .join(F.broadcast(rt), "w2")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "g2h_units",
+            term(k, r, cc)
+            + term(r - k, r, nn - cc)
+            + term(cc - k, nn - r, cc)
+            + term(nn - r - cc + k, nn - r, nn - cc),
+        )
+    )
+    w_grp = Window.partitionBy("grp").orderBy(F.desc("g2h_units"), "w1", "w2")
+    pruned = (
+        cells.withColumn(
+            "grp",
+            F.pmod(F.xxhash64(F.concat_ws(" ", "w1", "w2")), F.lit(COLL_SALTS)),
+        )
+        .withColumn("lrk", F.row_number().over(w_grp))
+        .filter(F.col("lrk") <= COLL_TOPK)
+        .drop("grp", "lrk")
+    )
+    w_rk = Window.orderBy(F.desc("g2h_units"), "w1", "w2")
+    return (
+        pruned.withColumn("rk", F.row_number().over(w_rk).cast("bigint"))
+        .filter(F.col("rk") <= COLL_TOPK)
+        .select(
+            "rk",
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("k").alias("n_pair"),
+            F.round(2.0 * F.col("g2h_units") / 1000000000.0, 6).alias("g2"),
+        )
+        .orderBy("rk")
+    )
+
+
+_ORACLE["ext_text_collocations"] = _coll_oracle().replace("{toks_sql}", _T)
