@@ -180,6 +180,9 @@ HEADLINE = [
     "ext_gini_feature_importance",
     "ext_chi2_gof",
     "ext_text_rake",
+    "ext_moments_profile",
+    "ext_feature_mi",
+    "ext_text_collocations",
 ]
 
 
