@@ -2064,3 +2064,394 @@ def ext_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE["ext_text_collocations"] = _coll_oracle().replace("{toks_sql}", _T)
+
+
+# ---------------------------------------------------------------------------
+# ext_privacy_t_closeness — EMD-based t-closeness audit (k-anon/l-div triad)
+# ---------------------------------------------------------------------------
+
+TCLOSE_T5 = 5  # violation threshold t = 1/5 = 0.2, compared in exact integers
+
+
+@register(
+    "ext_privacy_t_closeness",
+    f"""
+    WITH c AS (
+        SELECT c_nationkey AS nation, c_mktsegment AS segment,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bucket
+        FROM customer
+    ), cls AS (SELECT DISTINCT nation, segment FROM c),
+    bks AS (SELECT DISTINCT bucket FROM c),
+    cnt AS (
+        SELECT nation, segment, bucket, CAST(COUNT(*) AS BIGINT) AS ci
+        FROM c GROUP BY 1, 2, 3
+    ), dense AS MATERIALIZED (
+        SELECT cl.nation, cl.segment, b.bucket, COALESCE(cnt.ci, 0) AS ci
+        FROM cls cl CROSS JOIN bks b
+        LEFT JOIN cnt ON cnt.nation = cl.nation AND cnt.segment = cl.segment
+                     AND cnt.bucket = b.bucket
+    ), tot AS MATERIALIZED (
+        SELECT d.nation, d.segment, d.bucket, d.ci,
+               CAST(SUM(d.ci) OVER (PARTITION BY d.nation, d.segment) AS BIGINT) AS nc,
+               CAST(SUM(d.ci) OVER () AS BIGINT) AS n
+        FROM dense d
+    ), gl AS (
+        SELECT bucket, CAST(SUM(ci) AS BIGINT) AS gi FROM dense GROUP BY 1
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bks
+    ), cd AS (
+        SELECT t.nation, t.segment, t.nc, t.n, m.nb,
+               CAST(SUM(t.ci * t.n - g.gi * t.nc) OVER (
+                   PARTITION BY t.nation, t.segment ORDER BY t.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cumdiff
+        FROM tot t JOIN gl g ON g.bucket = t.bucket CROSS JOIN m
+    ), cum AS (
+        SELECT nation, segment, nc, n, nb,
+               CAST(SUM(ABS(cumdiff)) AS BIGINT) AS sum_abs_cum
+        FROM cd GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT nation, segment, nc AS n_rows,
+           {dround('sum_abs_cum * 1.0 / ((nb - 1) * nc * n)', 6)} AS t_closeness,
+           CASE WHEN sum_abs_cum * {TCLOSE_T5} > (nb - 1) * nc * n
+                THEN 1 ELSE 0 END AS is_violation
+    FROM cum
+    ORDER BY nation, segment
+    """,
+)
+def ext_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (completes the k-anonymity / l-diversity /
+    t-closeness privacy triad): for every quasi-identifier class
+    (nation, segment), the 1-D earth-mover's distance between the
+    class's sensitive-attribute distribution (account-balance
+    thousand-buckets, ordered) and the global one, flagged against
+    t = 1/{TCLOSE_T5}.
+
+    Determinism: the ordered-1D EMD is sum of |cumulative difference|;
+    each cumulative term ci*N - gi*nc is an EXACT integer, so the
+    distance is a ratio of exact integers and the violation flag is an
+    exact integer cross-multiplication — no float compare at the
+    threshold boundary.
+
+    Scale shape: one (class, bucket) aggregate, densified by a
+    grid-sized cross join (classes x buckets, ~125x12); all EMD math is
+    grid windows. The only corpus pass is the counting aggregate."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bucket"),
+    )
+    cnt = c.groupBy("nation", "segment", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ci")
+    ).localCheckpoint(eager=False)  # feeds classes, buckets, dense grid
+    cls = cnt.select("nation", "segment").distinct()
+    bks = cnt.select("bucket").distinct()
+    dense = (
+        cls.crossJoin(F.broadcast(bks))
+        .join(cnt, ["nation", "segment", "bucket"], "left")
+        .withColumn("ci", F.coalesce(F.col("ci"), F.lit(0)).cast("bigint"))
+        .localCheckpoint(eager=False)  # grid feeds marginals AND cumulative
+    )
+    w_cl = Window.partitionBy("nation", "segment")
+    gl = dense.groupBy("bucket").agg(F.sum("ci").cast("bigint").alias("gi"))
+    nb = bks.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    n_all = dense.agg(F.sum("ci").cast("bigint").alias("n"))
+    t = (
+        dense.withColumn("nc", F.sum("ci").over(w_cl).cast("bigint"))
+        .join(F.broadcast(gl), "bucket")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(n_all))
+    )
+    w_cum = (
+        Window.partitionBy("nation", "segment")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = t.withColumn(
+        "cumdiff",
+        F.sum(F.col("ci") * F.col("n") - F.col("gi") * F.col("nc")).over(w_cum)
+        .cast("bigint"),
+    )
+    g = cum.groupBy("nation", "segment", "nc", "n", "nb").agg(
+        F.sum(F.abs(F.col("cumdiff"))).cast("bigint").alias("sum_abs_cum")
+    )
+    return g.select(
+        "nation", "segment",
+        F.col("nc").alias("n_rows"),
+        F.round(
+            F.col("sum_abs_cum")
+            * F.lit(1.0)
+            / ((F.col("nb") - 1) * F.col("nc") * F.col("n")),
+            6,
+        ).alias("t_closeness"),
+        F.when(
+            F.col("sum_abs_cum") * TCLOSE_T5
+            > (F.col("nb") - 1) * F.col("nc") * F.col("n"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_violation"),
+    ).orderBy("nation", "segment")
+
+
+# ---------------------------------------------------------------------------
+# ext_theilsen_trend — robust median-of-slopes trend over the month grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_theilsen_trend",
+    f"""
+    WITH m AS MATERIALIZED (
+        SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS x,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1
+    ), pr AS MATERIALIZED (
+        SELECT a.x AS xi, a.y AS yi,
+               CAST(ROUND((b.y - a.y) * 1000.0 / (b.x - a.x)) AS BIGINT) AS s_mc
+        FROM m a JOIN m b ON b.x > a.x
+    ), sl AS (
+        SELECT s_mc, ROW_NUMBER() OVER (ORDER BY s_mc, xi, yi) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS np
+        FROM pr
+    ), slope AS MATERIALIZED (
+        SELECT s_mc AS slope_mc, np FROM sl
+        WHERE rn = CAST(FLOOR((np + 1) / 2.0) AS BIGINT)
+    ), res AS (
+        SELECT m.x, m.y, s.slope_mc, s.np,
+               m.y * 1000 - s.slope_mc * m.x AS r_mc,
+               ROW_NUMBER() OVER (ORDER BY m.y * 1000 - s.slope_mc * m.x, m.x) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS nm
+        FROM m CROSS JOIN slope s
+    )
+    SELECT nm AS n_months, np AS n_pairs,
+           {dround('slope_mc / 1000.0', 6)} AS theilsen_slope_cents_per_month,
+           {dround('r_mc / 1000.0', 6)} AS intercept_cents
+    FROM res
+    WHERE rn = CAST(FLOOR((nm + 1) / 2.0) AS BIGINT)
+    """,
+)
+def ext_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue: the median of all
+    pairwise month-to-month slopes, plus the median-residual intercept —
+    the outlier-robust alternative to OLS (a few anomalous months
+    cannot move it, unlike ext_trend_ols).
+
+    Determinism: pairwise slopes are frozen to integer MILLI-cents per
+    month ((dy*1000)/dx stays below 2^53 before rounding); both medians
+    are exact lower-median order statistics over total orders; the
+    intercept residuals y*1000 - slope*x are exact integers.
+
+    Scale shape: the pair fan-out runs on the POST-AGGREGATION month
+    grid (~84 rows -> ~3.5k pairs), never the corpus; the corpus cost
+    is one month collapse. Windows are grid-sized."""
+    li = load(spark, sf_dir, "lineitem")
+    m = (
+        li.select(
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("x"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("x")
+        .agg(F.sum("c").cast("bigint").alias("y"))
+        .localCheckpoint(eager=False)  # grid feeds both pair sides AND residuals
+    )
+    a = m.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = m.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
+    pr = a.join(F.broadcast(b), F.col("xj") > F.col("xi")).select(
+        "xi", "yi",
+        F.round((F.col("yj") - F.col("yi")) * 1000.0 / (F.col("xj") - F.col("xi")))
+        .cast("bigint")
+        .alias("s_mc"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    sl = pr.withColumn(
+        "rn", F.row_number().over(Window.orderBy("s_mc", "xi", "yi"))
+    ).withColumn("np", F.count(F.lit(1)).over(w_all).cast("bigint"))
+    slope = sl.filter(
+        F.col("rn") == F.floor((F.col("np") + 1) / 2.0).cast("bigint")
+    ).select(F.col("s_mc").alias("slope_mc"), "np")
+    res = (
+        m.crossJoin(F.broadcast(slope))
+        .withColumn("r_mc", F.col("y") * 1000 - F.col("slope_mc") * F.col("x"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("r_mc", "x")))
+        .withColumn("nm", F.count(F.lit(1)).over(w_all).cast("bigint"))
+    )
+    return res.filter(
+        F.col("rn") == F.floor((F.col("nm") + 1) / 2.0).cast("bigint")
+    ).select(
+        F.col("nm").alias("n_months"),
+        F.col("np").alias("n_pairs"),
+        F.round(F.col("slope_mc") / 1000.0, 6).alias("theilsen_slope_cents_per_month"),
+        F.round(F.col("r_mc") / 1000.0, 6).alias("intercept_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_stickiness_dau_mau — product-analytics stickiness per month
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_stickiness_dau_mau",
+    f"""
+    WITH d AS (
+        SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+               CAST(ts AS DATE) AS day, user_id
+        FROM events
+    ), daily AS (
+        SELECT month, day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM d GROUP BY 1, 2
+    ), per_day AS (
+        SELECT month, CAST(SUM(dau) AS BIGINT) AS sum_dau,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    ), monthly AS (
+        SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        FROM d GROUP BY 1
+    )
+    SELECT p.month, p.n_days, p.sum_dau, m.mau,
+           {dround('p.sum_dau * 1.0 / (p.n_days * m.mau)', 6)} AS stickiness
+    FROM per_day p JOIN monthly m ON m.month = p.month
+    ORDER BY p.month
+    """,
+)
+def ext_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month: average daily active users over
+    monthly active users — the engagement ratio every product dashboard
+    leads with. Computed as sum(daily distinct users) / (days x monthly
+    distinct users), all exact integers.
+
+    Determinism: both distinct counts are exact (no HLL); stickiness is
+    a ratio of identical integers, dround(6).
+
+    Scale shape: two distinct aggregates over the events stream — the
+    (month, day, user) collapse feeds daily counts map-side; the
+    (month, user) distinct is its own hash aggregate; both shuffle on
+    bounded keys and join on the ~#months grid."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    daily = d.groupBy("month", "day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    per_day = daily.groupBy("month").agg(
+        F.sum("dau").cast("bigint").alias("sum_dau"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    monthly = d.groupBy("month").agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau")
+    )
+    return (
+        per_day.join(monthly, "month")
+        .select(
+            "month", "n_days", "sum_dau", "mau",
+            F.round(
+                F.col("sum_dau") * F.lit(1.0) / (F.col("n_days") * F.col("mau")), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_graph_assortativity — degree correlation of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_graph_assortativity",
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), und AS MATERIALIZED (
+        SELECT pa, pb FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs
+    ), deg AS MATERIALIZED (
+        SELECT pa AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1
+    ), e AS (
+        SELECT da.d AS dx, db.d AS dy
+        FROM und u JOIN deg da ON da.node = u.pa JOIN deg db ON db.node = u.pb
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS ne,
+               CAST(SUM(dx) AS BIGINT) AS sx,
+               SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+               SUM(CAST(dx AS HUGEINT) * dy) AS sxy
+        FROM e
+    ), nd AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg
+    )
+    SELECT nd.n_nodes, CAST(s.ne // 2 AS BIGINT) AS n_edges,
+           {dround('s.sx * 1.0 / nd.n_nodes', 6)} AS avg_degree,
+           {dround('''CAST(CAST(CAST(s.ne AS HUGEINT) * s.sxy
+                         - CAST(s.sx AS HUGEINT) * s.sx AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(CAST(s.ne AS HUGEINT) * s.sxx
+                         - CAST(s.sx AS HUGEINT) * s.sx AS VARCHAR) AS DOUBLE)''', 6)}
+               AS assortativity
+    FROM s CROSS JOIN nd
+    """,
+)
+def ext_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all directed edges — positive
+    means hubs link to hubs (assortative mixing), the one-number
+    topology summary after PageRank/triangles/communities. On the
+    symmetric directed edge list, sum(dx)=sum(dy) and sxx=syy, so the
+    correlation reduces to (ne*sxy - sx^2) / (ne*sxx - sx^2).
+
+    Determinism: degrees and all moment sums are exact integers
+    (second moments in 128-bit); the correlation is a ratio of exact
+    128-bit integers through the correctly-rounded VARCHAR->double
+    path. avg_degree is a ratio of identical integers.
+
+    Scale shape: the pair join is basket-bounded (per-order self-join,
+    the ext_basket_pairs bound); degrees are one hash aggregate; the
+    edge-degree join shuffles on node keys. No windows; output is one
+    row."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds both directions
+    )
+    und = pairs.unionAll(pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+    und = und.localCheckpoint(eager=False)  # feeds degrees AND edge join
+    deg = und.groupBy(F.col("pa").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("dx"))
+    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("dy"))
+    e = und.join(da, "pa").join(db, "pb")
+    d38 = "decimal(38,0)"
+    s = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ne"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum(F.col("dx").cast(d38) * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dx").cast(d38) * F.col("dy")).alias("sxy"),
+    )
+    nd = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    num = (
+        F.col("ne").cast(d38) * F.col("sxy") - F.col("sx").cast(d38) * F.col("sx")
+    ).cast("double")
+    den = (
+        F.col("ne").cast(d38) * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx")
+    ).cast("double")
+    return s.crossJoin(F.broadcast(nd)).select(
+        "n_nodes",
+        (F.col("ne") / 2).cast("bigint").alias("n_edges"),
+        F.round(F.col("sx") * F.lit(1.0) / F.col("n_nodes"), 6).alias("avg_degree"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
