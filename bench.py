@@ -183,6 +183,10 @@ HEADLINE = [
     "ext_moments_profile",
     "ext_feature_mi",
     "ext_text_collocations",
+    "ext_privacy_t_closeness",
+    "ext_theilsen_trend",
+    "ext_stickiness_dau_mau",
+    "ext_graph_assortativity",
 ]
 
 
