@@ -86,6 +86,7 @@ def _load_all() -> None:
     from . import scale_ops  # noqa: F401
     from . import r4_ops  # noqa: F401
     from . import r4b_ops  # noqa: F401
+    from . import r4c_ops  # noqa: F401
     _LOADED = True
 
 

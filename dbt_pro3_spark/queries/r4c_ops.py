@@ -1,0 +1,666 @@
+"""Round-4 batch-C operators: non-parametric statistics and queueing
+analytics — Mann-Kendall trend test, per-nation Spearman rank
+correlation, Wald-Wolfowitz runs test, and Little's-law time-weighted
+concurrency.
+
+Every key keeps the registry's exactness disciplines (scale_ops.py
+header): integer quantization before any cross-engine float,
+ratio-of-identical-integers for doubles, FLOOR (never engine-default int
+casts) for quantization steps, per-row integer-unit rounding BEFORE any
+corpus-sized float sum, total-order tiebreaks, terminal dround(6).
+
+New named patterns this module demonstrates:
+
+- ext_mann_kendall: significance verdicts decided by EXACT integer
+  cross-multiplication ((S-1)^2 * 18 * 10^4 vs 38416 * 18Var), so the
+  1.96 threshold can never flip on a last-ulp z difference.
+- ext_spearman_corr: average ranks computed on the COLLAPSED
+  (nation, dollar-value) grid — rank windows run over distinct values
+  (bounded by the value range after dollar quantization), never over
+  the customer corpus; 2x-average-ranks stay integer (avg rank of a tie
+  block = (rmin + rmax)/2, so twice that is 2*cum - cnt + 1).
+- ext_runs_test: the randomness verdict is again an exact integer
+  cross-multiplication of z^2 = (Rn - n - a)^2 (n-1) / (a (a - n)).
+- ext_littles_law: session busy-time clipped per day in exact integer
+  microseconds (epoch_us / unix_micros), days spanned via sequence()
+  explode, so L = busy / 86400e6 is a ratio of identical integers.
+
+Reference parity: the reference exposes only dbt SQL models
+(/root/reference/models/*.sql); these keys are beyond-reference
+analytics surface mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load
+from . import dround, register
+from .scale_ops import BOUNCE_GAP_MIN
+
+# ---------------------------------------------------------------------------
+# ext_mann_kendall — Mann-Kendall monotonic-trend test on monthly revenue
+# ---------------------------------------------------------------------------
+
+# 1.96^2 * 10^4 — the two-sided 5% z threshold squared, exact in integers.
+_Z95_SQ_X1E4 = 38416
+
+_MK_Z = dround(
+    """CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0)
+            WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0)
+            ELSE 0.0 END""",
+    6,
+)
+
+_SPEAR_RHO = dround(
+    """CAST(CAST(m.n * m.sxy - m.sx * m.sy AS VARCHAR) AS DOUBLE)
+       / sqrt(CAST(CAST(m.n * m.sxx - m.sx * m.sx AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(m.n * m.syy - m.sy * m.sy AS VARCHAR) AS DOUBLE))""",
+    6,
+)
+
+_RUNS_Z = dround(
+    """(r_runs - (1.0 + a / CAST(n AS DOUBLE)))
+       / sqrt(CAST(a AS DOUBLE) * (a - n)
+              / (CAST(n AS DOUBLE) * n * (n - 1)))""",
+    6,
+)
+
+_LL_W = dround(
+    """CASE WHEN SUM(started) > 0
+            THEN SUM(dur_us) / (SUM(started) * 1000000.0)
+            ELSE 0.0 END""",
+    6,
+)
+
+
+@register(
+    "ext_mann_kendall",
+    f"""
+    WITH m AS MATERIALIZED (
+        SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS x,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1
+    ), s AS (
+        SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        FROM m a JOIN m b ON b.x > a.x
+    ), nrow AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m
+    ), ties AS (
+        SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0) AS tie_term
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM m GROUP BY y) g
+        WHERE t > 1
+    ), stat AS (
+        SELECT n, s_stat,
+               n * (n - 1) * (2 * n + 5) - tie_term AS var18
+        FROM s CROSS JOIN nrow CROSS JOIN ties
+    )
+    SELECT n AS n_months, s_stat, var18 AS var_s_x18,
+           {_MK_Z} AS z_score,
+           CASE WHEN s_stat > 0
+                     AND (s_stat - 1) * (s_stat - 1) * 18 * 10000
+                         > {_Z95_SQ_X1E4} * var18 THEN 'increasing'
+                WHEN s_stat < 0
+                     AND (s_stat + 1) * (s_stat + 1) * 18 * 10000
+                         > {_Z95_SQ_X1E4} * var18 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM stat
+    """,
+)
+def ext_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on monthly revenue: the
+    non-parametric S statistic (sum of pairwise slope signs), its
+    tie-corrected variance, the continuity-corrected z score, and a 5%
+    two-sided verdict — the hypothesis-test companion to
+    ext_theilsen_trend (same grid, same pair fan-out; Theil-Sen gives
+    the magnitude, Mann-Kendall the significance).
+
+    Determinism: S, n and 18*Var(S) (var18 = n(n-1)(2n+5) - sum of
+    t(t-1)(2t+5) over tie groups) are exact integers; the z score is
+    the identical float sequence (int/int division, one sqrt, one
+    division — all IEEE correctly-rounded ops) on both engines, then
+    dround(6). The 5% verdict never touches floats: (S-+1)^2 * 18 * 1e4
+    is cross-multiplied against 38416 * var18 in exact integers.
+
+    Scale shape: identical to ext_theilsen_trend — one corpus-scale
+    month collapse, then an ~84-row grid pair join, tie grouping on the
+    grid, scalar output."""
+    li = load(spark, sf_dir, "lineitem")
+    m = (
+        li.select(
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("x"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("x")
+        .agg(F.sum("c").cast("bigint").alias("y"))
+        .localCheckpoint(eager=False)  # grid feeds pairs, count AND tie groups
+    )
+    a = m.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = m.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
+    s = (
+        a.join(F.broadcast(b), F.col("xj") > F.col("xi"))
+        .agg(
+            F.sum(
+                F.when(F.col("yj") > F.col("yi"), 1)
+                .when(F.col("yj") < F.col("yi"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nrow = m.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        m.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).cast(
+                    "bigint"
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    stat = (
+        s.crossJoin(F.broadcast(nrow))
+        .crossJoin(F.broadcast(ties))
+        .withColumn(
+            "var18",
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term"),
+        )
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var18") / 18.0),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var18") / 18.0),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return stat.select(
+        F.col("n").alias("n_months"),
+        "s_stat",
+        F.col("var18").alias("var_s_x18"),
+        F.round(z, 6).alias("z_score"),
+        F.when(
+            (F.col("s_stat") > 0)
+            & (
+                (F.col("s_stat") - 1) * (F.col("s_stat") - 1) * 18 * 10000
+                > _Z95_SQ_X1E4 * F.col("var18")
+            ),
+            F.lit("increasing"),
+        )
+        .when(
+            (F.col("s_stat") < 0)
+            & (
+                (F.col("s_stat") + 1) * (F.col("s_stat") + 1) * 18 * 10000
+                > _Z95_SQ_X1E4 * F.col("var18")
+            ),
+            F.lit("decreasing"),
+        )
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_spearman_corr — per-nation Spearman rank correlation (balance vs spend)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_spearman_corr",
+    f"""
+    WITH c AS MATERIALIZED (
+        SELECT c.c_custkey, c.c_nationkey AS nation,
+               CAST(FLOOR(CAST(ROUND(c.c_acctbal * 100) AS BIGINT) / 100.0)
+                    AS BIGINT) AS bal_d,
+               CAST(FLOOR(COALESCE(o.sp, 0) / 100.0) AS BIGINT) AS spend_d
+        FROM customer c
+        LEFT JOIN (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sp
+            FROM orders GROUP BY 1
+        ) o ON o.o_custkey = c.c_custkey
+    ), bgrid AS (
+        SELECT nation, bal_d, CAST(COUNT(*) AS BIGINT) AS cnt,
+               2 * SUM(CAST(COUNT(*) AS BIGINT)) OVER (
+                   PARTITION BY nation ORDER BY bal_d
+                   ROWS UNBOUNDED PRECEDING
+               ) - CAST(COUNT(*) AS BIGINT) + 1 AS r2
+        FROM c GROUP BY nation, bal_d
+    ), sgrid AS (
+        SELECT nation, spend_d, CAST(COUNT(*) AS BIGINT) AS cnt,
+               2 * SUM(CAST(COUNT(*) AS BIGINT)) OVER (
+                   PARTITION BY nation ORDER BY spend_d
+                   ROWS UNBOUNDED PRECEDING
+               ) - CAST(COUNT(*) AS BIGINT) + 1 AS r2
+        FROM c GROUP BY nation, spend_d
+    ), rk AS (
+        SELECT c.nation, b.r2 AS rx, s.r2 AS ry
+        FROM c
+        JOIN bgrid b ON b.nation = c.nation AND b.bal_d = c.bal_d
+        JOIN sgrid s ON s.nation = c.nation AND s.spend_d = c.spend_d
+    ), mom AS (
+        SELECT nation, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CAST(rx AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(ry AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy
+        FROM rk GROUP BY nation
+    )
+    SELECT n.n_name AS nation_name, CAST(m.n AS BIGINT) AS n_customers,
+           {_SPEAR_RHO} AS rho_spearman
+    FROM mom m JOIN nation n ON n.n_nationkey = m.nation
+    WHERE m.n * m.sxx - m.sx * m.sx > 0 AND m.n * m.syy - m.sy * m.sy > 0
+    ORDER BY nation_name
+    """,
+)
+def ext_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Spearman rank correlation between a customer's account
+    balance and their lifetime spend (sum of order totals, 0 when no
+    orders) — the monotone-association screen ("do richer accounts
+    actually buy more?"), robust to the heavy right tail that would
+    distort Pearson on raw amounts.
+
+    Ties use average ranks via Pearson-on-ranks (the correct tied-data
+    estimator, not the 6*sum(d^2) shortcut which assumes no ties). Both
+    variables are quantized to whole DOLLARS (FLOOR of exact cents/100)
+    before ranking, which (a) makes tie blocks well-defined across
+    engines and (b) collapses the rank computation onto a bounded
+    (nation, dollar-value) grid.
+
+    Determinism: 2x-average-ranks are exact integers (2*cum - cnt + 1
+    on the value grid); all six moments are exact 128-bit integers
+    (decimal(38,0) / HUGEINT); num and the two variance terms convert
+    through the correctly-rounded VARCHAR->double path, and rho is the
+    identical float sequence num / sqrt(dx * dy), dround(6).
+
+    Scale shape: rank windows run on the COLLAPSED (nation, dollar)
+    grid — bounded by the value range, not the customer count — so no
+    corpus-sized single-partition sort exists anywhere. The rank
+    join-back is a shuffle join on (nation, value); moments partial-
+    aggregate map-side per nation."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nat = load(spark, sf_dir, "nation")
+    sp = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sp")
+        )
+    )
+    c = (
+        cust.join(sp, cust.c_custkey == sp.o_custkey, "left")
+        .select(
+            F.col("c_custkey"),
+            F.col("c_nationkey").alias("nation"),
+            F.floor(
+                F.round(F.col("c_acctbal") * 100).cast("bigint") / 100.0
+            )
+            .cast("bigint")
+            .alias("bal_d"),
+            F.floor(F.coalesce(F.col("sp"), F.lit(0)) / 100.0)
+            .cast("bigint")
+            .alias("spend_d"),
+        )
+        .localCheckpoint(eager=False)  # feeds both value grids AND the join-back
+    )
+
+    def grid(col: str) -> DataFrame:
+        w = (
+            Window.partitionBy("nation")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            c.groupBy("nation", col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .withColumn(
+                "r2", 2 * F.sum("cnt").over(w) - F.col("cnt") + F.lit(1)
+            )
+            .select("nation", col, "r2")
+        )
+
+    rk = (
+        c.join(grid("bal_d").withColumnRenamed("r2", "rx"), ["nation", "bal_d"])
+        .join(grid("spend_d").withColumnRenamed("r2", "ry"), ["nation", "spend_d"])
+        .select("nation", "rx", "ry")
+    )
+    d = "decimal(38,0)"
+    mom = rk.groupBy("nation").agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum(F.col("rx").cast(d)).cast(d).alias("sx"),
+        F.sum(F.col("ry").cast(d)).cast(d).alias("sy"),
+        F.sum((F.col("rx").cast(d) * F.col("ry")).cast(d)).cast(d).alias("sxy"),
+        F.sum((F.col("rx").cast(d) * F.col("rx")).cast(d)).cast(d).alias("sxx"),
+        F.sum((F.col("ry").cast(d) * F.col("ry")).cast(d)).cast(d).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(d)
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(d)
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(d)
+    return (
+        mom.filter((dx > 0) & (dy > 0))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("nation"))
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.round(
+                num.cast("string").cast("double")
+                / F.sqrt(
+                    dx.cast("string").cast("double")
+                    * dy.cast("string").cast("double")
+                ),
+                6,
+            ).alias("rho_spearman"),
+        )
+        .orderBy("nation_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_runs_test — Wald-Wolfowitz runs test on monthly revenue vs its median
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_runs_test",
+    f"""
+    WITH m AS MATERIALIZED (
+        SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS x,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1
+    ), med AS MATERIALIZED (
+        SELECT y AS med FROM (
+            SELECT y, ROW_NUMBER() OVER (ORDER BY y, x) AS rn,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS nm
+            FROM m
+        ) WHERE rn = CAST(FLOOR((nm + 1) / 2.0) AS BIGINT)
+    ), sgn AS MATERIALIZED (
+        SELECT m.x, CASE WHEN m.y > d.med THEN 1 ELSE 0 END AS s
+        FROM m CROSS JOIN med d
+        WHERE m.y <> d.med
+    ), runs AS (
+        SELECT CAST(1 + SUM(CASE WHEN s <> prev THEN 1 ELSE 0 END) AS BIGINT) AS r_runs,
+               CAST(SUM(s) AS BIGINT) AS n1,
+               CAST(SUM(1 - s) AS BIGINT) AS n2
+        FROM (SELECT s, LAG(s) OVER (ORDER BY x) AS prev FROM sgn)
+        WHERE prev IS NOT NULL
+    ), base AS (
+        SELECT r_runs, n1 + fs AS n1, n2 + (1 - fs) AS n2
+        FROM runs CROSS JOIN (
+            SELECT s AS fs FROM (
+                SELECT s, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM sgn
+            ) WHERE rn = 1
+        )
+    ), stat AS (
+        SELECT r_runs, n1, n2, n1 + n2 AS n, 2 * n1 * n2 AS a
+        FROM base
+    )
+    SELECT n AS n_months_used, n1 AS n_above, n2 AS n_below, r_runs,
+           {_RUNS_Z} AS z_score,
+           CASE WHEN (r_runs * n - n - a) * (r_runs * n - n - a) * (n - 1) * 10000
+                     > {_Z95_SQ_X1E4} * a * (a - n)
+                THEN 'non_random' ELSE 'random' END AS verdict
+    FROM stat
+    WHERE a > n
+    """,
+)
+def ext_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the monthly-revenue series: months
+    are classified above/below the (lower-median) monthly revenue
+    (median-equal months dropped, the standard treatment), the number of
+    sign runs R is compared against its randomness expectation
+    E[R] = 1 + 2 n1 n2 / n, and |z| > 1.96 flags the series as
+    non-random — the classic check that a KPI series has structure
+    (trend or oscillation) rather than noise, complementing
+    ext_mann_kendall (which only detects MONOTONE structure).
+
+    Determinism: R, n1, n2 are exact integers from the ordered grid;
+    z is one identical float sequence (correctly-rounded divisions and
+    one sqrt) on both engines, dround(6); the verdict is decided by the
+    exact integer cross-multiplication of
+    z^2 = (Rn - n - a)^2 (n - 1) / (a (a - n)) with a = 2 n1 n2 against
+    1.96^2 — no float at the threshold.
+
+    Note the run-counting shape: the LAG window yields n-1 comparison
+    rows, so the first month's sign re-enters via the rn = 1 row (base
+    adds it to n1/n2 and the +1 run seed) — both engines compute the
+    identical decomposition.
+
+    Scale shape: one corpus-scale month collapse; every window after it
+    is grid-sized (~84 rows). The median is an exact order statistic on
+    the grid."""
+    li = load(spark, sf_dir, "lineitem")
+    m = (
+        li.select(
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("x"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("x")
+        .agg(F.sum("c").cast("bigint").alias("y"))
+        .localCheckpoint(eager=False)  # grid feeds median AND sign series
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    med = (
+        m.withColumn("rn", F.row_number().over(Window.orderBy("y", "x")))
+        .withColumn("nm", F.count(F.lit(1)).over(w_all).cast("bigint"))
+        .filter(F.col("rn") == F.floor((F.col("nm") + 1) / 2.0).cast("bigint"))
+        .select(F.col("y").alias("med"))
+    )
+    sgn = (
+        m.crossJoin(F.broadcast(med))
+        .filter(F.col("y") != F.col("med"))
+        .select("x", F.when(F.col("y") > F.col("med"), 1).otherwise(0).alias("s"))
+        .localCheckpoint(eager=False)  # feeds the lag series AND the first-row seed
+    )
+    lagged = sgn.withColumn("prev", F.lag("s").over(Window.orderBy("x")))
+    runs = lagged.filter(F.col("prev").isNotNull()).agg(
+        (1 + F.sum(F.when(F.col("s") != F.col("prev"), 1).otherwise(0)))
+        .cast("bigint")
+        .alias("r_runs"),
+        F.sum("s").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("s")).cast("bigint").alias("n2"),
+    )
+    first = (
+        sgn.withColumn("rn", F.row_number().over(Window.orderBy("x")))
+        .filter(F.col("rn") == 1)
+        .select(F.col("s").alias("fs"))
+    )
+    stat = runs.crossJoin(F.broadcast(first)).select(
+        F.col("r_runs").alias("r_runs"),
+        (F.col("n1") + F.col("fs")).alias("n1"),
+        (F.col("n2") + (1 - F.col("fs"))).alias("n2"),
+    )
+    stat = stat.withColumn("n", F.col("n1") + F.col("n2")).withColumn(
+        "a", 2 * F.col("n1") * F.col("n2")
+    )
+    z = (
+        F.col("r_runs") - (F.lit(1.0) + F.col("a") / F.col("n").cast("double"))
+    ) / F.sqrt(
+        F.col("a").cast("double")
+        * (F.col("a") - F.col("n"))
+        / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+    )
+    q = (F.col("r_runs") * F.col("n") - F.col("n") - F.col("a"))
+    return stat.filter(F.col("a") > F.col("n")).select(
+        F.col("n").alias("n_months_used"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        "r_runs",
+        F.round(z, 6).alias("z_score"),
+        F.when(
+            q * q * (F.col("n") - 1) * 10000
+            > _Z95_SQ_X1E4 * F.col("a") * (F.col("a") - F.col("n")),
+            F.lit("non_random"),
+        )
+        .otherwise(F.lit("random"))
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_littles_law — time-weighted average concurrency per day (Little's law)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_littles_law",
+    f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > INTERVAL {BOUNCE_GAP_MIN} MINUTE
+                    OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM marked
+    ), spans AS (
+        SELECT user_id, session_id,
+               epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us,
+               CAST(MIN(ts) AS DATE) AS s_day, CAST(MAX(ts) AS DATE) AS e_day
+        FROM sess GROUP BY 1, 2
+    ), exploded AS (
+        SELECT s_us, e_us, s_day,
+               CAST(UNNEST(generate_series(CAST(s_day AS TIMESTAMP),
+                                           CAST(e_day AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM spans
+    ), clipped AS (
+        SELECT day,
+               LEAST(e_us, epoch_us(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY))
+               - GREATEST(s_us, epoch_us(CAST(day AS TIMESTAMP))) AS busy_us,
+               CASE WHEN day = s_day THEN 1 ELSE 0 END AS started,
+               CASE WHEN day = s_day THEN e_us - s_us ELSE 0 END AS dur_us
+        FROM exploded
+    )
+    SELECT day,
+           CAST(SUM(started) AS BIGINT) AS n_sessions_started,
+           CAST(SUM(busy_us) AS BIGINT) AS busy_us,
+           {dround("SUM(busy_us) / 86400000000.0", 6)} AS avg_concurrency,
+           {dround("SUM(started) / 24.0", 6)} AS arrivals_per_hour,
+           {_LL_W} AS avg_session_seconds
+    FROM clipped
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def ext_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's-law operating report per day: time-weighted average
+    session concurrency L (total clipped busy-seconds / 86400), the
+    arrival rate lambda (sessions started per hour) and the average
+    session duration W — the L = lambda * W triple every capacity plan
+    starts from, and the time-INTEGRAL companion to
+    ext_peak_concurrency's max (same {BOUNCE_GAP_MIN}-min-gap
+    sessionization, scale_ops.py).
+
+    Sessions are closed intervals (MIN ts .. MAX ts, zero-length when a
+    session has one event); busy time is clipped per calendar day by
+    exploding each span over the days it overlaps, so a midnight-
+    crossing session contributes exactly its within-day microseconds to
+    each day.
+
+    Determinism: all clipping happens in exact integer microseconds
+    (Spark unix_micros vs DuckDB epoch_us — the established exact
+    integer-time discipline); every reported float is a ratio of exact
+    integers, dround(6).
+
+    Scale shape: sessionization is the user-partitioned lag/cumsum pair
+    (one shuffle on user_id); the day explode fans out only to the
+    number of days a session touches (~1 for {BOUNCE_GAP_MIN}-min-gap
+    sessions); the per-day aggregate partial-aggregates map-side onto
+    ~#days keys."""
+    ev = load(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_lag))
+                > BOUNCE_GAP_MIN * 60 * 1_000_000
+            )
+            | F.lag("ts").over(w_lag).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = marked.withColumn("session_id", F.sum("is_start").over(w_run))
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.unix_micros(F.min("ts")).alias("s_us"),
+        F.unix_micros(F.max("ts")).alias("e_us"),
+        F.min("ts").cast("date").alias("s_day"),
+        F.max("ts").cast("date").alias("e_day"),
+    )
+    clipped = (
+        spans.withColumn(
+            "day", F.explode(F.sequence("s_day", "e_day", F.expr("interval 1 day")))
+        )
+        .select(
+            "day",
+            (
+                F.least(
+                    F.col("e_us"),
+                    F.unix_micros(
+                        F.col("day").cast("timestamp") + F.expr("interval 1 day")
+                    ),
+                )
+                - F.greatest(
+                    F.col("s_us"), F.unix_micros(F.col("day").cast("timestamp"))
+                )
+            ).alias("busy_us"),
+            F.when(F.col("day") == F.col("s_day"), 1).otherwise(0).alias("started"),
+            F.when(F.col("day") == F.col("s_day"), F.col("e_us") - F.col("s_us"))
+            .otherwise(F.lit(0))
+            .alias("dur_us"),
+        )
+    )
+    return (
+        clipped.groupBy("day")
+        .agg(
+            F.sum("started").cast("bigint").alias("n_sessions_started"),
+            F.sum("busy_us").cast("bigint").alias("busy_us"),
+            F.round(F.sum("busy_us") / 86400000000.0, 6).alias("avg_concurrency"),
+            F.round(F.sum("started") / 24.0, 6).alias("arrivals_per_hour"),
+            F.round(
+                F.when(
+                    F.sum("started") > 0,
+                    F.sum("dur_us") / (F.sum("started") * 1000000.0),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("avg_session_seconds"),
+        )
+        .orderBy("day")
+    )
