@@ -187,6 +187,10 @@ HEADLINE = [
     "ext_theilsen_trend",
     "ext_stickiness_dau_mau",
     "ext_graph_assortativity",
+    "ext_mann_kendall",
+    "ext_spearman_corr",
+    "ext_runs_test",
+    "ext_littles_law",
 ]
 
 
