@@ -683,7 +683,8 @@ def ext_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type", "value",
         F.when(
             prev_ts.isNull()
-            | (F.col("ts").cast("long") - prev_ts.cast("long") > ATTR_GAP_MIN * 60),
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+               > ATTR_GAP_MIN * 60 * 1_000_000),
             1,
         ).otherwise(0).alias("is_start"),
     )
@@ -3206,7 +3207,8 @@ def ext_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type",
         F.when(
             prev_ts.isNull()
-            | (F.col("ts").cast("long") - prev_ts.cast("long") > ATTR_GAP_MIN * 60),
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+               > ATTR_GAP_MIN * 60 * 1_000_000),
             1,
         ).otherwise(0).alias("is_start"),
     )

@@ -4821,7 +4821,8 @@ def ext_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id",
         F.when(
             prev_ts.isNull()
-            | (F.col("ts").cast("long") - prev_ts.cast("long") > BOUNCE_GAP_MIN * 60),
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+               > BOUNCE_GAP_MIN * 60 * 1_000_000),
             1,
         ).otherwise(0).alias("is_start"),
     )
@@ -5357,7 +5358,8 @@ def ext_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id",
         F.when(
             prev_ts.isNull()
-            | (F.col("ts").cast("long") - prev_ts.cast("long") > BOUNCE_GAP_MIN * 60),
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+               > BOUNCE_GAP_MIN * 60 * 1_000_000),
             1,
         ).otherwise(0).alias("is_start"),
     )
