@@ -664,3 +664,614 @@ def ext_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_croston_forecast — intermittent-demand forecasting (Croston's method)
+# ---------------------------------------------------------------------------
+
+CROSTON_L = 40  # SES truncation depth (terms below 2^-40 dropped), alpha = 1/2
+# ADI > 1.32 (x100 for exact integer compare) is the standard
+# Syntetos-Boylan boundary between smooth and intermittent demand.
+_ADI_X100 = 132
+
+_CR_Z = dround(f"CAST(CAST(z_lat AS VARCHAR) AS DOUBLE) / {float(2 ** CROSTON_L)}", 6)
+_CR_P = dround(f"CAST(CAST(p_lat AS VARCHAR) AS DOUBLE) / {float(2 ** CROSTON_L)}", 6)
+_CR_R = dround(
+    "CAST(CAST(z_lat AS VARCHAR) AS DOUBLE) / CAST(CAST(p_lat AS VARCHAR) AS DOUBLE)",
+    6,
+)
+
+
+@register(
+    "ext_croston_forecast",
+    f"""
+    WITH d AS (
+        SELECT l_partkey AS part,
+               CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS m,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2
+    ), r AS MATERIALIZED (
+        SELECT part, m, q,
+               ROW_NUMBER() OVER (PARTITION BY part ORDER BY m) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY part) AS BIGINT) AS k,
+               m - LAG(m) OVER (PARTITION BY part ORDER BY m) AS gap,
+               CAST(MIN(m) OVER (PARTITION BY part) AS BIGINT) AS m1,
+               CAST(MAX(m) OVER (PARTITION BY part) AS BIGINT) AS mk
+        FROM d
+    ), elig AS MATERIALIZED (
+        SELECT part, k FROM r
+        WHERE rn = 1 AND k >= 2 AND (mk - m1) * 100 > {_ADI_X100} * (k - 1)
+    ), zt AS (
+        SELECT r.part,
+               SUM(CAST(r.q AS HUGEINT)
+                   * (CAST(1 AS BIGINT) << CAST({CROSTON_L}
+                      - (CASE WHEN r.rn = 1 THEN e.k - 1
+                              ELSE e.k - r.rn + 1 END) AS INT))) AS z_lat
+        FROM r JOIN elig e USING (part)
+        WHERE (CASE WHEN r.rn = 1 THEN e.k - 1 ELSE e.k - r.rn + 1 END)
+              <= {CROSTON_L}
+        GROUP BY 1
+    ), pt AS (
+        SELECT r.part,
+               SUM(CAST(r.gap AS HUGEINT)
+                   * (CAST(1 AS BIGINT) << CAST({CROSTON_L}
+                      - (CASE WHEN r.rn = 2 THEN e.k - 2
+                              ELSE e.k - r.rn + 1 END) AS INT))) AS p_lat
+        FROM r JOIN elig e USING (part)
+        WHERE r.rn >= 2
+          AND (CASE WHEN r.rn = 2 THEN e.k - 2 ELSE e.k - r.rn + 1 END)
+              <= {CROSTON_L}
+        GROUP BY 1
+    )
+    SELECT z.part AS partkey, e.k AS n_demand_months,
+           {_CR_Z} AS croston_demand_units,
+           {_CR_P} AS croston_interval_months,
+           {_CR_R} AS croston_units_per_month
+    FROM zt z JOIN pt p ON p.part = z.part JOIN elig e ON e.part = z.part
+    ORDER BY p_lat DESC, z_lat DESC, partkey
+    LIMIT 25
+    """,
+)
+def ext_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand: per part, SES
+    (alpha = 1/2, the ext_ses_forecast dyadic lattice) over the NONZERO
+    monthly demand sizes and separately over the inter-demand intervals;
+    the demand rate forecast is their ratio — the standard forecaster
+    for sparse/spiky series where plain SES systematically undershoots
+    (Croston 1972). Parts qualify as intermittent when their average
+    demand interval exceeds 1.32 months (the Syntetos-Boylan cutoff,
+    checked as the exact integer cross-multiplication
+    (span * 100 > 132 * (K-1))). Reports the 25 slowest movers (largest
+    smoothed interval; exact-lattice descending order, part tiebreak).
+
+    Determinism: both smoothed levels live on the 2^{CROSTON_L} integer
+    lattice (alpha = 1/2 makes every SES weight a power of two; terms
+    below 2^-{CROSTON_L} are dropped on both engines identically);
+    128-bit sums convert through Spark's correctly-rounded
+    decimal->double and DuckDB's VARCHAR->double; the rate is a ratio
+    of identical 128-bit integers; top-25 ordering compares exact
+    lattice integers, never floats.
+
+    Scale shape: one corpus-scale (part, month) collapse; every window
+    after it is partitioned BY PART (bounded by #months per part); the
+    SES "unroll" here is a plain per-part weighted aggregate (the
+    weight depends only on rn and K — no term explode at all, unlike
+    the per-month ext_ses_forecast); top-25 is TakeOrdered, not a
+    global sort."""
+    li = load(spark, sf_dir, "lineitem")
+    d = (
+        li.select(
+            F.col("l_partkey").alias("part"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("m"),
+            F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+        )
+        .groupBy("part", "m")
+        .agg(F.sum("q").cast("bigint").alias("q"))
+    )
+    w = Window.partitionBy("part").orderBy("m")
+    w_all = Window.partitionBy("part")
+    r = d.select(
+        "part",
+        "m",
+        "q",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("k"),
+        (F.col("m") - F.lag("m").over(w)).alias("gap"),
+        F.min("m").over(w_all).cast("bigint").alias("m1"),
+        F.max("m").over(w_all).cast("bigint").alias("mk"),
+    ).localCheckpoint(eager=False)  # windowed grid feeds elig, zt AND pt
+    elig = r.filter(
+        (F.col("rn") == 1)
+        & (F.col("k") >= 2)
+        & ((F.col("mk") - F.col("m1")) * 100 > _ADI_X100 * (F.col("k") - 1))
+    ).select("part", "k")
+    e_z = F.when(F.col("rn") == 1, F.col("k") - 1).otherwise(
+        F.col("k") - F.col("rn") + 1
+    )
+    zt = (
+        r.drop("k")
+        .join(elig, "part")
+        .withColumn("e", e_z)
+        .filter(F.col("e") <= CROSTON_L)
+        .groupBy("part")
+        .agg(
+            F.sum(
+                F.col("q").cast("decimal(38,0)")
+                * F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({CROSTON_L} - e AS INT))"
+                )
+            ).alias("z_lat")
+        )
+    )
+    e_p = F.when(F.col("rn") == 2, F.col("k") - 2).otherwise(
+        F.col("k") - F.col("rn") + 1
+    )
+    pt = (
+        r.drop("k")
+        .join(elig, "part")
+        .filter(F.col("rn") >= 2)
+        .withColumn("e", e_p)
+        .filter(F.col("e") <= CROSTON_L)
+        .groupBy("part")
+        .agg(
+            F.sum(
+                F.col("gap").cast("decimal(38,0)")
+                * F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({CROSTON_L} - e AS INT))"
+                )
+            ).alias("p_lat")
+        )
+    )
+    scale = float(2 ** CROSTON_L)
+    return (
+        zt.join(pt, "part")
+        .join(elig, "part")
+        .orderBy(F.col("p_lat").desc(), F.col("z_lat").desc(), F.col("part"))
+        .limit(25)
+        .select(
+            F.col("part").alias("partkey"),
+            F.col("k").alias("n_demand_months"),
+            F.round(F.col("z_lat").cast("double") / scale, 6).alias(
+                "croston_demand_units"
+            ),
+            F.round(F.col("p_lat").cast("double") / scale, 6).alias(
+                "croston_interval_months"
+            ),
+            F.round(
+                F.col("z_lat").cast("double") / F.col("p_lat").cast("double"), 6
+            ).alias("croston_units_per_month"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_cramers_v — categorical association matrix across column pairs
+# ---------------------------------------------------------------------------
+
+_CV_CHI2 = dround("SUM(units) / 1000000000.0", 6)
+_CV_V = dround(
+    """sqrt((SUM(units) / 1000000000.0)
+       / (MAX(n) * LEAST(MAX(nr) - 1, MAX(nc) - 1)))""",
+    6,
+)
+
+
+@register(
+    "ext_cramers_v",
+    f"""
+    WITH raw AS (
+        SELECT 'returnflag_x_linestatus' AS pair, l_returnflag AS a,
+               l_linestatus AS b
+        FROM lineitem
+        UNION ALL
+        SELECT 'brand_x_type', p_brand, p_type FROM part
+        UNION ALL
+        SELECT 'orderpriority_x_orderstatus', o_orderpriority, o_orderstatus
+        FROM orders
+        UNION ALL
+        SELECT 'mktsegment_x_nation', c.c_mktsegment, n.n_name
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), g AS (
+        SELECT pair, a, b, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM raw GROUP BY 1, 2, 3
+    ), t AS MATERIALIZED (
+        SELECT pair, a, b, obs,
+               CAST(SUM(obs) OVER (PARTITION BY pair, a) AS BIGINT) AS rt,
+               CAST(SUM(obs) OVER (PARTITION BY pair, b) AS BIGINT) AS ct,
+               CAST(SUM(obs) OVER (PARTITION BY pair) AS BIGINT) AS n
+        FROM g
+    ), dims AS (
+        SELECT pair, CAST(COUNT(DISTINCT a) AS BIGINT) AS nr,
+               CAST(COUNT(DISTINCT b) AS BIGINT) AS nc
+        FROM g GROUP BY 1
+    ), u AS (
+        SELECT t.pair, t.n, d.nr, d.nc,
+               CAST(ROUND(
+                   (t.obs - (t.rt * t.ct) * 1.0 / t.n)
+                   * (t.obs - (t.rt * t.ct) * 1.0 / t.n)
+                   / ((t.rt * t.ct) * 1.0 / t.n) * 1000000000.0
+               ) AS BIGINT) AS units
+        FROM t JOIN dims d ON d.pair = t.pair
+    )
+    SELECT pair, MAX(n) AS n, MAX(nr) AS n_rows, MAX(nc) AS n_cols,
+           (MAX(nr) - 1) * (MAX(nc) - 1) AS dof,
+           {_CV_CHI2} AS chi2,
+           {_CV_V} AS cramers_v
+    FROM u
+    GROUP BY pair
+    ORDER BY pair
+    """,
+)
+def ext_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association matrix: Cramér's V (with the underlying
+    chi-square) for five column pairs at once — the screen a feature
+    platform runs over ALL candidate categorical pairs to find
+    redundant/entangled dimensions, generalizing
+    ext_chi2_independence's single pair to a stacked multi-pair pass.
+
+    Determinism: the ext_drift_psi / ext_chi2_independence discipline —
+    counts and marginals are exact BIGINTs, each cell's (o-e)^2/e is
+    frozen to integer nano-units BEFORE the per-pair sum, and V derives
+    from the summed integer with one identical float sequence (divide,
+    divide, sqrt), dround(6).
+
+    Scale shape: the union stacks (pair, a, b) tuples and collapses
+    them in ONE map-side-combined aggregate to at most a few hundred
+    cells total; marginals are grid-sized windows partitioned by pair;
+    every scan reads only the two columns its pair needs (column
+    pruning per branch)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    raw = (
+        li.select(
+            F.lit("returnflag_x_linestatus").alias("pair"),
+            F.col("l_returnflag").alias("a"),
+            F.col("l_linestatus").alias("b"),
+        )
+        .unionByName(
+            p.select(
+                F.lit("brand_x_type").alias("pair"),
+                F.col("p_brand").alias("a"),
+                F.col("p_type").alias("b"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.lit("orderpriority_x_orderstatus").alias("pair"),
+                F.col("o_orderpriority").alias("a"),
+                F.col("o_orderstatus").alias("b"),
+            )
+        )
+        .unionByName(
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+                F.lit("mktsegment_x_nation").alias("pair"),
+                F.col("c_mktsegment").alias("a"),
+                F.col("n_name").alias("b"),
+            )
+        )
+    )
+    g = raw.groupBy("pair", "a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    ).localCheckpoint(eager=False)  # cell grid feeds marginals AND dims
+    t = g.select(
+        "pair",
+        "a",
+        "b",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("pair", "a")).cast("bigint").alias("rt"),
+        F.sum("obs").over(Window.partitionBy("pair", "b")).cast("bigint").alias("ct"),
+        F.sum("obs").over(Window.partitionBy("pair")).cast("bigint").alias("n"),
+    )
+    dims = g.groupBy("pair").agg(
+        F.countDistinct("a").cast("bigint").alias("nr"),
+        F.countDistinct("b").cast("bigint").alias("nc"),
+    )
+    e = (F.col("rt") * F.col("ct")) * 1.0 / F.col("n")
+    u = t.join(F.broadcast(dims), "pair").select(
+        "pair",
+        "n",
+        "nr",
+        "nc",
+        F.round((F.col("obs") - e) * (F.col("obs") - e) / e * 1000000000.0)
+        .cast("bigint")
+        .alias("units"),
+    )
+    return (
+        u.groupBy("pair")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("nr").alias("n_rows"),
+            F.max("nc").alias("n_cols"),
+            ((F.max("nr") - 1) * (F.max("nc") - 1)).alias("dof"),
+            F.round(F.sum("units") / 1000000000.0, 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    (F.sum("units") / 1000000000.0)
+                    / (F.max("n") * F.least(F.max("nr") - 1, F.max("nc") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+        .orderBy("pair")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_price_volume_mix — YoY revenue bridge per brand (price/volume split)
+# ---------------------------------------------------------------------------
+
+_PVM_VOL = dround("SUM(vol_mc) / 1000.0", 6)
+_PVM_PM = dround("SUM(pm_mc) / 1000.0", 6)
+
+
+@register(
+    "ext_price_volume_mix",
+    f"""
+    WITH yy AS MATERIALIZED (
+        SELECT CAST(MAX(year(l_shipdate)) AS BIGINT) AS y1 FROM lineitem
+    ), py AS MATERIALIZED (
+        SELECT p.p_brand AS brand, l.l_partkey AS part,
+               CAST(year(l.l_shipdate) AS BIGINT) AS yr, y.y1,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS rev,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        CROSS JOIN yy y
+        WHERE year(l.l_shipdate) >= y.y1 - 1
+        GROUP BY 1, 2, 3, 4
+    ), w AS MATERIALIZED (
+        SELECT brand, part,
+               CAST(COALESCE(MAX(CASE WHEN yr = y1 - 1 THEN rev END), 0)
+                    AS BIGINT) AS rev0,
+               CAST(COALESCE(MAX(CASE WHEN yr = y1 - 1 THEN q END), 0)
+                    AS BIGINT) AS q0,
+               CAST(COALESCE(MAX(CASE WHEN yr = y1 THEN rev END), 0)
+                    AS BIGINT) AS rev1,
+               CAST(COALESCE(MAX(CASE WHEN yr = y1 THEN q END), 0)
+                    AS BIGINT) AS q1
+        FROM py GROUP BY 1, 2
+    ), eff AS (
+        SELECT brand,
+               CASE WHEN q0 > 0 AND q1 > 0 THEN 1 ELSE 0 END AS both_yr,
+               rev1 - rev0 AS d_rev,
+               CASE WHEN q0 > 0 AND q1 > 0
+                    THEN CAST(FLOOR((q1 - q0) * rev0 * 1000.0 / q0 + 0.5)
+                              AS BIGINT) ELSE 0 END AS vol_mc,
+               CASE WHEN q0 > 0 AND q1 > 0
+                    THEN CAST(FLOOR((rev1 * q0 - rev0 * q1) * 1000.0 / q0 + 0.5)
+                              AS BIGINT) ELSE 0 END AS pm_mc,
+               CASE WHEN q0 = 0 THEN rev1 ELSE 0 END AS new_rev,
+               CASE WHEN q1 = 0 THEN rev0 ELSE 0 END AS disc_rev
+        FROM w
+    )
+    SELECT brand,
+           CAST(SUM(both_yr) AS BIGINT) AS n_parts_both,
+           CAST(SUM(d_rev) AS BIGINT) AS d_rev_cents,
+           {_PVM_VOL} AS volume_effect_cents,
+           {_PVM_PM} AS price_mix_effect_cents,
+           CAST(SUM(new_rev) AS BIGINT) AS new_parts_cents,
+           CAST(SUM(disc_rev) AS BIGINT) AS discontinued_cents
+    FROM eff
+    GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def ext_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue bridge per brand: the change in revenue
+    between the latest shipping year and the one before, decomposed per
+    part into a VOLUME effect ((q1-q0) * p0, valued at last year's unit
+    price) and a PRICE/MIX effect (q1 * (p1-p0) = (rev1*q0 - rev0*q1)/q0
+    — exact algebra, the two effects sum to d_rev for every part sold
+    in both years), plus the revenue of newly introduced and
+    discontinued parts — the finance price-volume-mix waterfall, at
+    part grain rolled to brand.
+
+    Determinism: per-part (year, revenue-cents, quantity) are exact
+    integers; each effect is frozen per part to integer MILLI-cents via
+    FLOOR(x + 0.5) — exact-floor plus one correctly-rounded addition,
+    bit-identical on both engines regardless of round() tie modes —
+    BEFORE the brand sum. Numerators stay below 2^53 while per-part
+    yearly revenue-cents x quantity < 2^43 (document bound: ~9 x 10^5
+    parts/brand-year at 100 TB still holds; no silent cap).
+
+    Scale shape: one corpus-scale (brand, part, year) collapse with the
+    year filter pushed to the scan (two years read, not seven); the
+    per-part pivot and effects are a second hash aggregate on
+    (brand, part); brand rollup is map-side combined onto ~25 keys."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    yy = li.agg(F.max(F.year("l_shipdate")).cast("bigint").alias("y1"))
+    py = (
+        li.join(F.broadcast(yy))
+        .filter(F.year("l_shipdate") >= F.col("y1") - 1)
+        .join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_partkey").alias("part"),
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+            "y1",
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    w = py.groupBy("brand", "part").agg(
+        F.coalesce(
+            F.max(F.when(F.col("yr") == F.col("y1") - 1, F.col("rev"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("rev0"),
+        F.coalesce(
+            F.max(F.when(F.col("yr") == F.col("y1") - 1, F.col("q"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("q0"),
+        F.coalesce(F.max(F.when(F.col("yr") == F.col("y1"), F.col("rev"))), F.lit(0))
+        .cast("bigint")
+        .alias("rev1"),
+        F.coalesce(F.max(F.when(F.col("yr") == F.col("y1"), F.col("q"))), F.lit(0))
+        .cast("bigint")
+        .alias("q1"),
+    )
+    both = (F.col("q0") > 0) & (F.col("q1") > 0)
+    eff = w.select(
+        "brand",
+        F.when(both, 1).otherwise(0).alias("both_yr"),
+        (F.col("rev1") - F.col("rev0")).alias("d_rev"),
+        F.when(
+            both,
+            F.floor(
+                (F.col("q1") - F.col("q0")) * F.col("rev0") * 1000.0 / F.col("q0")
+                + 0.5
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("vol_mc"),
+        F.when(
+            both,
+            F.floor(
+                (F.col("rev1") * F.col("q0") - F.col("rev0") * F.col("q1"))
+                * 1000.0
+                / F.col("q0")
+                + 0.5
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("pm_mc"),
+        F.when(F.col("q0") == 0, F.col("rev1")).otherwise(F.lit(0)).alias("new_rev"),
+        F.when(F.col("q1") == 0, F.col("rev0")).otherwise(F.lit(0)).alias("disc_rev"),
+    )
+    return (
+        eff.groupBy("brand")
+        .agg(
+            F.sum("both_yr").cast("bigint").alias("n_parts_both"),
+            F.sum("d_rev").cast("bigint").alias("d_rev_cents"),
+            F.round(F.sum("vol_mc") / 1000.0, 6).alias("volume_effect_cents"),
+            F.round(F.sum("pm_mc") / 1000.0, 6).alias("price_mix_effect_cents"),
+            F.sum("new_rev").cast("bigint").alias("new_parts_cents"),
+            F.sum("disc_rev").cast("bigint").alias("discontinued_cents"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_qq_points — Q-Q comparison of order-value distributions (F vs O)
+# ---------------------------------------------------------------------------
+
+_QQ_RATIO = dround(
+    "MAX(CASE WHEN st = 'F' THEN qv END) * 1.0"
+    " / MAX(CASE WHEN st = 'O' THEN qv END)",
+    6,
+)
+
+
+@register(
+    "ext_qq_points",
+    f"""
+    WITH v AS (
+        SELECT o_orderstatus AS st,
+               CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0)
+                    AS BIGINT) AS d
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), g AS MATERIALIZED (
+        SELECT st, d, CAST(COUNT(*) AS BIGINT) AS cnt,
+               SUM(CAST(COUNT(*) AS BIGINT)) OVER (
+                   PARTITION BY st ORDER BY d ROWS UNBOUNDED PRECEDING
+               ) AS cum,
+               CAST(SUM(COUNT(*)) OVER (PARTITION BY st) AS BIGINT) AS n
+        FROM v GROUP BY 1, 2
+    ), ps AS (
+        SELECT CAST(UNNEST(generate_series(5, 95, 5)) AS BIGINT) AS p
+    ), q AS (
+        SELECT ps.p, g.st, CAST(MIN(g.d) AS BIGINT) AS qv
+        FROM ps JOIN g ON g.cum * 100 >= ps.p * g.n
+        GROUP BY 1, 2
+    )
+    SELECT p AS percentile,
+           MAX(CASE WHEN st = 'F' THEN qv END) AS q_f_dollars,
+           MAX(CASE WHEN st = 'O' THEN qv END) AS q_o_dollars,
+           {_QQ_RATIO} AS qq_ratio
+    FROM q
+    GROUP BY p
+    ORDER BY p
+    """,
+)
+def ext_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q comparison of fulfilled ('F') vs open ('O') order-value
+    distributions: the exact lower empirical quantile (type-1, smallest
+    value whose cumulative count reaches ceil(p*n/100)) of each group at
+    the 5%..95% grid, paired per percentile with their ratio — the
+    distribution-shift diagnostic that SHOWS WHERE two distributions
+    diverge, complementing ext_two_sample_ks's single max-gap number.
+
+    Determinism: order values are quantized to exact whole dollars
+    (FLOOR of exact cents/100); quantiles are exact order statistics
+    selected by the integer cross-multiplication cum*100 >= p*n (never
+    interpolated — the percentile-interpolation trap is structurally
+    avoided); the ratio is a ratio of exact integers, dround(6).
+
+    Scale shape: the cumulative window runs on the COLLAPSED
+    (status, dollar) grid — bounded by the value range, not the order
+    count; the 19-row percentile grid broadcast-joins against it; the
+    per-(p, status) MIN is a tiny aggregate."""
+    o = load(spark, sf_dir, "orders")
+    v = o.filter(F.col("o_orderstatus").isin("F", "O")).select(
+        F.col("o_orderstatus").alias("st"),
+        F.floor(F.round(F.col("o_totalprice") * 100).cast("bigint") / 100.0)
+        .cast("bigint")
+        .alias("d"),
+    )
+    w_cum = (
+        Window.partitionBy("st")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = (
+        v.groupBy("st", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn(
+            "n", F.sum("cnt").over(Window.partitionBy("st")).cast("bigint")
+        )
+    )
+    ps = spark.range(1, 20).select((F.col("id") * 5).cast("bigint").alias("p"))
+    q = (
+        g.join(F.broadcast(ps), F.col("cum") * 100 >= F.col("p") * F.col("n"))
+        .groupBy("p", "st")
+        .agg(F.min("d").cast("bigint").alias("qv"))
+    )
+    return (
+        q.groupBy("p")
+        .agg(
+            F.max(F.when(F.col("st") == "F", F.col("qv"))).alias("q_f_dollars"),
+            F.max(F.when(F.col("st") == "O", F.col("qv"))).alias("q_o_dollars"),
+            F.round(
+                F.max(F.when(F.col("st") == "F", F.col("qv"))) * 1.0
+                / F.max(F.when(F.col("st") == "O", F.col("qv"))),
+                6,
+            ).alias("qq_ratio"),
+        )
+        .select(
+            F.col("p").alias("percentile"),
+            "q_f_dollars",
+            "q_o_dollars",
+            "qq_ratio",
+        )
+        .orderBy("percentile")
+    )
