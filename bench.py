@@ -191,6 +191,10 @@ HEADLINE = [
     "ext_spearman_corr",
     "ext_runs_test",
     "ext_littles_law",
+    "ext_croston_forecast",
+    "ext_cramers_v",
+    "ext_price_volume_mix",
+    "ext_qq_points",
 ]
 
 
