@@ -1275,3 +1275,424 @@ def ext_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("percentile")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_backlog_aging — open-order aging buckets as of the data horizon
+# ---------------------------------------------------------------------------
+
+_BA_SHARE = dround(
+    "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) * 1.0"
+    " / MAX(tot.total_cents)",
+    6,
+)
+
+
+@register(
+    "ext_backlog_aging",
+    f"""
+    WITH horizon AS MATERIALIZED (
+        SELECT MAX(o_orderdate) AS h FROM orders
+    ), open_o AS MATERIALIZED (
+        SELECT o.o_orderpriority AS priority,
+               CASE WHEN date_diff('day', o.o_orderdate, hz.h) <= 30 THEN '0_030d'
+                    WHEN date_diff('day', o.o_orderdate, hz.h) <= 90 THEN '1_031_090d'
+                    WHEN date_diff('day', o.o_orderdate, hz.h) <= 180 THEN '2_091_180d'
+                    WHEN date_diff('day', o.o_orderdate, hz.h) <= 365 THEN '3_181_365d'
+                    ELSE '4_over_1y' END AS age_bucket,
+               o.o_totalprice
+        FROM orders o CROSS JOIN horizon hz
+        WHERE o.o_orderstatus IN ('O', 'P')
+    ), tot AS (
+        SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+        FROM open_o
+    )
+    SELECT priority, age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS backlog_cents,
+           {_BA_SHARE} AS backlog_share
+    FROM open_o CROSS JOIN tot
+    GROUP BY priority, age_bucket, tot.total_cents
+    ORDER BY priority, age_bucket
+    """,
+)
+def ext_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: every order still open or partially
+    fulfilled ('O'/'P') bucketed by its age at the data horizon (the
+    max order date), crossed with order priority — count, backlog value
+    and share of total backlog per cell. The operations report that
+    answers "how much old demand is sitting unfulfilled, and is any of
+    it urgent?".
+
+    Determinism: ages are exact integer day diffs against the exact MAX
+    horizon; bucket edges are integer compares; money is exact cents;
+    the share is a ratio of exact integers, dround(6).
+
+    Scale shape: the status filter pushes to the scan; the horizon is a
+    1-row broadcast; the aggregate map-side-combines onto <=25
+    (priority, bucket) cells. No corpus-scale shuffle beyond the one
+    aggregate."""
+    o = load(spark, sf_dir, "orders")
+    hz = o.agg(F.max("o_orderdate").alias("h"))
+    age = F.datediff(F.col("h"), F.col("o_orderdate"))
+    open_o = (
+        o.filter(F.col("o_orderstatus").isin("O", "P"))
+        .join(F.broadcast(hz))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.when(age <= 30, "0_030d")
+            .when(age <= 90, "1_031_090d")
+            .when(age <= 180, "2_091_180d")
+            .when(age <= 365, "3_181_365d")
+            .otherwise("4_over_1y")
+            .alias("age_bucket"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .localCheckpoint(eager=False)  # feeds the cell aggregate AND the total
+    )
+    tot = open_o.agg(F.sum("cents").cast("bigint").alias("total_cents"))
+    return (
+        open_o.join(F.broadcast(tot))
+        .groupBy("priority", "age_bucket", "total_cents")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("backlog_cents"),
+        )
+        .select(
+            "priority",
+            "age_bucket",
+            "n_orders",
+            "backlog_cents",
+            F.round(F.col("backlog_cents") * 1.0 / F.col("total_cents"), 6).alias(
+                "backlog_share"
+            ),
+        )
+        .orderBy("priority", "age_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_new_vs_returning — monthly order mix by customer tenure
+# ---------------------------------------------------------------------------
+
+_NVR_SHARE = dround("SUM(CASE WHEN is_new = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)", 6)
+
+
+@register(
+    "ext_new_vs_returning",
+    f"""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), first_m AS MATERIALIZED (
+        SELECT o_custkey, MIN(month) AS first_month FROM o GROUP BY 1
+    ), tagged AS (
+        SELECT o.month,
+               CASE WHEN o.month = f.first_month THEN 1 ELSE 0 END AS is_new,
+               o.cents
+        FROM o JOIN first_m f ON f.o_custkey = o.o_custkey
+    )
+    SELECT month,
+           CAST(SUM(CASE WHEN is_new = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_cust_orders,
+           CAST(SUM(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_orders,
+           CAST(SUM(CASE WHEN is_new = 1 THEN cents ELSE 0 END) AS BIGINT)
+               AS new_cust_cents,
+           CAST(SUM(CASE WHEN is_new = 0 THEN cents ELSE 0 END) AS BIGINT)
+               AS returning_cents,
+           {_NVR_SHARE} AS new_order_share
+    FROM tagged
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def ext_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly new-vs-returning order mix: each order is tagged by
+    whether its month is the ordering customer's FIRST month, and each
+    month reports order counts, revenue and the new-order share — the
+    top-of-dashboard growth-accounting split (ext_revenue_waterfall
+    explains the revenue delta; this explains WHO drove it).
+
+    Determinism: first months are exact MINs; tags are integer
+    compares; money is exact cents; the share is a ratio of exact
+    integers, dround(6).
+
+    Scale shape: one (custkey, month) collapse for first months, one
+    shuffle join back on custkey (both sides partial-aggregate
+    map-side), then a map-side-combined rollup onto ~#months keys. At
+    100 TB the custkey join is the only corpus-scale shuffle and it
+    carries three narrow columns."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first_m = o.groupBy("o_custkey").agg(F.min("month").alias("first_month"))
+    tagged = o.join(first_m, "o_custkey").select(
+        "month",
+        F.when(F.col("month") == F.col("first_month"), 1).otherwise(0).alias(
+            "is_new"
+        ),
+        "cents",
+    )
+    return (
+        tagged.groupBy("month")
+        .agg(
+            F.sum(F.when(F.col("is_new") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_cust_orders"),
+            F.sum(F.when(F.col("is_new") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_orders"),
+            F.sum(F.when(F.col("is_new") == 1, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("new_cust_cents"),
+            F.sum(F.when(F.col("is_new") == 0, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("returning_cents"),
+            F.round(
+                F.sum(F.when(F.col("is_new") == 1, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("new_order_share"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_price_dispersion — per-part unit-price consistency screen
+# ---------------------------------------------------------------------------
+
+_PD_MEAN = dround("CAST(sx AS DOUBLE) / n / 1000.0", 6)
+_PD_CV = dround(
+    """sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                 AS VARCHAR) AS DOUBLE))
+       / CAST(sx AS DOUBLE)""",
+    6,
+)
+
+
+@register(
+    "ext_price_dispersion",
+    f"""
+    WITH u AS (
+        SELECT l_partkey AS part,
+               CAST(ROUND(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 10.0
+                          / CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS up_mc
+        FROM lineitem
+        WHERE CAST(ROUND(l_quantity) AS BIGINT) > 0
+    ), mom AS MATERIALIZED (
+        SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(up_mc) AS BIGINT) AS sx,
+               CAST(SUM(CAST(up_mc AS HUGEINT) * up_mc) AS HUGEINT) AS sxx
+        FROM u GROUP BY 1
+    ), scored AS MATERIALIZED (
+        SELECT part, n, sx, sxx,
+               CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS disp
+        FROM mom WHERE n >= 5 AND sx > 0
+    )
+    SELECT part AS partkey, n AS n_sales,
+           {_PD_MEAN} AS mean_unit_price_cents,
+           {_PD_CV} AS cv_unit_price
+    FROM scored
+    ORDER BY CAST(CAST(disp AS VARCHAR) AS DOUBLE)
+             / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) DESC, part
+    LIMIT 25
+    """,
+)
+def ext_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part unit-price dispersion screen: the coefficient of
+    variation of the realized unit price (extended price / quantity)
+    across a part's line items, reporting the 25 most price-inconsistent
+    parts — the pricing-governance check for discounting leakage and
+    data errors (a part selling at wildly different unit prices).
+
+    Determinism: unit prices are frozen per row to integer DECI-cents
+    (ROUND of cents*10/qty, a ratio of exact integers — the theilsen
+    slope discipline); moments are exact (second moment 128-bit);
+    n*sxx - sx^2 is exact 128-bit; CV converts through the correctly-
+    rounded VARCHAR->double path; the top-25 ordering compares
+    n-normalized dispersion by exact 128-bit integer DIVISION
+    (disp * 1e6 // sx^2) with part tiebreak — CV^2's n-scaling (same n
+    >= 5 floor applies to ties only via the integer quotient) never
+    consults a float.
+
+    Scale shape: one (part) aggregate with map-side combine; the rank
+    is TakeOrdered over #parts rows; no window anywhere."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    u = li.filter(qty > 0).select(
+        F.col("l_partkey").alias("part"),
+        F.round(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint") * 10.0 / qty
+        )
+        .cast("bigint")
+        .alias("up_mc"),
+    )
+    d = "decimal(38,0)"
+    mom = u.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("up_mc").cast("bigint").alias("sx"),
+        F.sum(F.col("up_mc").cast(d) * F.col("up_mc")).cast(d).alias("sxx"),
+    )
+    scored = mom.filter((F.col("n") >= 5) & (F.col("sx") > 0)).withColumn(
+        "disp",
+        (F.col("n").cast(d) * F.col("sxx") - F.col("sx").cast(d) * F.col("sx")).cast(
+            d
+        ),
+    )
+    rank_key = F.col("disp").cast("string").cast("double") / (
+        F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return (
+        scored.orderBy(rank_key.desc(), F.col("part"))
+        .limit(25)
+        .select(
+            F.col("part").alias("partkey"),
+            F.col("n").alias("n_sales"),
+            F.round(F.col("sx").cast("double") / F.col("n") / 1000.0, 6).alias(
+                "mean_unit_price_cents"
+            ),
+            F.round(
+                F.sqrt(F.col("disp").cast("string").cast("double"))
+                / F.col("sx").cast("double"),
+                6,
+            ).alias("cv_unit_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_value_band_migration — YoY customer spend-band transition matrix
+# ---------------------------------------------------------------------------
+
+# Band edges in exact cents: 1k$, 5k$, 20k$ annual spend.
+_VB_EDGES = (100_000, 500_000, 2_000_000)
+
+_VB_CASE_SQL = f"""CASE WHEN spend IS NULL OR spend = 0 THEN '0_none'
+         WHEN spend < {_VB_EDGES[0]} THEN '1_under_1k'
+         WHEN spend < {_VB_EDGES[1]} THEN '2_1k_5k'
+         WHEN spend < {_VB_EDGES[2]} THEN '3_5k_20k'
+         ELSE '4_over_20k' END"""
+
+_VB_SHARE = dround("COUNT(*) * 1.0 / MAX(tot.n_total)", 6)
+
+
+@register(
+    "ext_value_band_migration",
+    f"""
+    WITH yy AS MATERIALIZED (
+        SELECT CAST(MAX(year(o_orderdate)) AS BIGINT) AS y1 FROM orders
+    ), sp AS MATERIALIZED (
+        SELECT o.o_custkey AS cust, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS spend
+        FROM orders o CROSS JOIN yy y
+        WHERE year(o.o_orderdate) >= y.y1 - 1
+        GROUP BY 1, 2
+    ), piv AS MATERIALIZED (
+        SELECT sp.cust,
+               MAX(CASE WHEN sp.yr = y.y1 - 1 THEN sp.spend END) AS spend0,
+               MAX(CASE WHEN sp.yr = y.y1 THEN sp.spend END) AS spend1
+        FROM sp CROSS JOIN yy y
+        GROUP BY 1
+    ), banded AS MATERIALIZED (
+        SELECT cust,
+               {_VB_CASE_SQL.replace('spend', 'spend0')} AS band_from,
+               {_VB_CASE_SQL.replace('spend', 'spend1')} AS band_to,
+               COALESCE(spend1, 0) AS spend1_cents
+        FROM piv
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM banded
+    )
+    SELECT band_from, band_to,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(spend1_cents) AS BIGINT) AS to_year_cents,
+           {_VB_SHARE} AS customer_share
+    FROM banded CROSS JOIN tot
+    GROUP BY band_from, band_to
+    ORDER BY band_from, band_to
+    """,
+)
+def ext_value_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer value-band migration: every customer
+    active in either of the last two order years is assigned a spend
+    band per year (none / <1k / 1k-5k / 5k-20k / >20k dollars, exact
+    cent edges) and the transition matrix reports counts, destination-
+    year revenue and customer share per (from, to) cell — the
+    upsell/downgrade/churn picture behind ext_revenue_waterfall's
+    aggregate deltas, at band grain.
+
+    Determinism: yearly spends are exact cent sums; band edges are
+    exact integer compares (no float can sit on an edge); the share is
+    a ratio of exact integers, dround(6).
+
+    Scale shape: the two-year filter pushes to the scan; one
+    (cust, year) collapse, one (cust) pivot — both map-side combined —
+    then a rollup onto <=25 matrix cells. The only corpus-scale
+    shuffle key is custkey."""
+    o = load(spark, sf_dir, "orders")
+    yy = o.agg(F.max(F.year("o_orderdate")).cast("bigint").alias("y1"))
+    sp = (
+        o.join(F.broadcast(yy))
+        .filter(F.year("o_orderdate") >= F.col("y1") - 1)
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            "y1",
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("spend")
+        )
+    )
+    piv = sp.groupBy("cust").agg(
+        F.max(F.when(F.col("yr") == F.col("y1") - 1, F.col("spend"))).alias(
+            "spend0"
+        ),
+        F.max(F.when(F.col("yr") == F.col("y1"), F.col("spend"))).alias("spend1"),
+    )
+
+    def band(col: str):
+        c = F.col(col)
+        return (
+            F.when(c.isNull() | (c == 0), "0_none")
+            .when(c < _VB_EDGES[0], "1_under_1k")
+            .when(c < _VB_EDGES[1], "2_1k_5k")
+            .when(c < _VB_EDGES[2], "3_5k_20k")
+            .otherwise("4_over_20k")
+        )
+
+    banded = piv.select(
+        "cust",
+        band("spend0").alias("band_from"),
+        band("spend1").alias("band_to"),
+        F.coalesce(F.col("spend1"), F.lit(0)).alias("spend1_cents"),
+    ).localCheckpoint(eager=False)  # feeds the matrix AND the total
+    tot = banded.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        banded.join(F.broadcast(tot))
+        .groupBy("band_from", "band_to", "n_total")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("spend1_cents").cast("bigint").alias("to_year_cents"),
+        )
+        .select(
+            "band_from",
+            "band_to",
+            "n_customers",
+            "to_year_cents",
+            F.round(F.col("n_customers") * 1.0 / F.col("n_total"), 6).alias(
+                "customer_share"
+            ),
+        )
+        .orderBy("band_from", "band_to")
+    )
