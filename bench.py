@@ -195,6 +195,10 @@ HEADLINE = [
     "ext_cramers_v",
     "ext_price_volume_mix",
     "ext_qq_points",
+    "ext_backlog_aging",
+    "ext_new_vs_returning",
+    "ext_price_dispersion",
+    "ext_value_band_migration",
 ]
 
 
