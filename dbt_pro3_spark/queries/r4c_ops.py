@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import load
 from . import dround, register
+from .llm_ops import _TOKS_SQL
 from .scale_ops import BOUNCE_GAP_MIN
 
 # ---------------------------------------------------------------------------
@@ -1695,4 +1696,465 @@ def ext_value_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("band_from", "band_to")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_graph_kcore — bounded-round k-core peeling of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3  # the core order being peeled toward
+KCORE_ROUNDS = 5  # peeling rounds (bounded-budget contract, both engines)
+
+
+def _kcore_oracle() -> str:
+    lines = [
+        """
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        p = f"e{r - 1}"
+        lines.append(
+            f""", n{r} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT u AS node FROM {p} UNION ALL SELECT v FROM {p}
+        ) GROUP BY node HAVING COUNT(*) >= {KCORE_K}
+    ), e{r} AS MATERIALIZED (
+        SELECT e.u, e.v FROM {p} e
+        JOIN n{r} x ON x.node = e.u
+        JOIN n{r} y ON y.node = e.v
+    )"""
+        )
+    stats = "\n    UNION ALL\n".join(
+        f"""    SELECT {r} AS round,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM n{r}) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS n_edges"""
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    return "".join(lines) + f"\n{stats}\n    ORDER BY round\n"
+
+
+@register("ext_graph_kcore", _kcore_oracle())
+def ext_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round {K}-core peeling of the co-purchase graph
+    (k = KCORE_K, KCORE_ROUNDS rounds): each round drops nodes with
+    degree < k and the edges touching them, reporting surviving node
+    and edge counts per round — the dense-substructure extraction that
+    follows ext_graph_triangles/_assortativity (cores are where the
+    triangles live), with the same bounded-iteration contract as
+    ext_graph_label_prop (a fixed round budget is the honest
+    distributed form; full convergence is data-dependent).
+
+    Determinism: everything is exact integer counting on exact distinct
+    edges; no floats anywhere.
+
+    Scale shape: the edge list is basket-bounded (the l_orderkey
+    self-join); each round is one degree aggregate (map-side combined
+    on node id) plus two hash joins back to the edge list — all
+    shuffles keyed on node/edge ids; per-round results are
+    localCheckpointed so the plan stays linear in rounds, not
+    exponential. Cited parity anchor: /root/reference/models (no
+    graph ops in the reference; beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    stats = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionByName(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("node")
+        )
+        edges = (
+            edges.join(deg.withColumnRenamed("node", "u"), "u")
+            .join(deg.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)  # keep the peeling plan linear
+        )
+        n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        stats.append(
+            n_nodes.crossJoin(n_edges).select(
+                F.lit(r).alias("round"), "n_nodes", "n_edges"
+            )
+        )
+    out = stats[0]
+    for s_df in stats[1:]:
+        out = out.unionByName(s_df)
+    return out.orderBy("round")
+
+
+ext_graph_kcore.__doc__ = ext_graph_kcore.__doc__.replace("{K}", str(KCORE_K))
+
+
+# ---------------------------------------------------------------------------
+# ext_text_heaps_law — vocabulary-growth (Heaps' law) fit over the corpus
+# ---------------------------------------------------------------------------
+
+# Doc-count checkpoints: powers of two (filtered to <= corpus size at run
+# time), so both engines see the identical grid at any sf.
+_HEAPS_CHECKPOINTS = [2 ** j for j in range(4, 21)]
+
+_HEAPS_BETA = dround(
+    """CAST(CAST(np * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(np * sxx - sx * sx AS VARCHAR) AS DOUBLE)""",
+    6,
+)
+_HEAPS_ICPT = dround(
+    """(CAST(sy AS DOUBLE) - (CAST(CAST(np * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(np * sxx - sx * sx AS VARCHAR) AS DOUBLE)) * CAST(sx AS DOUBLE))
+       / np / 1000000000.0""",
+    6,
+)
+
+
+@register(
+    "ext_text_heaps_law",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({_TOKS_SQL.replace("text", "d.text")}) AS tok
+        FROM documents d
+    ), first_doc AS MATERIALIZED (
+        SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS fd FROM toks GROUP BY 1
+    ), nd AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), cps AS MATERIALIZED (
+        SELECT c FROM (
+            SELECT UNNEST(ARRAY{_HEAPS_CHECKPOINTS}) AS c
+        ) CROSS JOIN nd WHERE c <= nd.n_docs
+    ), pts AS MATERIALIZED (
+        SELECT cp.c,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id < cp.c)
+                   AS n_c,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM first_doc WHERE fd < cp.c)
+                   AS v_c
+        FROM cps cp
+    ), lp AS (
+        SELECT CAST(ROUND(ln(n_c) * 1000000000.0) AS BIGINT) AS x_n,
+               CAST(ROUND(ln(v_c) * 1000000000.0) AS BIGINT) AS y_n
+        FROM pts WHERE n_c > 0 AND v_c > 0
+    ), mom AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS np,
+               CAST(SUM(CAST(x_n AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(y_n AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x_n AS HUGEINT) * y_n) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x_n AS HUGEINT) * x_n) AS HUGEINT) AS sxx
+        FROM lp
+    )
+    SELECT CAST(np AS BIGINT) AS n_checkpoints,
+           {_HEAPS_BETA} AS heaps_beta,
+           {_HEAPS_ICPT} AS heaps_ln_k
+    FROM mom
+    """,
+)
+def ext_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(n) ~ K * n^beta, fitted by
+    log-log OLS over doc-count checkpoints (powers of two up to the
+    corpus size) — the corpus-statistics dial that tells a pipeline how
+    fast the token vocabulary will keep growing at 100x the data (beta
+    near 0.5 = healthy natural text; near 1 = ID-like noise flooding
+    the vocab).
+
+    The checkpoint trick: V at EVERY checkpoint comes from ONE pass —
+    each token's first-occurrence doc id (MIN doc_id) is computed once,
+    and V(c) is just a count of first_doc < c; no per-checkpoint corpus
+    rescan.
+
+    Determinism: checkpoint counts are exact integers; ln() values are
+    frozen per checkpoint to integer nano-units (the ext_drift_psi
+    ln discipline — identical int inputs, one correctly-rounded-enough
+    libm call, nano rounding absorbs last-ulp drift) BEFORE the
+    <=17-row OLS moments, which are exact 128-bit integers; slope and
+    intercept are ratios through the VARCHAR->double path, dround(6).
+
+    Scale shape: one token explode + (token) MIN aggregate (map-side
+    combined), then checkpoint counting on the token-type table; the
+    OLS runs on <=17 rows."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias(
+            "tok"
+        ),
+    )
+    first_doc = toks.groupBy("tok").agg(F.min("doc_id").cast("bigint").alias("fd"))
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    cps = (
+        spark.createDataFrame(
+            [(c,) for c in _HEAPS_CHECKPOINTS], "c bigint"
+        )
+        .join(F.broadcast(nd))
+        .filter(F.col("c") <= F.col("n_docs"))
+        .select("c")
+    )
+    n_c = (
+        docs.join(F.broadcast(cps), F.col("doc_id") < F.col("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+    )
+    v_c = (
+        first_doc.join(F.broadcast(cps), F.col("fd") < F.col("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v_c"))
+    )
+    pts = n_c.join(v_c, "c").filter((F.col("n_c") > 0) & (F.col("v_c") > 0))
+    lp = pts.select(
+        F.round(F.log(F.col("n_c")) * 1000000000.0).cast("bigint").alias("x_n"),
+        F.round(F.log(F.col("v_c")) * 1000000000.0).cast("bigint").alias("y_n"),
+    )
+    d = "decimal(38,0)"
+    mom = lp.agg(
+        F.count(F.lit(1)).cast(d).alias("np"),
+        F.sum(F.col("x_n").cast(d)).cast(d).alias("sx"),
+        F.sum(F.col("y_n").cast(d)).cast(d).alias("sy"),
+        F.sum((F.col("x_n").cast(d) * F.col("y_n")).cast(d)).cast(d).alias("sxy"),
+        F.sum((F.col("x_n").cast(d) * F.col("x_n")).cast(d)).cast(d).alias("sxx"),
+    )
+    num = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(d)
+    den = (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(d)
+    beta = num.cast("string").cast("double") / den.cast("string").cast("double")
+    return mom.select(
+        F.col("np").cast("bigint").alias("n_checkpoints"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(
+            (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+            / F.col("np")
+            / 1000000000.0,
+            6,
+        ).alias("heaps_ln_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_order_cycle_time — inter-purchase-time distribution (exact quantiles)
+# ---------------------------------------------------------------------------
+
+_OCT_MEAN = dround("MAX(s.total_days) * 1.0 / MAX(s.n_gaps)", 6)
+
+
+@register(
+    "ext_order_cycle_time",
+    f"""
+    WITH g AS (
+        SELECT CAST(date_diff('day',
+                   LAG(o_orderdate) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ), o_orderdate) AS BIGINT) AS gap_d
+        FROM orders
+    ), gaps AS MATERIALIZED (
+        SELECT gap_d FROM g WHERE gap_d IS NOT NULL
+    ), grid AS MATERIALIZED (
+        SELECT gap_d, CAST(COUNT(*) AS BIGINT) AS cnt,
+               SUM(CAST(COUNT(*) AS BIGINT)) OVER (
+                   ORDER BY gap_d ROWS UNBOUNDED PRECEDING
+               ) AS cum,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+        FROM gaps GROUP BY 1
+    ), ps AS (
+        SELECT CAST(UNNEST([25, 50, 75, 90]) AS BIGINT) AS p
+    ), q AS (
+        SELECT ps.p, CAST(MIN(grid.gap_d) AS BIGINT) AS days
+        FROM ps JOIN grid ON grid.cum * 100 >= ps.p * grid.n
+        GROUP BY 1
+    ), s AS (
+        SELECT CAST(SUM(gap_d) AS BIGINT) AS total_days,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps
+        FROM gaps
+    )
+    SELECT q.p AS percentile, q.days AS gap_days,
+           {_OCT_MEAN} AS mean_gap_days
+    FROM q CROSS JOIN s
+    GROUP BY q.p, q.days
+    ORDER BY percentile
+    """,
+)
+def ext_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cycle time: the exact p25/p50/p75/p90 of the
+    days-between-consecutive-orders distribution (per-customer gaps,
+    pooled), with the mean alongside — the replenishment-cadence
+    numbers behind reorder campaigns and churn-risk windows
+    (ext_customer_rfm scores recency; this calibrates what "overdue"
+    means).
+
+    Determinism: gaps are exact integer day diffs from per-customer lag
+    windows (orderkey tiebreak); quantiles are exact order statistics
+    selected by integer cross-multiplication on the collapsed day grid
+    (the ext_qq_points shape — never interpolated); the mean is a ratio
+    of exact integers, dround(6).
+
+    Scale shape: one custkey-partitioned lag window (bounded per
+    customer), then the (gap-day) grid collapse — bounded by the date
+    range, not the order count; the percentile probe is a 4-row
+    broadcast against the grid."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+            .cast("bigint")
+            .alias("gap_d")
+        )
+        .filter(F.col("gap_d").isNotNull())
+        .localCheckpoint(eager=False)  # feeds the grid AND the mean
+    )
+    w_cum = Window.orderBy("gap_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grid = (
+        gaps.groupBy("gap_d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn(
+            "n", F.sum("cnt").over(Window.partitionBy(F.lit(1))).cast("bigint")
+        )
+    )
+    ps = spark.createDataFrame([(25,), (50,), (75,), (90,)], "p bigint")
+    q = (
+        grid.join(F.broadcast(ps), F.col("cum") * 100 >= F.col("p") * F.col("n"))
+        .groupBy("p")
+        .agg(F.min("gap_d").cast("bigint").alias("days"))
+    )
+    s = gaps.agg(
+        F.sum("gap_d").cast("bigint").alias("total_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+    )
+    return (
+        q.crossJoin(F.broadcast(s))
+        .select(
+            F.col("p").alias("percentile"),
+            F.col("days").alias("gap_days"),
+            F.round(F.col("total_days") * 1.0 / F.col("n_gaps"), 6).alias(
+                "mean_gap_days"
+            ),
+        )
+        .orderBy("percentile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_window_funnel — time-bounded ordered funnel (signup -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW_DAYS = 7
+
+_WF_R1 = dround("SUM(CASE WHEN depth >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)", 6)
+_WF_R2 = dround(
+    """CASE WHEN SUM(CASE WHEN depth >= 2 THEN 1 ELSE 0 END) > 0
+            THEN SUM(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) * 1.0
+                 / SUM(CASE WHEN depth >= 2 THEN 1 ELSE 0 END)
+            ELSE 0.0 END""",
+    6,
+)
+
+
+@register(
+    "ext_window_funnel",
+    f"""
+    WITH s0 AS MATERIALIZED (
+        SELECT user_id, MIN(epoch_us(ts)) AS t0
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), s1 AS MATERIALIZED (
+        SELECT s0.user_id, s0.t0, MIN(epoch_us(e.ts)) AS t1
+        FROM s0 JOIN events e ON e.user_id = s0.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t0
+          AND epoch_us(e.ts) <= s0.t0 + {FUNNEL_WINDOW_DAYS} * 86400000000
+        GROUP BY 1, 2
+    ), s2 AS MATERIALIZED (
+        SELECT s1.user_id, MIN(epoch_us(e.ts)) AS t2
+        FROM s1 JOIN events e ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1
+          AND epoch_us(e.ts) <= s1.t0 + {FUNNEL_WINDOW_DAYS} * 86400000000
+        GROUP BY 1
+    ), depth AS (
+        SELECT s0.user_id,
+               CASE WHEN s2.user_id IS NOT NULL THEN 3
+                    WHEN s1.user_id IS NOT NULL THEN 2
+                    ELSE 1 END AS depth
+        FROM s0
+        LEFT JOIN s1 ON s1.user_id = s0.user_id
+        LEFT JOIN s2 ON s2.user_id = s0.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_signup_users,
+           CAST(SUM(CASE WHEN depth >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clicked_in_window,
+           CAST(SUM(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchased_in_window,
+           {_WF_R1} AS click_rate,
+           {_WF_R2} AS purchase_rate
+    FROM depth
+    """,
+)
+def ext_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ordered funnel (ClickHouse windowFunnel semantics):
+    for each user, signup -> first later click -> first later purchase,
+    with ALL steps inside a {FUNNEL_WINDOW_DAYS}-day window opened at
+    the user's first signup; reports users reaching each depth and
+    step-through rates — the bounded-window variant of
+    ext_event_funnel (whose steps may be months apart).
+
+    Determinism: all comparisons are exact integer microseconds
+    (epoch_us / unix_micros); rates are ratios of exact integers,
+    dround(6).
+
+    Scale shape: three conditional-MIN aggregates all keyed on user_id
+    — the first shuffle establishes the partitioning and every later
+    stage (step joins, survivor filters) reuses it; survivor sets only
+    shrink. The event_type filters push to each scan."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    win_us = FUNNEL_WINDOW_DAYS * 86400000000
+    s0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t0"))
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s0, "user_id")
+        .filter((us > F.col("t0")) & (us <= F.col("t0") + win_us))
+        .groupBy("user_id", "t0")
+        .agg(F.min(us).alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter((us > F.col("t1")) & (us <= F.col("t0") + win_us))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t2"))
+    )
+    depth = (
+        s0.join(s1.select("user_id", F.lit(1).alias("d2")), "user_id", "left")
+        .join(s2.select("user_id", F.lit(1).alias("d3")), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("d3").isNotNull(), 3)
+            .when(F.col("d2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("depth"),
+        )
+    )
+    d2 = F.sum(F.when(F.col("depth") >= 2, 1).otherwise(0))
+    d3 = F.sum(F.when(F.col("depth") >= 3, 1).otherwise(0))
+    return depth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_signup_users"),
+        d2.cast("bigint").alias("n_clicked_in_window"),
+        d3.cast("bigint").alias("n_purchased_in_window"),
+        F.round(d2 * 1.0 / F.count(F.lit(1)), 6).alias("click_rate"),
+        F.round(
+            F.when(d2 > 0, d3 * 1.0 / d2).otherwise(F.lit(0.0)), 6
+        ).alias("purchase_rate"),
     )
