@@ -199,6 +199,10 @@ HEADLINE = [
     "ext_new_vs_returning",
     "ext_price_dispersion",
     "ext_value_band_migration",
+    "ext_graph_kcore",
+    "ext_text_heaps_law",
+    "ext_order_cycle_time",
+    "ext_window_funnel",
 ]
 
 

@@ -1778,6 +1778,9 @@ def ext_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= KCORE_K)
             .select("node")
+            # referenced 3x per round (two joins + the node count): pin it
+            # so the degree aggregate runs once, not three times
+            .localCheckpoint(eager=False)
         )
         edges = (
             edges.join(deg.withColumnRenamed("node", "u"), "u")
