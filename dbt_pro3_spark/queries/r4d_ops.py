@@ -1,0 +1,507 @@
+"""Round-4 batch-F operators: distributed ML / graph primitives for the
+training-data pipeline — bounded-round Lloyd k-means on integer-quantized
+embeddings, degree-capped common-neighbor link prediction, reciprocal
+nearest-neighbor pairing, and leave-one-out k-NN label evaluation.
+
+Every key keeps the registry's exactness disciplines (scale_ops.py
+header): integer quantization before any cross-engine float,
+ratio-of-identical-integers for doubles, FLOOR (never engine-default int
+casts) for quantization steps, total-order tiebreaks, terminal dround(6).
+
+New named patterns this module demonstrates:
+
+- ext_kmeans_lloyd: iterative ML made hash-checkable — embedding
+  components are FLOOR-quantized to integer micro-units once, and every
+  round's centroid is itself re-quantized to integer micro-units
+  (FLOOR of an exact ratio-of-int64 double), so assignments compare
+  exact int64 squared distances and the whole iteration is
+  float-determinism-free on both engines.
+- ext_graph_link_predict: the production answer to hub fan-out — the
+  wedge join runs on an EXPLICITLY capped adjacency (top-{LP_MAXDEG}
+  neighbors per node by id), bounding work at nodes * cap^2 instead of
+  sum(deg^2) (298M wedges at sf0.1 uncapped; 8.7M capped). The cap is
+  part of the key's contract and the oracle replays it.
+- ext_embed_reciprocal_nn / ext_embed_knn_classify: the rounded-cosine
+  total order (cosine@6dp DESC, id ASC) from ext_topk_cosine reused so
+  argmax-style picks (nearest neighbor, majority label) can never flip
+  on a last-ulp dot-product difference.
+
+Reference parity: the reference exposes only dbt SQL models
+(/root/reference/models/*.sql); these keys are beyond-reference
+analytics surface mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load
+from . import dround, register
+
+# ---------------------------------------------------------------------------
+# ext_kmeans_lloyd — bounded-round Lloyd k-means on quantized embeddings
+# ---------------------------------------------------------------------------
+
+KM_K = 4  # clusters (seeds = the K lowest vec_ids)
+KM_ROUNDS = 3  # Lloyd rounds (bounded-budget contract, both engines)
+KM_SCALE = 1_000_000  # micro-unit quantization of float32 components
+
+# Quantized points, tidy (vec_id, dim, q) — shared by the oracle builder.
+_KM_PTS_SQL = f"""pts AS MATERIALIZED (
+        SELECT vec_id, CAST(pos - 1 AS INTEGER) AS dim,
+               CAST(FLOOR(x * {KM_SCALE}) AS BIGINT) AS q
+        FROM (
+            SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        )
+    )"""
+
+
+def _kmeans_oracle() -> str:
+    lines = [
+        f"""
+    WITH {_KM_PTS_SQL},
+    c0 AS MATERIALIZED (
+        SELECT vec_id AS cluster, dim, q AS c FROM pts WHERE vec_id < {KM_K}
+    )"""
+    ]
+    for r in range(1, KM_ROUNDS + 1):
+        lines.append(
+            f""", d{r} AS MATERIALIZED (
+        SELECT p.vec_id, c.cluster,
+               CAST(SUM((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS dist2
+        FROM pts p JOIN c{r - 1} c ON p.dim = c.dim
+        GROUP BY p.vec_id, c.cluster
+    ), a{r} AS MATERIALIZED (
+        SELECT vec_id, cluster, dist2 FROM d{r}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist2, cluster) = 1
+    ), c{r} AS MATERIALIZED (
+        SELECT a.cluster, p.dim,
+               CAST(FLOOR(CAST(CAST(SUM(p.q) AS BIGINT) AS DOUBLE)
+                          / COUNT(*)) AS BIGINT) AS c
+        FROM a{r} a JOIN pts p ON a.vec_id = p.vec_id
+        GROUP BY a.cluster, p.dim
+    )"""
+        )
+    stats = "\n    UNION ALL\n".join(
+        f"""    SELECT {r} AS round, cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(dist2) AS BIGINT) AS inertia
+    FROM a{r} GROUP BY cluster"""
+        for r in range(1, KM_ROUNDS + 1)
+    )
+    return "".join(lines) + f"\n{stats}\n    ORDER BY round, cluster\n"
+
+
+@register("ext_kmeans_lloyd", _kmeans_oracle())
+def ext_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round Lloyd k-means over the embedding corpus (K = KM_K,
+    KM_ROUNDS rounds, seeds = the K lowest vec_ids), reporting per-round
+    cluster sizes and exact integer inertia — the clustering pass behind
+    corpus curation (topic balancing, IVF coarse quantizers, dedup
+    pre-grouping). Same bounded-iteration contract as ext_graph_pagerank
+    / ext_graph_kcore: a fixed round budget is the honest distributed
+    form.
+
+    Determinism: components are FLOOR-quantized once to integer
+    micro-units (KM_SCALE); each round's centroid component is
+    re-quantized to FLOOR(sum/count) where sum <= 2^53 stays exact in
+    the double divide, so squared distances are exact int64 and the
+    argmin tiebreak (dist2, cluster) is a total order. No float ever
+    crosses engines.
+
+    Scale shape: points live in tidy (vec_id, dim, q) form; each round
+    is one broadcast hash join of the K*64-row centroid table onto the
+    point partitions, a (vec_id, cluster)-keyed partial-agg distance
+    reduce, a vec_id-keyed argmin, and a (cluster, dim) centroid reduce
+    — all map-side combined, no driver-side state; per-round frames are
+    lazily localCheckpointed so lineage stays linear in rounds. int64
+    bounds: |q| <= 5e5 so dist2 <= 64 * (1.1e6)^2 ~ 7.7e13; inertia
+    adds N of those (widened to decimal(38,0) before the final sum, cast
+    back for the report); centroid sums stay double-exact below 2^53 ~
+    9e15, i.e. up to ~1.8e10 points per cluster — beyond that, switch
+    the divide to decimal. Cited parity anchor: /root/reference/models
+    (no ML ops in the reference; beyond-reference surface)."""
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("x").cast("double") * KM_SCALE).cast("long").alias("q"),
+    ).localCheckpoint(eager=False)
+
+    cent = (
+        pts.filter(F.col("vec_id") < KM_K)
+        .select(F.col("vec_id").alias("cluster"), "dim", F.col("q").alias("c"))
+    )
+    stats = []
+    for r in range(1, KM_ROUNDS + 1):
+        dist = (
+            pts.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+                .alias("dist2")
+            )
+        )
+        assign = (
+            dist.groupBy("vec_id")
+            .agg(F.min(F.struct("dist2", "cluster")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cluster").alias("cluster"),
+                F.col("m.dist2").alias("dist2"),
+            )
+            .localCheckpoint(eager=False)  # linear lineage across rounds
+        )
+        cent = (
+            assign.select("vec_id", "cluster")
+            .join(pts, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(
+                F.floor(
+                    F.sum("q").cast("double") / F.count(F.lit(1))
+                ).cast("long").alias("c")
+            )
+            .localCheckpoint(eager=False)
+        )
+        stats.append(
+            assign.groupBy("cluster").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_points"),
+                F.sum(F.col("dist2").cast("decimal(38,0)"))
+                .cast("bigint")
+                .alias("inertia"),
+            ).select(F.lit(r).alias("round"), "cluster", "n_points", "inertia")
+        )
+    out = stats[0]
+    for s_df in stats[1:]:
+        out = out.unionByName(s_df)
+    return out.orderBy("round", "cluster")
+
+
+# ---------------------------------------------------------------------------
+# ext_graph_link_predict — degree-capped common-neighbor link prediction
+# ---------------------------------------------------------------------------
+
+LP_MAXDEG = 30  # per-node adjacency cap (lowest-id neighbors kept)
+LP_TOPN = 25  # reported candidate pairs
+
+
+@register(
+    "ext_graph_link_predict",
+    f"""
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), adj AS MATERIALIZED (
+        SELECT node, nbr FROM (
+            SELECT u AS node, v AS nbr FROM e0
+            UNION ALL
+            SELECT v AS node, u AS nbr FROM e0
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr)
+                <= {LP_MAXDEG}
+    ), deg AS MATERIALIZED (
+        -- reverse degree: in how many capped lists does this node appear?
+        SELECT nbr AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM adj GROUP BY nbr
+    ), cand AS MATERIALIZED (
+        SELECT x.nbr AS a, y.nbr AS b, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM adj x JOIN adj y ON x.node = y.node AND x.nbr < y.nbr
+        GROUP BY x.nbr, y.nbr
+    ), nonedge AS (
+        SELECT c.a, c.b, c.cn FROM cand c
+        LEFT JOIN e0 ON e0.u = c.a AND e0.v = c.b
+        WHERE e0.u IS NULL
+    )
+    SELECT n.a AS node_a, n.b AS node_b, n.cn AS common_neighbors,
+           da.deg AS deg_a, db.deg AS deg_b,
+           {dround('n.cn * 1.0 / (da.deg + db.deg - n.cn)', 6)} AS jaccard
+    FROM nonedge n
+    JOIN deg da ON da.node = n.a
+    JOIN deg db ON db.node = n.b
+    ORDER BY n.cn DESC, n.a, n.b
+    LIMIT {LP_TOPN}
+    """,
+)
+def ext_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-purchase graph: the top-{LP_TOPN}
+    NON-adjacent part pairs by common-neighbor count, with the Jaccard
+    coefficient of their neighborhoods — the classic recommender /
+    graph-completion screen.
+
+    The adjacency is explicitly capped at the {LP_MAXDEG} lowest-id
+    neighbors per node BEFORE the wedge join ('no silent caps': the cap
+    is the key's documented contract, replayed identically by the
+    oracle). Uncapped, wedge work is sum(deg^2) — 298M rows at sf0.1 and
+    quadratic in hub degree at 100 TB; capped it is <= nodes * C(cap,2)
+    (~8.7M), the standard production bound (DIMSUM-style neighborhood
+    capping). The scored sets are the REVERSE capped neighborhoods
+    R(x) = {{z : x in adjcap(z)}} — cn = |R(a) ∩ R(b)| is exactly what
+    the capped wedge join counts, and deg is |R(x)|, so the Jaccard
+    denominator |R(a) ∪ R(b)| is always >= 1 for any emitted pair
+    (co-citation Jaccard with capped citing lists).
+
+    Determinism: counts and degrees are exact integers; jaccard divides
+    identical int64s (IEEE-identical both engines), dround(6); the
+    top-{LP_TOPN} order (cn DESC, a, b) is a total order.
+
+    Scale shape: edge dedup (one shuffle), the cap as a node-keyed
+    window over <= deg rows, the wedge self-join keyed on the middle
+    node (bounded fan-out), a (a,b)-keyed count reduce, an anti join
+    against the edge list, then TakeOrdered — no driver-side state.
+    Cited parity anchor: /root/reference/models (no graph ops in the
+    reference; beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e0 = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds adjacency AND the anti join
+    )
+    adj = (
+        e0.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(e0.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("node").orderBy("nbr")),
+        )
+        .filter(F.col("rk") <= LP_MAXDEG)
+        .select("node", "nbr")
+        .localCheckpoint(eager=False)  # feeds both wedge sides + degrees
+    )
+    deg = adj.groupBy(F.col("nbr").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    x = adj.select("node", F.col("nbr").alias("a"))
+    y = adj.select("node", F.col("nbr").alias("b"))
+    cand = (
+        x.join(y, "node")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    nonedge = cand.join(
+        e0, (cand.a == e0.u) & (cand.b == e0.v), "left_anti"
+    )
+    return (
+        nonedge.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "deg_a"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "deg_b"), "b")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            F.col("cn").alias("common_neighbors"),
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("cn") * 1.0 / (F.col("deg_a") + F.col("deg_b") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("common_neighbors"), "node_a", "node_b")
+        .limit(LP_TOPN)
+    )
+
+
+ext_graph_link_predict.__doc__ = ext_graph_link_predict.__doc__.replace(
+    "{LP_TOPN}", str(LP_TOPN)
+).replace("{LP_MAXDEG}", str(LP_MAXDEG))
+
+
+# ---------------------------------------------------------------------------
+# shared: all-pairs rounded cosine over the embedding corpus
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of _scored_pairs() — rounded cosine for every ordered pair.
+_SCORED_SQL = f"""e AS MATERIALIZED (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), scored AS MATERIALIZED (
+        SELECT a.vec_id AS qid, b.vec_id AS nid, b.label AS nlabel,
+               {dround('list_cosine_similarity(a.v, b.v)', 6)} AS cosine
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )"""
+
+
+def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, nid, nlabel, cosine@6dp) for every ordered pair — the
+    brute-force verify-stage primitive (the scale path is the LSH/IVF/PQ
+    family: ext_ann_*). Query side broadcast, corpus scanned once."""
+    from ..ext import similarity as sim
+
+    emb = sim.with_norm(load(spark, sf_dir, "embeddings"))
+    qa = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    cb = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("_v").alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    return (
+        F.broadcast(qa)
+        .join(cb, F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            "nlabel",
+            F.round(
+                sim.cosine(F.col("_qv"), F.col("_qn"), F.col("_cv"), F.col("_cn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_embed_reciprocal_nn — mutual nearest-neighbor pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_embed_reciprocal_nn",
+    f"""
+    WITH {_SCORED_SQL}, t1 AS MATERIALIZED (
+        SELECT qid, nid, cosine FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, nid) = 1
+    )
+    SELECT m1.qid AS vec_a, m1.nid AS vec_b, m1.cosine
+    FROM t1 m1 JOIN t1 m2 ON m1.nid = m2.qid AND m2.nid = m1.qid
+    WHERE m1.qid < m1.nid
+    """,
+)
+def ext_embed_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs: (a, b) where b is a's top-1
+    cosine neighbor AND a is b's — the high-precision pairing primitive
+    behind bitext mining, record-linkage seeding, and semantic-dup
+    anchoring (a strictly stronger signal than one-directional top-1).
+
+    Determinism: top-1 is picked on the ROUNDED cosine with an id
+    tiebreak (ext_topk_cosine's total order); the rounded cosine is
+    symmetric (same zip-fold in the same dim order both directions), so
+    mutuality is well-defined.
+
+    Scale shape: brute-force all-pairs scoring is the deliberately
+    bounded verify-stage primitive (the ANN family is the 100 TB path);
+    the mutual check itself is one qid-keyed self-join of the N-row
+    top-1 table. Cited parity anchor: /root/reference/models (no vector
+    ops in the reference; beyond-reference surface)."""
+    t1 = (
+        _scored_pairs(spark, sf_dir)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("qid", "nid", "cosine")
+        .localCheckpoint(eager=False)  # both sides of the mutual join
+    )
+    m2 = t1.select(F.col("qid").alias("b_qid"), F.col("nid").alias("b_nid"))
+    return (
+        t1.join(m2, (t1.nid == F.col("b_qid")) & (t1.qid == F.col("b_nid")))
+        .filter(F.col("qid") < F.col("nid"))
+        .select(
+            F.col("qid").alias("vec_a"),
+            F.col("nid").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_embed_knn_classify — leave-one-out k-NN label evaluation
+# ---------------------------------------------------------------------------
+
+KNN_K = 5  # neighbors voting
+
+
+@register(
+    "ext_embed_knn_classify",
+    f"""
+    WITH {_SCORED_SQL}, topk AS MATERIALIZED (
+        SELECT qid, nlabel FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, nid) <= {KNN_K}
+    ), votes AS (
+        SELECT qid, nlabel, COUNT(*) AS cnt FROM topk GROUP BY qid, nlabel
+    ), pred AS (
+        SELECT qid, nlabel AS pred FROM votes
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cnt DESC, nlabel) = 1
+    )
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           {dround('''SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)
+                      * 1.0 / COUNT(*)''', 6)} AS accuracy
+    FROM e JOIN pred p ON p.qid = e.vec_id
+    GROUP BY e.label
+    ORDER BY e.label
+    """,
+)
+def ext_embed_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN label evaluation (k = KNN_K): each vector is
+    classified by majority label among its k nearest neighbors
+    (excluding itself) and scored against its own label, reported as
+    per-label accuracy — the standard embedding-quality probe (how
+    label-separable is the space?), complementing
+    ext_embed_centroid_classify's parametric sibling.
+
+    Determinism: neighbor rank is (cosine@6dp DESC, nid) — a total
+    order; the majority vote tiebreaks (count DESC, label ASC); the
+    accuracy divides identical integers, dround(6).
+
+    Scale shape: same bounded brute-force scoring primitive as
+    ext_embed_reciprocal_nn (ANN buckets replace it at 100 TB); the
+    vote and the accuracy rollup are qid- and label-keyed reduces with
+    map-side combine. Cited parity anchor: /root/reference/models (no
+    vector ops in the reference; beyond-reference surface)."""
+    topk = (
+        _scored_pairs(spark, sf_dir)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
+            ),
+        )
+        .filter(F.col("rk") <= KNN_K)
+        .select("qid", "nlabel")
+    )
+    pred = (
+        topk.groupBy("qid", "nlabel")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "prk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cnt"), "nlabel")
+            ),
+        )
+        .filter(F.col("prk") == 1)
+        .select("qid", F.col("nlabel").alias("pred"))
+    )
+    truth = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    hit = F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0))
+    return (
+        truth.join(pred, truth.vec_id == pred.qid)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            hit.cast("bigint").alias("n_correct"),
+            F.round(hit * 1.0 / F.count(F.lit(1)), 6).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
