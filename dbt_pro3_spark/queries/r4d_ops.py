@@ -320,7 +320,8 @@ ext_graph_link_predict.__doc__ = ext_graph_link_predict.__doc__.replace(
 # shared: all-pairs rounded cosine over the embedding corpus
 # ---------------------------------------------------------------------------
 
-# DuckDB twin of _scored_pairs() — rounded cosine for every ordered pair.
+# DuckDB twin of _topk_scored()'s semantics — rounded cosine for every
+# ordered pair (the oracle brute-forces what the Spark side prunes).
 _SCORED_SQL = f"""e AS MATERIALIZED (
         SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
     ), scored AS MATERIALIZED (
@@ -330,27 +331,85 @@ _SCORED_SQL = f"""e AS MATERIALIZED (
     )"""
 
 
-def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(qid, nid, nlabel, cosine@6dp) for every ordered pair — the
-    brute-force verify-stage primitive (the scale path is the LSH/IVF/PQ
-    family: ext_ann_*). Query side broadcast, corpus scanned once."""
+PROBE_MAX = 65_536  # loud bound on the collected probe matrix (no silent cap)
+_NN_MARGIN = 4e-6  # raw-score slack covering 6dp rounding + both engines' ulps
+
+
+def _topk_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(qid, nid, nlabel, cosine@6dp, rk) for each vector's top-k
+    neighbors by the registry's total order (cosine@6dp DESC, nid ASC).
+
+    Two-stage exact top-k — the production shape for bounded-corpus
+    rerank stages:
+
+    1. CANDIDATE PRUNE (numpy, Arrow-batched mapInPandas): the probe
+       matrix (this corpus, <= PROBE_MAX rows — a loud error beyond
+       that; at 100 TB the probe side of an evaluation pass is a bounded
+       sample by construction) is matmul'd against each corpus batch;
+       rows keep every neighbor within _NN_MARGIN of their k-th best
+       raw score. BLAS summation order differs from the engines' fold,
+       so numpy scores are NEVER emitted — they only gate candidacy,
+       and the margin absorbs far more than the ~1e-15 disagreement.
+    2. EXACT RERANK (JVM fold): the surviving ~k rows per vector get
+       the same left-to-right zip-fold cosine DuckDB's sequential
+       list_cosine_similarity computes, bit-identical, then the rounded
+       window rank. The 4M-pair fold join this replaces ran 26 s at
+       sf0.1; the pruned rerank folds ~N*k rows.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    if len(pdf) > PROBE_MAX:
+        raise ValueError(
+            f"brute-force probe matrix has {len(pdf)} rows > PROBE_MAX="
+            f"{PROBE_MAX}; sample the corpus or use the ext_ann_* keys"
+        )
+    order = np.argsort(pdf["vec_id"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()[order]
+    mat = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    def gen(batches):
+        import pandas as pd
+
+        m, n, i = b_mat.value, b_norms.value, b_ids.value
+        for b in batches:
+            v = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(v, axis=1)
+            s = (v @ m.T) / np.outer(vn, n)
+            qid = b["vec_id"].to_numpy()
+            s[i[None, :] == qid[:, None]] = -np.inf  # self-exclusion
+            kk = min(k, s.shape[1] - 1)
+            kth = np.partition(s, -kk, axis=1)[:, -kk]
+            keep = s >= (kth[:, None] - _NN_MARGIN)
+            rows, cols = np.nonzero(keep)
+            yield pd.DataFrame({"qid": qid[rows], "nid": i[cols]})
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        gen, schema="qid long, nid long"
+    )
+
     from ..ext import similarity as sim
 
-    emb = sim.with_norm(load(spark, sf_dir, "embeddings"))
-    qa = emb.select(
+    side = sim.with_norm(emb)
+    qa = side.select(
         F.col("vec_id").alias("qid"),
         F.col("_v").alias("_qv"),
         F.col("_norm").alias("_qn"),
     )
-    cb = emb.select(
+    cb = side.select(
         F.col("vec_id").alias("nid"),
         F.col("label").alias("nlabel"),
         F.col("_v").alias("_cv"),
         F.col("_norm").alias("_cn"),
     )
     return (
-        F.broadcast(qa)
-        .join(cb, F.col("qid") != F.col("nid"))
+        cand.join(F.broadcast(qa), "qid")
+        .join(F.broadcast(cb), "nid")
         .select(
             "qid",
             "nid",
@@ -360,6 +419,13 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cosine"),
         )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
+            ),
+        )
+        .filter(F.col("rk") <= k)
     )
 
 
@@ -398,14 +464,7 @@ def ext_embed_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-1 table. Cited parity anchor: /root/reference/models (no vector
     ops in the reference; beyond-reference surface)."""
     t1 = (
-        _scored_pairs(spark, sf_dir)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
-            ),
-        )
-        .filter(F.col("rk") == 1)
+        _topk_scored(spark, sf_dir, k=1)
         .select("qid", "nid", "cosine")
         .localCheckpoint(eager=False)  # both sides of the mutual join
     )
@@ -470,17 +529,7 @@ def ext_embed_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote and the accuracy rollup are qid- and label-keyed reduces with
     map-side combine. Cited parity anchor: /root/reference/models (no
     vector ops in the reference; beyond-reference surface)."""
-    topk = (
-        _scored_pairs(spark, sf_dir)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
-            ),
-        )
-        .filter(F.col("rk") <= KNN_K)
-        .select("qid", "nlabel")
-    )
+    topk = _topk_scored(spark, sf_dir, k=KNN_K).select("qid", "nlabel")
     pred = (
         topk.groupBy("qid", "nlabel")
         .agg(F.count(F.lit(1)).alias("cnt"))
