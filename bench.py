@@ -203,6 +203,10 @@ HEADLINE = [
     "ext_text_heaps_law",
     "ext_order_cycle_time",
     "ext_window_funnel",
+    "ext_kmeans_lloyd",
+    "ext_graph_link_predict",
+    "ext_embed_reciprocal_nn",
+    "ext_embed_knn_classify",
 ]
 
 
