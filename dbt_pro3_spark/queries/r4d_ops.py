@@ -554,3 +554,457 @@ def ext_embed_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_attr_shapley — exact Shapley-value marketing attribution
+# ---------------------------------------------------------------------------
+
+# Non-purchase channels, bit per channel (alphabetical).
+ATTR_CHANNELS = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+_N_CH = len(ATTR_CHANNELS)  # 4 -> 16 coalition masks, weights over 4! = 24
+
+_SHAP_MASK_SQL = " + ".join(
+    f"MAX(CASE WHEN event_type = '{ch}' THEN 1 ELSE 0 END) * {bit}"
+    for ch, bit in ATTR_CHANNELS
+)
+_SHAP_W_SQL = """CASE bit_count(v0.mask) WHEN 0 THEN 6 WHEN 1 THEN 2
+                      WHEN 2 THEN 2 ELSE 6 END / 24.0"""
+_SHAP_CH_VALUES = ", ".join(f"('{ch}', {bit})" for ch, bit in ATTR_CHANNELS)
+
+
+@register(
+    "ext_attr_shapley",
+    f"""
+    WITH per_user AS MATERIALIZED (
+        SELECT user_id,
+               {_SHAP_MASK_SQL} AS mask,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ), stats AS (
+        SELECT mask, COUNT(*) AS u, SUM(conv) AS c FROM per_user GROUP BY mask
+    ), v AS MATERIALIZED (
+        SELECT m.mask, COALESCE(s.u, 0) AS u, COALESCE(s.c, 0) AS c,
+               CASE WHEN COALESCE(s.u, 0) > 0
+                    THEN COALESCE(s.c, 0) * 1.0 / s.u ELSE 0.0 END AS v
+        FROM (SELECT unnest(generate_series(0, 15)) AS mask) m
+        LEFT JOIN stats s ON s.mask = m.mask
+    ), ch AS (
+        SELECT * FROM (VALUES {_SHAP_CH_VALUES}) AS t(channel, bit)
+    ), terms AS (
+        SELECT ch.channel,
+               CAST(ROUND(({_SHAP_W_SQL}) * (v1.v - v0.v) * 1000000000.0)
+                    AS BIGINT) AS units
+        FROM ch
+        JOIN v v0 ON (v0.mask & ch.bit) = 0
+        JOIN v v1 ON v1.mask = v0.mask + ch.bit
+    ), diag AS (
+        SELECT ch.channel,
+               CAST(SUM(s.u) AS BIGINT) AS n_users,
+               CAST(SUM(s.c) AS BIGINT) AS n_conversions
+        FROM ch JOIN v s ON (s.mask & ch.bit) <> 0
+        GROUP BY ch.channel
+    )
+    SELECT t.channel, d.n_users, d.n_conversions,
+           {dround('SUM(t.units) / 1000000000.0', 6)} AS shapley_value
+    FROM terms t JOIN diag d ON d.channel = t.channel
+    GROUP BY t.channel, d.n_users, d.n_conversions
+    ORDER BY t.channel
+    """,
+)
+def ext_attr_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value conversion attribution over the four
+    non-purchase channels: each user's touch coalition is a 4-bit mask,
+    v(S) = conversion rate of users whose coalition is exactly S, and
+    each channel's Shapley value sums the weighted marginal lifts
+    |S|!(n-1-|S|)!/n! * (v(S+i) - v(S)) over all 8 coalitions without it
+    — the game-theoretic attribution model that first/last-touch
+    (ext_session_attribution) approximates, exactly computable because
+    the channel set is small (2^4 coalitions).
+
+    Determinism: v is a ratio of exact integers; the weight is a ratio
+    of small integer literals; every marginal term is snapped to integer
+    1e-9 units per coalition BEFORE summing (the ext_drift_psi
+    discipline), so the 8-term sum is an exact BIGINT reduce.
+
+    Scale shape: ONE user-keyed aggregate builds coalitions (map-side
+    combined bitmask OR), collapsing the corpus to <= 16 mask rows;
+    everything after runs on the 16-row grid joined to a 4-row channel
+    table — driver-free and constant-size at any corpus scale. Cited
+    parity anchor: /root/reference/models (attribution is
+    beyond-reference surface)."""
+    ev = load(spark, sf_dir, "events")
+    mask = None
+    for ch, bit in ATTR_CHANNELS:
+        t = F.max(F.when(F.col("event_type") == ch, 1).otherwise(0)) * bit
+        mask = t if mask is None else mask + t
+    per_user = ev.groupBy("user_id").agg(
+        mask.alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    stats = per_user.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("u"), F.sum("conv").alias("c")
+    )
+    universe = spark.range(16).select(F.col("id").cast("int").alias("mask"))
+    v = (
+        universe.join(F.broadcast(stats), "mask", "left")
+        .select(
+            "mask",
+            F.coalesce("u", F.lit(0)).alias("u"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.when(
+                F.coalesce("u", F.lit(0)) > 0,
+                F.coalesce("c", F.lit(0)) * 1.0 / F.col("u"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("v"),
+        )
+        .localCheckpoint(eager=False)  # feeds v0, v1 and the diagnostics
+    )
+    chan = spark.createDataFrame(ATTR_CHANNELS, ["channel", "bit"])
+    v0 = v.select(F.col("mask"), F.col("v").alias("v0"))
+    v1 = v.select(F.col("mask").alias("mask1"), F.col("v").alias("v1"))
+    s = F.bit_count(F.col("mask"))
+    wnum = (
+        F.when(s == 0, 6).when(s == 1, 2).when(s == 2, 2).otherwise(6)
+    )
+    terms = (
+        F.broadcast(chan)
+        .join(v0, (F.col("mask").bitwiseAND(F.col("bit"))) == 0)
+        .join(v1, F.col("mask1") == F.col("mask") + F.col("bit"))
+        .select(
+            "channel",
+            F.round((wnum / 24.0) * (F.col("v1") - F.col("v0")) * 1e9, 0)
+            .cast("bigint")
+            .alias("units"),
+        )
+    )
+    diag = (
+        F.broadcast(chan)
+        .join(v, (F.col("mask").bitwiseAND(F.col("bit"))) != 0)
+        .groupBy("channel")
+        .agg(
+            F.sum("u").cast("bigint").alias("n_users"),
+            F.sum("c").cast("bigint").alias("n_conversions"),
+        )
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(F.round(F.sum("units") / 1e9, 6).alias("shapley_value"))
+        .join(diag, "channel")
+        .select("channel", "n_users", "n_conversions", "shapley_value")
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_graph_bfs_reach — bounded-hop multi-source BFS reachability
+# ---------------------------------------------------------------------------
+
+BFS_SEED_MAX = 3  # seeds: co-purchase nodes with part key <= this
+BFS_HOPS = 4  # hop budget (bounded-iteration contract, both engines)
+
+
+def _bfs_oracle() -> str:
+    head = f"""
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), adj AS MATERIALIZED (
+        SELECT u AS node, v AS nbr FROM e0
+        UNION ALL
+        SELECT v AS node, u AS nbr FROM e0
+    ), f0 AS MATERIALIZED (
+        SELECT DISTINCT node FROM adj WHERE node <= {BFS_SEED_MAX}
+    ), vis0 AS MATERIALIZED (SELECT node FROM f0)"""
+    rounds = []
+    for r in range(1, BFS_HOPS + 1):
+        rounds.append(
+            f""", f{r} AS MATERIALIZED (
+        SELECT DISTINCT a.nbr AS node
+        FROM f{r - 1} f JOIN adj a ON a.node = f.node
+        LEFT JOIN vis{r - 1} x ON x.node = a.nbr
+        WHERE x.node IS NULL
+    ), vis{r} AS MATERIALIZED (
+        SELECT node FROM vis{r - 1} UNION ALL SELECT node FROM f{r}
+    )"""
+        )
+    stats = "\n    UNION ALL\n".join(
+        f"""    SELECT {r} AS hop,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM f{r}) AS n_new,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM vis{r}) AS n_reached"""
+        for r in range(0, BFS_HOPS + 1)
+    )
+    return head + "".join(rounds) + f"\n{stats}\n    ORDER BY hop\n"
+
+
+@register("ext_graph_bfs_reach", _bfs_oracle())
+def ext_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop multi-source BFS over the co-purchase graph (seeds =
+    nodes with part key <= BFS_SEED_MAX, BFS_HOPS hop budget): each hop
+    expands the frontier through the adjacency and subtracts everything
+    already visited, reporting newly-reached and cumulative node counts
+    per hop — the reachability / influence-radius primitive behind
+    recall expansion and contamination-spread audits, with the same
+    bounded-iteration contract as ext_graph_kcore / ext_kmeans_lloyd.
+
+    Determinism: pure exact set algebra on integer node ids — distinct,
+    anti join, union — no floats anywhere.
+
+    Scale shape: each hop is one hash join of the (small) frontier
+    against the node-keyed adjacency, a distinct, and an anti join
+    against the visited set; frontier and visited are lazily
+    localCheckpointed so lineage stays linear in hops. Frontier joins
+    broadcast while small and shuffle-join once they grow — AQE picks
+    per hop. Cited parity anchor: /root/reference/models (no graph ops
+    in the reference; beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e0 = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    adj = (
+        e0.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(e0.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint(eager=False)  # reused every hop
+    )
+    frontier = (
+        adj.filter(F.col("node") <= BFS_SEED_MAX)
+        .select("node")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    visited = frontier
+    stats = [
+        frontier.agg(
+            F.lit(0).alias("hop"),
+            F.count(F.lit(1)).cast("bigint").alias("n_new"),
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        )
+    ]
+    for r in range(1, BFS_HOPS + 1):
+        frontier = (
+            frontier.join(adj, "node")
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
+        n_new = frontier.agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+        n_vis = visited.agg(F.count(F.lit(1)).cast("bigint").alias("n_reached"))
+        stats.append(
+            n_new.crossJoin(n_vis).select(
+                F.lit(r).alias("hop"), "n_new", "n_reached"
+            )
+        )
+    out = stats[0]
+    for s_df in stats[1:]:
+        out = out.unionByName(s_df)
+    return out.orderBy("hop")
+
+
+# ---------------------------------------------------------------------------
+# ext_promo_effect_did — difference-in-differences promo revenue screen
+# ---------------------------------------------------------------------------
+
+DID_PRE_YEAR = 1995
+DID_POST_YEAR = 1996
+
+_DID_CENTS = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+
+def _did_cell_sql(grp: str, year: int, what: str) -> str:
+    cond = f"promo = {grp} AND yr = {year}"
+    if what == "n":
+        return f"CAST(COUNT(*) FILTER (WHERE {cond}) AS BIGINT)"
+    return f"SUM(cents) FILTER (WHERE {cond}) * 1.0 / COUNT(*) FILTER (WHERE {cond})"
+
+
+@register(
+    "ext_promo_effect_did",
+    f"""
+    WITH li AS (
+        SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS promo,
+               EXTRACT(year FROM l.l_shipdate) AS yr,
+               {_DID_CENTS} AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE EXTRACT(year FROM l.l_shipdate) IN ({DID_PRE_YEAR}, {DID_POST_YEAR})
+    )
+    SELECT {_did_cell_sql(1, DID_PRE_YEAR, 'n')} AS n_promo_pre,
+           {_did_cell_sql(1, DID_POST_YEAR, 'n')} AS n_promo_post,
+           {_did_cell_sql(0, DID_PRE_YEAR, 'n')} AS n_other_pre,
+           {_did_cell_sql(0, DID_POST_YEAR, 'n')} AS n_other_post,
+           {dround(_did_cell_sql(1, DID_PRE_YEAR, 'mean'), 6)} AS mean_promo_pre_cents,
+           {dround(_did_cell_sql(1, DID_POST_YEAR, 'mean'), 6)} AS mean_promo_post_cents,
+           {dround(_did_cell_sql(0, DID_PRE_YEAR, 'mean'), 6)} AS mean_other_pre_cents,
+           {dround(_did_cell_sql(0, DID_POST_YEAR, 'mean'), 6)} AS mean_other_post_cents,
+           {dround(f"(({_did_cell_sql(1, DID_POST_YEAR, 'mean')}) - ({_did_cell_sql(1, DID_PRE_YEAR, 'mean')})) - (({_did_cell_sql(0, DID_POST_YEAR, 'mean')}) - ({_did_cell_sql(0, DID_PRE_YEAR, 'mean')}))", 6)} AS did_effect_cents
+    FROM li
+    """,
+)
+def ext_promo_effect_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences revenue screen for promo parts: mean
+    line revenue (exact cents) of PROMO-type vs other parts in
+    {DID_PRE_YEAR} (pre) vs {DID_POST_YEAR} (post); the DiD effect is
+    (promo_post - promo_pre) - (other_post - other_pre) — the standard
+    causal panel estimator, here as a one-pass conditional aggregate
+    (the causal-screen sibling of ext_price_elasticity's OLS).
+
+    Determinism: every cell mean is a ratio of exact integer cent sums
+    and counts; the effect combines those identical doubles through an
+    identical expression tree (IEEE ops bit-identical), dround(6).
+
+    Scale shape: the year filter pushes to the lineitem scan; one
+    broadcast-able dimension join on partkey; ONE map-side-combined
+    scalar aggregate — no shuffle wider than the 8 conditional cells.
+    Cited parity anchor: /root/reference/models (no causal ops in the
+    reference; beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_type").startswith("PROMO"), 1).otherwise(0).alias("promo"),
+    )
+    yr = F.year("l_shipdate")
+    base = (
+        li.filter(yr.isin(DID_PRE_YEAR, DID_POST_YEAR))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            yr.alias("yr"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .join(F.broadcast(pt), "p_partkey")
+    )
+
+    def cell_n(grp, year):
+        return F.count(
+            F.when((F.col("promo") == grp) & (F.col("yr") == year), 1)
+        ).cast("bigint")
+
+    def cell_mean(grp, year):
+        cond = (F.col("promo") == grp) & (F.col("yr") == year)
+        return (
+            F.sum(F.when(cond, F.col("cents"))) * 1.0 / F.count(F.when(cond, 1))
+        )
+
+    did = (cell_mean(1, DID_POST_YEAR) - cell_mean(1, DID_PRE_YEAR)) - (
+        cell_mean(0, DID_POST_YEAR) - cell_mean(0, DID_PRE_YEAR)
+    )
+    return base.agg(
+        cell_n(1, DID_PRE_YEAR).alias("n_promo_pre"),
+        cell_n(1, DID_POST_YEAR).alias("n_promo_post"),
+        cell_n(0, DID_PRE_YEAR).alias("n_other_pre"),
+        cell_n(0, DID_POST_YEAR).alias("n_other_post"),
+        F.round(cell_mean(1, DID_PRE_YEAR), 6).alias("mean_promo_pre_cents"),
+        F.round(cell_mean(1, DID_POST_YEAR), 6).alias("mean_promo_post_cents"),
+        F.round(cell_mean(0, DID_PRE_YEAR), 6).alias("mean_other_pre_cents"),
+        F.round(cell_mean(0, DID_POST_YEAR), 6).alias("mean_other_post_cents"),
+        F.round(did, 6).alias("did_effect_cents"),
+    )
+
+
+ext_promo_effect_did.__doc__ = ext_promo_effect_did.__doc__.replace(
+    "{DID_PRE_YEAR}", str(DID_PRE_YEAR)
+).replace("{DID_POST_YEAR}", str(DID_POST_YEAR))
+
+
+# ---------------------------------------------------------------------------
+# ext_events_burst_hours — exact-integer Poisson burst detection
+# ---------------------------------------------------------------------------
+
+BURST_K = 3  # flag hours more than K sigma above the type's hourly rate
+
+
+@register(
+    "ext_events_burst_hours",
+    f"""
+    WITH h AS (
+        SELECT event_type, CAST(ts AS DATE) AS event_date,
+               EXTRACT(hour FROM ts) AS event_hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2, 3
+    ), win AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS hours FROM (
+            SELECT DISTINCT CAST(ts AS DATE), EXTRACT(hour FROM ts) FROM events
+        )
+    ), tot AS (
+        SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS total FROM h
+        GROUP BY event_type
+    )
+    SELECT h.event_type, h.event_date,
+           CAST(h.event_hour AS INTEGER) AS event_hour, h.n_events,
+           {dround('t.total * 1.0 / w.hours', 6)} AS expected_per_hour
+    FROM h JOIN tot t ON t.event_type = h.event_type
+    CROSS JOIN win w
+    WHERE h.n_events * w.hours > t.total
+      AND (h.n_events * w.hours - t.total) * (h.n_events * w.hours - t.total)
+          > {BURST_K * BURST_K} * t.total * w.hours
+    ORDER BY h.event_type, h.event_date, event_hour
+    """,
+)
+def ext_events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson burst detection on the event stream: an (event_type,
+    date, hour) cell is a burst when its count exceeds the type's global
+    hourly rate by more than {BURST_K} sigma — c > lambda +
+    {BURST_K}*sqrt(lambda) — the ops alarm for traffic spikes /
+    scraper storms, complementing ext_anomaly_rolling_z's rolling-window
+    sibling with a rate-based global baseline.
+
+    Determinism: the sigma test is the EXACT integer cross-
+    multiplication (c*H - N)^2 > K^2 * N * H (H = observed hours,
+    N = type total), so no sqrt or float rate is ever compared; the
+    reported expected rate divides identical integers, dround(6).
+
+    Scale shape: one (type, date, hour)-keyed count (map-side combined),
+    a per-type total over those cells, a distinct-hour scalar, and a
+    broadcast join back — the corpus shuffles once on the cell key.
+    int64 bound: c*H < 2^63 up to ~1e9 events/hour against ~1e10
+    observed hours — widen to decimal beyond. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    ev = load(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("event_date"),
+        F.hour("ts").alias("event_hour"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    win = (
+        ev.select(F.to_date("ts").alias("d"), F.hour("ts").alias("h"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hours"))
+    )
+    tot = cell.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("total")
+    )
+    dev = F.col("n_events") * F.col("hours") - F.col("total")
+    return (
+        cell.join(F.broadcast(tot), "event_type")
+        .crossJoin(F.broadcast(win))
+        .filter(
+            (F.col("n_events") * F.col("hours") > F.col("total"))
+            & (dev * dev > BURST_K * BURST_K * F.col("total") * F.col("hours"))
+        )
+        .select(
+            "event_type",
+            "event_date",
+            F.col("event_hour").cast("int").alias("event_hour"),
+            "n_events",
+            F.round(F.col("total") * 1.0 / F.col("hours"), 6).alias(
+                "expected_per_hour"
+            ),
+        )
+        .orderBy("event_type", "event_date", "event_hour")
+    )
+
+
+ext_events_burst_hours.__doc__ = ext_events_burst_hours.__doc__.replace(
+    "{BURST_K}", str(BURST_K)
+)
