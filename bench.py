@@ -207,6 +207,10 @@ HEADLINE = [
     "ext_graph_link_predict",
     "ext_embed_reciprocal_nn",
     "ext_embed_knn_classify",
+    "ext_attr_shapley",
+    "ext_graph_bfs_reach",
+    "ext_promo_effect_did",
+    "ext_events_burst_hours",
 ]
 
 
