@@ -1008,3 +1008,290 @@ def ext_events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_events_burst_hours.__doc__ = ext_events_burst_hours.__doc__.replace(
     "{BURST_K}", str(BURST_K)
 )
+
+
+# ---------------------------------------------------------------------------
+# ext_embed_outlier_knn — kNN-distance outlier mining in embedding space
+# ---------------------------------------------------------------------------
+
+OUTLIER_TOPN = 25  # most-isolated vectors reported
+
+
+@register(
+    "ext_embed_outlier_knn",
+    f"""
+    WITH {_SCORED_SQL}, k5 AS (
+        SELECT qid, cosine FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, nid) = {KNN_K}
+    )
+    SELECT e.vec_id, e.label, k5.cosine AS knn_cosine
+    FROM k5 JOIN e ON e.vec_id = k5.qid
+    ORDER BY k5.cosine, e.vec_id
+    LIMIT {OUTLIER_TOPN}
+    """,
+)
+def ext_embed_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-distance outlier mining: each vector's isolation score is the
+    cosine to its KNN_K-th nearest neighbor (low = isolated); the
+    {OUTLIER_TOPN} most isolated vectors are reported — the standard
+    density-based outlier screen for embedding corpora (garbage
+    documents, encoder failures, off-distribution samples), the
+    unsupervised sibling of ext_embed_knn_classify.
+
+    Determinism: the k-th neighbor is picked on the rounded-cosine total
+    order (cosine@6dp DESC, nid); the final report orders (cosine ASC,
+    vec_id) — both total orders.
+
+    Scale shape: reuses the two-stage exact top-k primitive
+    (_topk_scored: numpy matmul candidate prune -> bit-exact JVM fold
+    rerank); the report is a TakeOrdered over N rows. Cited parity
+    anchor: /root/reference/models (beyond-reference surface)."""
+    k5 = _topk_scored(spark, sf_dir, k=KNN_K).filter(F.col("rk") == KNN_K)
+    own = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        k5.join(own, k5.qid == own.vec_id)
+        .select("vec_id", "label", F.col("cosine").alias("knn_cosine"))
+        .orderBy("knn_cosine", "vec_id")
+        .limit(OUTLIER_TOPN)
+    )
+
+
+ext_embed_outlier_knn.__doc__ = ext_embed_outlier_knn.__doc__.replace(
+    "{OUTLIER_TOPN}", str(OUTLIER_TOPN)
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_anova_quantity — one-way ANOVA F-test of quantity across return flags
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_anova_quantity",
+    f"""
+    WITH d AS (
+        SELECT l_returnflag AS grp,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS d
+        FROM lineitem
+    ), g AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(d) AS BIGINT) AS s_g,
+               CAST(SUM(d * d) AS BIGINT) AS q_g
+        FROM d GROUP BY grp
+    ), gt AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(s_g) AS BIGINT) AS s,
+               CAST(SUM(q_g) AS BIGINT) AS q,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(ROUND(s_g * 1.0 * s_g / n_g * 1000000000.0)
+                             AS BIGINT)) AS BIGINT) AS bterm_units
+        FROM g
+    ), u AS (
+        SELECT k, n,
+               bterm_units
+                   - CAST(ROUND(s * 1.0 * s / n * 1000000000.0) AS BIGINT)
+                   AS ssb_units,
+               q * 1000000000
+                   - CAST(ROUND(s * 1.0 * s / n * 1000000000.0) AS BIGINT)
+                   AS sst_units
+        FROM gt
+    )
+    SELECT k AS k_groups, n AS n_lines,
+           {dround('ssb_units / 1000000000.0', 6)} AS ss_between,
+           {dround('(sst_units - ssb_units) / 1000000000.0', 6)} AS ss_within,
+           {dround('''(ssb_units * 1.0 / (k - 1))
+                      / ((sst_units - ssb_units) * 1.0 / (n - k))''', 6)}
+               AS f_stat
+    FROM u
+    """,
+)
+def ext_anova_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test: does mean line quantity differ across
+    return-flag groups? Reports between/within sums of
+    squares and the F statistic — the k-group generalization of
+    ext_ab_ztest, completing the classical-stats family (chi2, KS,
+    runs, Mann-Kendall).
+
+    Determinism: quantities are exactly integral, so each
+    group's n, sum, and sum-of-squares are exact; every between-group
+    term S_g^2/n_g is a ratio of exact ints snapped to integer 1e-9
+    units BEFORE the cross-group sum (ext_drift_psi discipline), and
+    SST = Q - S^2/n works in the same units, so F divides identical
+    integer-derived doubles. int64/double bounds: S_g^2 < 2^53 up to
+    ~9.5e7 total quantity units per group; Q*1e9 < 2^63 up to ~9e9
+    squared-quantity units — widen to decimal beyond (documented,
+    sf<=1 safe).
+
+    Scale shape: ONE map-side-combined aggregate to a #flags-row grid;
+    all ANOVA algebra runs on those 3 rows plus one scalar. Cited
+    parity anchor: /root/reference/models (beyond-reference
+    surface)."""
+    li = load(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("d"),
+    )
+    g = d.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("d").cast("bigint").alias("s_g"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("q_g"),
+    )
+    gt = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("q_g").cast("bigint").alias("q"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.round(F.col("s_g") * 1.0 * F.col("s_g") / F.col("n_g") * 1e9, 0)
+            .cast("bigint")
+        ).cast("bigint").alias("bterm_units"),
+    )
+    gterm = F.round(F.col("s") * 1.0 * F.col("s") / F.col("n") * 1e9, 0).cast(
+        "bigint"
+    )
+    u = gt.select(
+        "k",
+        "n",
+        (F.col("bterm_units") - gterm).alias("ssb_units"),
+        (F.col("q") * F.lit(1_000_000_000) - gterm).alias("sst_units"),
+    )
+    return u.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_lines"),
+        F.round(F.col("ssb_units") / 1e9, 6).alias("ss_between"),
+        F.round((F.col("sst_units") - F.col("ssb_units")) / 1e9, 6).alias(
+            "ss_within"
+        ),
+        F.round(
+            (F.col("ssb_units") * 1.0 / (F.col("k") - 1))
+            / ((F.col("sst_units") - F.col("ssb_units")) * 1.0 / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_split_order_screen — same-customer same-day multi-order audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_split_order_screen",
+    """
+    WITH grp AS (
+        SELECT o_custkey, o_orderdate,
+               CAST(COUNT(*) AS BIGINT) AS orders_in_day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey, o_orderdate
+        HAVING COUNT(*) >= 2
+    )
+    SELECT orders_in_day,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(orders_in_day) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM grp GROUP BY orders_in_day
+    ORDER BY orders_in_day
+    """,
+)
+def ext_split_order_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-order audit screen: customers placing 2+ orders on the same
+    calendar day (the classic approval-threshold-evasion / duplicate-
+    entry pattern), bucketed by orders-per-day with group counts and
+    exact-cent totals — the transactional-audit sibling of
+    ext_benford_digits.
+
+    Determinism: counting and exact integer cents only.
+
+    Scale shape: one (custkey, date)-keyed aggregate (map-side
+    combined), HAVING prunes to the rare multi-order groups, then a
+    <=#distinct-counts-row rollup. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    grp = (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("orders_in_day"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .filter(F.col("orders_in_day") >= 2)
+    )
+    return (
+        grp.groupBy("orders_in_day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("orders_in_day").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("orders_in_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_text_hapax — hapax-legomena vocabulary richness per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_text_hapax",
+    """
+    WITH tf AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT source,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS token
+            FROM documents
+        ) GROUP BY source, token
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax,
+           CAST(ROUND(COUNT(*) FILTER (WHERE c = 1) * 1.0 / COUNT(*), 6)
+                AS DOUBLE) AS hapax_share,
+           CAST(ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS DOUBLE) AS ttr
+    FROM tf GROUP BY source ORDER BY source
+    """,
+)
+def ext_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena profile per source: tokens seen exactly once as a
+    share of the vocabulary, plus the source-level type-token ratio —
+    the vocabulary-richness diagnostic that flags template-heavy or
+    boilerplate sources (low hapax share) vs noisy/OCR sources
+    (abnormally high), complementing ext_text_ttr (per-doc) and
+    ext_text_heaps_law (corpus growth).
+
+    Determinism: exact integer term frequencies; both ratios divide
+    identical integers and round at 6dp (ratio-of-int doubles are
+    bit-identical, so plain ROUND is safe: the unrounded doubles are
+    already equal).
+
+    Scale shape: explode -> one (source, token)-keyed count (the only
+    corpus-sized shuffle, map-side combined), then a #sources-row
+    rollup. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    from ..ext import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(tx.tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            hapax.cast("bigint").alias("hapax"),
+            F.round(hapax * 1.0 / F.count(F.lit(1)), 6).alias("hapax_share"),
+            F.round(F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias("ttr"),
+        )
+        .orderBy("source")
+    )
