@@ -211,6 +211,10 @@ HEADLINE = [
     "ext_graph_bfs_reach",
     "ext_promo_effect_did",
     "ext_events_burst_hours",
+    "ext_embed_outlier_knn",
+    "ext_anova_quantity",
+    "ext_split_order_screen",
+    "ext_text_hapax",
 ]
 
 
