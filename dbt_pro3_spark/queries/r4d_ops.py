@@ -1295,3 +1295,295 @@ def ext_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_retrieval_mrr — label-relevance retrieval evaluation (MRR / recall)
+# ---------------------------------------------------------------------------
+
+MRR_K = 10  # ranking depth for MRR@k / recall@k
+
+
+@register(
+    "ext_retrieval_mrr",
+    f"""
+    WITH {_SCORED_SQL}, topk AS MATERIALIZED (
+        SELECT qid, nlabel, rk FROM (
+            SELECT qid, nlabel,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, nid) AS rk
+            FROM scored
+        ) WHERE rk <= {MRR_K}
+    ), firsthit AS (
+        SELECT e.vec_id, e.label,
+               MIN(t.rk) FILTER (WHERE t.nlabel = e.label) AS first_rank
+        FROM e LEFT JOIN topk t ON t.qid = e.vec_id
+        GROUP BY e.vec_id, e.label
+    ), rr AS (
+        SELECT label,
+               CASE WHEN first_rank IS NOT NULL
+                    THEN CAST(ROUND(1000000000.0 * (1.0 / first_rank))
+                         AS BIGINT) ELSE 0 END AS rr_units,
+               CASE WHEN first_rank IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM firsthit
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           {dround('SUM(rr_units) * 1.0 / COUNT(*) / 1000000000.0', 6)}
+               AS mean_mrr,
+           {dround('SUM(hit) * 1.0 / COUNT(*)', 6)} AS recall_at_k
+    FROM rr GROUP BY label ORDER BY label
+    """,
+)
+def ext_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation with label-match relevance: every vector
+    queries the corpus (leave-one-out), a neighbor is relevant when it
+    shares the query's label, and each label reports MRR@{MRR_K} and
+    recall@{MRR_K} — the IR-style embedding-quality probe completing
+    the eval family (ext_embed_knn_classify votes, this ranks).
+
+    Determinism: ranks come from the rounded-cosine total order;
+    each reciprocal rank 1/rank is a ratio of small ints snapped to
+    integer 1e-9 units per query BEFORE the label mean (ext_drift_psi
+    discipline); means divide identical integers.
+
+    Scale shape: the two-stage exact top-k primitive again (numpy
+    prune -> JVM fold rerank), then label-keyed reduces. Cited parity
+    anchor: /root/reference/models (beyond-reference surface)."""
+    topk = _topk_scored(spark, sf_dir, k=MRR_K)
+    own = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("qid"), "label"
+    )
+    fh = (
+        own.join(topk.select("qid", "nlabel", "rk"), "qid", "left")
+        .groupBy("qid", "label")
+        .agg(
+            F.min(F.when(F.col("nlabel") == F.col("label"), F.col("rk"))).alias(
+                "first_rank"
+            )
+        )
+    )
+    rr_units = F.when(
+        F.col("first_rank").isNotNull(),
+        F.round(1e9 * (1.0 / F.col("first_rank")), 0).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    hit = F.when(F.col("first_rank").isNotNull(), 1).otherwise(0)
+    return (
+        fh.select("label", rr_units.alias("rr_units"), hit.alias("hit"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.round(
+                F.sum("rr_units") * 1.0 / F.count(F.lit(1)) / 1e9, 6
+            ).alias("mean_mrr"),
+            F.round(F.sum("hit") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+ext_retrieval_mrr.__doc__ = ext_retrieval_mrr.__doc__.replace(
+    "{MRR_K}", str(MRR_K)
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_hist2d_qty_discount — bivariate density grid (quantity x discount)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_hist2d_qty_discount",
+    """
+    SELECT CAST(FLOOR(l_quantity) AS INTEGER) AS qty,
+           CAST(ROUND(l_discount * 100) AS INTEGER) AS disc_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    GROUP BY 1, 2 ORDER BY qty, disc_pct
+    """,
+)
+def ext_hist2d_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate density grid over (quantity, discount-percent): line
+    counts and exact-cent revenue per cell — the 2-D histogram behind
+    pricing heatmaps and discount-policy audits (the numeric sibling of
+    ext_activity_heatmap's day x hour grid).
+
+    Determinism: both bucket keys quantize by FLOOR/ROUND of exactly-
+    representable values; counts and cents are exact integers.
+
+    Scale shape: ONE map-side-combined aggregate onto a value-bounded
+    grid (<= 50 quantities x 11 discounts) — constant output size at
+    any corpus scale. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor("l_quantity").cast("int").alias("qty"),
+            F.round(F.col("l_discount") * 100, 0).cast("int").alias("disc_pct"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("qty", "disc_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_seq_pattern_v — CEP-style V-shape pattern detection on daily revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_seq_pattern_v",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), lagged AS (
+        SELECT d, cents,
+               LAG(cents, 1) OVER (ORDER BY d) AS c1,
+               LAG(cents, 2) OVER (ORDER BY d) AS c2
+        FROM daily
+    ), v AS (
+        SELECT date_trunc('month', d)::DATE AS month,
+               cents - c1 AS rebound_cents
+        FROM lagged WHERE c2 > c1 AND c1 < cents
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_v_patterns,
+           CAST(MAX(rebound_cents) AS BIGINT) AS max_rebound_cents
+    FROM v GROUP BY month ORDER BY month
+    """,
+)
+def ext_seq_pattern_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence-pattern detection (the MATCH_RECOGNIZE /
+    Flink-CEP shape expressed through windows): a V-pattern fires on
+    any day whose revenue fell the previous step and rebounds today
+    (down-then-up over three consecutive trading days); reported
+    per month with the strongest rebound — the pattern-over-ordered-
+    stream operator family, distinct from anomaly scoring (which asks
+    'how far', not 'what shape').
+
+    Determinism: daily revenue in exact integer cents; the pattern
+    predicate and rebound are exact integer comparisons/differences.
+
+    Scale shape: the corpus collapses to the ~2.4k-day series first
+    (map-side combined), so the global LAG window is post-aggregation
+    bounded (the win_lag_12_global discipline), then a <=#months
+    rollup. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "cents",
+        F.lag("cents", 1).over(w).alias("c1"),
+        F.lag("cents", 2).over(w).alias("c2"),
+    )
+    v = lagged.filter(
+        (F.col("c2") > F.col("c1")) & (F.col("c1") < F.col("cents"))
+    ).select(
+        F.date_trunc("month", "d").cast("date").alias("month"),
+        (F.col("cents") - F.col("c1")).alias("rebound_cents"),
+    )
+    return (
+        v.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_v_patterns"),
+            F.max("rebound_cents").cast("bigint").alias("max_rebound_cents"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_seq_error_retry — error-recovery sequence classification per user
+# ---------------------------------------------------------------------------
+
+RETRY_WINDOW_S = 300  # follow-up window after an error event
+
+
+@register(
+    "ext_seq_error_retry",
+    f"""
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER w AS next_type,
+               LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), cls AS (
+        SELECT CASE
+                 WHEN next_type IS NULL
+                      OR gap_us > {RETRY_WINDOW_S} * 1000000 THEN 'abandoned'
+                 WHEN next_type = 'error' THEN 'repeat_error'
+                 ELSE next_type
+               END AS outcome
+        FROM seq WHERE event_type = 'error'
+    )
+    SELECT outcome, CAST(COUNT(*) AS BIGINT) AS n_errors
+    FROM cls GROUP BY outcome ORDER BY outcome
+    """,
+)
+def ext_seq_error_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-recovery sequence classification (the A-then-B CEP
+    pattern): for every error event, the user's NEXT event within
+    {RETRY_WINDOW_S}s classifies the outcome — another error
+    (repeat_error), a successful action (its event type), or nothing
+    in the window (abandoned) — the error-UX funnel that pairs with
+    ext_seq_pattern_v's shape detection and ext_event_transition's
+    unconditioned Markov matrix.
+
+    Determinism: stream order is the (ts, event_id) total order; gaps
+    compare exact integer microseconds (epoch_us vs unix_micros — the
+    ext_littles_law discipline); outcomes are string equality.
+
+    Scale shape: ONE user-keyed shuffle for the LEAD window, then a
+    map-side-combined rollup onto <= #event_types+2 rows. Cited parity
+    anchor: /root/reference/models (beyond-reference surface)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.lead(us).over(w) - us).alias("gap_us"),
+    )
+    cls = seq.filter(F.col("event_type") == "error").select(
+        F.when(
+            F.col("next_type").isNull()
+            | (F.col("gap_us") > RETRY_WINDOW_S * 1_000_000),
+            F.lit("abandoned"),
+        )
+        .when(F.col("next_type") == "error", F.lit("repeat_error"))
+        .otherwise(F.col("next_type"))
+        .alias("outcome")
+    )
+    return (
+        cls.groupBy("outcome")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_errors"))
+        .orderBy("outcome")
+    )
+
+
+ext_seq_error_retry.__doc__ = ext_seq_error_retry.__doc__.replace(
+    "{RETRY_WINDOW_S}", str(RETRY_WINDOW_S)
+)
