@@ -215,6 +215,10 @@ HEADLINE = [
     "ext_anova_quantity",
     "ext_split_order_screen",
     "ext_text_hapax",
+    "ext_retrieval_mrr",
+    "ext_hist2d_qty_discount",
+    "ext_seq_pattern_v",
+    "ext_seq_error_retry",
 ]
 
 
