@@ -1587,3 +1587,408 @@ def ext_seq_error_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_seq_error_retry.__doc__ = ext_seq_error_retry.__doc__.replace(
     "{RETRY_WINDOW_S}", str(RETRY_WINDOW_S)
 )
+
+
+# ---------------------------------------------------------------------------
+# ext_ohlc_weekly — weekly OHLC candles of daily revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_ohlc_weekly",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT date_trunc('week', d)::DATE AS week,
+           CAST(arg_min(cents, d) AS BIGINT) AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(arg_max(cents, d) AS BIGINT) AS close_cents,
+           CAST(SUM(cents) AS BIGINT) AS volume_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY 1 ORDER BY week
+    """,
+)
+def ext_ohlc_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC candles over the daily revenue series: open/close =
+    the first/last trading day's revenue in the ISO week, high/low =
+    the extreme days, plus weekly volume — the downsample-to-candles
+    operator every monitoring/finance stack runs (min_by/max_by keyed
+    on the date makes it one aggregate, no self-joins).
+
+    Determinism: daily cents are exact integers; open/close pick by
+    the unique date key (arg_min/arg_max == F.min_by/F.max_by), so no
+    tie ambiguity exists.
+
+    Scale shape: corpus collapses to the day series (map-side
+    combined), then ONE week-keyed aggregate over ~2.4k rows — both
+    engines truncate weeks to Monday. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", "d").cast("date").alias("week"))
+        .agg(
+            F.min_by("cents", "d").cast("bigint").alias("open_cents"),
+            F.max("cents").cast("bigint").alias("high_cents"),
+            F.min("cents").cast("bigint").alias("low_cents"),
+            F.max_by("cents", "d").cast("bigint").alias("close_cents"),
+            F.sum("cents").cast("bigint").alias("volume_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .orderBy("week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_forecast_backtest — naive vs seasonal-naive backtest (exact WAPE)
+# ---------------------------------------------------------------------------
+
+SNAIVE_LAG = 12  # seasonal-naive lag in months
+
+
+@register(
+    "ext_forecast_backtest",
+    f"""
+    WITH m AS (
+        SELECT r.r_name AS region,
+               date_trunc('month', o.o_orderdate)::DATE AS month,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    ), lagged AS (
+        SELECT region, month, cents,
+               LAG(cents, 1) OVER w AS l1,
+               LAG(cents, {SNAIVE_LAG}) OVER w AS l12
+        FROM m WINDOW w AS (PARTITION BY region ORDER BY month)
+    ), ev AS (
+        SELECT region, cents,
+               ABS(cents - l1) AS e1, ABS(cents - l12) AS e12
+        FROM lagged WHERE l1 IS NOT NULL AND l12 IS NOT NULL
+    )
+    SELECT region,
+           CAST(COUNT(*) AS BIGINT) AS n_months_evaluated,
+           {dround('SUM(e1) * 1.0 / SUM(cents)', 6)} AS wape_naive,
+           {dround('SUM(e12) * 1.0 / SUM(cents)', 6)} AS wape_seasonal,
+           CASE WHEN SUM(e12) < SUM(e1) THEN 'seasonal_naive'
+                WHEN SUM(e1) < SUM(e12) THEN 'naive' ELSE 'tie' END
+               AS better_model
+    FROM ev GROUP BY region ORDER BY region
+    """,
+)
+def ext_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting: one-step-ahead naive (last month) vs
+    seasonal-naive (same month last year) forecasts replayed over each
+    region's monthly revenue, scored by WAPE — the accuracy-evaluation
+    op that closes the forecasting family (ext_ses_forecast /
+    ext_croston_forecast produce forecasts; this key says which
+    baseline to beat). Months without both baselines are excluded
+    (first {SNAIVE_LAG} + 1 months of each region).
+
+    Determinism: WAPE = sum|err| / sum|actual| is a ratio of exact
+    integer cent sums — no per-row division at all; the winner verdict
+    compares exact integers.
+
+    Scale shape: corpus collapses to the (region, month) grid behind
+    broadcast dimension joins; the LAG windows run region-partitioned
+    over ~80 rows each; final rollup is 5 rows. Cited parity anchor:
+    /root/reference/models (forecast evaluation is beyond-reference
+    surface)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("region").orderBy("month")
+    ev = (
+        m.select(
+            "region",
+            "cents",
+            F.lag("cents", 1).over(w).alias("l1"),
+            F.lag("cents", SNAIVE_LAG).over(w).alias("l12"),
+        )
+        .filter(F.col("l1").isNotNull() & F.col("l12").isNotNull())
+        .select(
+            "region",
+            "cents",
+            F.abs(F.col("cents") - F.col("l1")).alias("e1"),
+            F.abs(F.col("cents") - F.col("l12")).alias("e12"),
+        )
+    )
+    return (
+        ev.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_months_evaluated"),
+            F.round(F.sum("e1") * 1.0 / F.sum("cents"), 6).alias("wape_naive"),
+            F.round(F.sum("e12") * 1.0 / F.sum("cents"), 6).alias(
+                "wape_seasonal"
+            ),
+            F.when(F.sum("e12") < F.sum("e1"), "seasonal_naive")
+            .when(F.sum("e1") < F.sum("e12"), "naive")
+            .otherwise("tie")
+            .alias("better_model"),
+        )
+        .orderBy("region")
+    )
+
+
+ext_forecast_backtest.__doc__ = ext_forecast_backtest.__doc__.replace(
+    "{SNAIVE_LAG}", str(SNAIVE_LAG)
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_sketch_kmv_setops — theta-style set operations on KMV sketches
+# ---------------------------------------------------------------------------
+
+KMV_SET_K = 64  # minimum hash values kept per pair-union sketch
+
+
+@register(
+    "ext_sketch_kmv_setops",
+    None,  # oracle attached below (needs the md5 helper)
+)
+def ext_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on KMV sketches: for every pair
+    of event types, the union sketch is the {KMV_SET_K} smallest user-id
+    hashes across both sides, theta = kth_hash/2^32, and the
+    intersection estimate counts shared members inside the sketch
+    divided by theta — the Druid/DataSketches set-algebra capability
+    that plain HLL cannot provide (ext_sketch_kmv is the single-set
+    sibling; exact counts ride along so the error is visible).
+
+    Determinism: md5-derived 32-bit hashes are identical integers on
+    both engines; sketch membership is a (h) total order (hashes are
+    distinct per user by construction of the id space); every estimate
+    divides identical exact integers, dround(6).
+
+    Scale shape: ONE distinct-collapse of (type, user, h), a 4x
+    pair-fanout join against the 10-row pair table, a pair-keyed top-k
+    window (mergeable KMV state: at scale each partition keeps its own
+    k minima first), and a 10-row rollup. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    from .llm_ops import _spark_md5_32
+
+    ev = load(spark, sf_dir, "events")
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    pairs = spark.createDataFrame(
+        [(a, b) for a in sorted(types) for b in sorted(types) if a < b],
+        ["type_a", "type_b"],
+    )
+    h = _spark_md5_32(F.concat(F.lit("kmv:"), F.col("user_id").cast("string")))
+    hashed = ev.select("event_type", h.alias("h")).distinct()
+    fan = pairs.join(
+        F.broadcast(hashed).hint("broadcast"),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    )
+    flags = fan.groupBy("type_a", "type_b", "h").agg(
+        F.max((F.col("event_type") == F.col("type_a")).cast("int")).alias("in_a"),
+        F.max((F.col("event_type") == F.col("type_b")).cast("int")).alias("in_b"),
+    )
+    w_rk = Window.partitionBy("type_a", "type_b").orderBy("h")
+    ranked = flags.withColumn("rk", F.row_number().over(w_rk))
+    exact = flags.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias(
+            "exact_intersection"
+        ),
+    )
+    sk = (
+        ranked.filter(F.col("rk") <= KMV_SET_K)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.max("h").cast("bigint").alias("kth_hash"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias(
+                "n_shared_sketch"
+            ),
+        )
+    )
+    est_union = F.when(
+        F.col("exact_union") <= KMV_SET_K, F.col("exact_union") * 1.0
+    ).otherwise((KMV_SET_K - 1) * 4294967296.0 / F.col("kth_hash"))
+    est_inter = F.when(
+        F.col("exact_union") <= KMV_SET_K, F.col("exact_intersection") * 1.0
+    ).otherwise(F.col("n_shared_sketch") * 4294967296.0 / F.col("kth_hash"))
+    return (
+        sk.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_union",
+            "exact_intersection",
+            "n_shared_sketch",
+            F.round(est_union, 6).alias("est_union"),
+            F.round(est_inter, 6).alias("est_intersection"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ext_sketch_kmv_setops.__doc__ = ext_sketch_kmv_setops.__doc__.replace(
+    "{KMV_SET_K}", str(KMV_SET_K)
+)
+
+
+def _kmv_setops_oracle() -> str:
+    from .llm_ops import _md5_32
+
+    h = _md5_32("'kmv:' || CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH hashed AS MATERIALIZED (
+        SELECT DISTINCT event_type, {h} AS h FROM events
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM (SELECT DISTINCT event_type FROM hashed) a
+        JOIN (SELECT DISTINCT event_type FROM hashed) b
+          ON a.event_type < b.event_type
+    ), flags AS MATERIALIZED (
+        SELECT p.type_a, p.type_b, x.h,
+               MAX(CASE WHEN x.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN x.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN hashed x
+          ON x.event_type = p.type_a OR x.event_type = p.type_b
+        GROUP BY p.type_a, p.type_b, x.h
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h)
+                      AS rk
+        FROM flags
+    ), exact AS (
+        SELECT type_a, type_b,
+               CAST(COUNT(*) AS BIGINT) AS exact_union,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS exact_intersection
+        FROM flags GROUP BY type_a, type_b
+    ), sk AS (
+        SELECT type_a, type_b,
+               CAST(MAX(h) AS BIGINT) AS kth_hash,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS n_shared_sketch
+        FROM ranked WHERE rk <= {KMV_SET_K} GROUP BY type_a, type_b
+    )
+    SELECT e.type_a, e.type_b, e.exact_union, e.exact_intersection,
+           s.n_shared_sketch,
+           {dround(f'''CASE WHEN e.exact_union <= {KMV_SET_K}
+                       THEN e.exact_union * 1.0
+                       ELSE ({KMV_SET_K} - 1) * 4294967296.0 / s.kth_hash
+                       END''', 6)} AS est_union,
+           {dround(f'''CASE WHEN e.exact_union <= {KMV_SET_K}
+                       THEN e.exact_intersection * 1.0
+                       ELSE s.n_shared_sketch * 4294967296.0 / s.kth_hash
+                       END''', 6)} AS est_intersection
+    FROM sk s JOIN exact e
+      ON e.type_a = s.type_a AND e.type_b = s.type_b
+    ORDER BY e.type_a, e.type_b
+    """
+
+
+from . import ORACLE as _ORACLE  # noqa: E402
+
+_ORACLE["ext_sketch_kmv_setops"] = _kmv_setops_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ext_bizday_lag — business-day (Mon-Fri) arithmetic on ship lag
+# ---------------------------------------------------------------------------
+
+# Weekdays from the Monday epoch 1970-01-05 through day offset e (>= 0):
+# 5 full weeks' worth per 7 days plus min(e%7 + 1, 5) in the tail.
+_BIZ_EPOCH = "DATE '1970-01-05'"
+
+
+def _bizdays_sql(datecol: str) -> str:
+    e = f"datediff('day', {_BIZ_EPOCH}, {datecol})"
+    return (
+        f"(5 * CAST(FLOOR(({e}) / 7.0) AS BIGINT)"
+        f" + LEAST(({e}) % 7 + 1, 5))"
+    )
+
+
+@register(
+    "ext_bizday_lag",
+    f"""
+    WITH l AS (
+        SELECT o.o_orderpriority AS priority,
+               ({_bizdays_sql('l.l_shipdate')})
+                   - ({_bizdays_sql('o.o_orderdate')}) AS bizdays
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MIN(bizdays) AS BIGINT) AS min_bizdays,
+           CAST(MAX(bizdays) AS BIGINT) AS max_bizdays,
+           {dround('SUM(bizdays) * 1.0 / COUNT(*)', 6)} AS mean_bizdays
+    FROM l GROUP BY priority ORDER BY priority
+    """,
+)
+def ext_bizday_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day (Mon-Fri) order-to-ship lag per order priority —
+    calendar arithmetic the SLA world actually uses (5 calendar days
+    over a weekend is 3 business days). The weekday count W(d) is a
+    CLOSED-FORM integer expression from a fixed Monday epoch
+    (5*floor(e/7) + min(e%7+1, 5)), so the lag W(ship) - W(ordered)
+    needs no calendar table, no explode, no join against a date spine.
+
+    Determinism: pure integer date arithmetic (datediff/floor/mod) —
+    identical on both engines; the mean divides exact integers.
+
+    Scale shape: the orderkey join is the only shuffle (co-partitioned
+    fact-to-fact); the rollup lands on 5 priority rows, map-side
+    combined. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+
+    def bizdays(col):
+        e = F.datediff(col, F.lit("1970-01-05").cast("date"))
+        return 5 * F.floor(e / 7.0).cast("bigint") + F.least(
+            e % 7 + 1, F.lit(5)
+        )
+
+    lag = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            (bizdays(F.col("l_shipdate")) - bizdays(F.col("o_orderdate"))).alias(
+                "bizdays"
+            ),
+        )
+    )
+    return (
+        lag.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.min("bizdays").cast("bigint").alias("min_bizdays"),
+            F.max("bizdays").cast("bigint").alias("max_bizdays"),
+            F.round(F.sum("bizdays") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "mean_bizdays"
+            ),
+        )
+        .orderBy("priority")
+    )
