@@ -219,6 +219,10 @@ HEADLINE = [
     "ext_hist2d_qty_discount",
     "ext_seq_pattern_v",
     "ext_seq_error_retry",
+    "ext_ohlc_weekly",
+    "ext_forecast_backtest",
+    "ext_sketch_kmv_setops",
+    "ext_bizday_lag",
 ]
 
 
