@@ -1992,3 +1992,344 @@ def ext_bizday_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_nb_langid — multinomial naive-Bayes language classifier (exact units)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_nb_langid",
+    f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS token
+        FROM documents
+    ), classes AS MATERIALIZED (
+        SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM toks GROUP BY lang
+    ), vocab AS MATERIALIZED (
+        SELECT DISTINCT token FROM toks
+    ), vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    cnt AS (
+        SELECT lang AS cls, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY lang, token
+    ), grid AS MATERIALIZED (
+        SELECT vo.token, cl.cls,
+               CAST(ROUND(ln((COALESCE(ct.c, 0) + 1.0) / (cl.n_tok + vs.v))
+                          * 1000000000.0) AS BIGINT) AS units
+        FROM vocab vo
+        CROSS JOIN classes cl
+        CROSS JOIN vsize vs
+        LEFT JOIN cnt ct ON ct.token = vo.token AND ct.cls = cl.cls
+    ), prior AS (
+        SELECT cls,
+               CAST(ROUND(ln(nd * 1.0 / (SELECT SUM(nd) FROM (
+                   SELECT COUNT(DISTINCT doc_id) AS nd FROM toks GROUP BY lang
+               ))) * 1000000000.0) AS BIGINT) AS prior_units
+        FROM (SELECT lang AS cls, COUNT(DISTINCT doc_id) AS nd
+              FROM toks GROUP BY lang)
+    ), scored AS (
+        SELECT t.doc_id, g.cls,
+               CAST(SUM(g.units) AS BIGINT)
+                   + ANY_VALUE(p.prior_units) AS score_units
+        FROM toks t
+        JOIN grid g ON g.token = t.token
+        JOIN prior p ON p.cls = g.cls
+        GROUP BY t.doc_id, g.cls
+    ), pred AS (
+        SELECT doc_id, cls AS lang_pred FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_units DESC, cls) = 1
+    )
+    SELECT d.lang AS lang_declared, p.lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY d.lang, p.lang_pred
+    ORDER BY lang_declared, lang_pred
+    """,
+)
+def ext_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier trained and scored
+    in one pass (Laplace-smoothed unigram likelihoods per declared
+    lang, log-prior included), reported as the declared-vs-predicted
+    confusion matrix — distributed supervised ML with the registry's
+    exactness contract: every log-likelihood ln((c+1)/(N_c+V)) is a
+    ratio of exact integers snapped to integer 1e-9 units per
+    (token, class) BEFORE any per-document sum, so scores are exact
+    BIGINTs and the argmax (units DESC, class) is a total order.
+    (Empty documents never enter: scoring is driven off the token
+    stream itself.)
+
+    Scale shape: training is one (class, token) count (map-side
+    combined, bounded by vocab x classes); the model grid broadcasts;
+    scoring is one (doc, class)-keyed reduce over the exploded token
+    stream — the corpus shuffles once. Cited parity anchor:
+    /root/reference/models (no ML ops in the reference;
+    beyond-reference surface)."""
+    from ..ext import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tx.tokens(F.col("text"))).alias("token")
+    ).localCheckpoint(eager=False)  # feeds classes, vocab, counts, scoring
+    classes = toks.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    vocab = toks.select("token").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    cnt = toks.groupBy(F.col("lang").alias("cls"), "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grid = (
+        vocab.crossJoin(F.broadcast(classes))
+        .crossJoin(F.broadcast(vsize))
+        .join(F.broadcast(cnt), ["token", "cls"], "left")
+        .select(
+            "token",
+            "cls",
+            F.round(
+                F.log(
+                    (F.coalesce("c", F.lit(0)) + 1.0)
+                    / (F.col("n_tok") + F.col("v"))
+                )
+                * 1e9,
+                0,
+            )
+            .cast("bigint")
+            .alias("units"),
+        )
+    )
+    nd = toks.groupBy(F.col("lang").alias("cls")).agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    prior = (
+        nd.crossJoin(F.broadcast(nd.agg(F.sum("nd").alias("tot"))))
+        .select(
+            "cls",
+            F.round(F.log(F.col("nd") * 1.0 / F.col("tot")) * 1e9, 0)
+            .cast("bigint")
+            .alias("prior_units"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(grid), "token")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum("units").cast("bigint").alias("tok_units"))
+        .join(F.broadcast(prior), "cls")
+        .select(
+            "doc_id",
+            "cls",
+            (F.col("tok_units") + F.col("prior_units")).alias("score_units"),
+        )
+    )
+    pred = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("score_units"), "cls"
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("cls").alias("lang_pred"))
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("lang_declared"))
+        .join(pred, "doc_id")
+        .groupBy("lang_declared", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang_declared", "lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_seq_basket_pairs — sequential market-basket pairs (A then later B)
+# ---------------------------------------------------------------------------
+
+SEQ_PAIR_TOPN = 25
+
+
+@register(
+    "ext_seq_basket_pairs",
+    f"""
+    WITH cpd AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part,
+               o.o_orderdate AS d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), pairs AS (
+        SELECT DISTINCT a.cust, a.part AS part_from, b.part AS part_to
+        FROM cpd a JOIN cpd b
+          ON a.cust = b.cust AND a.d < b.d AND a.part <> b.part
+    )
+    SELECT part_from, part_to, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM pairs GROUP BY part_from, part_to
+    ORDER BY n_customers DESC, part_from, part_to
+    LIMIT {SEQ_PAIR_TOPN}
+    """,
+)
+def ext_seq_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL market-basket pairs: part A bought on an earlier
+    order date than part B by the same customer, ranked by how many
+    distinct customers exhibit the sequence — the temporal sibling of
+    ext_basket_pairs (same basket) and ext_assoc_rules (co-occurrence):
+    this is what next-purchase recommenders and replenishment models
+    mine.
+
+    Determinism: distinct-set algebra and exact counts; the top-N
+    order (support DESC, part_from, part_to) is a total order.
+
+    Scale shape: the (cust, part, date) distinct collapse bounds the
+    self-join input; the sequence join is keyed on the customer
+    (per-customer fan-out ~ (orders x parts-per-order)^2, bounded by
+    purchase history, not corpus); one (from, to)-keyed count reduce
+    then TakeOrdered. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cpd = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # both sides of the sequence join
+    )
+    a = cpd.select("cust", F.col("part").alias("part_from"), F.col("d").alias("d1"))
+    b = cpd.select("cust", F.col("part").alias("part_to"), F.col("d").alias("d2"))
+    pairs = (
+        a.join(b, "cust")
+        .filter((F.col("d1") < F.col("d2")) & (F.col("part_from") != F.col("part_to")))
+        .select("cust", "part_from", "part_to")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("part_from", "part_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), "part_from", "part_to")
+        .limit(SEQ_PAIR_TOPN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_simpson_screen — Simpson's-paradox direction-reversal audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_simpson_screen",
+    """
+    WITH l AS (
+        SELECT p.p_brand AS brand,
+               CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS promo,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), cells AS MATERIALIZED (
+        SELECT brand,
+               CAST(SUM(CASE WHEN promo = 1 THEN cents END) AS BIGINT) AS sp,
+               CAST(COUNT(*) FILTER (WHERE promo = 1) AS BIGINT) AS np,
+               CAST(SUM(CASE WHEN promo = 0 THEN cents END) AS BIGINT) AS so,
+               CAST(COUNT(*) FILTER (WHERE promo = 0) AS BIGINT) AS no
+        FROM l GROUP BY brand
+    ), tot AS (
+        SELECT CAST(SUM(sp) AS BIGINT) AS sp, CAST(SUM(np) AS BIGINT) AS np,
+               CAST(SUM(so) AS BIGINT) AS so, CAST(SUM(no) AS BIGINT) AS no
+        FROM cells
+    )
+    SELECT c.brand, c.np AS n_promo, c.no AS n_other,
+           CAST(ROUND(c.sp * 1.0 / c.np, 6) AS DOUBLE) AS mean_promo_cents,
+           CAST(ROUND(c.so * 1.0 / c.no, 6) AS DOUBLE) AS mean_other_cents,
+           CASE WHEN c.sp * c.no > c.so * c.np THEN 1
+                WHEN c.sp * c.no < c.so * c.np THEN -1 ELSE 0 END
+               AS brand_direction,
+           CASE WHEN t.sp * t.no > t.so * t.np THEN 1
+                WHEN t.sp * t.no < t.so * t.np THEN -1 ELSE 0 END
+               AS overall_direction,
+           CAST(CASE WHEN (CASE WHEN c.sp * c.no > c.so * c.np THEN 1
+                                WHEN c.sp * c.no < c.so * c.np THEN -1
+                                ELSE 0 END)
+                          * (CASE WHEN t.sp * t.no > t.so * t.np THEN 1
+                                  WHEN t.sp * t.no < t.so * t.np THEN -1
+                                  ELSE 0 END) = -1
+                     THEN 1 ELSE 0 END AS INTEGER) AS simpson_flip
+    FROM cells c CROSS JOIN tot t
+    WHERE c.np > 0 AND c.no > 0
+    ORDER BY c.brand
+    """,
+)
+def ext_simpson_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: does the promo-vs-other mean-revenue
+    comparison REVERSE direction inside a brand relative to the overall
+    corpus? Flags every brand whose within-stratum direction opposes the
+    aggregate direction — the classic confounding audit run before
+    trusting any aggregate A/B-style comparison (the diagnostic sibling
+    of ext_promo_effect_did).
+
+    Determinism: every direction verdict is the exact integer cross-
+    multiplication sp*no vs so*np — no mean is ever compared as a
+    float; reported means divide identical integers (plain ROUND safe
+    on already-identical doubles). int128 note: the cross products stay
+    under 2^63 up to ~3e9 cents x 3e9 lines per cell; widen to
+    decimal(38,0) beyond (documented).
+
+    Scale shape: one broadcast dimension join, ONE brand-keyed
+    conditional aggregate (map-side combined, 25 cells), and a scalar
+    total — all verdict algebra on the 25-row grid. Cited parity
+    anchor: /root/reference/models (beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("p_type").startswith("PROMO"), 1).otherwise(0).alias("promo"),
+    )
+    l = li.select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    ).join(F.broadcast(pt), "p_partkey")
+    cells = l.groupBy("brand").agg(
+        F.sum(F.when(F.col("promo") == 1, F.col("cents"))).cast("bigint").alias("sp"),
+        F.count(F.when(F.col("promo") == 1, 1)).cast("bigint").alias("np"),
+        F.sum(F.when(F.col("promo") == 0, F.col("cents"))).cast("bigint").alias("so"),
+        F.count(F.when(F.col("promo") == 0, 1)).cast("bigint").alias("no"),
+    ).localCheckpoint(eager=False)  # feeds the per-brand rows AND the total
+    tot = cells.agg(
+        F.sum("sp").cast("bigint").alias("tsp"),
+        F.sum("np").cast("bigint").alias("tnp"),
+        F.sum("so").cast("bigint").alias("tso"),
+        F.sum("no").cast("bigint").alias("tno"),
+    )
+
+    def direction(s1, n1, s2, n2):
+        return (
+            F.when(F.col(s1) * F.col(n2) > F.col(s2) * F.col(n1), 1)
+            .when(F.col(s1) * F.col(n2) < F.col(s2) * F.col(n1), -1)
+            .otherwise(0)
+        )
+
+    bd = direction("sp", "np", "so", "no")
+    od = direction("tsp", "tnp", "tso", "tno")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .filter((F.col("np") > 0) & (F.col("no") > 0))
+        .select(
+            "brand",
+            F.col("np").alias("n_promo"),
+            F.col("no").alias("n_other"),
+            F.round(F.col("sp") * 1.0 / F.col("np"), 6).alias("mean_promo_cents"),
+            F.round(F.col("so") * 1.0 / F.col("no"), 6).alias("mean_other_cents"),
+            bd.alias("brand_direction"),
+            od.alias("overall_direction"),
+            F.when(bd * od == -1, 1).otherwise(0).cast("int").alias("simpson_flip"),
+        )
+        .orderBy("brand")
+    )
