@@ -223,6 +223,9 @@ HEADLINE = [
     "ext_forecast_backtest",
     "ext_sketch_kmv_setops",
     "ext_bizday_lag",
+    "ext_nb_langid",
+    "ext_seq_basket_pairs",
+    "ext_simpson_screen",
 ]
 
 
