@@ -2333,3 +2333,567 @@ def ext_simpson_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_graph_modularity — partition quality of the label-prop communities
+# ---------------------------------------------------------------------------
+
+MOD_ROUNDS = 3  # same round budget as ext_graph_label_prop
+MOD_MIN_SUPPORT = 2  # same edge support floor
+MOD_TOPN = 20  # largest communities reported
+
+
+def _modularity_oracle() -> str:
+    base = f"""
+    WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), edges AS MATERIALIZED (
+        SELECT a.pk AS src, b.pk AS dst
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {MOD_MIN_SUPPORT}
+    ), sym AS MATERIALIZED (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ), lab0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS lab FROM sym
+    )"""
+    its = []
+    for t in range(1, MOD_ROUNDS + 1):
+        its.append(
+            f"""lab{t} AS MATERIALIZED (
+        SELECT l.node, LEAST(l.lab, MIN(n.lab)) AS lab
+        FROM lab{t - 1} l
+        JOIN sym e ON e.src = l.node
+        JOIN lab{t - 1} n ON n.node = e.dst
+        GROUP BY l.node, l.lab
+    )"""
+        )
+    return (
+        base
+        + ", "
+        + ", ".join(its)
+        + f""", m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY src
+    ), comm AS MATERIALIZED (
+        SELECT l.lab AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+        FROM lab{MOD_ROUNDS} l JOIN deg d ON d.node = l.node
+        GROUP BY l.lab
+    ), internal AS (
+        SELECT la.lab AS community, CAST(COUNT(*) AS BIGINT) AS internal_edges
+        FROM edges e
+        JOIN lab{MOD_ROUNDS} la ON la.node = e.src
+        JOIN lab{MOD_ROUNDS} lb ON lb.node = e.dst
+        WHERE la.lab = lb.lab
+        GROUP BY la.lab
+    ), terms AS MATERIALIZED (
+        SELECT c.community, c.n_nodes, c.degree_sum,
+               COALESCE(i.internal_edges, 0) AS internal_edges,
+               CAST(ROUND((COALESCE(i.internal_edges, 0) * 1.0 / m.m
+                           - (c.degree_sum * 1.0 / (2 * m.m))
+                             * (c.degree_sum * 1.0 / (2 * m.m)))
+                          * 1000000000.0) AS BIGINT) AS units
+        FROM comm c
+        LEFT JOIN internal i ON i.community = c.community
+        CROSS JOIN m
+    )
+    SELECT community, n_nodes, degree_sum, internal_edges,
+           {dround('units / 1000000000.0', 6)} AS modularity_term,
+           {dround('SUM(units) OVER () / 1000000000.0', 6)} AS q_total
+    FROM terms
+    QUALIFY ROW_NUMBER() OVER (ORDER BY n_nodes DESC, community)
+            <= {MOD_TOPN}
+    ORDER BY n_nodes DESC, community
+    """
+    )
+
+
+@register("ext_graph_modularity", _modularity_oracle())
+def ext_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity Q of the bounded-round min-label communities (same
+    graph, support floor, and round budget as ext_graph_label_prop):
+    per community, internal-edge count, degree sum, and its modularity
+    term e_c/m - (d_c/2m)^2; Q totals every term — the partition-
+    QUALITY metric that tells you whether the communities the budget
+    found are real structure (Q >> 0) or noise (Q ~ 0). Reported for
+    the {MOD_TOPN} largest communities with the global Q on each row.
+
+    Determinism: counts and degrees are exact integers; each
+    community's term is identical-double algebra snapped to integer
+    1e-9 units before the global window sum (ext_drift_psi
+    discipline).
+
+    Scale shape: the propagation rounds are node-keyed join+reduce
+    supersteps (Pregel pattern, lazily checkpointed); the modularity
+    pass adds one degree reduce, one label-keyed internal-edge count,
+    and community-grid algebra; the global window runs over community
+    rows, never the corpus. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    edges = (
+        op.alias("a")
+        .join(op.alias("b"), "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MOD_MIN_SUPPORT)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)  # feeds sym, m, internal-edge count
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    lab = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(MOD_ROUNDS):
+        nbr = (
+            sym.join(
+                lab.select(F.col("node").alias("dst"), F.col("lab").alias("nlab")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("nlab").alias("nbr_min"))
+        )
+        lab = (
+            lab.join(nbr, "node")
+            .select("node", F.least(F.col("lab"), F.col("nbr_min")).alias("lab"))
+            .localCheckpoint(eager=False)
+        )
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    comm = (
+        lab.join(deg, "node")
+        .groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("degree_sum"),
+        )
+    )
+    la = lab.select(F.col("node").alias("src"), F.col("lab").alias("lab_a"))
+    lb = lab.select(F.col("node").alias("dst"), F.col("lab").alias("lab_b"))
+    internal = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("internal_edges"))
+    )
+    half = F.col("degree_sum") * 1.0 / (2 * F.col("m"))
+    terms = (
+        comm.join(internal, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            "degree_sum",
+            F.coalesce("internal_edges", F.lit(0)).cast("bigint").alias(
+                "internal_edges"
+            ),
+            F.round(
+                (
+                    F.coalesce("internal_edges", F.lit(0)) * 1.0 / F.col("m")
+                    - half * half
+                )
+                * 1e9,
+                0,
+            )
+            .cast("bigint")
+            .alias("units"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_rk = Window.orderBy(F.desc("n_nodes"), "community")
+    return (
+        terms.select(
+            "community",
+            "n_nodes",
+            "degree_sum",
+            "internal_edges",
+            F.round(F.col("units") / 1e9, 6).alias("modularity_term"),
+            F.round(F.sum("units").over(w_all) / 1e9, 6).alias("q_total"),
+            F.row_number().over(w_rk).alias("rk"),
+        )
+        .filter(F.col("rk") <= MOD_TOPN)
+        .drop("rk")
+        .orderBy(F.desc("n_nodes"), "community")
+    )
+
+
+ext_graph_modularity.__doc__ = ext_graph_modularity.__doc__.replace(
+    "{MOD_TOPN}", str(MOD_TOPN)
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_forecast_reconcile — top-down hierarchical forecast allocation
+# ---------------------------------------------------------------------------
+
+RECON_TRAIL = 12  # trailing months used for allocation shares
+
+
+@register(
+    "ext_forecast_reconcile",
+    f"""
+    WITH nm AS MATERIALIZED (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               date_trunc('month', o.o_orderdate)::DATE AS month,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2, 3
+    ), last AS (SELECT MAX(month) AS lm FROM nm),
+    regf AS (
+        SELECT region, CAST(SUM(cents) AS BIGINT) AS region_forecast_cents
+        FROM nm, last WHERE month = lm GROUP BY region
+    ), trail AS (
+        SELECT region, nation, CAST(SUM(cents) AS BIGINT) AS nation_trailing_cents
+        FROM nm, last
+        WHERE month > (lm - INTERVAL {RECON_TRAIL} MONTH) AND month <= lm
+        GROUP BY region, nation
+    ), regt AS (
+        SELECT region, CAST(SUM(nation_trailing_cents) AS BIGINT)
+                   AS region_trailing_cents
+        FROM trail GROUP BY region
+    )
+    SELECT t.region, t.nation,
+           (SELECT lm FROM last) AS last_month,
+           f.region_forecast_cents,
+           t.nation_trailing_cents,
+           g.region_trailing_cents,
+           CAST(ROUND(f.region_forecast_cents
+                      * (t.nation_trailing_cents * 1.0
+                         / g.region_trailing_cents)) AS BIGINT)
+               AS alloc_forecast_cents
+    FROM trail t
+    JOIN regf f ON f.region = t.region
+    JOIN regt g ON g.region = t.region
+    ORDER BY t.region, t.nation
+    """,
+)
+def ext_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-down hierarchical forecast reconciliation: the region-level
+    next-month naive forecast (last observed month's revenue) is
+    allocated down to nations proportionally to each nation's trailing-
+    {RECON_TRAIL}-month revenue share — the standard coherent-forecast
+    move (forecast where the signal is stable, allocate where it isn't)
+    that completes the forecasting family (ext_ses_forecast predicts,
+    ext_forecast_backtest scores, this key distributes).
+
+    Determinism: all revenue is exact integer cents; the allocation
+    multiplies a ratio of identical integers by an exact integer in an
+    identical expression tree and ROUNDs once to integer cents.
+
+    Scale shape: the corpus collapses to the (region, nation, month)
+    grid behind broadcast dimension joins; everything after runs on
+    ~25 nation rows and a scalar last-month. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nm = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)  # feeds last-month, forecast, trailing
+    )
+    last = nm.agg(F.max("month").alias("lm"))
+    regf = (
+        nm.crossJoin(F.broadcast(last))
+        .filter(F.col("month") == F.col("lm"))
+        .groupBy("region")
+        .agg(F.sum("cents").cast("bigint").alias("region_forecast_cents"))
+    )
+    trail = (
+        nm.crossJoin(F.broadcast(last))
+        .filter(
+            (F.col("month") > F.add_months(F.col("lm"), -RECON_TRAIL))
+            & (F.col("month") <= F.col("lm"))
+        )
+        .groupBy("region", "nation")
+        .agg(F.sum("cents").cast("bigint").alias("nation_trailing_cents"))
+    )
+    regt = trail.groupBy("region").agg(
+        F.sum("nation_trailing_cents").cast("bigint").alias(
+            "region_trailing_cents"
+        )
+    )
+    return (
+        trail.join(F.broadcast(regf), "region")
+        .join(F.broadcast(regt), "region")
+        .crossJoin(F.broadcast(last.select(F.col("lm").alias("last_month"))))
+        .select(
+            "region",
+            "nation",
+            "last_month",
+            "region_forecast_cents",
+            "nation_trailing_cents",
+            "region_trailing_cents",
+            F.round(
+                F.col("region_forecast_cents")
+                * (
+                    F.col("nation_trailing_cents")
+                    * 1.0
+                    / F.col("region_trailing_cents")
+                ),
+                0,
+            )
+            .cast("bigint")
+            .alias("alloc_forecast_cents"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+ext_forecast_reconcile.__doc__ = ext_forecast_reconcile.__doc__.replace(
+    "{RECON_TRAIL}", str(RECON_TRAIL)
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_ab_srm_check — sample-ratio-mismatch guardrail
+# ---------------------------------------------------------------------------
+
+_SRM_CHI2_X1E4 = 38415  # chi-square 5% critical value (1 dof) * 1e4
+
+
+@register(
+    "ext_ab_srm_check",
+    f"""
+    WITH arms AS (
+        SELECT CASE WHEN ({{h}}) % 2 = 0 THEN 0 ELSE 1 END AS arm
+        FROM customer
+    ), c AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_arm0,
+               CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_arm1
+        FROM arms
+    )
+    SELECT n_arm0, n_arm1,
+           {dround('''(n_arm0 - n_arm1) * 1.0 * (n_arm0 - n_arm1)
+                      / (n_arm0 + n_arm1)''', 6)} AS chi2,
+           CAST(CASE WHEN (n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 10000
+                          > {_SRM_CHI2_X1E4} * (n_arm0 + n_arm1)
+                     THEN 1 ELSE 0 END AS INTEGER) AS srm_detected
+    FROM c
+    """,
+)
+def ext_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: customers are hash-assigned to
+    two arms (deterministic md5 split — the registry's reproducible
+    randomization) and the observed split is chi-square-tested against
+    50/50 — the first sanity check every experimentation platform runs
+    before reading any metric (a failed SRM invalidates the
+    experiment).
+
+    Determinism: the verdict is the exact integer cross-multiplication
+    (n0-n1)^2 * 1e4 > chi2_crit*1e4 * (n0+n1) — the ext_mann_kendall
+    threshold discipline; the reported chi2 divides identical
+    integers.
+
+    Scale shape: one narrow map + ONE scalar conditional count —
+    embarrassingly parallel. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    from .llm_ops import _spark_md5_32
+
+    cust = load(spark, sf_dir, "customer")
+    arm = (
+        _spark_md5_32(F.concat(F.lit("srm:"), F.col("c_custkey").cast("string")))
+        % 2
+    )
+    c = cust.select(arm.alias("arm")).agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("n_arm0"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("n_arm1"),
+    )
+    diff = F.col("n_arm0") - F.col("n_arm1")
+    tot = F.col("n_arm0") + F.col("n_arm1")
+    return c.select(
+        "n_arm0",
+        "n_arm1",
+        F.round(diff * 1.0 * diff / tot, 6).alias("chi2"),
+        F.when(diff * diff * 10000 > _SRM_CHI2_X1E4 * tot, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("srm_detected"),
+    )
+
+
+# attach the md5 expression into the oracle template
+from .llm_ops import _md5_32 as _md5_32_sql  # noqa: E402
+
+_ORACLE["ext_ab_srm_check"] = _ORACLE["ext_ab_srm_check"].replace(
+    "{h}", _md5_32_sql("'srm:' || CAST(c_custkey AS VARCHAR)")
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_metric_cuped — CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+CUPED_PRE_YEAR = 1996
+CUPED_POST_YEAR = 1997
+
+
+@register(
+    "ext_metric_cuped",
+    f"""
+    WITH per_user AS MATERIALIZED (
+        SELECT o_custkey,
+               CASE WHEN ({{h}}) % 2 = 0 THEN 0 ELSE 1 END AS arm,
+               CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate)
+                                  = {CUPED_PRE_YEAR}
+                             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate)
+                                  = {CUPED_POST_YEAR}
+                             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+    ), pooled AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        FROM per_user
+    ), th AS (
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                   AS theta,
+               CAST(sx AS BIGINT) * 1.0 / CAST(n AS BIGINT) AS mean_x
+        FROM pooled
+    ), adj AS (
+        SELECT u.arm, u.y,
+               CAST(ROUND((u.y - t.theta * (u.x - t.mean_x)) * 1000000.0)
+                    AS BIGINT) AS adj_units,
+               t.theta
+        FROM per_user u CROSS JOIN th t
+    )
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           {dround('SUM(y) * 1.0 / COUNT(*)', 6)} AS mean_post_cents,
+           {dround('SUM(adj_units) * 1.0 / COUNT(*) / 1000000.0', 6)}
+               AS mean_cuped_cents,
+           {dround('ANY_VALUE(theta)', 6)} AS theta
+    FROM adj GROUP BY arm ORDER BY arm
+    """,
+)
+def ext_metric_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout: per-customer post-
+    period spend ({CUPED_POST_YEAR}) adjusted by the pre-period
+    covariate ({CUPED_PRE_YEAR}) with the pooled OLS theta =
+    cov(x,y)/var(x), reported per hash-assigned arm — the standard
+    variance-reduction technique every experimentation platform ships
+    (same deterministic arm assignment as ext_ab_srm_check).
+
+    Determinism: theta's numerator/denominator are exact 128-bit
+    integers (n*Sxy - Sx*Sy over HUGEINT / decimal(38,0)), converted
+    to double through the string path on the DuckDB side (HUGEINT ->
+    DOUBLE is not correctly rounded above 2^53; VARCHAR -> DOUBLE is,
+    and matches Spark's BigDecimal.doubleValue); each user's adjusted
+    metric is snapped to integer micro-cent units before the arm mean.
+
+    Scale shape: ONE custkey-keyed conditional aggregate builds the
+    panel; pooled moments are one scalar reduce; the adjustment is a
+    narrow map against broadcast scalars; arm rollup is 2 rows. Cited
+    parity anchor: /root/reference/models (beyond-reference
+    surface)."""
+    from .llm_ops import _spark_md5_32
+
+    o = load(spark, sf_dir, "orders")
+    arm = (
+        _spark_md5_32(F.concat(F.lit("cuped:"), F.col("o_custkey").cast("string")))
+        % 2
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    yr = F.year("o_orderdate")
+    per_user = o.groupBy("o_custkey").agg(
+        F.max(arm).alias("arm"),
+        F.sum(F.when(yr == CUPED_PRE_YEAR, cents).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(yr == CUPED_POST_YEAR, cents).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    ).localCheckpoint(eager=False)  # feeds pooled moments AND the readout
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+    )
+    th = pooled.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("theta"),
+        (
+            F.col("sx").cast("bigint") * 1.0 / F.col("n").cast("bigint")
+        ).alias("mean_x"),
+    )
+    adj = per_user.crossJoin(F.broadcast(th)).select(
+        "arm",
+        "y",
+        F.round(
+            (F.col("y") - F.col("theta") * (F.col("x") - F.col("mean_x")))
+            * 1e6,
+            0,
+        )
+        .cast("bigint")
+        .alias("adj_units"),
+        "theta",
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.sum("y") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "mean_post_cents"
+            ),
+            F.round(
+                F.sum("adj_units") * 1.0 / F.count(F.lit(1)) / 1e6, 6
+            ).alias("mean_cuped_cents"),
+            F.round(F.first("theta"), 6).alias("theta"),
+        )
+        .orderBy("arm")
+    )
+
+
+ext_metric_cuped.__doc__ = ext_metric_cuped.__doc__.replace(
+    "{CUPED_PRE_YEAR}", str(CUPED_PRE_YEAR)
+).replace("{CUPED_POST_YEAR}", str(CUPED_POST_YEAR))
+
+_ORACLE["ext_metric_cuped"] = _ORACLE["ext_metric_cuped"].replace(
+    "{h}", _md5_32_sql("'cuped:' || CAST(o_custkey AS VARCHAR)")
+)
