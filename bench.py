@@ -226,6 +226,10 @@ HEADLINE = [
     "ext_nb_langid",
     "ext_seq_basket_pairs",
     "ext_simpson_screen",
+    "ext_graph_modularity",
+    "ext_forecast_reconcile",
+    "ext_ab_srm_check",
+    "ext_metric_cuped",
 ]
 
 
