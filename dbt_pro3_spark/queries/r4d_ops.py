@@ -2897,3 +2897,356 @@ ext_metric_cuped.__doc__ = ext_metric_cuped.__doc__.replace(
 _ORACLE["ext_metric_cuped"] = _ORACLE["ext_metric_cuped"].replace(
     "{h}", _md5_32_sql("'cuped:' || CAST(o_custkey AS VARCHAR)")
 )
+
+
+# ---------------------------------------------------------------------------
+# ext_sketch_ams_f2 — AMS second-frequency-moment sketch (exact integers)
+# ---------------------------------------------------------------------------
+
+AMS_LANES = 16  # independent +/-1 projections
+
+
+def _ams_oracle() -> str:
+    from .llm_ops import _md5_32
+
+    lanes = ", ".join(
+        f"""CAST(SUM(CASE WHEN ({_md5_32(f"'ams{i}:' || CAST(l_partkey AS VARCHAR)")}) % 2 = 0
+                 THEN 1 ELSE -1 END) AS BIGINT) AS z{i}"""
+        for i in range(AMS_LANES)
+    )
+    zsq = " + ".join(f"z{i} * z{i}" for i in range(AMS_LANES))
+    return f"""
+    WITH lanes AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, {lanes}
+        FROM lineitem
+    ), exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(c * c) AS BIGINT) AS exact_f2
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT l.n_rows, e.n_distinct, e.exact_f2,
+           {dround(f'({zsq}) * 1.0 / {AMS_LANES}', 6)} AS est_f2,
+           {dround(f'ABS(({zsq}) * 1.0 / {AMS_LANES} - e.exact_f2) / e.exact_f2', 6)}
+               AS rel_err
+    FROM lanes l CROSS JOIN exact e
+    """
+
+
+@register("ext_sketch_ams_f2", _ams_oracle())
+def ext_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch over
+    part keys: {AMS_LANES} independent +/-1 hash projections, each
+    lane's running sum Z squares into an F2 estimate, averaged across
+    lanes — the classic one-pass self-join-size / skew estimator that
+    completes the sketch family (Bloom membership, CountMin frequency,
+    HLL/KMV cardinality, AMS moments). The exact F2 rides along so the
+    error is visible.
+
+    Determinism: every lane sum is an exact integer of md5-derived
+    signs; the estimate and relative error divide identical integers,
+    dround(6).
+
+    Scale shape: ALL lanes compute in ONE map-side-combined scalar
+    aggregate over the scan (no shuffle at all for the sketch); the
+    exact check is one partkey-keyed count. int64 bound: |Z| <= rows,
+    Z^2 sums need rows^2 * lanes < 2^63 — fine to ~7e8 rows; widen
+    beyond (documented). Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    from .llm_ops import _spark_md5_32
+
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for i in range(AMS_LANES):
+        sign = F.when(
+            _spark_md5_32(
+                F.concat(F.lit(f"ams{i}:"), F.col("l_partkey").cast("string"))
+            )
+            % 2
+            == 0,
+            1,
+        ).otherwise(-1)
+        aggs.append(F.sum(sign).cast("bigint").alias(f"z{i}"))
+    lanes = li.agg(*aggs)
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_f2"),
+        )
+    )
+    zsq = None
+    for i in range(AMS_LANES):
+        t = F.col(f"z{i}") * F.col(f"z{i}")
+        zsq = t if zsq is None else zsq + t
+    est = zsq * 1.0 / AMS_LANES
+    return lanes.crossJoin(F.broadcast(exact)).select(
+        "n_rows",
+        "n_distinct",
+        "exact_f2",
+        F.round(est, 6).alias("est_f2"),
+        F.round(F.abs(est - F.col("exact_f2")) / F.col("exact_f2"), 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+ext_sketch_ams_f2.__doc__ = ext_sketch_ams_f2.__doc__.replace(
+    "{AMS_LANES}", str(AMS_LANES)
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_eval_auc — exact ROC AUC via the Mann-Whitney midrank identity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_eval_auc",
+    """
+    WITH scored AS (
+        SELECT CAST(FLOOR(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                     * 100) AS BIGINT) / 100.0) AS BIGINT)
+                   AS dollars,
+               CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS label
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), grid AS (
+        SELECT dollars,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(label) AS BIGINT) AS pos
+        FROM scored GROUP BY dollars
+    ), ranked AS (
+        SELECT dollars, cnt, pos,
+               SUM(cnt) OVER (ORDER BY dollars) AS cum
+        FROM grid
+    ), agg AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS n1,
+               CAST(SUM(cnt - pos) AS BIGINT) AS n0,
+               CAST(SUM(pos * (2 * cum - cnt + 1)) AS BIGINT) AS r1x2
+        FROM ranked
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u_x2,
+           CAST(ROUND((r1x2 - n1 * (n1 + 1)) * 1.0 / (2 * n1 * n0), 6)
+                AS DOUBLE) AS auc
+    FROM agg
+    """,
+)
+def ext_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC through the Mann-Whitney identity: does line
+    revenue (the score) separate PROMO parts (the label)? AUC =
+    (R1 - n1(n1+1)/2) / (n1*n0) with tie-corrected midranks — the
+    ranking metric that completes the eval family (confusion,
+    calibration, lift, threshold sweep, MRR) without ever sorting the
+    corpus per label.
+
+    Determinism: scores quantize to whole dollars (FLOOR of exact
+    cents); midranks use the 2x-integer identity (2*midrank =
+    2*cum - cnt + 1, the ext_spearman_corr discipline), so U is an
+    exact BIGINT and AUC divides exact integers (plain ROUND safe on
+    already-identical doubles). int64 bound: R1x2 <= n1 * 2N and
+    2*n1*n0 — widen to decimal beyond ~1e9 lines (documented).
+
+    Scale shape: the corpus collapses to the value-bounded dollar grid
+    first (map-side combined); the rank cumsum windows over grid rows,
+    never lines; one scalar reduce finishes. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_type").startswith("PROMO"), 1).otherwise(0).alias("label"),
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    scored = li.select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.floor(cents / 100.0).cast("bigint").alias("dollars"),
+    ).join(F.broadcast(pt), "p_partkey")
+    grid = scored.groupBy("dollars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("dollars").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = grid.select(
+        "cnt", "pos", F.sum("cnt").over(w).alias("cum")
+    )
+    agg = ranked.agg(
+        F.sum("pos").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("n0"),
+        F.sum(F.col("pos") * (2 * F.col("cum") - F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("r1x2"),
+    )
+    u_x2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        u_x2.cast("bigint").alias("u_x2"),
+        F.round(u_x2 * 1.0 / (2 * F.col("n1") * F.col("n0")), 6).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_fd_discovery — functional-dependency discovery over part attributes
+# ---------------------------------------------------------------------------
+
+FD_CANDIDATES = [
+    ("p_partkey", "p_name"),
+    ("p_name", "p_brand"),
+    ("p_name", "p_type"),
+    ("p_brand", "p_type"),
+    ("p_type", "p_size"),
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for lhs, rhs in FD_CANDIDATES:
+        parts.append(
+            f"""    SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_values,
+           CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_violating,
+           CAST(CASE WHEN COUNT(*) FILTER (WHERE nd > 1) = 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS fd_holds
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS nd FROM part GROUP BY {lhs})"""
+        )
+    return (
+        "\n    UNION ALL\n".join(parts) + "\n    ORDER BY lhs, rhs\n"
+    )
+
+
+@register("ext_fd_discovery", _fd_oracle())
+def ext_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over part attributes: for each
+    candidate A -> B, does every A value map to exactly one B value?
+    Reports determinant cardinality, violating-value count, and the
+    verdict — the schema-profiling op behind normalization advice, key
+    inference, and dimension-model validation (the column-pair sibling
+    of ext_fk_discovery's cross-table containment).
+
+    Determinism: pure distinct counting.
+
+    Scale shape: one (lhs)-keyed COUNT DISTINCT aggregate per candidate
+    (map-side partial distinct), each collapsing to determinant
+    cardinality before the scalar verdict; candidates union onto a
+    5-row report. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    pt = load(spark, sf_dir, "part")
+    outs = []
+    for lhs, rhs in FD_CANDIDATES:
+        g = pt.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
+        viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        outs.append(
+            g.agg(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count(F.lit(1)).cast("bigint").alias("n_lhs_values"),
+                viol.cast("bigint").alias("n_violating"),
+                F.when(viol == 0, 1).otherwise(0).cast("int").alias("fd_holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("lhs", "rhs")
+
+
+# ---------------------------------------------------------------------------
+# ext_ab_power_analysis — sample-size calculation from observed variance
+# ---------------------------------------------------------------------------
+
+POWER_CONST = 15.697757024450002  # 2 * (z_0.975 + z_0.80)^2
+POWER_MDE = 0.01  # minimum detectable effect: 1% of the mean
+
+
+@register(
+    "ext_ab_power_analysis",
+    f"""
+    WITH v AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), m AS (
+        SELECT segment,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(cents) AS HUGEINT) AS s,
+               CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q
+        FROM v GROUP BY segment
+    ), st AS (
+        SELECT segment, CAST(n AS BIGINT) AS n_orders,
+               CAST(s AS BIGINT) * 1.0 / CAST(n AS BIGINT) AS mean_cents,
+               CAST(CAST(n * q - s * s AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(n * (n - 1) AS VARCHAR) AS DOUBLE)
+                   AS var_cents2
+        FROM m
+    )
+    SELECT segment, n_orders,
+           {dround('mean_cents', 6)} AS mean_cents,
+           {dround('var_cents2', 6)} AS var_cents2,
+           CAST(CEIL({POWER_CONST} * var_cents2
+                     / (({POWER_MDE}) * mean_cents
+                        * ({POWER_MDE}) * mean_cents)) AS BIGINT)
+               AS n_required_per_arm
+    FROM st ORDER BY segment
+    """,
+)
+def ext_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis from observed moments: per market segment,
+    the sample size per arm required to detect a {POWER_MDE:.0%} lift
+    in mean order value at 5% significance / 80% power — n = 2 *
+    (z_a + z_b)^2 * sigma^2 / (MDE * mean)^2 — the experiment-design
+    op that pairs with ext_ab_ztest (the readout), ext_ab_srm_check
+    (the guardrail), and ext_metric_cuped (the variance reducer).
+
+    Determinism: moments are exact 128-bit integers; the variance
+    divides them through the string-path double conversion (the
+    ext_metric_cuped discipline); the z-constant is one shared IEEE
+    literal, so every double op is identical; CEIL lands on identical
+    doubles.
+
+    Scale shape: ONE segment-keyed aggregate (map-side combined, 5
+    rows) behind a broadcast customer join; all design algebra on the
+    5-row grid. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    v = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), cents.alias("cents")
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = v.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("cents"))).alias("s"),
+        F.sum(dec(F.col("cents")) * dec(F.col("cents"))).alias("q"),
+    )
+    mean_c = F.col("s").cast("bigint") * 1.0 / F.col("n").cast("bigint")
+    var_c = (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast(
+        "double"
+    ) / (F.col("n") * (F.col("n") - 1)).cast("double")
+    st = m.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_orders"),
+        mean_c.alias("mean_cents"),
+        var_c.alias("var_cents2"),
+    )
+    return st.select(
+        "segment",
+        "n_orders",
+        F.round("mean_cents", 6).alias("mean_cents"),
+        F.round("var_cents2", 6).alias("var_cents2"),
+        F.ceil(
+            POWER_CONST
+            * F.col("var_cents2")
+            / (
+                POWER_MDE
+                * F.col("mean_cents")
+                * POWER_MDE
+                * F.col("mean_cents")
+            )
+        )
+        .cast("bigint")
+        .alias("n_required_per_arm"),
+    ).orderBy("segment")
