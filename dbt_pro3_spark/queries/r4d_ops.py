@@ -2909,8 +2909,9 @@ AMS_LANES = 16  # independent +/-1 projections
 def _ams_oracle() -> str:
     from .llm_ops import _md5_32
 
+    h = _md5_32("'ams:' || CAST(l_partkey AS VARCHAR)")
     lanes = ", ".join(
-        f"""CAST(SUM(CASE WHEN ({_md5_32(f"'ams{i}:' || CAST(l_partkey AS VARCHAR)")}) % 2 = 0
+        f"""CAST(SUM(CASE WHEN (({h}) >> {i}) & 1 = 0
                  THEN 1 ELSE -1 END) AS BIGINT) AS z{i}"""
         for i in range(AMS_LANES)
     )
@@ -2936,8 +2937,9 @@ def _ams_oracle() -> str:
 @register("ext_sketch_ams_f2", _ams_oracle())
 def ext_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch over
-    part keys: {AMS_LANES} independent +/-1 hash projections, each
-    lane's running sum Z squares into an F2 estimate, averaged across
+    part keys: {AMS_LANES} +/-1 projections (independent BITS of one
+    md5 draw per key — one hash computation per row, not {AMS_LANES}),
+    each lane's running sum Z squares into an F2 estimate, averaged across
     lanes — the classic one-pass self-join-size / skew estimator that
     completes the sketch family (Bloom membership, CountMin frequency,
     HLL/KMV cardinality, AMS moments). The exact F2 rides along so the
@@ -2956,15 +2958,14 @@ def ext_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import _spark_md5_32
 
     li = load(spark, sf_dir, "lineitem")
+    h = _spark_md5_32(
+        F.concat(F.lit("ams:"), F.col("l_partkey").cast("string"))
+    )
+    li = li.withColumn("_h", h)  # one md5 per row; lanes slice its bits
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
     for i in range(AMS_LANES):
         sign = F.when(
-            _spark_md5_32(
-                F.concat(F.lit(f"ams{i}:"), F.col("l_partkey").cast("string"))
-            )
-            % 2
-            == 0,
-            1,
+            F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 0, 1
         ).otherwise(-1)
         aggs.append(F.sum(sign).cast("bigint").alias(f"z{i}"))
     lanes = li.agg(*aggs)
