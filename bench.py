@@ -230,6 +230,10 @@ HEADLINE = [
     "ext_forecast_reconcile",
     "ext_ab_srm_check",
     "ext_metric_cuped",
+    "ext_sketch_ams_f2",
+    "ext_eval_auc",
+    "ext_fd_discovery",
+    "ext_ab_power_analysis",
 ]
 
 
