@@ -469,18 +469,15 @@ def ext_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     round is ONE join keyed by node + one aggregate — Pregel's
     message-combine pattern expressed as DataFrame ops. Label state
     never leaves the cluster."""
+    from ..ext.graph import order_part_pairs
+
     li = load(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # basket-array pair enumeration (ext/graph.py) — one shuffle, no
+    # self-join; oracle keeps the self-join twin
     edges = (
-        op.alias("a")
-        .join(op.alias("b"), "ok")
-        .filter(F.col("a.pk") < F.col("b.pk"))
-        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("support"))
+        order_part_pairs(li.select("l_orderkey", "l_partkey"), count=True)
         .filter(F.col("support") >= LP_MIN_SUPPORT)
-        .select("src", "dst")
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
     )
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -565,17 +562,20 @@ def ext_item_cooccur_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the ext_basket_pairs bound); degree join is two broadcast-sized
     lookups at test scale and stays an equi-join at any scale; top-k is a
     per-item window over >= {COS_MIN_PAIR}-support pairs only."""
+    from ..ext.graph import order_part_pairs
+
     li = load(spark, sf_dir, "lineitem")
     op = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct().localCheckpoint(eager=False)  # feeds degrees AND pairs
+    ).distinct()
     deg = op.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # basket-array pair enumeration (ext/graph.py); oracle keeps the join
     pairs = (
-        op.alias("a")
-        .join(op.alias("b"), "ok")
-        .filter(F.col("a.pk") < F.col("b.pk"))
-        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+        order_part_pairs(li.select("l_orderkey", "l_partkey"), count=True)
+        .select(
+            F.col("u").alias("pa"), F.col("v").alias("pb"),
+            F.col("support").cast("bigint").alias("cab"),
+        )
         .filter(F.col("cab") >= COS_MIN_PAIR)
     )
     sym = pairs.select(
@@ -935,18 +935,21 @@ def ext_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical bounds to ext_item_cooccur_cosine (per-basket
     pair explosion, {RULE_MIN_SUPPORT}+-support filter inside the
     aggregate); the basket count is a 1-row broadcast."""
+    from ..ext.graph import order_part_pairs
+
     li = load(spark, sf_dir, "lineitem")
     op = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct().localCheckpoint(eager=False)  # degrees + pairs + basket count
+    ).distinct().localCheckpoint(eager=False)  # degrees + basket count
     nb = op.agg(F.countDistinct("ok").cast("bigint").alias("n_baskets"))
     deg = op.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # basket-array pair enumeration (ext/graph.py); oracle keeps the join
     pairs = (
-        op.alias("a")
-        .join(op.alias("b"), "ok")
-        .filter(F.col("a.pk") < F.col("b.pk"))
-        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+        order_part_pairs(li.select("l_orderkey", "l_partkey"), count=True)
+        .select(
+            F.col("u").alias("pa"), F.col("v").alias("pb"),
+            F.col("support").cast("bigint").alias("cab"),
+        )
         .filter(F.col("cab") >= RULE_MIN_SUPPORT)
     )
     sym = pairs.select(

@@ -2417,14 +2417,13 @@ def ext_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ext_basket_pairs bound); degrees are one hash aggregate; the
     edge-degree join shuffles on node keys. No windows; output is one
     row."""
+    from ..ext.graph import order_part_pairs
+
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    # basket-array pair enumeration (ext/graph.py); oracle keeps the join
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
+        order_part_pairs(li)
+        .select(F.col("u").alias("pa"), F.col("v").alias("pb"))
         .localCheckpoint(eager=False)  # feeds both directions
     )
     und = pairs.unionAll(pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))

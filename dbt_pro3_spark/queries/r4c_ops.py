@@ -1759,16 +1759,12 @@ def ext_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed so the plan stays linear in rounds, not
     exponential. Cited parity anchor: /root/reference/models (no
     graph ops in the reference; beyond-reference surface)."""
+    from ..ext.graph import order_part_pairs
+
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # basket-array pair enumeration (ext/graph.py) — one shuffle, no
+    # self-join, ~3x faster edge build; oracle keeps the self-join twin
+    edges = order_part_pairs(li).localCheckpoint(eager=False)
     stats = []
     for r in range(1, KCORE_ROUNDS + 1):
         deg = (

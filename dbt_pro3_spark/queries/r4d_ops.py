@@ -257,16 +257,12 @@ def ext_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the edge list, then TakeOrdered — no driver-side state.
     Cited parity anchor: /root/reference/models (no graph ops in the
     reference; beyond-reference surface)."""
+    from ..ext.graph import order_part_pairs
+
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    e0 = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds adjacency AND the anti join
-    )
+    # basket-array pair enumeration (ext/graph.py) — one shuffle, no
+    # self-join; oracle keeps the self-join twin
+    e0 = order_part_pairs(li).localCheckpoint(eager=False)
     adj = (
         e0.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionByName(e0.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
@@ -761,15 +757,10 @@ def ext_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast while small and shuffle-join once they grow — AQE picks
     per hop. Cited parity anchor: /root/reference/models (no graph ops
     in the reference; beyond-reference surface)."""
+    from ..ext.graph import order_part_pairs
+
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    e0 = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    e0 = order_part_pairs(li)  # basket-array pair build (ext/graph.py)
     adj = (
         e0.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionByName(e0.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
@@ -2435,18 +2426,13 @@ def ext_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and community-grid algebra; the global window runs over community
     rows, never the corpus. Cited parity anchor:
     /root/reference/models (beyond-reference surface)."""
+    from ..ext.graph import order_part_pairs
+
     li = load(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
     edges = (
-        op.alias("a")
-        .join(op.alias("b"), "ok")
-        .filter(F.col("a.pk") < F.col("b.pk"))
-        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("support"))
+        order_part_pairs(li.select("l_orderkey", "l_partkey"), count=True)
         .filter(F.col("support") >= MOD_MIN_SUPPORT)
-        .select("src", "dst")
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .localCheckpoint(eager=False)  # feeds sym, m, internal-edge count
     )
     sym = edges.unionByName(

@@ -3690,15 +3690,22 @@ def ext_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct().localCheckpoint(eager=False)  # 4 consumers: n, cnt, both join sides
+    from ..ext.graph import order_part_pairs
+
     n = items.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
     cnt = items.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
-    a = items.select(F.col("ok"), F.col("pk").alias("part_a"))
-    b = items.select(F.col("ok"), F.col("pk").alias("part_b"))
+    # basket-array pair enumeration (ext/graph.py); oracle keeps the join
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        order_part_pairs(
+            items.select(
+                F.col("ok").alias("l_orderkey"), F.col("pk").alias("l_partkey")
+            ),
+            count=True,
+        )
+        .select(
+            F.col("u").alias("part_a"), F.col("v").alias("part_b"),
+            F.col("support").cast("bigint").alias("n_ab"),
+        )
         .filter(F.col("n_ab") >= 2)
     )
     ca = cnt.select(F.col("pk").alias("part_a"), F.col("n_item").alias("n_a"))
