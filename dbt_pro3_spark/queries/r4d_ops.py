@@ -3237,3 +3237,411 @@ def ext_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_required_per_arm"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# ext_cogroup_reconcile — two-table per-key reconciliation via cogroup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_cogroup_reconcile",
+    """
+    WITH o AS (
+        SELECT o_custkey AS custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS order_cents
+        FROM orders GROUP BY o_custkey
+    ), e AS (
+        SELECT user_id AS custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchase_events
+        FROM events GROUP BY user_id
+    )
+    SELECT COALESCE(o.custkey, e.custkey) AS custkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.order_cents, 0) AS order_cents,
+           COALESCE(e.n_events, 0) AS n_events,
+           COALESCE(e.n_purchase_events, 0) AS n_purchase_events
+    FROM o FULL OUTER JOIN e ON o.custkey = e.custkey
+    ORDER BY custkey
+    """,
+)
+def ext_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table per-key reconciliation through the COGROUP Pandas API
+    (groupBy(...).cogroup(...).applyInPandas): each customer's order
+    slice and event slice arrive together in one Python function — the
+    escape hatch for per-entity logic that genuinely needs BOTH streams
+    side by side (complex matching, imperative reconciliation). Here
+    the body computes per-side counts and exact cents so the whole
+    Pandas path is hash-checked against a FULL OUTER JOIN oracle —
+    cogroup is the only registry surface the other 380+ keys don't
+    exercise.
+
+    Determinism: counting and exact integer cents inside each
+    single-key group; output order is the custkey total order.
+
+    Scale shape: cogroup shuffles both tables ONCE on the key and
+    streams Arrow batches per key group — the same one-shuffle cost as
+    the equivalent join, with Python only per group. Cited parity
+    anchor: /root/reference/models (beyond-reference surface)."""
+    import pandas as pd
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("custkey"), "event_type"
+    )
+
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        key = left["custkey"].iloc[0] if len(left) else right["custkey"].iloc[0]
+        return pd.DataFrame(
+            {
+                "custkey": [int(key)],
+                "n_orders": [int(len(left))],
+                "order_cents": [int(left["cents"].sum()) if len(left) else 0],
+                "n_events": [int(len(right))],
+                "n_purchase_events": [
+                    int((right["event_type"] == "purchase").sum())
+                    if len(right)
+                    else 0
+                ],
+            }
+        )
+
+    out = (
+        o.groupBy("custkey")
+        .cogroup(e.groupBy("custkey"))
+        .applyInPandas(
+            reconcile,
+            schema=(
+                "custkey long, n_orders long, order_cents long, "
+                "n_events long, n_purchase_events long"
+            ),
+        )
+    )
+    return out.orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# ext_lsh_bucket_stats — MinHash LSH band/bucket health diagnostic
+# ---------------------------------------------------------------------------
+
+LSHSTAT_PERM = 16
+LSHSTAT_BANDS = 4
+
+
+def _lsh_bucket_oracle() -> str:
+    from ..ext.dedup import MINHASH_P, minhash_coeffs
+
+    r = LSHSTAT_PERM // LSHSTAT_BANDS
+    coeffs = minhash_coeffs(LSHSTAT_PERM)
+    nib_val = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(shingle), {i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    sig_cols = ",\n               ".join(
+        f"MIN((v * {a} + {b}) % {MINHASH_P}) AS sig{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_cols = ",\n               ".join(
+        "md5({}) AS mband{}".format(
+            " || ',' || ".join(
+                f"CAST(sig{t * r + j} AS VARCHAR)" for j in range(r)
+            ),
+            t,
+        )
+        for t in range(LSHSTAT_BANDS)
+    )
+    bucket_union = "\n        UNION ALL\n        ".join(
+        f"SELECT {t} AS band, mband{t} AS bk FROM banded"
+        for t in range(LSHSTAT_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), sh0 AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(l) - 2),
+                                     i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))
+                   AS shingle
+        FROM toks
+    ), sh AS (
+        SELECT doc_id, shingle, CAST({nib_val} AS BIGINT) AS v FROM sh0
+    ), sigs AS (
+        SELECT doc_id, {sig_cols}
+        FROM sh GROUP BY doc_id
+    ), banded AS (
+        SELECT doc_id, {band_cols} FROM sigs
+    ), bk AS (
+        SELECT band, bk, CAST(COUNT(*) AS BIGINT) AS sz FROM (
+        {bucket_union}
+        ) GROUP BY band, bk
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS candidate_pairs
+    FROM bk GROUP BY band ORDER BY band
+    """
+
+
+@register("ext_lsh_bucket_stats", _lsh_bucket_oracle())
+def ext_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH bucket health diagnostic: per band, the bucket
+    count, the largest bucket, and the candidate-pair bill
+    sum(C(size,2)) — the report that decides whether a banding
+    configuration will melt a reducer before you run the dedup (a few
+    mega-buckets = quadratic blowup; all-singleton buckets = zero
+    recall). Same md5 base hash, affine permutations, and band hashing
+    as ext_dedup_minhash_banded (constants from ext/dedup.py, so the
+    diagnostic can never drift from the operator it diagnoses).
+
+    Determinism: signatures are exact modular integer arithmetic on
+    md5-derived values; everything reported is a count.
+
+    Scale shape: the shingle explode + per-doc signature aggregate is
+    the dedup pipeline's own first stage; bucket stats are one
+    (band, bucket)-keyed count plus a {LSHSTAT_BANDS}-row rollup — the
+    candidate JOIN itself never runs. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    from ..ext.dedup import MINHASH_P, minhash_coeffs, shingles
+    from ..sources.readers import spread
+
+    r = LSHSTAT_PERM // LSHSTAT_BANDS
+    coeffs = minhash_coeffs(LSHSTAT_PERM)
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+        .select(
+            "doc_id",
+            F.conv(
+                F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
+    )
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("v") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"sig{i}"
+            )
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"sig{t * r + j}").cast("string")
+                        for j in range(r)
+                    ],
+                ).cast("binary")
+            ).alias(f"mband{t}")
+            for t in range(LSHSTAT_BANDS)
+        ],
+    ).localCheckpoint(eager=False)  # one bucket scan per band
+    buckets = None
+    for t in range(LSHSTAT_BANDS):
+        b = banded.select(
+            F.lit(t).alias("band"), F.col(f"mband{t}").alias("bk")
+        )
+        buckets = b if buckets is None else buckets.unionByName(b)
+    bk = buckets.groupBy("band", "bk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        bk.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
+ext_lsh_bucket_stats.__doc__ = ext_lsh_bucket_stats.__doc__.replace(
+    "{LSHSTAT_BANDS}", str(LSHSTAT_BANDS)
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_table_fingerprint — order-independent XOR row-checksum fingerprint
+# ---------------------------------------------------------------------------
+
+
+def _fingerprint_oracle() -> str:
+    from .llm_ops import _md5_32
+
+    row_repr = (
+        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+        " || '|' || o_orderstatus || '|' || "
+        "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)"
+    )
+    return f"""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor({_md5_32(row_repr)}) AS BIGINT) AS xor_fingerprint,
+           CAST(SUM({_md5_32(row_repr)}) AS BIGINT) AS sum_fingerprint
+    FROM orders GROUP BY o_orderstatus ORDER BY status
+    """
+
+
+@register("ext_table_fingerprint", _fingerprint_oracle())
+def ext_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint for replication audits: each
+    row canonicalizes to a string (keys, status, exact cents), hashes
+    to a 32-bit integer, and per-status XOR + SUM aggregates give two
+    commutative checksums — compare fingerprints across replicas /
+    engines / time-travel snapshots without moving rows (the
+    cheap-probe sibling of ext_table_diff, which localizes the
+    differences once a fingerprint mismatches).
+
+    Determinism: md5-derived integers and commutative integer
+    aggregates (XOR and SUM are order-free by construction — that is
+    the point of the op).
+
+    Scale shape: one narrow map + ONE status-keyed aggregate, map-side
+    combined; no shuffle wider than 3 status rows. Cited parity
+    anchor: /root/reference/models (beyond-reference surface)."""
+    from .llm_ops import _spark_md5_32
+
+    o = load(spark, sf_dir, "orders")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+    )
+    h = _spark_md5_32(row_repr)
+    return (
+        o.select(F.col("o_orderstatus").alias("status"), h.alias("h"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("bigint").alias("xor_fingerprint"),
+            F.sum("h").cast("bigint").alias("sum_fingerprint"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_dow_quantile_bands — day-of-week control bands via exact order stats
+# ---------------------------------------------------------------------------
+
+DOW_BAND_PS = [10, 50, 90]  # percentile bands reported
+
+
+def _dow_band_sql(p: int) -> str:
+    """Exact order-statistic percentile over the per-dow day series:
+    rank-space interpolation ((100-f)*v_lo + f*v_hi)/100 in integers."""
+    return f"""CAST(ROUND((
+        (100 - ((MAX(n) - 1) * {p}) % 100)
+          * MAX(CASE WHEN rk = 1 + ((n - 1) * {p}) // 100 THEN cents END)
+        + (((MAX(n) - 1) * {p}) % 100)
+          * MAX(CASE WHEN rk = 1 + ((n - 1) * {p}) // 100 + 1 THEN cents END
+                    ) ) / 100.0, 6) AS DOUBLE)"""
+
+
+@register(
+    "ext_dow_quantile_bands",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT isodow(d) AS dow, cents,
+               ROW_NUMBER() OVER (PARTITION BY isodow(d)
+                                  ORDER BY cents, d) AS rk,
+               COUNT(*) OVER (PARTITION BY isodow(d)) AS n
+        FROM daily
+    ), pad AS (
+        SELECT dow, cents, rk, n FROM ranked
+        UNION ALL
+        SELECT dow, cents, rk + 1 AS rk, n FROM ranked WHERE rk = n
+    )
+    SELECT CAST(dow AS INTEGER) AS dow,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_days,
+           {_dow_band_sql(10)} AS p10_cents,
+           {_dow_band_sql(50)} AS p50_cents,
+           {_dow_band_sql(90)} AS p90_cents
+    FROM pad GROUP BY dow ORDER BY dow
+    """,
+)
+def ext_dow_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week control bands: exact p10/p50/p90 of daily revenue
+    per ISO weekday — the seasonal envelope ops teams chart live
+    traffic against (ext_anomaly_rolling_z scores points; this key
+    draws the expected band). Quantiles assemble from EXACT order
+    statistics with integer rank-space interpolation — never an
+    engine quantile function (the interpolation-trap discipline).
+
+    Determinism: ranks order by (cents, date) — a total order; the
+    interpolated value combines two exact integers with integer
+    weights before ONE terminal rounding (plain ROUND safe on
+    identical doubles). The rk = n row is duplicated at rk = n + 1 so
+    the v_hi lookup at the top edge always lands (p = 100 boundary
+    guard), on both engines.
+
+    Scale shape: the corpus collapses to the ~2.4k-day series first;
+    rank windows partition by weekday (~350 rows each); the rollup is
+    7 rows. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    dow = ((F.dayofweek("d") + 5) % 7) + 1  # ISO: Monday=1 .. Sunday=7
+    dd = daily.select(dow.alias("dow"), "cents", "d")
+    w = Window.partitionBy("dow").orderBy("cents", "d")
+    ranked = dd.select(
+        "dow",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("dow")).alias("n"),
+    )
+    pad = ranked.unionByName(
+        ranked.filter(F.col("rk") == F.col("n")).select(
+            "dow", "cents", (F.col("rk") + 1).alias("rk"), "n"
+        )
+    )
+
+    def band(p):
+        lo_rk = 1 + F.floor((F.col("n") - 1) * p / 100)  # per-row, in agg
+        v_lo = F.max(F.when(F.col("rk") == lo_rk, F.col("cents")))
+        v_hi = F.max(F.when(F.col("rk") == lo_rk + 1, F.col("cents")))
+        frac = ((F.max("n") - 1) * p) % 100  # n constant per dow group
+        return F.round(((100 - frac) * v_lo + frac * v_hi) / 100.0, 6)
+
+    agg = [
+        F.first("n").cast("bigint").alias("n_days"),
+        band(10).alias("p10_cents"),
+        band(50).alias("p50_cents"),
+        band(90).alias("p90_cents"),
+    ]
+    return (
+        pad.groupBy(F.col("dow").cast("int").alias("dow"))
+        .agg(*agg)
+        .orderBy("dow")
+    )
