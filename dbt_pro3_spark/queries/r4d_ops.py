@@ -3278,7 +3278,10 @@ def ext_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the body computes per-side counts and exact cents so the whole
     Pandas path is hash-checked against a FULL OUTER JOIN oracle —
     cogroup is the only registry surface the other 380+ keys don't
-    exercise.
+    exercise. The cogroup key is a COARSE bucket (custkey % 256), not
+    the customer: cogroup invokes Python once per key, so keying by
+    customer costs one call per entity (measured 48 s at sf0.1);
+    bucketing amortizes to 256 vectorized pandas-groupby calls.
 
     Determinism: counting and exact integer cents inside each
     single-key group; output order is the custkey total order.
@@ -3291,31 +3294,56 @@ def ext_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"),
+        (F.col("o_custkey") % 256).alias("bucket"),
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
     )
     e = load(spark, sf_dir, "events").select(
-        F.col("user_id").alias("custkey"), "event_type"
+        F.col("user_id").alias("custkey"),
+        (F.col("user_id") % 256).alias("bucket"),
+        "event_type",
     )
 
     def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        key = left["custkey"].iloc[0] if len(left) else right["custkey"].iloc[0]
+        # vectorized per-bucket: pandas groupby does the per-customer
+        # work; the cogroup key is the COARSE bucket (256 Python calls,
+        # not one per customer — one-call-per-key cogroup measured 48 s
+        # at sf0.1, bucketed runs ~2 s)
+        lo = (
+            left.groupby("custkey")["cents"].agg(["size", "sum"])
+            if len(left)
+            else pd.DataFrame(columns=["size", "sum"])
+        )
+        ro = (
+            right.assign(p=(right["event_type"] == "purchase").astype("int64"))
+            .groupby("custkey")["p"]
+            .agg(["size", "sum"])
+            if len(right)
+            else pd.DataFrame(columns=["size", "sum"])
+        )
+        m = lo.join(ro, how="outer", lsuffix="_o", rsuffix="_e").fillna(0)
+        if m.empty:
+            return pd.DataFrame(
+                columns=[
+                    "custkey",
+                    "n_orders",
+                    "order_cents",
+                    "n_events",
+                    "n_purchase_events",
+                ]
+            ).astype("int64")
         return pd.DataFrame(
             {
-                "custkey": [int(key)],
-                "n_orders": [int(len(left))],
-                "order_cents": [int(left["cents"].sum()) if len(left) else 0],
-                "n_events": [int(len(right))],
-                "n_purchase_events": [
-                    int((right["event_type"] == "purchase").sum())
-                    if len(right)
-                    else 0
-                ],
+                "custkey": m.index.astype("int64"),
+                "n_orders": m["size_o"].astype("int64"),
+                "order_cents": m["sum_o"].astype("int64"),
+                "n_events": m["size_e"].astype("int64"),
+                "n_purchase_events": m["sum_e"].astype("int64"),
             }
         )
 
     out = (
-        o.groupBy("custkey")
-        .cogroup(e.groupBy("custkey"))
+        o.groupBy("bucket")
+        .cogroup(e.groupBy("bucket"))
         .applyInPandas(
             reconcile,
             schema=(
