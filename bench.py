@@ -234,6 +234,10 @@ HEADLINE = [
     "ext_eval_auc",
     "ext_fd_discovery",
     "ext_ab_power_analysis",
+    "ext_cogroup_reconcile",
+    "ext_lsh_bucket_stats",
+    "ext_table_fingerprint",
+    "ext_dow_quantile_bands",
 ]
 
 
