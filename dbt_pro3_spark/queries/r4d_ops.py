@@ -3673,3 +3673,421 @@ def ext_dow_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*agg)
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_class_centroid_sim — inter-class centroid cosine separation matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_class_centroid_sim",
+    f"""
+    WITH {_KM_PTS_SQL},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    sums AS MATERIALIZED (
+        SELECT l.label, p.dim,
+               CAST(SUM(p.q) AS BIGINT) AS s
+        FROM pts p JOIN lab l ON l.vec_id = p.vec_id
+        GROUP BY l.label, p.dim
+    ), pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(SUM(CAST(a.s AS HUGEINT) * b.s) AS HUGEINT) AS dot
+        FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+    ), norms AS (
+        SELECT label, CAST(SUM(CAST(s AS HUGEINT) * s) AS HUGEINT) AS n2
+        FROM sums GROUP BY label
+    )
+    SELECT p.label_a, p.label_b,
+           {dround('''CAST(CAST(p.dot AS VARCHAR) AS DOUBLE)
+                      / (sqrt(CAST(CAST(na.n2 AS VARCHAR) AS DOUBLE))
+                         * sqrt(CAST(CAST(nb.n2 AS VARCHAR) AS DOUBLE)))''', 6)}
+               AS centroid_cosine
+    FROM pairs p
+    JOIN norms na ON na.label = p.label_a
+    JOIN norms nb ON nb.label = p.label_b
+    ORDER BY p.label_a, p.label_b
+    """,
+)
+def ext_class_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class separation matrix: cosine similarity between every
+    pair of label centroids in embedding space — the diagnostic that
+    says whether classes are geometrically separable before anyone
+    trains on them (pairs ext_embed_centroids' raw vectors and
+    ext_embed_knn_classify's behavioral answer with the geometric one).
+
+    Determinism: centroid cosines compute on exact integer dimension
+    sums (counts cancel in the cosine, so no division happens until
+    the end); dot and norm-squares widen to 128-bit, convert to double
+    through the string path (the ext_metric_cuped discipline), and
+    sqrt is IEEE-correctly-rounded on both engines — every double op
+    identical, dround(6).
+
+    Scale shape: one (label, dim)-keyed sum over the tidy quantized
+    points (map-side combined, bounded by labels x dims), then all
+    pair algebra on the 640-row sum grid. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * KM_SCALE).cast("long").alias("q"),
+    )
+    sums = (
+        pts.groupBy("label", "dim")
+        .agg(F.sum("q").cast("bigint").alias("s"))
+        .localCheckpoint(eager=False)  # both pair sides + norms
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = sums.select(
+        F.col("label").alias("label_a"), "dim", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), "dim", F.col("s").alias("sb")
+    )
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(dec(F.col("sa")) * dec(F.col("sb"))).alias("dot"))
+    )
+    norms = sums.groupBy("label").agg(
+        F.sum(dec(F.col("s")) * dec(F.col("s"))).alias("n2")
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("nb2"))
+    return (
+        pairs.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_ts_durbin_watson — residual autocorrelation of the monthly trend
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_ts_durbin_watson",
+    f"""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate)::DATE AS month,
+               CAST(FLOOR(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) / 100.0) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY month) AS t, y FROM m
+    ), s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(t) AS HUGEINT) AS st,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+               CAST(SUM(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty
+        FROM idx
+    ), fit AS (
+        SELECT n, st, sy,
+               n * sty - st * sy AS bnum,
+               n * stt - st * st AS bden
+        FROM s
+    ), res AS MATERIALIZED (
+        SELECT i.t,
+               CAST(f.n * f.bden AS HUGEINT) * i.y
+                   - f.n * f.bnum * i.t
+                   - (f.sy * f.bden - f.bnum * f.st) AS e
+        FROM idx i CROSS JOIN fit f
+    ), dsum AS (
+        SELECT CAST(SUM(e * e) AS HUGEINT) AS se2,
+               CAST(SUM(CASE WHEN lag_e IS NULL THEN 0
+                             ELSE (e - lag_e) * (e - lag_e) END) AS HUGEINT)
+                   AS sd2
+        FROM (SELECT e, LAG(e) OVER (ORDER BY t) AS lag_e FROM res)
+    )
+    SELECT CAST(f.n AS BIGINT) AS n_months,
+           {dround('''CAST(CAST(f.bnum AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(f.bden AS VARCHAR) AS DOUBLE)''', 6)}
+               AS trend_slope_dollars,
+           {dround('''CAST(CAST(d.sd2 AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(d.se2 AS VARCHAR) AS DOUBLE)''', 6)}
+               AS durbin_watson,
+           CAST(CASE WHEN 2 * d.sd2 < 3 * d.se2 THEN 1 ELSE 0 END AS INTEGER)
+               AS positive_autocorr
+    FROM fit f CROSS JOIN dsum d
+    """,
+)
+def ext_ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson residual-autocorrelation test on the monthly
+    revenue trend: fit the OLS line (ext_trend_ols's fit), then
+    DW = sum((e_t - e_{{t-1}})^2) / sum(e_t^2) over the residuals —
+    the regression diagnostic that says whether the trend line's
+    errors are independent (DW ~ 2) or positively autocorrelated
+    (DW -> 0, flagged at DW < 1.5 by exact cross-multiplication
+    2*SD2 < 3*SE2).
+
+    Determinism: monthly revenue quantizes to whole dollars (keeps
+    residual squares inside decimal(38,0)/HUGEINT: scaled residuals
+    e = nD*y - nB*t - c are exact 128-bit integers — the fraction-free
+    OLS residual); every reported double converts through the string
+    path and divides identical integers.
+
+    Scale shape: the corpus collapses to ~80 month rows; everything
+    after is window + scalar algebra on that series. Cited parity
+    anchor: /root/reference/models (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.floor(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            / 100.0
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    idx = m.select(
+        F.row_number().over(Window.orderBy("month")).alias("t"), "y"
+    ).localCheckpoint(eager=False)  # feeds moments AND residuals
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = idx.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("t"))).alias("st"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("t")) * dec(F.col("t"))).alias("stt"),
+        F.sum(dec(F.col("t")) * dec(F.col("y"))).alias("sty"),
+    )
+    fit = s.select(
+        "n",
+        "st",
+        "sy",
+        (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).alias("bnum"),
+        (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).alias("bden"),
+    )
+    res = idx.crossJoin(F.broadcast(fit)).select(
+        "t",
+        (
+            F.col("n") * F.col("bden") * dec(F.col("y"))
+            - F.col("n") * F.col("bnum") * dec(F.col("t"))
+            - (F.col("sy") * F.col("bden") - F.col("bnum") * F.col("st"))
+        ).alias("e"),
+    )
+    w = Window.orderBy("t")
+    lagged = res.select("e", F.lag("e").over(w).alias("lag_e"))
+    dsum = lagged.agg(
+        F.sum(F.col("e") * F.col("e")).alias("se2"),
+        F.sum(
+            F.when(F.col("lag_e").isNull(), F.lit(0).cast("decimal(38,0)"))
+            .otherwise((F.col("e") - F.col("lag_e")) * (F.col("e") - F.col("lag_e")))
+        ).alias("sd2"),
+    )
+    return (
+        fit.crossJoin(F.broadcast(dsum))
+        .select(
+            F.col("n").cast("bigint").alias("n_months"),
+            F.round(
+                F.col("bnum").cast("double") / F.col("bden").cast("double"), 6
+            ).alias("trend_slope_dollars"),
+            F.round(
+                F.col("sd2").cast("double") / F.col("se2").cast("double"), 6
+            ).alias("durbin_watson"),
+            F.when(2 * F.col("sd2") < 3 * F.col("se2"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("positive_autocorr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_markov_entropy_rate — entropy rate of the user event-type chain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_markov_entropy_rate",
+    f"""
+    WITH seq AS (
+        SELECT event_type AS cur, LEAD(event_type) OVER w AS nxt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tr AS MATERIALIZED (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS nij
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), rows_ AS (
+        SELECT cur, CAST(SUM(nij) AS BIGINT) AS ni FROM tr GROUP BY cur
+    ), tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM tr),
+    terms AS MATERIALIZED (
+        SELECT t.cur, t.nij, r.ni, o.n,
+               CAST(ROUND(-(r.ni * 1.0 / o.n) * (t.nij * 1.0 / r.ni)
+                          * ln(t.nij * 1.0 / r.ni) * 1000000000.0)
+                    AS BIGINT) AS units
+        FROM tr t JOIN rows_ r ON r.cur = t.cur CROSS JOIN tot o
+    )
+    SELECT cur AS state,
+           CAST(ANY_VALUE(ni) AS BIGINT) AS n_from,
+           {dround('ANY_VALUE(ni) * 1.0 / ANY_VALUE(n)', 6)} AS pi,
+           {dround('SUM(units) / 1000000000.0', 6)} AS weighted_row_entropy,
+           {dround('SUM(SUM(units)) OVER () / 1000000000.0', 6)}
+               AS entropy_rate_nats
+    FROM terms GROUP BY cur ORDER BY state
+    """,
+)
+def ext_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user behavior chain: with empirical
+    transition probabilities P(j|i) (ext_event_transition's matrix)
+    and source-state weights pi_i, H = -sum_i pi_i sum_j P(j|i) ln
+    P(j|i) — the single number that says how predictable user journeys
+    are (low = scripted flows, high = noise), per-state contributions
+    reported with the global rate on every row.
+
+    Determinism: every probability is a ratio of exact transition
+    counts; each (i,j) term is snapped to integer 1e-9 units BEFORE
+    any sum (ext_drift_psi discipline), so state and global rollups
+    are exact BIGINT reduces.
+
+    Scale shape: ONE user-keyed LEAD window (the sequence shuffle),
+    a transition-matrix count bounded by #event_types^2, and
+    grid-sized algebra after. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tr = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    ).localCheckpoint(eager=False)  # feeds row sums AND the term grid
+    rows_ = tr.groupBy("cur").agg(F.sum("nij").cast("bigint").alias("ni"))
+    tot = tr.agg(F.sum("nij").cast("bigint").alias("n"))
+    pij = F.col("nij") * 1.0 / F.col("ni")
+    terms = (
+        tr.join(F.broadcast(rows_), "cur")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cur",
+            "ni",
+            "n",
+            F.round(
+                -(F.col("ni") * 1.0 / F.col("n")) * pij * F.log(pij) * 1e9, 0
+            )
+            .cast("bigint")
+            .alias("units"),
+        )
+    )
+    w_all = Window.partitionBy()
+    per_state = terms.groupBy("cur").agg(
+        F.first("ni").cast("bigint").alias("n_from"),
+        F.round(F.first("ni") * 1.0 / F.first("n"), 6).alias("pi"),
+        F.sum("units").alias("state_units"),
+    )
+    return per_state.select(
+        F.col("cur").alias("state"),
+        "n_from",
+        "pi",
+        F.round(F.col("state_units") / 1e9, 6).alias("weighted_row_entropy"),
+        F.round(F.sum("state_units").over(w_all) / 1e9, 6).alias(
+            "entropy_rate_nats"
+        ),
+    ).orderBy("state")
+
+
+# ---------------------------------------------------------------------------
+# ext_overdispersion_check — index-of-dispersion test on hourly arrivals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_overdispersion_check",
+    f"""
+    WITH h AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2, 3
+    ), win AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT DISTINCT CAST(ts AS DATE), EXTRACT(hour FROM ts) FROM events
+        )
+    ), m AS (
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS q
+        FROM h GROUP BY event_type
+    )
+    SELECT event_type, w.n AS n_hours, m.s AS n_events,
+           {dround('m.s * 1.0 / w.n', 6)} AS mean_per_hour,
+           {dround('''(w.n * m.q - m.s * m.s) * 1.0
+                      / ((w.n - 1) * m.s)''', 6)} AS dispersion_index,
+           CAST(CASE WHEN w.n * m.q - m.s * m.s > (w.n - 1) * m.s
+                     THEN 1 ELSE 0 END AS INTEGER) AS overdispersed
+    FROM m CROSS JOIN win w
+    ORDER BY event_type
+    """,
+)
+def ext_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-of-dispersion (variance-to-mean) test on hourly arrivals
+    per event type: a Poisson process has index 1; index > 1 means
+    bursty/clumped arrivals — the distributional companion to
+    ext_events_burst_hours (which flags WHICH hours; this key says
+    whether the process is Poisson at all, deciding if that alarm's
+    model even applies). Empty hours count (the observation window is
+    every hour with any activity), so the mean is S/N over the full
+    window.
+
+    Determinism: the verdict is the exact integer cross-multiplication
+    n*Q - S^2 > (n-1)*S; reported ratios divide identical integers.
+
+    Scale shape: one (type, date, hour)-keyed count, a distinct-hour
+    scalar, and a #types-row rollup — all map-side combined. Cited
+    parity anchor: /root/reference/models (beyond-reference
+    surface)."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    win = (
+        ev.select(F.to_date("ts").alias("d"), F.hour("ts").alias("hr"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    m = h.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    d_num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        m.crossJoin(F.broadcast(win))
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.col("s").alias("n_events"),
+            F.round(F.col("s") * 1.0 / F.col("n"), 6).alias("mean_per_hour"),
+            F.round(d_num * 1.0 / ((F.col("n") - 1) * F.col("s")), 6).alias(
+                "dispersion_index"
+            ),
+            F.when(d_num > (F.col("n") - 1) * F.col("s"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("overdispersed"),
+        )
+        .orderBy("event_type")
+    )
