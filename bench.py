@@ -238,6 +238,10 @@ HEADLINE = [
     "ext_lsh_bucket_stats",
     "ext_table_fingerprint",
     "ext_dow_quantile_bands",
+    "ext_class_centroid_sim",
+    "ext_ts_durbin_watson",
+    "ext_markov_entropy_rate",
+    "ext_overdispersion_check",
 ]
 
 
