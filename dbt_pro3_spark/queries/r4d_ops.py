@@ -4091,3 +4091,317 @@ def ext_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_udtf_installments — Python UDTF payment-schedule expansion
+# ---------------------------------------------------------------------------
+
+INSTALLMENTS = 3  # equal monthly installments per open order
+
+
+@register(
+    "ext_udtf_installments",
+    f"""
+    WITH open_orders AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderstatus = 'O'
+    ), inst AS (
+        SELECT o_orderkey,
+               i AS installment_no,
+               CAST(cents // {INSTALLMENTS}
+                    + CASE WHEN i = 1 THEN cents % {INSTALLMENTS} ELSE 0 END
+                    AS BIGINT) AS inst_cents
+        FROM open_orders,
+             (SELECT unnest(generate_series(1, {INSTALLMENTS})) AS i)
+    )
+    SELECT CAST(installment_no AS INTEGER) AS installment_no,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(inst_cents) AS BIGINT) AS total_cents
+    FROM inst GROUP BY installment_no ORDER BY installment_no
+    """,
+)
+def ext_udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-schedule expansion through a Python UDTF (Spark 4
+    user-defined TABLE function): every open order lateral-expands into
+    {INSTALLMENTS} installments with an exact cent split (floor share
+    per installment, remainder cents on the first), rolled up per
+    installment number — the 1:N generator API surface none of the
+    other keys exercise (explode covers array fan-out; a UDTF runs
+    arbitrary Python per input row and yields rows).
+
+    Determinism: integer floor/mod arithmetic inside the UDTF; the
+    oracle replays it with generate_series.
+
+    Scale shape: UDTFs evaluate row-at-a-time in Python — the
+    documented cost of this API (use explode/sequence for anything
+    expressible as columns; a UDTF is for generator logic that needs
+    real Python). The status filter pushes to the scan, and the
+    rollup collapses to {INSTALLMENTS} rows map-side. Cited parity
+    anchor: /root/reference/models (beyond-reference surface)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="installment_no int, inst_cents long")
+    class Installments:
+        def eval(self, cents: int):
+            base = cents // INSTALLMENTS
+            rem = cents % INSTALLMENTS
+            for i in range(1, INSTALLMENTS + 1):
+                yield i, base + (rem if i == 1 else 0)
+
+    spark.udtf.register("pay_installments", Installments)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents")
+    ).createOrReplaceTempView("_open_orders_cents")
+    inst = spark.sql(
+        "SELECT i.installment_no, i.inst_cents "
+        "FROM _open_orders_cents o, LATERAL pay_installments(o.cents) i"
+    )
+    return (
+        inst.groupBy(F.col("installment_no").cast("int").alias("installment_no"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("inst_cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("installment_no")
+    )
+
+
+ext_udtf_installments.__doc__ = ext_udtf_installments.__doc__.replace(
+    "{INSTALLMENTS}", str(INSTALLMENTS)
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_safety_stock — z-service-level safety stock from demand variability
+# ---------------------------------------------------------------------------
+
+Z95_SERVICE = 1.644854  # one-sided 95% service level z
+
+
+@register(
+    "ext_safety_stock",
+    f"""
+    WITH d AS (
+        SELECT p.p_brand AS brand,
+               date_trunc('month', l.l_shipdate)::DATE AS month,
+               CAST(SUM(CAST(FLOOR(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ), m AS (
+        SELECT brand,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(qty) AS HUGEINT) AS s,
+               CAST(SUM(CAST(qty AS HUGEINT) * qty) AS HUGEINT) AS q
+        FROM d GROUP BY brand
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_months,
+           {dround('CAST(s AS BIGINT) * 1.0 / CAST(n AS BIGINT)', 6)}
+               AS mean_monthly_qty,
+           {dround('''sqrt(CAST(CAST(n * q - s * s AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(n * (n - 1) AS VARCHAR) AS DOUBLE))''', 6)}
+               AS sigma_monthly_qty,
+           CAST(CEIL({Z95_SERVICE}
+                     * sqrt(CAST(CAST(n * q - s * s AS VARCHAR) AS DOUBLE)
+                            / CAST(CAST(n * (n - 1) AS VARCHAR) AS DOUBLE)))
+                AS BIGINT) AS safety_stock_units
+    FROM m ORDER BY brand
+    """,
+)
+def ext_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety-stock recommendation per brand at a 95% service level:
+    SS = z * sigma(monthly demand) for a one-month replenishment lead —
+    the inventory-planning op that consumes ext_demand_xyz's
+    variability classes and turns them into order-up-to units
+    (CEIL'd: you can't stock fractional units).
+
+    Determinism: demand moments are exact 128-bit integers; sigma
+    converts through the string path (ext_metric_cuped discipline) and
+    sqrt is IEEE-exact; the z constant is one shared literal, so CEIL
+    lands on identical doubles.
+
+    Scale shape: one (brand, month) aggregate behind a broadcast part
+    join, then scalar algebra on 25 brand rows. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    d = (
+        li.select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+            F.floor("l_quantity").cast("bigint").alias("u"),
+        )
+        .join(F.broadcast(pt), "p_partkey")
+        .groupBy("brand", "month")
+        .agg(F.sum("u").cast("bigint").alias("qty"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = d.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("qty"))).alias("s"),
+        F.sum(dec(F.col("qty")) * dec(F.col("qty"))).alias("q"),
+    )
+    sigma = F.sqrt(
+        (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    return m.select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_months"),
+        F.round(
+            F.col("s").cast("bigint") * 1.0 / F.col("n").cast("bigint"), 6
+        ).alias("mean_monthly_qty"),
+        F.round(sigma, 6).alias("sigma_monthly_qty"),
+        F.ceil(Z95_SERVICE * sigma).cast("bigint").alias("safety_stock_units"),
+    ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# ext_eb_shrinkage — empirical-Bayes smoothed return-rate ranking
+# ---------------------------------------------------------------------------
+
+EB_PRIOR_M = 20  # pseudo-count prior strength
+EB_TOPN = 25  # largest shrinkage movers reported
+
+
+@register(
+    "ext_eb_shrinkage",
+    f"""
+    WITH per_part AS (
+        SELECT l_partkey AS partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returns
+        FROM lineitem GROUP BY l_partkey
+    ), g AS (
+        SELECT CAST(SUM(n_lines) AS BIGINT) AS tn,
+               CAST(SUM(n_returns) AS BIGINT) AS tr FROM per_part
+    ), sc AS (
+        SELECT p.partkey, p.n_lines, p.n_returns,
+               p.n_returns * 1.0 / p.n_lines AS raw_rate,
+               (p.n_returns + {EB_PRIOR_M} * (g.tr * 1.0 / g.tn))
+                   / (p.n_lines + {EB_PRIOR_M}) AS shrunk_rate
+        FROM per_part p CROSS JOIN g
+    )
+    SELECT partkey, n_lines, n_returns,
+           {dround('raw_rate', 6)} AS raw_rate,
+           {dround('shrunk_rate', 6)} AS shrunk_rate,
+           {dround('ABS(raw_rate - shrunk_rate)', 6)} AS shrink_delta
+    FROM sc
+    ORDER BY {dround('ABS(raw_rate - shrunk_rate)', 6)} DESC, partkey
+    LIMIT {EB_TOPN}
+    """,
+)
+def ext_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes smoothed return-rate ranking: every part's raw
+    return rate shrinks toward the corpus rate with pseudo-count
+    strength {EB_PRIOR_M} — (x + M*p)/(n + M) — and the {EB_TOPN}
+    parts the prior moves MOST are reported (these are exactly the
+    small-sample parts whose raw rates were noise). The Bayesian
+    sibling of ext_return_rate_wilson's frequentist interval.
+
+    Determinism: rates combine exact integers through identical
+    expression trees; the report orders on the ROUNDED delta with a
+    partkey tiebreak — a total order.
+
+    Scale shape: one partkey-keyed conditional aggregate (map-side
+    combined), a broadcast scalar prior, narrow algebra, TakeOrdered
+    {EB_TOPN}. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_returns"),
+    )
+    g = per_part.agg(
+        F.sum("n_lines").cast("bigint").alias("tn"),
+        F.sum("n_returns").cast("bigint").alias("tr"),
+    )
+    raw = F.col("n_returns") * 1.0 / F.col("n_lines")
+    shrunk = (
+        F.col("n_returns") + EB_PRIOR_M * (F.col("tr") * 1.0 / F.col("tn"))
+    ) / (F.col("n_lines") + EB_PRIOR_M)
+    return (
+        per_part.crossJoin(F.broadcast(g))
+        .select(
+            "partkey",
+            "n_lines",
+            "n_returns",
+            F.round(raw, 6).alias("raw_rate"),
+            F.round(shrunk, 6).alias("shrunk_rate"),
+            F.round(F.abs(raw - shrunk), 6).alias("shrink_delta"),
+        )
+        .orderBy(F.desc("shrink_delta"), "partkey")
+        .limit(EB_TOPN)
+    )
+
+
+ext_eb_shrinkage.__doc__ = ext_eb_shrinkage.__doc__.replace(
+    "{EB_PRIOR_M}", str(EB_PRIOR_M)
+).replace("{EB_TOPN}", str(EB_TOPN))
+
+
+# ---------------------------------------------------------------------------
+# ext_arrow_length_hist — Arrow-native batch processing via mapInArrow
+# ---------------------------------------------------------------------------
+
+LEN_BUCKET_W = 64  # byte-length bucket width
+
+
+@register(
+    "ext_arrow_length_hist",
+    f"""
+    SELECT CAST(FLOOR(strlen(text) / {LEN_BUCKET_W}.0) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+    FROM documents GROUP BY 1 ORDER BY bucket
+    """,
+)
+def ext_arrow_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document byte-length histogram computed through mapInArrow — the
+    Arrow-NATIVE Python path (pyarrow RecordBatch in, RecordBatch out,
+    zero pandas conversion): per batch, pyarrow.compute derives lengths
+    and bucket ids columnar-side, and Spark finishes the bucket rollup.
+    The registry's other Python escapes are pandas-based (mapInPandas /
+    cogroup / pandas_udf); mapInArrow is the lowest-overhead variant —
+    use it when the Python work is itself columnar (codec shims,
+    tensor slicing) and the pandas materialization would only add
+    copies.
+
+    Determinism: byte lengths and integer bucket arithmetic only
+    (corpus is ASCII, so DuckDB strlen == Arrow binary_length).
+
+    Scale shape: a narrow Arrow-batch map (no shuffle) followed by ONE
+    bucket-keyed rollup, map-side combined. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load(spark, sf_dir, "documents").select("text")
+
+    def lengths(batches):
+        for batch in batches:
+            n = pc.binary_length(batch.column(0))
+            bucket = pc.cast(
+                pc.floor(pc.divide(pc.cast(n, pa.float64()), LEN_BUCKET_W)),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [bucket, pc.cast(n, pa.int64())], ["bucket", "nbytes"]
+            )
+
+    mapped = docs.mapInArrow(lengths, schema="bucket long, nbytes long")
+    return (
+        mapped.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nbytes").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("bucket")
+    )
