@@ -242,6 +242,10 @@ HEADLINE = [
     "ext_ts_durbin_watson",
     "ext_markov_entropy_rate",
     "ext_overdispersion_check",
+    "ext_udtf_installments",
+    "ext_safety_stock",
+    "ext_eb_shrinkage",
+    "ext_arrow_length_hist",
 ]
 
 
