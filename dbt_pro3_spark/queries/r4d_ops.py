@@ -4405,3 +4405,285 @@ def ext_arrow_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_recency_weighted_ltv — exponential time-decay customer scoring
+# ---------------------------------------------------------------------------
+
+LTV_HALF_LIFE_DAYS = 365.0  # decay half-life
+LTV_TOPN = 25
+
+
+@register(
+    "ext_recency_weighted_ltv",
+    f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+    per_order AS (
+        SELECT o_custkey,
+               CAST(ROUND(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          * pow(2.0, -(datediff('day', o_orderdate, mx.mxd))
+                                      / {LTV_HALF_LIFE_DAYS})
+                          * 1000.0) AS BIGINT) AS mu
+        FROM orders CROSS JOIN mx
+    )
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dround('SUM(mu) / 100000.0', 6)} AS decayed_ltv_dollars
+    FROM per_order GROUP BY o_custkey
+    ORDER BY SUM(mu) DESC, o_custkey
+    LIMIT {LTV_TOPN}
+    """,
+)
+def ext_recency_weighted_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted customer value: every order's exact cents decay
+    by 2^(-age/half-life) from the corpus's latest order date, and the
+    {LTV_TOPN} highest decayed-LTV customers are reported — the scoring
+    behind win-back targeting and churn-weighted CLV (the decayed
+    sibling of ext_customer_rfm's hard recency buckets).
+
+    Determinism: the decay multiplies an exact integer by pow(2, -k/h)
+    of an identical integer ratio; pow may differ by an ulp across
+    libm builds, so every order's decayed value snaps to integer
+    MILLI-cent units per row before the customer sum (1-ulp relative
+    error ~1e-16 on <=1e7 cents is far below the 1e-3-cent snap) — the
+    ranking then orders exact BIGINTs with a custkey tiebreak.
+
+    Scale shape: a scalar max-date broadcast, a narrow decay map, ONE
+    custkey-keyed sum (map-side combined), TakeOrdered {LTV_TOPN}.
+    Cited parity anchor: /root/reference/models (beyond-reference
+    surface)."""
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    age = F.datediff(F.col("mxd"), F.col("o_orderdate"))
+    mu = F.round(
+        cents * F.pow(F.lit(2.0), -age / LTV_HALF_LIFE_DAYS) * 1000.0, 0
+    ).cast("bigint")
+    return (
+        o.crossJoin(F.broadcast(mx))
+        .select(F.col("o_custkey").alias("custkey"), mu.alias("mu"))
+        .groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("mu").alias("smu"),
+        )
+        .orderBy(F.desc("smu"), "custkey")
+        .limit(LTV_TOPN)
+        .select(
+            "custkey",
+            "n_orders",
+            F.round(F.col("smu") / 100000.0, 6).alias("decayed_ltv_dollars"),
+        )
+    )
+
+
+ext_recency_weighted_ltv.__doc__ = ext_recency_weighted_ltv.__doc__.replace(
+    "{LTV_TOPN}", str(LTV_TOPN)
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_tail_index_hill — Hill estimator of the revenue power-law tail
+# ---------------------------------------------------------------------------
+
+HILL_K = 100  # tail order statistics used
+
+
+@register(
+    "ext_tail_index_hill",
+    f"""
+    WITH d AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0)
+                    AS BIGINT) AS dollars
+        FROM orders
+    ), top AS MATERIALIZED (
+        SELECT o_orderkey, dollars,
+               ROW_NUMBER() OVER (ORDER BY dollars DESC, o_orderkey) AS rk
+        FROM d
+        QUALIFY ROW_NUMBER() OVER (ORDER BY dollars DESC, o_orderkey)
+                <= {HILL_K} + 1
+    ), xk AS (SELECT dollars AS xk1 FROM top WHERE rk = {HILL_K} + 1),
+    terms AS (
+        SELECT CAST(ROUND(ln(t.dollars * 1.0 / x.xk1) * 1000000000.0)
+                    AS BIGINT) AS units
+        FROM top t CROSS JOIN xk x WHERE t.rk <= {HILL_K}
+    )
+    SELECT {HILL_K} AS k,
+           (SELECT CAST(xk1 AS BIGINT) FROM xk) AS x_k1_dollars,
+           {dround(f'SUM(units) * 1.0 / {HILL_K} / 1000000000.0', 6)}
+               AS hill_inv_alpha,
+           {dround(f'{HILL_K} * 1000000000.0 / SUM(units)', 6)} AS tail_alpha
+    FROM terms
+    """,
+)
+def ext_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the revenue tail index: over the top
+    {HILL_K} order values, 1/alpha = mean ln(x_i / x_(k+1)) — the
+    standard heavy-tail exponent estimate that quantifies what
+    ext_part_pareto and ext_spend_gini only rank (alpha ~ 1-2 = true
+    power-law whale regime; large alpha = thin tail).
+
+    Determinism: values quantize to whole dollars; the top-(k+1) set
+    is a (dollars DESC, orderkey) total order; each log-ratio of
+    identical integers snaps to 1e-9 units per row before the mean
+    (ext_drift_psi discipline).
+
+    Scale shape: TakeOrdered {HILL_K}+1 over the scan (no global
+    sort), then scalar algebra on k rows. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        F.floor(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint") / 100.0
+        )
+        .cast("bigint")
+        .alias("dollars"),
+    )
+    top = (
+        d.orderBy(F.desc("dollars"), "o_orderkey")
+        .limit(HILL_K + 1)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("dollars"), "o_orderkey")),
+        )
+        .localCheckpoint(eager=False)  # feeds x_(k+1) and the k terms
+    )
+    xk = top.filter(F.col("rk") == HILL_K + 1).select(
+        F.col("dollars").alias("xk1")
+    )
+    terms = (
+        top.filter(F.col("rk") <= HILL_K)
+        .crossJoin(F.broadcast(xk))
+        .select(
+            F.round(F.log(F.col("dollars") * 1.0 / F.col("xk1")) * 1e9, 0)
+            .cast("bigint")
+            .alias("units")
+        )
+    )
+    return terms.crossJoin(F.broadcast(xk)).agg(
+        F.lit(HILL_K).alias("k"),
+        F.first("xk1").cast("bigint").alias("x_k1_dollars"),
+        F.round(F.sum("units") * 1.0 / HILL_K / 1e9, 6).alias("hill_inv_alpha"),
+        F.round(HILL_K * 1e9 / F.sum("units"), 6).alias("tail_alpha"),
+    )
+
+
+ext_tail_index_hill.__doc__ = ext_tail_index_hill.__doc__.replace(
+    "{HILL_K}", str(HILL_K)
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_conformal_interval — split-conformal prediction band per priority
+# ---------------------------------------------------------------------------
+
+CONF_LEVEL = 90  # conformal coverage percent
+
+
+@register(
+    "ext_conformal_interval",
+    f"""
+    WITH d AS (
+        SELECT o_orderpriority AS priority,
+               CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0)
+                    AS BIGINT) AS v
+        FROM orders
+    ), grid AS (
+        SELECT priority, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM d GROUP BY priority, v
+    ), st AS (
+        SELECT priority, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(v * c) AS BIGINT) AS s
+        FROM grid GROUP BY priority
+    ), resid AS (
+        SELECT g.priority, g.c, s.n, s.s,
+               ABS(s.n * g.v - s.s) AS r
+        FROM grid g JOIN st s ON s.priority = g.priority
+    ), ranked AS (
+        SELECT priority, r, n, s,
+               SUM(c) OVER (PARTITION BY priority ORDER BY r, c) AS cum
+        FROM resid
+    ), q AS (
+        SELECT priority, n, s, MIN(r) AS qr
+        FROM ranked
+        WHERE cum >= CAST(CEIL({CONF_LEVEL} / 100.0 * (n + 1)) AS BIGINT)
+        GROUP BY priority, n, s
+    )
+    SELECT priority, n AS n_orders,
+           {dround('s * 1.0 / n', 6)} AS mean_dollars,
+           {dround('qr * 1.0 / n', 6)} AS q_resid_dollars,
+           {dround('(s - qr) * 1.0 / n', 6)} AS lo_dollars,
+           {dround('(s + qr) * 1.0 / n', 6)} AS hi_dollars
+    FROM q ORDER BY priority
+    """,
+)
+def ext_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction band per order priority: the
+    {CONF_LEVEL}% empirical quantile of |value - group mean| gives a
+    distribution-free interval mean +/- q that covers a fresh order
+    with >= {CONF_LEVEL}% probability (the ceil((n+1)q)/n rank is the
+    standard conformal correction) — modern uncertainty quantification
+    with zero distributional assumptions, the coverage-guaranteed
+    sibling of ext_ab_power_analysis's parametric sigma.
+
+    Determinism: values quantize to whole dollars and residuals are
+    the EXACT integers |n*v - S| (mean never materializes as a float);
+    the conformal rank picks the minimal residual whose weighted
+    cumulative count crosses the exact ceil threshold — integer
+    algebra end to end, with every reported double dividing identical
+    integers.
+
+    Scale shape: the corpus collapses to the value-bounded
+    (priority, dollar) grid first; residual ranking windows over grid
+    rows, never orders; the report is 5 rows. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint") / 100.0
+        )
+        .cast("bigint")
+        .alias("v"),
+    )
+    grid = d.groupBy("priority", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    st = grid.groupBy("priority").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("bigint").alias("s"),
+    )
+    resid = grid.join(st, "priority").select(
+        "priority",
+        "c",
+        "n",
+        "s",
+        F.abs(F.col("n") * F.col("v") - F.col("s")).alias("r"),
+    )
+    w = Window.partitionBy("priority").orderBy("r", "c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = resid.select(
+        "priority", "r", "n", "s", F.sum("c").over(w).alias("cum")
+    )
+    thresh = F.ceil(CONF_LEVEL / 100.0 * (F.col("n") + 1)).cast("bigint")
+    q = (
+        ranked.filter(F.col("cum") >= thresh)
+        .groupBy("priority", "n", "s")
+        .agg(F.min("r").alias("qr"))
+    )
+    return q.select(
+        "priority",
+        F.col("n").alias("n_orders"),
+        F.round(F.col("s") * 1.0 / F.col("n"), 6).alias("mean_dollars"),
+        F.round(F.col("qr") * 1.0 / F.col("n"), 6).alias("q_resid_dollars"),
+        F.round((F.col("s") - F.col("qr")) * 1.0 / F.col("n"), 6).alias(
+            "lo_dollars"
+        ),
+        F.round((F.col("s") + F.col("qr")) * 1.0 / F.col("n"), 6).alias(
+            "hi_dollars"
+        ),
+    ).orderBy("priority")
