@@ -246,6 +246,9 @@ HEADLINE = [
     "ext_safety_stock",
     "ext_eb_shrinkage",
     "ext_arrow_length_hist",
+    "ext_recency_weighted_ltv",
+    "ext_tail_index_hill",
+    "ext_conformal_interval",
 ]
 
 
