@@ -4687,3 +4687,382 @@ def ext_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi_dollars"
         ),
     ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# ext_spectral_period — DFT power scan of the monthly revenue series
+# ---------------------------------------------------------------------------
+
+SPEC_MAX_K = 12  # harmonics scanned
+TWO_PI = 6.283185307179586
+
+
+@register(
+    "ext_spectral_period",
+    f"""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate)::DATE AS month,
+               CAST(FLOOR(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) / 100.0) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY month) - 1 AS t, y,
+               COUNT(*) OVER () AS n
+        FROM m
+    ), terms AS MATERIALIZED (
+        SELECT k.k,
+               CAST(SUM(CAST(ROUND(y * cos({TWO_PI} * k.k * t / n)
+                                   * 1000000.0) AS BIGINT)) AS HUGEINT) AS c,
+               CAST(SUM(CAST(ROUND(y * sin({TWO_PI} * k.k * t / n)
+                                   * 1000000.0) AS BIGINT)) AS HUGEINT) AS s
+        FROM idx CROSS JOIN (SELECT unnest(generate_series(1, {SPEC_MAX_K}))
+                             AS k) k
+        GROUP BY k.k
+    ), pw AS (
+        SELECT k, c * c + s * s AS p2 FROM terms
+    )
+    SELECT CAST(k AS INTEGER) AS k,
+           {dround('''CAST(CAST(p2 AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(SUM(p2) OVER () AS VARCHAR) AS DOUBLE)''', 6)}
+               AS power_share,
+           CAST(CASE WHEN p2 = MAX(p2) OVER () THEN 1 ELSE 0 END AS INTEGER)
+               AS is_dominant
+    FROM pw ORDER BY k
+    """,
+)
+def ext_spectral_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT power scan over the monthly revenue series: for harmonics
+    k = 1..{SPEC_MAX_K}, the spectral power share |X_k|^2 / sum —
+    the frequency-domain seasonality detector (a dominant k = 12/m
+    harmonic means an m-month cycle), complementing
+    ext_ts_autocorrelation's lag-domain view.
+
+    Determinism: each cos/sin term multiplies an exact integer by a
+    trig value of identical doubles and snaps to integer micro-units
+    per (t, k) BEFORE summing (libm's last-ulp spread is ~1e-7 of the
+    snapped product — divergence is bounded at one unit per term, far
+    inside the terminal dround(6) of the normalized share); power
+    squares widen to 128-bit and convert through the string path.
+
+    Scale shape: corpus collapses to ~80 month rows; the k-fanout is
+    {SPEC_MAX_K}x that grid; window algebra on {SPEC_MAX_K} rows.
+    Cited parity anchor: /root/reference/models (beyond-reference
+    surface)."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.floor(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            / 100.0
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    idx = m.select(
+        (F.row_number().over(Window.orderBy("month")) - 1).alias("t"),
+        "y",
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    ks = spark.range(1, SPEC_MAX_K + 1).select(F.col("id").cast("int").alias("k"))
+    arg = TWO_PI * F.col("k") * F.col("t") / F.col("n")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    terms = (
+        idx.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.round(F.col("y") * F.cos(arg) * 1e6, 0).cast("bigint")
+            ).cast("decimal(38,0)").alias("c"),
+            F.sum(
+                F.round(F.col("y") * F.sin(arg) * 1e6, 0).cast("bigint")
+            ).cast("decimal(38,0)").alias("s"),
+        )
+    )
+    pw = terms.select(
+        "k", (dec(F.col("c")) * F.col("c") + dec(F.col("s")) * F.col("s")).alias("p2")
+    )
+    w_all = Window.partitionBy()
+    return pw.select(
+        F.col("k").cast("int").alias("k"),
+        F.round(
+            F.col("p2").cast("double")
+            / F.sum("p2").over(w_all).cast("double"),
+            6,
+        ).alias("power_share"),
+        F.when(F.col("p2") == F.max("p2").over(w_all), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_dominant"),
+    ).orderBy("k")
+
+
+ext_spectral_period.__doc__ = ext_spectral_period.__doc__.replace(
+    "{SPEC_MAX_K}", str(SPEC_MAX_K)
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_spc_rules — statistical process control with Western Electric rules
+# ---------------------------------------------------------------------------
+
+SPC_RUN_LEN = 8  # consecutive same-side days for the run rule
+
+
+@register(
+    "ext_spc_rules",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(FLOOR(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) / 100.0) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), st AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(y) AS HUGEINT) AS s,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS q
+        FROM daily
+    ), z AS MATERIALIZED (
+        SELECT d.d, d.y, st.n, st.s,
+               CAST(st.n AS HUGEINT) * d.y - st.s AS dev,
+               st.n * st.q - st.s * st.s AS var_num
+        FROM daily d CROSS JOIN st
+    ), flags AS (
+        SELECT d, y, dev,
+               CASE WHEN dev * dev * (n - 1) > 9 * var_num * n
+                    THEN 1 ELSE 0 END AS rule_3sigma,
+               CASE WHEN SUM(CASE WHEN dev > 0 THEN 1 ELSE 0 END)
+                         OVER (ORDER BY d ROWS BETWEEN {SPC_RUN_LEN - 1}
+                               PRECEDING AND CURRENT ROW) = {SPC_RUN_LEN}
+                         OR SUM(CASE WHEN dev < 0 THEN 1 ELSE 0 END)
+                            OVER (ORDER BY d ROWS BETWEEN {SPC_RUN_LEN - 1}
+                                  PRECEDING AND CURRENT ROW) = {SPC_RUN_LEN}
+                    THEN 1 ELSE 0 END AS rule_run
+        FROM z
+    )
+    SELECT d AS day, y AS dollars,
+           CAST(rule_3sigma AS INTEGER) AS rule_3sigma,
+           CAST(rule_run AS INTEGER) AS rule_run{SPC_RUN_LEN}
+    FROM flags WHERE rule_3sigma = 1 OR rule_run = 1
+    ORDER BY day
+    """,
+)
+def ext_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control on daily revenue with two Western
+    Electric rules: rule 1 flags days beyond 3 sigma of the center
+    line; rule 2 flags the {SPC_RUN_LEN}th consecutive day on the same
+    side of it (a mean SHIFT that never trips 3 sigma) — the
+    control-chart op behind ops dashboards, complementing
+    ext_anomaly_rolling_z (rolling local z) with fixed control limits
+    + run-length logic.
+
+    Determinism: both rules are exact integer algebra — the sigma test
+    is the cross-multiplication dev^2*(n-1) > 9*var_num*n on 128-bit
+    deviations dev = n*y - S (the mean never floats), and the run rule
+    counts sign flags in an exact window.
+
+    Scale shape: corpus collapses to the day series; one scalar moment
+    reduce broadcast back; the run window orders the ~2.4k-row series.
+    Cited parity anchor: /root/reference/models (beyond-reference
+    surface)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.floor(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            / 100.0
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    st = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("y"))).alias("s"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("q"),
+    )
+    z = daily.crossJoin(F.broadcast(st)).select(
+        "d",
+        "y",
+        "n",
+        (F.col("n") * dec(F.col("y")) - F.col("s")).alias("dev"),
+        (F.col("n") * F.col("q") - F.col("s") * F.col("s")).alias("var_num"),
+    )
+    w_run = Window.orderBy("d").rowsBetween(-(SPC_RUN_LEN - 1), 0)
+    above = F.sum(F.when(F.col("dev") > 0, 1).otherwise(0)).over(w_run)
+    below = F.sum(F.when(F.col("dev") < 0, 1).otherwise(0)).over(w_run)
+    flags = z.select(
+        "d",
+        "y",
+        F.when(
+            F.col("dev") * F.col("dev") * (F.col("n") - 1)
+            > 9 * F.col("var_num") * F.col("n"),
+            1,
+        )
+        .otherwise(0)
+        .alias("rule_3sigma"),
+        F.when((above == SPC_RUN_LEN) | (below == SPC_RUN_LEN), 1)
+        .otherwise(0)
+        .alias("rule_run"),
+    )
+    return (
+        flags.filter((F.col("rule_3sigma") == 1) | (F.col("rule_run") == 1))
+        .select(
+            F.col("d").cast("date").alias("day"),
+            F.col("y").alias("dollars"),
+            F.col("rule_3sigma").cast("int").alias("rule_3sigma"),
+            F.col("rule_run").cast("int").alias(f"rule_run{SPC_RUN_LEN}"),
+        )
+        .orderBy("day")
+    )
+
+
+ext_spc_rules.__doc__ = ext_spc_rules.__doc__.replace(
+    "{SPC_RUN_LEN}", str(SPC_RUN_LEN)
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_ipf_raking — iterative proportional fitting to uniform margins
+# ---------------------------------------------------------------------------
+
+IPF_ROUNDS = 2  # full row+column scaling rounds (bounded-budget contract)
+IPF_UNIT = 1_000_000  # weights carried as integer micro-units
+
+
+def _ipf_oracle() -> str:
+    lines = [
+        f"""
+    WITH cells AS MATERIALIZED (
+        SELECT o_orderpriority AS pri, o_orderstatus AS st,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ), dims AS (
+        SELECT CAST(COUNT(DISTINCT pri) AS BIGINT) AS nr,
+               CAST(COUNT(DISTINCT st) AS BIGINT) AS nc,
+               CAST(SUM(n) AS BIGINT) AS tot
+        FROM cells
+    ), w0 AS MATERIALIZED (
+        SELECT pri, st, n, CAST(n AS BIGINT) * {IPF_UNIT} AS w
+        FROM cells
+    )"""
+    ]
+    prev = "w0"
+    for r in range(1, IPF_ROUNDS + 1):
+        lines.append(
+            f""", r{r} AS MATERIALIZED (
+        SELECT c.pri, c.st, c.n,
+               CAST(ROUND(c.w * ((d.tot * 1.0 * {IPF_UNIT} / d.nr)
+                                 / rs.rw)) AS BIGINT) AS w
+        FROM {prev} c
+        JOIN (SELECT pri, CAST(SUM(w) AS BIGINT) AS rw FROM {prev}
+              GROUP BY pri) rs ON rs.pri = c.pri
+        CROSS JOIN dims d
+    ), c{r} AS MATERIALIZED (
+        SELECT c.pri, c.st, c.n,
+               CAST(ROUND(c.w * ((d.tot * 1.0 * {IPF_UNIT} / d.nc)
+                                 / cs.cw)) AS BIGINT) AS w
+        FROM r{r} c
+        JOIN (SELECT st, CAST(SUM(w) AS BIGINT) AS cw FROM r{r}
+              GROUP BY st) cs ON cs.st = c.st
+        CROSS JOIN dims d
+    )"""
+        )
+        prev = f"c{r}"
+    lines.append(
+        f"""
+    SELECT pri AS priority, st AS status, n AS n_orders,
+           {dround(f'w / {IPF_UNIT}.0', 6)} AS raked_weight
+    FROM {prev} ORDER BY priority, status
+    """
+    )
+    return "".join(lines)
+
+
+@register("ext_ipf_raking", _ipf_oracle())
+def ext_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (survey raking): the
+    (priority x status) order-count table is alternately row- and
+    column-scaled toward UNIFORM margins for {IPF_ROUNDS} full rounds
+    — the weighting technique survey statistics and panel calibration
+    run to make a sample's margins match a population's, under the
+    registry's bounded-iteration contract (ext_kmeans_lloyd /
+    ext_graph_kcore).
+
+    Determinism: weights live as integer micro-units; each half-round
+    multiplies by a target/margin ratio of exact integers and
+    re-snaps to integer units (quantized-IPF contract — both engines
+    round the identical product), so every margin sum downstream is an
+    exact BIGINT reduce.
+
+    Scale shape: ONE corpus aggregate to the 15-cell grid; every
+    scaling half-round is grid-sized joins against 5- and 3-row margin
+    tables. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dims = cells.agg(
+        F.countDistinct("pri").cast("bigint").alias("nr"),
+        F.countDistinct("st").cast("bigint").alias("nc"),
+        F.sum("n").cast("bigint").alias("tot"),
+    )
+    w = cells.select(
+        "pri", "st", "n", (F.col("n") * IPF_UNIT).cast("bigint").alias("w")
+    ).localCheckpoint(eager=False)
+    for _ in range(IPF_ROUNDS):
+        rs = w.groupBy("pri").agg(F.sum("w").cast("bigint").alias("rw"))
+        w = (
+            w.join(rs, "pri")
+            .crossJoin(F.broadcast(dims))
+            .select(
+                "pri",
+                "st",
+                "n",
+                F.round(
+                    F.col("w")
+                    * (
+                        (F.col("tot") * 1.0 * IPF_UNIT / F.col("nr"))
+                        / F.col("rw")
+                    ),
+                    0,
+                )
+                .cast("bigint")
+                .alias("w"),
+            )
+        )
+        cs = w.groupBy("st").agg(F.sum("w").cast("bigint").alias("cw"))
+        w = (
+            w.join(cs, "st")
+            .crossJoin(F.broadcast(dims))
+            .select(
+                "pri",
+                "st",
+                "n",
+                F.round(
+                    F.col("w")
+                    * (
+                        (F.col("tot") * 1.0 * IPF_UNIT / F.col("nc"))
+                        / F.col("cw")
+                    ),
+                    0,
+                )
+                .cast("bigint")
+                .alias("w"),
+            )
+            .localCheckpoint(eager=False)  # linear lineage across rounds
+        )
+    return w.select(
+        F.col("pri").alias("priority"),
+        F.col("st").alias("status"),
+        F.col("n").alias("n_orders"),
+        F.round(F.col("w") / float(IPF_UNIT), 6).alias("raked_weight"),
+    ).orderBy("priority", "status")
+
+
+ext_ipf_raking.__doc__ = ext_ipf_raking.__doc__.replace(
+    "{IPF_ROUNDS}", str(IPF_ROUNDS)
+)
