@@ -249,6 +249,9 @@ HEADLINE = [
     "ext_recency_weighted_ltv",
     "ext_tail_index_hill",
     "ext_conformal_interval",
+    "ext_spectral_period",
+    "ext_spc_rules",
+    "ext_ipf_raking",
 ]
 
 
