@@ -5066,3 +5066,314 @@ def ext_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_ipf_raking.__doc__ = ext_ipf_raking.__doc__.replace(
     "{IPF_ROUNDS}", str(IPF_ROUNDS)
 )
+
+
+# ---------------------------------------------------------------------------
+# ext_join_size_estimate — AMS inner-product join-cardinality estimation
+# ---------------------------------------------------------------------------
+
+JSE_LANES = 16  # +/-1 lanes shared with the F2 sketch discipline
+
+
+def _jse_oracle() -> str:
+    from .llm_ops import _md5_32
+
+    h_o = _md5_32("'ams:' || CAST(o_orderkey AS VARCHAR)")
+    h_l = _md5_32("'ams:' || CAST(l_orderkey AS VARCHAR)")
+    zo = ", ".join(
+        f"""CAST(SUM(CASE WHEN (({h_o}) >> {i}) & 1 = 0 THEN 1 ELSE -1 END)
+             AS BIGINT) AS zo{i}"""
+        for i in range(JSE_LANES)
+    )
+    zl = ", ".join(
+        f"""CAST(SUM(CASE WHEN (({h_l}) >> {i}) & 1 = 0 THEN 1 ELSE -1 END)
+             AS BIGINT) AS zl{i}"""
+        for i in range(JSE_LANES)
+    )
+    prod = " + ".join(f"o.zo{i} * l.zl{i}" for i in range(JSE_LANES))
+    return f"""
+    WITH o AS (SELECT {zo} FROM orders),
+    l AS (SELECT {zl} FROM lineitem),
+    exact AS (
+        SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS exact_join_rows
+        FROM (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+              FROM orders GROUP BY 1) a
+        JOIN (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY 1) b ON a.k = b.k
+    )
+    SELECT e.exact_join_rows,
+           {dround(f'({prod}) * 1.0 / {JSE_LANES}', 6)} AS est_join_rows,
+           {dround(f'''ABS(({prod}) * 1.0 / {JSE_LANES} - e.exact_join_rows)
+                       / e.exact_join_rows''', 6)} AS rel_err
+    FROM o CROSS JOIN l CROSS JOIN exact e
+    """
+
+
+@register("ext_join_size_estimate", _jse_oracle())
+def ext_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation WITHOUT running the join: the AMS
+    inner-product identity |A join B| ~ mean_lanes(Z_A * Z_B) over
+    shared +/-1 hash lanes — the sketch a cost-based optimizer (or a
+    pre-flight job-size guard) consults before committing to a shuffle
+    plan; the exact key-count join rides along to expose the error.
+    Completes the AMS family (ext_sketch_ams_f2 is the self-join /
+    skew case; this is the two-table inner product).
+
+    Determinism: both sides' lane sums are exact integers of the SAME
+    md5-derived sign bits (one hash per row, bits sliced); estimates
+    divide identical integers, dround(6).
+
+    Scale shape: each side computes all lanes in ONE map-side scalar
+    aggregate over its scan — the estimator never shuffles either
+    table; only the exact check joins (orderkey-keyed count tables).
+    Cited parity anchor: /root/reference/models (beyond-reference
+    surface)."""
+    from .llm_ops import _spark_md5_32
+
+    def lanes(df, keycol, prefix):
+        h = _spark_md5_32(
+            F.concat(F.lit("ams:"), F.col(keycol).cast("string"))
+        )
+        d = df.withColumn("_h", h)
+        aggs = []
+        for i in range(JSE_LANES):
+            sign = F.when(
+                F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 0, 1
+            ).otherwise(-1)
+            aggs.append(F.sum(sign).cast("bigint").alias(f"{prefix}{i}"))
+        return d.agg(*aggs)
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    zo = lanes(o, "o_orderkey", "zo")
+    zl = lanes(li, "l_orderkey", "zl")
+    a = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ca")
+    )
+    b = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    exact = (
+        a.join(b, "k")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("exact_join_rows"))
+    )
+    prod = None
+    for i in range(JSE_LANES):
+        t = F.col(f"zo{i}") * F.col(f"zl{i}")
+        prod = t if prod is None else prod + t
+    est = prod * 1.0 / JSE_LANES
+    return (
+        zo.crossJoin(F.broadcast(zl))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "exact_join_rows",
+            F.round(est, 6).alias("est_join_rows"),
+            F.round(
+                F.abs(est - F.col("exact_join_rows")) / F.col("exact_join_rows"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_part_vintage_revenue — revenue by part age (vintage analysis)
+# ---------------------------------------------------------------------------
+
+VINTAGE_BUCKET_MONTHS = 6
+
+
+@register(
+    "ext_part_vintage_revenue",
+    f"""
+    WITH first_ship AS MATERIALIZED (
+        SELECT l_partkey, MIN(date_trunc('month', l_shipdate)::DATE) AS fm
+        FROM lineitem GROUP BY l_partkey
+    ), aged AS (
+        SELECT CAST(FLOOR(((EXTRACT(year FROM l.l_shipdate) * 12
+                            + EXTRACT(month FROM l.l_shipdate))
+                           - (EXTRACT(year FROM f.fm) * 12
+                              + EXTRACT(month FROM f.fm)))
+                          / {VINTAGE_BUCKET_MONTHS}.0) AS BIGINT) AS age_bucket,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN first_ship f ON f.l_partkey = l.l_partkey
+    ), g AS (
+        SELECT age_bucket, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM aged GROUP BY age_bucket
+    )
+    SELECT age_bucket, n_lines, revenue_cents,
+           {dround('revenue_cents * 1.0 / SUM(revenue_cents) OVER ()', 6)}
+               AS revenue_share
+    FROM g ORDER BY age_bucket
+    """,
+)
+def ext_part_vintage_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vintage analysis of revenue by PART age: every line item is
+    bucketed by how many {VINTAGE_BUCKET_MONTHS}-month periods have
+    passed since its part's first-ever shipment, and each vintage
+    bucket reports its revenue share — the product-lifecycle
+    decomposition (how much revenue rides on recently-introduced
+    parts?) that complements ext_new_vs_returning's customer-side
+    split.
+
+    Determinism: ages are exact month arithmetic (year*12 + month on
+    both engines); FLOOR-bucketed; revenue in exact cents; the share
+    divides identical integers.
+
+    Scale shape: one partkey-keyed MIN (map-side combined), a
+    partkey-keyed join back (co-partitioned fact-to-derived), one
+    bucket rollup; the share window runs over <= a dozen bucket rows.
+    Cited parity anchor: /root/reference/models (beyond-reference
+    surface)."""
+    li = load(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_partkey").agg(
+        F.min(F.date_trunc("month", "l_shipdate").cast("date")).alias("fm")
+    )
+    months = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    aged = li.join(first_ship, "l_partkey").select(
+        F.floor(
+            (months(F.col("l_shipdate")) - months(F.col("fm")))
+            / float(VINTAGE_BUCKET_MONTHS)
+        )
+        .cast("bigint")
+        .alias("age_bucket"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    g = aged.groupBy("age_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    w_all = Window.partitionBy()
+    return g.select(
+        "age_bucket",
+        "n_lines",
+        "revenue_cents",
+        F.round(
+            F.col("revenue_cents") * 1.0 / F.sum("revenue_cents").over(w_all),
+            6,
+        ).alias("revenue_share"),
+    ).orderBy("age_bucket")
+
+
+ext_part_vintage_revenue.__doc__ = ext_part_vintage_revenue.__doc__.replace(
+    "{VINTAGE_BUCKET_MONTHS}", str(VINTAGE_BUCKET_MONTHS)
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_design_effect — effective sample size of the raked weights
+# ---------------------------------------------------------------------------
+
+
+def _deff_oracle() -> str:
+    # reuse the IPF chain, then Kish's formula over per-order weights
+    chain = _ipf_oracle()
+    cut = chain.rindex("SELECT pri AS priority")
+    return (
+        chain[:cut].rstrip()
+        + ", "
+        + f"""u AS (
+        SELECT n, w,
+               CAST(ROUND(CAST(w AS HUGEINT) * w * 1.0 / n) AS HUGEINT) AS w2n
+        FROM c{IPF_ROUNDS}
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_orders,
+           {dround(f'''(CAST(CAST(SUM(CAST(w AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(SUM(CAST(w AS HUGEINT)) AS VARCHAR) AS DOUBLE))
+                       / CAST(CAST(SUM(w2n) AS VARCHAR) AS DOUBLE)
+                       / {IPF_UNIT}.0 * 1.0''', 6)} AS n_effective,
+           {dround(f'''SUM(n) * CAST(CAST(SUM(w2n) AS VARCHAR) AS DOUBLE)
+                       / (CAST(CAST(SUM(CAST(w AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+                          * CAST(CAST(SUM(CAST(w AS HUGEINT)) AS VARCHAR) AS DOUBLE))
+                       * {IPF_UNIT}.0''', 6)} AS design_effect
+    FROM u
+    """
+    )
+
+
+@register("ext_design_effect", _deff_oracle())
+def ext_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish design effect of the raked weights: with each order
+    carrying its cell's raked weight w_c/n_c, DEFF = n * sum(w_i^2) /
+    (sum w_i)^2 and n_eff = n / DEFF — the price in effective sample
+    size that ext_ipf_raking's calibration charges (DEFF = 1 means
+    free; 1.5 means variance as if a third of the sample vanished).
+    Cell-level identity: sum_i w_i^2 = sum_cells w_c^2 / n_c.
+
+    Determinism: per-cell w^2/n snaps to integer units (ROUND of an
+    identical integer-derived double); the Kish ratio converts 128-bit
+    sums through the string path.
+
+    Scale shape: the IPF grid pipeline (15 cells) plus one scalar
+    reduce — corpus-sized work is the single cells aggregate. Cited
+    parity anchor: /root/reference/models (beyond-reference
+    surface)."""
+    # rebuild the raked grid exactly as ext_ipf_raking does
+    o = load(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dims = cells.agg(
+        F.countDistinct("pri").cast("bigint").alias("nr"),
+        F.countDistinct("st").cast("bigint").alias("nc"),
+        F.sum("n").cast("bigint").alias("tot"),
+    )
+    w = cells.select(
+        "pri", "st", "n", (F.col("n") * IPF_UNIT).cast("bigint").alias("w")
+    ).localCheckpoint(eager=False)
+    for _ in range(IPF_ROUNDS):
+        rs = w.groupBy("pri").agg(F.sum("w").cast("bigint").alias("rw"))
+        w = w.join(rs, "pri").crossJoin(F.broadcast(dims)).select(
+            "pri", "st", "n",
+            F.round(
+                F.col("w")
+                * ((F.col("tot") * 1.0 * IPF_UNIT / F.col("nr")) / F.col("rw")),
+                0,
+            ).cast("bigint").alias("w"),
+        )
+        cs = w.groupBy("st").agg(F.sum("w").cast("bigint").alias("cw"))
+        w = (
+            w.join(cs, "st")
+            .crossJoin(F.broadcast(dims))
+            .select(
+                "pri", "st", "n",
+                F.round(
+                    F.col("w")
+                    * ((F.col("tot") * 1.0 * IPF_UNIT / F.col("nc")) / F.col("cw")),
+                    0,
+                ).cast("bigint").alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    u = w.select(
+        "n",
+        "w",
+        F.round(dec(F.col("w")) * F.col("w") * 1.0 / F.col("n"), 0)
+        .cast("decimal(38,0)")
+        .alias("w2n"),
+    )
+    agg = u.agg(
+        F.sum("n").cast("bigint").alias("n_orders"),
+        F.sum(dec(F.col("w"))).alias("sw"),
+        F.sum("w2n").alias("sw2n"),
+    )
+    sw_d = F.col("sw").cast("double")
+    return agg.select(
+        "n_orders",
+        F.round(
+            (sw_d * sw_d) / F.col("sw2n").cast("double") / IPF_UNIT * 1.0, 6
+        ).alias("n_effective"),
+        F.round(
+            F.col("n_orders")
+            * F.col("sw2n").cast("double")
+            / (sw_d * sw_d)
+            * IPF_UNIT,
+            6,
+        ).alias("design_effect"),
+    )
