@@ -252,6 +252,9 @@ HEADLINE = [
     "ext_spectral_period",
     "ext_spc_rules",
     "ext_ipf_raking",
+    "ext_join_size_estimate",
+    "ext_part_vintage_revenue",
+    "ext_design_effect",
 ]
 
 
