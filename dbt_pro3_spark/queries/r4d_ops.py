@@ -5377,3 +5377,365 @@ def ext_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("design_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_lof_outliers — Local Outlier Factor over the pruned kNN graph
+# ---------------------------------------------------------------------------
+
+LOF_TOPN = 25
+
+
+@register(
+    "ext_lof_outliers",
+    f"""
+    WITH {_SCORED_SQL}, topk AS MATERIALIZED (
+        SELECT qid, nid, 1.0 - cosine AS dist,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, nid) AS rk
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, nid) <= {KNN_K}
+    ), kdist AS (
+        SELECT qid AS node, dist AS kd FROM topk WHERE rk = {KNN_K}
+    ), reach AS (
+        SELECT t.qid,
+               CAST(ROUND(GREATEST(k.kd, t.dist) * 1000000.0) AS BIGINT)
+                   AS r_units
+        FROM topk t JOIN kdist k ON k.node = t.nid
+    ), lrd AS MATERIALIZED (
+        SELECT qid,
+               CAST(ROUND({KNN_K} * 1000000.0 * 1000000000.0 / SUM(r_units))
+                    AS BIGINT) AS lrd_units
+        FROM reach GROUP BY qid
+    ), lof AS (
+        SELECT t.qid,
+               CAST(SUM(ln.lrd_units) AS BIGINT) AS sum_nbr,
+               ANY_VALUE(lp.lrd_units) AS own
+        FROM topk t
+        JOIN lrd ln ON ln.qid = t.nid
+        JOIN lrd lp ON lp.qid = t.qid
+        GROUP BY t.qid
+    )
+    SELECT l.qid AS vec_id, e.label,
+           {dround(f'l.sum_nbr * 1.0 / ({KNN_K} * l.own)', 6)} AS lof
+    FROM lof l JOIN e ON e.vec_id = l.qid
+    ORDER BY {dround(f'l.sum_nbr * 1.0 / ({KNN_K} * l.own)', 6)} DESC, l.qid
+    LIMIT {LOF_TOPN}
+    """,
+)
+def ext_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (k = KNN_K) over the embedding corpus: a
+    vector's LOF is the mean ratio of its neighbors' local
+    reachability densities to its own — the density-RATIO upgrade of
+    ext_embed_outlier_knn (which flags globally sparse points; LOF
+    flags points sparse RELATIVE to their neighborhood, catching
+    outliers next to dense clusters). Top {LOF_TOPN} reported.
+
+    Determinism: distances derive from the 6dp-rounded cosine;
+    reachability snaps to integer micro-units per edge and lrd to
+    integer units per node BEFORE any sum (float addition order can
+    never reorder the result); LOF divides exact integers; the report
+    orders (lof@6dp DESC, vec_id).
+
+    Scale shape: rides the two-stage exact top-k primitive once, then
+    three node-keyed joins over the N*k edge table — no additional
+    corpus-sized work. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    topk = (
+        _topk_scored(spark, sf_dir, k=KNN_K)
+        .select("qid", "nid", (1.0 - F.col("cosine")).alias("dist"), "rk")
+        .localCheckpoint(eager=False)  # feeds kdist, reach, and the LOF join
+    )
+    kdist = topk.filter(F.col("rk") == KNN_K).select(
+        F.col("qid").alias("nid"), F.col("dist").alias("kd")
+    )
+    reach = topk.join(kdist, "nid").select(
+        "qid",
+        F.round(F.greatest(F.col("kd"), F.col("dist")) * 1e6, 0)
+        .cast("bigint")
+        .alias("r_units"),
+    )
+    lrd = reach.groupBy("qid").agg(
+        F.round(KNN_K * 1e6 * 1e9 / F.sum("r_units"), 0)
+        .cast("bigint")
+        .alias("lrd_units")
+    ).localCheckpoint(eager=False)  # joined twice below
+    ln_ = lrd.select(F.col("qid").alias("nid"), F.col("lrd_units").alias("nbr_u"))
+    lp = lrd.select("qid", F.col("lrd_units").alias("own_u"))
+    lof = (
+        topk.join(ln_, "nid")
+        .join(lp, "qid")
+        .groupBy("qid")
+        .agg(
+            F.sum("nbr_u").cast("bigint").alias("sum_nbr"),
+            F.first("own_u").alias("own"),
+        )
+    )
+    own = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    score = F.round(F.col("sum_nbr") * 1.0 / (KNN_K * F.col("own")), 6)
+    return (
+        lof.join(own, lof.qid == own.vec_id)
+        .select("vec_id", "label", score.alias("lof"))
+        .orderBy(F.desc("lof"), "vec_id")
+        .limit(LOF_TOPN)
+    )
+
+
+ext_lof_outliers.__doc__ = ext_lof_outliers.__doc__.replace(
+    "{LOF_TOPN}", str(LOF_TOPN)
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_rank_biased_overlap — RBO between two yearly revenue rankings
+# ---------------------------------------------------------------------------
+
+RBO_P = 0.9  # top-weight parameter
+RBO_DEPTH = 50
+RBO_Y1 = 1996
+RBO_Y2 = 1997
+
+
+def _rbo_rank_sql(year: int) -> str:
+    return f"""
+        SELECT l_partkey AS pk,
+               ROW_NUMBER() OVER (
+                   ORDER BY SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                           * 100) AS BIGINT)) DESC, l_partkey)
+                   AS rk
+        FROM lineitem WHERE EXTRACT(year FROM l_shipdate) = {year}
+        GROUP BY l_partkey
+        QUALIFY ROW_NUMBER() OVER (
+                   ORDER BY SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                           * 100) AS BIGINT)) DESC, l_partkey)
+                <= {RBO_DEPTH}"""
+
+
+@register(
+    "ext_rank_biased_overlap",
+    f"""
+    WITH ra AS MATERIALIZED ({_rbo_rank_sql(RBO_Y1)}
+    ), rb AS MATERIALIZED ({_rbo_rank_sql(RBO_Y2)}
+    ), joint AS (
+        SELECT GREATEST(ra.rk, rb.rk) AS m
+        FROM ra JOIN rb ON ra.pk = rb.pk
+    ), depths AS (
+        SELECT unnest(generate_series(1, {RBO_DEPTH})) AS d
+    ), ov AS (
+        SELECT d.d,
+               CAST((SELECT COUNT(*) FROM joint j WHERE j.m <= d.d) AS BIGINT)
+                   AS overlap
+        FROM depths d
+    ), terms AS (
+        SELECT d, overlap,
+               CAST(ROUND((1.0 - {RBO_P}) * pow({RBO_P}, d - 1)
+                          * (overlap * 1.0 / d) * 1000000000.0) AS BIGINT)
+                   AS units
+        FROM ov
+    )
+    SELECT {RBO_DEPTH} AS depth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM joint) AS n_common,
+           {dround('SUM(units) / 1000000000.0', 6)} AS rbo_score
+    FROM terms
+    """,
+)
+def ext_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p = {RBO_P}) between consecutive years'
+    top-{RBO_DEPTH} part revenue rankings: RBO = (1-p) sum p^(d-1) *
+    overlap@d / d — the top-weighted ranking-similarity metric (unlike
+    Spearman, it cares most about the head and handles non-conjoint
+    lists), quantifying how stable the best-seller list actually is
+    year over year.
+
+    Determinism: both rankings are (revenue DESC, partkey) total
+    orders; overlap@d counts exact integers; each depth's term snaps
+    to integer 1e-9 units (pow's last-ulp spread is absorbed by the
+    snap, ext_recency_weighted_ltv discipline) before the sum.
+
+    Scale shape: each ranking is a TakeOrdered {RBO_DEPTH} over a
+    year-filtered aggregate; everything after runs on <= {RBO_DEPTH}
+    rows x the depth grid. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+
+    def rank_year(year):
+        g = (
+            li.filter(F.year("l_shipdate") == year)
+            .groupBy(F.col("l_partkey").alias("pk"))
+            .agg(F.sum(cents).alias("rev"))
+        )
+        return (
+            g.orderBy(F.desc("rev"), "pk")
+            .limit(RBO_DEPTH)
+            .withColumn(
+                "rk", F.row_number().over(Window.orderBy(F.desc("rev"), "pk"))
+            )
+            .select("pk", "rk")
+        )
+
+    ra = rank_year(RBO_Y1)
+    rb = rank_year(RBO_Y2).select(
+        F.col("pk"), F.col("rk").alias("rk_b")
+    )
+    joint = (
+        ra.join(rb, "pk")
+        .select(F.greatest("rk", "rk_b").alias("m"))
+        .localCheckpoint(eager=False)  # overlap curve + the common count
+    )
+    depths = spark.range(1, RBO_DEPTH + 1).select(
+        F.col("id").cast("int").alias("d")
+    )
+    ov = (
+        depths.join(joint, F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("m").cast("bigint").alias("overlap"))
+    )
+    terms = ov.select(
+        F.round(
+            (1.0 - RBO_P)
+            * F.pow(F.lit(RBO_P), F.col("d") - 1)
+            * (F.col("overlap") * 1.0 / F.col("d"))
+            * 1e9,
+            0,
+        )
+        .cast("bigint")
+        .alias("units")
+    )
+    n_common = joint.agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    return (
+        terms.agg(F.sum("units").alias("su"))
+        .crossJoin(F.broadcast(n_common))
+        .select(
+            F.lit(RBO_DEPTH).alias("depth"),
+            "n_common",
+            F.round(F.col("su") / 1e9, 6).alias("rbo_score"),
+        )
+    )
+
+
+ext_rank_biased_overlap.__doc__ = ext_rank_biased_overlap.__doc__.replace(
+    "{RBO_P}", str(RBO_P)
+).replace("{RBO_DEPTH}", str(RBO_DEPTH))
+
+
+# ---------------------------------------------------------------------------
+# ext_bcg_matrix — growth-share quadrant classification per brand
+# ---------------------------------------------------------------------------
+
+BCG_Y1 = 1996
+BCG_Y2 = 1997
+
+
+@register(
+    "ext_bcg_matrix",
+    f"""
+    WITH b AS MATERIALIZED (
+        SELECT p.p_brand AS brand,
+               CAST(SUM(CASE WHEN EXTRACT(year FROM l.l_shipdate) = {BCG_Y1}
+                             THEN CAST(ROUND(l.l_extendedprice
+                                             * (1 - l.l_discount) * 100)
+                                  AS BIGINT) ELSE 0 END) AS BIGINT) AS rev1,
+               CAST(SUM(CASE WHEN EXTRACT(year FROM l.l_shipdate) = {BCG_Y2}
+                             THEN CAST(ROUND(l.l_extendedprice
+                                             * (1 - l.l_discount) * 100)
+                                  AS BIGINT) ELSE 0 END) AS BIGINT) AS rev2
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE EXTRACT(year FROM l.l_shipdate) IN ({BCG_Y1}, {BCG_Y2})
+        GROUP BY p.p_brand
+    ), t AS (
+        SELECT CAST(SUM(rev1) AS BIGINT) AS t1,
+               CAST(SUM(rev2) AS BIGINT) AS t2,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM b
+    )
+    SELECT b.brand, b.rev1 AS rev1_cents, b.rev2 AS rev2_cents,
+           {dround('b.rev2 * 1.0 / t.t2', 6)} AS share_y2,
+           {dround('(b.rev2 - b.rev1) * 1.0 / b.rev1', 6)} AS yoy_growth,
+           CASE WHEN CAST(b.rev2 AS HUGEINT) * t.t1 > CAST(b.rev1 AS HUGEINT) * t.t2
+                THEN (CASE WHEN b.rev2 * t.nb > t.t2
+                           THEN 'star' ELSE 'question_mark' END)
+                ELSE (CASE WHEN b.rev2 * t.nb > t.t2
+                           THEN 'cash_cow' ELSE 'dog' END)
+           END AS quadrant
+    FROM b CROSS JOIN t
+    ORDER BY b.brand
+    """,
+)
+def ext_bcg_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-share (BCG) quadrant classification per brand: growth =
+    does the brand's {BCG_Y1}->{BCG_Y2} revenue growth beat the market
+    (rev2*T1 > rev1*T2), share = is its {BCG_Y2} share above the
+    equal-share line (rev2*n_brands > T2) — stars / cash cows /
+    question marks / dogs, the portfolio-strategy screen that turns
+    ext_price_volume_mix's bridges into a decision grid.
+
+    Determinism: every quadrant verdict is an exact integer
+    cross-multiplication (widened to 128-bit where products could
+    wrap); reported ratios divide identical integers.
+
+    Scale shape: the two-year filter pushes to the scan behind a
+    broadcast part join; ONE brand-keyed conditional aggregate
+    (25 cells) and a scalar total. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    yr = F.year("l_shipdate")
+    b = (
+        li.filter(yr.isin(BCG_Y1, BCG_Y2))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            yr.alias("yr"),
+            cents.alias("cents"),
+        )
+        .join(F.broadcast(pt), "p_partkey")
+        .groupBy("brand")
+        .agg(
+            F.sum(F.when(F.col("yr") == BCG_Y1, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("rev1"),
+            F.sum(F.when(F.col("yr") == BCG_Y2, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("rev2"),
+        )
+        .localCheckpoint(eager=False)  # feeds rows AND the scalar total
+    )
+    t = b.agg(
+        F.sum("rev1").cast("bigint").alias("t1"),
+        F.sum("rev2").cast("bigint").alias("t2"),
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    grower = dec(F.col("rev2")) * F.col("t1") > dec(F.col("rev1")) * F.col("t2")
+    big = F.col("rev2") * F.col("nb") > F.col("t2")
+    return (
+        b.crossJoin(F.broadcast(t))
+        .select(
+            "brand",
+            F.col("rev1").alias("rev1_cents"),
+            F.col("rev2").alias("rev2_cents"),
+            F.round(F.col("rev2") * 1.0 / F.col("t2"), 6).alias("share_y2"),
+            F.round(
+                (F.col("rev2") - F.col("rev1")) * 1.0 / F.col("rev1"), 6
+            ).alias("yoy_growth"),
+            F.when(grower & big, "star")
+            .when(grower & ~big, "question_mark")
+            .when(~grower & big, "cash_cow")
+            .otherwise("dog")
+            .alias("quadrant"),
+        )
+        .orderBy("brand")
+    )
+
+
+ext_bcg_matrix.__doc__ = ext_bcg_matrix.__doc__.replace(
+    "{BCG_Y1}", str(BCG_Y1)
+).replace("{BCG_Y2}", str(BCG_Y2))
