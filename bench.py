@@ -255,6 +255,9 @@ HEADLINE = [
     "ext_join_size_estimate",
     "ext_part_vintage_revenue",
     "ext_design_effect",
+    "ext_lof_outliers",
+    "ext_rank_biased_overlap",
+    "ext_bcg_matrix",
 ]
 
 
