@@ -5739,3 +5739,375 @@ def ext_bcg_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_bcg_matrix.__doc__ = ext_bcg_matrix.__doc__.replace(
     "{BCG_Y1}", str(BCG_Y1)
 ).replace("{BCG_Y2}", str(BCG_Y2))
+
+
+# ---------------------------------------------------------------------------
+# ext_price_indices — Laspeyres / Paasche / Fisher price indices
+# ---------------------------------------------------------------------------
+
+PIDX_Y1 = 1996
+PIDX_Y2 = 1997
+
+
+@register(
+    "ext_price_indices",
+    f"""
+    WITH py AS MATERIALIZED (
+        SELECT l_partkey AS pk, EXTRACT(year FROM l_shipdate) AS yr,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem
+        WHERE EXTRACT(year FROM l_shipdate) IN ({PIDX_Y1}, {PIDX_Y2})
+        GROUP BY 1, 2
+    ), m AS MATERIALIZED (
+        SELECT a.pk, a.q AS q1, a.rev AS r1, b.q AS q2, b.rev AS r2
+        FROM py a JOIN py b ON a.pk = b.pk
+        WHERE a.yr = {PIDX_Y1} AND b.yr = {PIDX_Y2}
+          AND a.q > 0 AND b.q > 0
+    ), terms AS (
+        SELECT
+            CAST(ROUND(r2 * 1000.0 * q1 / q2) AS BIGINT) AS p2q1,
+            r1 * 1000 AS p1q1,
+            r2 * 1000 AS p2q2,
+            CAST(ROUND(r1 * 1000.0 * q2 / q1) AS BIGINT) AS p1q2
+        FROM m
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_parts_matched,
+           {dround('SUM(p2q1) * 1.0 / SUM(p1q1)', 6)} AS laspeyres,
+           {dround('SUM(p2q2) * 1.0 / SUM(p1q2)', 6)} AS paasche,
+           {dround('''sqrt((SUM(p2q1) * 1.0 / SUM(p1q1))
+                           * (SUM(p2q2) * 1.0 / SUM(p1q2)))''', 6)} AS fisher
+    FROM terms
+    """,
+)
+def ext_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-number theory on the part catalog: Laspeyres (base-period
+    basket), Paasche (current basket), and Fisher (their geometric
+    mean) price indices between {PIDX_Y1} and {PIDX_Y2}, using each
+    part's average unit price — the inflation-measurement op behind
+    pricing dashboards, complementing ext_price_volume_mix (which
+    decomposes revenue; this isolates pure price movement).
+
+    Determinism: each part's cross-term p2*q1 = rev2*q1/q2 snaps to
+    integer milli-cent units per part (exact double products below
+    2^53); index ratios divide exact integer sums; Fisher's sqrt is
+    IEEE-exact on identical doubles.
+
+    Scale shape: one (part, year) aggregate with the year filter
+    pushed to the scan, a partkey self-join of the two year slices,
+    then scalar reduces. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem")
+    yr = F.year("l_shipdate")
+    py = (
+        li.filter(yr.isin(PIDX_Y1, PIDX_Y2))
+        .groupBy(F.col("l_partkey").alias("pk"), yr.alias("yr"))
+        .agg(
+            F.sum(F.floor("l_quantity").cast("bigint")).cast("bigint").alias("q"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("rev"),
+        )
+    )
+    a = py.filter((F.col("yr") == PIDX_Y1) & (F.col("q") > 0)).select(
+        "pk", F.col("q").alias("q1"), F.col("rev").alias("r1")
+    )
+    b = py.filter((F.col("yr") == PIDX_Y2) & (F.col("q") > 0)).select(
+        "pk", F.col("q").alias("q2"), F.col("rev").alias("r2")
+    )
+    m = a.join(b, "pk").localCheckpoint(eager=False)  # terms + count
+    terms = m.select(
+        F.round(F.col("r2") * 1000.0 * F.col("q1") / F.col("q2"), 0)
+        .cast("bigint")
+        .alias("p2q1"),
+        (F.col("r1") * 1000).alias("p1q1"),
+        (F.col("r2") * 1000).alias("p2q2"),
+        F.round(F.col("r1") * 1000.0 * F.col("q2") / F.col("q1"), 0)
+        .cast("bigint")
+        .alias("p1q2"),
+    )
+    n = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_parts_matched"))
+    lasp = F.sum("p2q1") * 1.0 / F.sum("p1q1")
+    paas = F.sum("p2q2") * 1.0 / F.sum("p1q2")
+    return (
+        terms.agg(
+            F.round(lasp, 6).alias("laspeyres"),
+            F.round(paas, 6).alias("paasche"),
+            F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select("n_parts_matched", "laspeyres", "paasche", "fisher")
+    )
+
+
+ext_price_indices.__doc__ = ext_price_indices.__doc__.replace(
+    "{PIDX_Y1}", str(PIDX_Y1)
+).replace("{PIDX_Y2}", str(PIDX_Y2))
+
+
+# ---------------------------------------------------------------------------
+# ext_hurst_exponent — long-memory detection via rescaled-range analysis
+# ---------------------------------------------------------------------------
+
+HURST_WINDOWS = [8, 16, 32, 64, 128]
+
+
+def _hurst_oracle() -> str:
+    per_n = []
+    for n in HURST_WINDOWS:
+        per_n.append(
+            f"""    SELECT {n} AS n_window, blk,
+           CAST(MAX(c) - MIN(c) AS HUGEINT) AS r_scaled,
+           CAST({n} AS HUGEINT) * CAST(SUM(y * y) AS HUGEINT)
+               - CAST(SUM(y) AS HUGEINT) * CAST(SUM(y) AS HUGEINT) AS s2_num
+    FROM (
+        SELECT blk, y,
+               {n} * SUM(y) OVER (PARTITION BY blk ORDER BY t)
+                   - ROW_NUMBER() OVER (PARTITION BY blk ORDER BY t)
+                     * SUM(y) OVER (PARTITION BY blk) AS c
+        FROM (
+            SELECT t, y, CAST((t - 1) // {n} AS BIGINT) AS blk
+            FROM idx WHERE t <= (nn // {n}) * {n}
+        )
+    ) GROUP BY blk"""
+        )
+    blocks = "\n    UNION ALL\n".join(per_n)
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(FLOOR(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) / 100.0) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, y,
+               COUNT(*) OVER () AS nn
+        FROM daily
+    ), blocks AS MATERIALIZED (
+{blocks}
+    ), lnrs AS MATERIALIZED (
+        SELECT n_window,
+               CAST(ROUND(ln(CAST(CAST(r_scaled AS VARCHAR) AS DOUBLE)
+                             / sqrt(CAST(CAST(s2_num AS VARCHAR) AS DOUBLE)))
+                          * 1000000000.0) AS BIGINT) AS units
+        FROM blocks WHERE s2_num > 0 AND r_scaled > 0
+    ), pts AS MATERIALIZED (
+        SELECT n_window, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               SUM(units) * 1.0 / COUNT(*) / 1000000000.0 AS mean_ln_rs,
+               ln(n_window * 1.0) AS lx
+        FROM lnrs GROUP BY n_window
+    ), fit AS (
+        SELECT (COUNT(*) * SUM(lx * mean_ln_rs) - SUM(lx) * SUM(mean_ln_rs))
+               / (COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx)) AS h
+        FROM pts
+    )
+    SELECT p.n_window, p.n_blocks,
+           {dround('p.mean_ln_rs', 6)} AS mean_ln_rs,
+           {dround('f.h', 6)} AS hurst_exponent
+    FROM pts p CROSS JOIN fit f
+    ORDER BY p.n_window
+    """
+
+
+@register("ext_hurst_exponent", _hurst_oracle())
+def ext_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue via rescaled-range (R/S)
+    analysis: the series splits into blocks of 8..128 days, each
+    block's range-of-cumulative-deviations over its std gives R/S, and
+    the slope of mean ln(R/S) against ln(n) is H — the long-memory
+    detector (H ~ 0.5 random walk, H > 0.5 trending/persistent) that
+    complements ext_ts_autocorrelation's short-lag view.
+
+    Determinism: cumulative deviations are EXACT integers (c_k =
+    n*cumsum - k*S, the fraction-free centering), so R is integer and
+    S^2's numerator is 128-bit integer; ln(R/sqrt(s2)) applies to
+    identical string-path doubles and snaps to 1e-9 units per block;
+    the 5-point OLS slope runs on identical frozen means.
+
+    Scale shape: corpus collapses to the day series; each window size
+    is a block-partitioned window pass over ~2.4k rows; the fit is 5
+    points. Degenerate blocks (zero variance/range) are excluded on
+    both engines. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.floor(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            / 100.0
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+        "y",
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nn"),
+    ).localCheckpoint(eager=False)  # reused per window size
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    blocks = None
+    for n in HURST_WINDOWS:
+        base = idx.filter(
+            F.col("t") <= F.floor(F.col("nn") / n) * n
+        ).select(
+            "t", "y", F.floor((F.col("t") - 1) / n).cast("bigint").alias("blk")
+        )
+        wb = Window.partitionBy("blk").orderBy("t")
+        wall = Window.partitionBy("blk")
+        c = (
+            n * F.sum("y").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+            - F.row_number().over(wb) * F.sum("y").over(wall)
+        )
+        blk = (
+            base.select("blk", "y", c.alias("c"))
+            .groupBy("blk")
+            .agg(
+                (F.max("c") - F.min("c")).cast("decimal(38,0)").alias("r_scaled"),
+                (
+                    F.lit(n) * F.sum(dec(F.col("y")) * F.col("y"))
+                    - F.sum(dec(F.col("y"))) * F.sum(dec(F.col("y")))
+                ).alias("s2_num"),
+            )
+            .select(F.lit(n).alias("n_window"), "r_scaled", "s2_num")
+        )
+        blocks = blk if blocks is None else blocks.unionByName(blk)
+    lnrs = blocks.filter(
+        (F.col("s2_num") > 0) & (F.col("r_scaled") > 0)
+    ).select(
+        "n_window",
+        F.round(
+            F.log(
+                F.col("r_scaled").cast("double")
+                / F.sqrt(F.col("s2_num").cast("double"))
+            )
+            * 1e9,
+            0,
+        )
+        .cast("bigint")
+        .alias("units"),
+    )
+    pts = lnrs.groupBy("n_window").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        (F.sum("units") * 1.0 / F.count(F.lit(1)) / 1e9).alias("mean_ln_rs"),
+    ).withColumn("lx", F.log(F.col("n_window") * 1.0)).localCheckpoint(
+        eager=False
+    )
+    fit = pts.agg(
+        (
+            (
+                F.count(F.lit(1)) * F.sum(F.col("lx") * F.col("mean_ln_rs"))
+                - F.sum("lx") * F.sum("mean_ln_rs")
+            )
+            / (
+                F.count(F.lit(1)) * F.sum(F.col("lx") * F.col("lx"))
+                - F.sum("lx") * F.sum("lx")
+            )
+        ).alias("h")
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            "n_window",
+            "n_blocks",
+            F.round("mean_ln_rs", 6).alias("mean_ln_rs"),
+            F.round("h", 6).alias("hurst_exponent"),
+        )
+        .orderBy("n_window")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_adstock_transform — geometric adstock with frozen integer weights
+# ---------------------------------------------------------------------------
+
+ADSTOCK_LAMBDA = 0.7
+ADSTOCK_K = 14
+# round(lambda^k * 1e9) precomputed so BOTH engines use the same integer
+# weights — no pow() ever runs at query time.
+ADSTOCK_W = [
+    1000000000, 700000000, 490000000, 343000000, 240100000, 168070000,
+    117649000, 82354300, 57648010, 40353607, 28247525, 19773267,
+    13841287, 9688901,
+]
+
+
+@register(
+    "ext_adstock_transform",
+    f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), spine AS MATERIALIZED (
+        SELECT r.d, COALESCE(daily.x, 0) AS x
+        FROM (SELECT unnest(generate_series((SELECT MIN(d) FROM daily),
+                                            (SELECT MAX(d) FROM daily),
+                                            INTERVAL 1 DAY))::DATE AS d) r
+        LEFT JOIN daily ON daily.d = r.d
+    ), ad AS (
+        SELECT d, x,
+               {" + ".join(f"COALESCE(LAG(x, {k}) OVER (ORDER BY d), 0) * {w}" for k, w in enumerate(ADSTOCK_W))}
+                   AS a_units
+        FROM spine
+    )
+    SELECT date_trunc('week', d)::DATE AS week,
+           CAST(SUM(x) AS BIGINT) AS raw_clicks,
+           {dround('SUM(a_units) / 1000000000.0', 6)} AS adstocked_clicks,
+           {dround('SUM(a_units) / 1000000000.0 / NULLIF(SUM(x), 0)', 6)}
+               AS carryover_ratio
+    FROM ad GROUP BY 1 ORDER BY week
+    """,
+)
+def ext_adstock_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric adstock (advertising carryover) of daily click volume:
+    a_t = sum_k lambda^k x_(t-k) truncated at {ADSTOCK_K} lags
+    (lambda = {ADSTOCK_LAMBDA}) over a gap-filled day spine, rolled up
+    monthly — the marketing-mix-model transform that distributes
+    impact over time, the continuous sibling of ext_attr_shapley's
+    discrete credit assignment.
+
+    Determinism: the decay weights are PRE-ROUNDED integer literals
+    (round(lambda^k * 1e9) baked into both engines), so the transform
+    is pure integer lag algebra — pow() never executes at query time
+    and no float can diverge. The day spine is explicit (missing days
+    carry zero but still decay history), identical on both engines.
+
+    Scale shape: corpus collapses to the day series; the spine join is
+    calendar-sized; the {ADSTOCK_K}-lag window is one ordered pass
+    over ~2.4k rows; weekly rollup ends it. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.filter(F.col("event_type") == "click").groupBy(
+        F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    rng = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = (
+        rng.select(
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+        )
+        .join(daily, "d", "left")
+        .select("d", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    w = Window.orderBy("d")
+    a_units = None
+    for k, wt in enumerate(ADSTOCK_W):
+        t = F.coalesce(F.lag("x", k).over(w), F.lit(0)) * wt
+        a_units = t if a_units is None else a_units + t
+    ad = spine.select("d", "x", a_units.alias("a_units"))
+    return (
+        ad.groupBy(F.date_trunc("week", "d").cast("date").alias("week"))
+        .agg(
+            F.sum("x").cast("bigint").alias("raw_clicks"),
+            F.round(F.sum("a_units") / 1e9, 6).alias("adstocked_clicks"),
+            F.round(
+                F.sum("a_units") / 1e9 / F.nullif(F.sum("x"), F.lit(0)), 6
+            ).alias("carryover_ratio"),
+        )
+        .orderBy("week")
+    )
+
+
+ext_adstock_transform.__doc__ = ext_adstock_transform.__doc__.replace(
+    "{ADSTOCK_K}", str(ADSTOCK_K)
+).replace("{ADSTOCK_LAMBDA}", str(ADSTOCK_LAMBDA))
