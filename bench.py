@@ -258,6 +258,9 @@ HEADLINE = [
     "ext_lof_outliers",
     "ext_rank_biased_overlap",
     "ext_bcg_matrix",
+    "ext_price_indices",
+    "ext_hurst_exponent",
+    "ext_adstock_transform",
 ]
 
 
