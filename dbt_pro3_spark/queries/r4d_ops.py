@@ -6111,3 +6111,386 @@ def ext_adstock_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_adstock_transform.__doc__ = ext_adstock_transform.__doc__.replace(
     "{ADSTOCK_K}", str(ADSTOCK_K)
 ).replace("{ADSTOCK_LAMBDA}", str(ADSTOCK_LAMBDA))
+
+
+# ---------------------------------------------------------------------------
+# ext_sprt_sequential — sequential probability ratio test, pure integers
+# ---------------------------------------------------------------------------
+
+# H0: purchase share p0 = 0.19; H1: p1 = 0.21; alpha = beta = 0.05.
+# Per-trial log-LR contributions and the decision boundary, pre-rounded to
+# integer 1e-9 units so both engines run pure integer accumulation.
+SPRT_L_SUCCESS = 100083459  # round(ln(p1/p0) * 1e9)
+SPRT_L_FAILURE = -25001302  # round(ln((1-p1)/(1-p0)) * 1e9)
+SPRT_BOUND = 2944438979  # round(ln((1-beta)/alpha) * 1e9) = ln(19)
+
+
+@register(
+    "ext_sprt_sequential",
+    f"""
+    WITH arm1 AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_trials,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_success
+        FROM events
+        WHERE ({{h}}) % 2 = 1
+        GROUP BY 1
+    ), cum AS (
+        SELECT day, n_trials, n_success,
+               SUM(n_success * {SPRT_L_SUCCESS}
+                   + (n_trials - n_success) * {SPRT_L_FAILURE})
+                   OVER (ORDER BY day) AS cum_units
+        FROM arm1
+    )
+    SELECT day, n_trials, n_success,
+           {dround('cum_units / 1000000000.0', 6)} AS cum_llr,
+           CASE WHEN cum_units >= {SPRT_BOUND} THEN 'accept_h1'
+                WHEN cum_units <= -{SPRT_BOUND} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum ORDER BY day
+    """,
+)
+def ext_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test replayed over the
+    treatment arm's event stream day by day (H0: purchase share 0.19
+    vs H1: 0.21, alpha = beta = 5%): the cumulative log-likelihood
+    ratio and the day-by-day decision — the sequential-testing op that
+    says WHEN an experiment could have stopped, completing the
+    experimentation suite (ext_ab_ztest fixed-horizon readout,
+    ext_ab_srm_check guardrail, ext_metric_cuped variance,
+    ext_ab_power_analysis design).
+
+    Determinism: per-trial log-LR contributions and the ln(19)
+    boundary are PRE-ROUNDED integer literals, so the replay is pure
+    integer accumulation — no ln() at query time (the
+    ext_adstock_transform discipline); decisions compare exact
+    integers.
+
+    Scale shape: one hash-filtered day aggregate (map-side combined),
+    a ~30-row ordered cumsum, constant output. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    from .llm_ops import _spark_md5_32
+
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        _spark_md5_32(F.concat(F.lit("sprt:"), F.col("user_id").cast("string")))
+        % 2
+    )
+    arm1 = (
+        ev.filter(arm == 1)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trials"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_success"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = arm1.select(
+        "day",
+        "n_trials",
+        "n_success",
+        F.sum(
+            F.col("n_success") * SPRT_L_SUCCESS
+            + (F.col("n_trials") - F.col("n_success")) * SPRT_L_FAILURE
+        )
+        .over(w)
+        .alias("cum_units"),
+    )
+    return cum.select(
+        "day",
+        "n_trials",
+        "n_success",
+        F.round(F.col("cum_units") / 1e9, 6).alias("cum_llr"),
+        F.when(F.col("cum_units") >= SPRT_BOUND, "accept_h1")
+        .when(F.col("cum_units") <= -SPRT_BOUND, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")
+
+
+from .llm_ops import _md5_32 as _md5sql  # noqa: E402
+
+_ORACLE["ext_sprt_sequential"] = _ORACLE["ext_sprt_sequential"].replace(
+    "{h}", _md5sql("'sprt:' || CAST(user_id AS VARCHAR)")
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_pacf — partial autocorrelation via unrolled Durbin-Levinson
+# ---------------------------------------------------------------------------
+
+PACF_MAX_LAG = 6
+
+
+def _pacf_dl_steps():
+    """Generate the Durbin-Levinson recursion symbolically: returns a
+    list of (name, expr_fn) where expr_fn maps a dict of prior symbol
+    SQL snippets to this symbol's SQL. phi[k][j] names are fkj."""
+    steps = []
+    steps.append(("f11", lambda s: "r1"))
+    for k in range(2, PACF_MAX_LAG + 1):
+        num = f"r{k} - (" + " + ".join(
+            f"f{k-1}{j} * r{k-j}" for j in range(1, k)
+        ) + ")"
+        den = "1.0 - (" + " + ".join(
+            f"f{k-1}{j} * r{j}" for j in range(1, k)
+        ) + ")"
+        steps.append((f"f{k}{k}", lambda s, n=num, d=den: f"({n}) / ({d})"))
+        for j in range(1, k):
+            steps.append(
+                (
+                    f"f{k}{j}",
+                    lambda s, k=k, j=j: f"f{k-1}{j} - f{k}{k} * f{k-1}{k-j}",
+                )
+            )
+    return steps
+
+
+def _pacf_oracle() -> str:
+    acov = ",\n               ".join(
+        f"""CAST(SUM(CASE WHEN t <= nn - {k}
+                 THEN dev * dev_l{k} ELSE 0 END) AS HUGEINT) AS a{k}"""
+        for k in range(1, PACF_MAX_LAG + 1)
+    )
+    lags = ",\n               ".join(
+        f"LEAD(dev, {k}) OVER (ORDER BY t) AS dev_l{k}"
+        for k in range(1, PACF_MAX_LAG + 1)
+    )
+    rhos = ", ".join(
+        f"""CAST(CAST(a{k} AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(a0 AS VARCHAR) AS DOUBLE) AS r{k}"""
+        for k in range(1, PACF_MAX_LAG + 1)
+    )
+    # chain the DL steps as successive CTE levels
+    chain = []
+    prev = "rho"
+    acc = []
+    for name, fn in _pacf_dl_steps():
+        acc_cols = ", ".join(acc) + (", " if acc else "")
+        chain.append(
+            f"s_{name} AS (SELECT *, {fn(None)} AS {name} FROM {prev})"
+        )
+        acc.append(name)
+        prev = f"s_{name}"
+    pacf_rows = "\n    UNION ALL\n".join(
+        f"    SELECT {k} AS lag, {dround(f'r{k}', 6)} AS acf, "
+        f"{dround(f'f{k}{k}', 6)} AS pacf FROM {prev}"
+        for k in range(1, PACF_MAX_LAG + 1)
+    )
+    return f"""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate)::DATE AS month,
+               CAST(FLOOR(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) / 100.0) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY month) AS t, y,
+               COUNT(*) OVER () AS nn,
+               CAST(COUNT(*) OVER () AS HUGEINT) * y
+                   - CAST(SUM(y) OVER () AS HUGEINT) AS dev
+        FROM m
+    ), lagged AS MATERIALIZED (
+        SELECT t, nn, dev,
+               {lags}
+        FROM idx
+    ), acv AS (
+        SELECT CAST(SUM(dev * dev) AS HUGEINT) AS a0,
+               {acov}
+        FROM lagged
+    ), rho AS (
+        SELECT {rhos}
+        FROM acv
+    ), {", ".join(chain)}
+    {pacf_rows}
+    ORDER BY lag
+    """
+
+
+@register("ext_pacf", _pacf_oracle())
+def ext_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation function of monthly revenue (lags 1..
+    {PACF_MAX_LAG}) via the Durbin-Levinson recursion — the Box-
+    Jenkins order-selection diagnostic (AR(p) shows p significant
+    PACF spikes) completing ext_ts_autocorrelation's ACF with the
+    conditional version.
+
+    Determinism: autocovariances are fraction-free 128-bit integers
+    (dev = n*y - S, the ext_ts_durbin_watson discipline), so every
+    rho is a ratio of identical integers via the string path; the DL
+    recursion is pure scalar double algebra on those identical rhos —
+    unrolled IDENTICALLY on both engines (generated from one symbolic
+    recursion), so every phi matches bit-for-bit before the terminal
+    dround(6).
+
+    Scale shape: corpus collapses to ~80 month rows; lag products are
+    one window pass; the recursion is scalar algebra on a single row.
+    Cited parity anchor: /root/reference/models (beyond-reference
+    surface)."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.floor(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            / 100.0
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    w_all = Window.partitionBy()
+    idx = m.select(
+        F.row_number().over(Window.orderBy("month")).alias("t"),
+        "y",
+        F.count(F.lit(1)).over(w_all).alias("nn"),
+        (
+            dec(F.count(F.lit(1)).over(w_all)) * F.col("y")
+            - dec(F.sum("y").over(w_all))
+        ).alias("dev"),
+    )
+    w_t = Window.orderBy("t")
+    lag_cols = [
+        F.lead("dev", k).over(w_t).alias(f"dev_l{k}")
+        for k in range(1, PACF_MAX_LAG + 1)
+    ]
+    lagged = idx.select("t", "nn", "dev", *lag_cols)
+    acv = lagged.agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("a0"),
+        *[
+            F.sum(
+                F.when(
+                    F.col("t") <= F.col("nn") - k,
+                    F.col("dev") * F.col(f"dev_l{k}"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias(f"a{k}")
+            for k in range(1, PACF_MAX_LAG + 1)
+        ],
+    )
+    row = acv.select(
+        *[
+            (F.col(f"a{k}").cast("double") / F.col("a0").cast("double")).alias(
+                f"r{k}"
+            )
+            for k in range(1, PACF_MAX_LAG + 1)
+        ]
+    )
+    # unroll DL identically to the oracle, via Spark expr on the same SQL
+    for name, fn in _pacf_dl_steps():
+        row = row.withColumn(name, F.expr(fn(None)))
+    outs = []
+    for k in range(1, PACF_MAX_LAG + 1):
+        outs.append(
+            row.select(
+                F.lit(k).alias("lag"),
+                F.col(f"r{k}").alias("acf"),
+                F.col(f"f{k}{k}").alias("pacf"),
+            )
+        )
+    out = outs[0]
+    for o_df in outs[1:]:
+        out = out.unionByName(o_df)
+    return out.select(
+        "lag", F.round("acf", 6).alias("acf"), F.round("pacf", 6).alias("pacf")
+    ).orderBy("lag")
+
+
+ext_pacf.__doc__ = ext_pacf.__doc__.replace("{PACF_MAX_LAG}", str(PACF_MAX_LAG))
+
+
+# ---------------------------------------------------------------------------
+# ext_brand_customer_overlap — brand-pair customer-base Jaccard
+# ---------------------------------------------------------------------------
+
+BRAND_OV_TOPN = 25
+
+
+@register(
+    "ext_brand_customer_overlap",
+    f"""
+    WITH cb AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS cust, p.p_brand AS brand
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+    ), sz AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n FROM cb GROUP BY brand
+    ), inter AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM cb a JOIN cb b ON a.cust = b.cust AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    )
+    SELECT i.brand_a, i.brand_b, i.n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           {dround('i.n_common * 1.0 / (sa.n + sb.n - i.n_common)', 6)}
+               AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.brand = i.brand_a
+    JOIN sz sb ON sb.brand = i.brand_b
+    ORDER BY {dround('i.n_common * 1.0 / (sa.n + sb.n - i.n_common)', 6)}
+             DESC, i.brand_a, i.brand_b
+    LIMIT {BRAND_OV_TOPN}
+    """,
+)
+def ext_brand_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-pair customer-base overlap: Jaccard of the two brands'
+    distinct buyer sets, top {BRAND_OV_TOPN} pairs — the
+    assortment/partnership screen (high overlap = substitutes or
+    bundle candidates; low = distinct audiences), the brand-level
+    sibling of ext_basket_pairs (same order) and
+    ext_seq_basket_pairs (across time).
+
+    Determinism: distinct-set counting; the Jaccard divides identical
+    integers and the report orders (jaccard@6dp DESC, pair) — a total
+    order.
+
+    Scale shape: one (cust, brand) distinct collapse (the only
+    corpus-sized shuffle), then a cust-keyed pair join whose fan-out
+    is bounded by brands-per-customer squared (<= C(25,2) per
+    customer), a pair-keyed count, and TakeOrdered. Cited parity
+    anchor: /root/reference/models (beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pt = load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    cb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("o_custkey").alias("cust"), "brand")
+        .distinct()
+        .localCheckpoint(eager=False)  # sizes + both pair sides
+    )
+    sz = cb.groupBy("brand").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = cb.select("cust", F.col("brand").alias("brand_a"))
+    b = cb.select("cust", F.col("brand").alias("brand_b"))
+    inter = (
+        a.join(b, "cust")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sz.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
+    jac = F.round(
+        F.col("n_common")
+        * 1.0
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        6,
+    )
+    return (
+        inter.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .select("brand_a", "brand_b", "n_common", "n_a", "n_b", jac.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "brand_a", "brand_b")
+        .limit(BRAND_OV_TOPN)
+    )
+
+
+ext_brand_customer_overlap.__doc__ = ext_brand_customer_overlap.__doc__.replace(
+    "{BRAND_OV_TOPN}", str(BRAND_OV_TOPN)
+)
