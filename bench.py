@@ -261,6 +261,9 @@ HEADLINE = [
     "ext_price_indices",
     "ext_hurst_exponent",
     "ext_adstock_transform",
+    "ext_sprt_sequential",
+    "ext_pacf",
+    "ext_brand_customer_overlap",
 ]
 
 
