@@ -1990,6 +1990,81 @@ def ext_bizday_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _nb_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang_pred) from the exact-units multinomial NB pipeline
+    (shared by ext_nb_langid and ext_mcnemar_test — one implementation,
+    so the two keys' oracles can never drift)."""
+    from ..ext import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tx.tokens(F.col("text"))).alias("token")
+    ).localCheckpoint(eager=False)  # feeds classes, vocab, counts, scoring
+    classes = toks.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    vocab = toks.select("token").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    cnt = toks.groupBy(F.col("lang").alias("cls"), "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grid = (
+        vocab.crossJoin(F.broadcast(classes))
+        .crossJoin(F.broadcast(vsize))
+        .join(F.broadcast(cnt), ["token", "cls"], "left")
+        .select(
+            "token",
+            "cls",
+            F.round(
+                F.log(
+                    (F.coalesce("c", F.lit(0)) + 1.0)
+                    / (F.col("n_tok") + F.col("v"))
+                )
+                * 1e9,
+                0,
+            )
+            .cast("bigint")
+            .alias("units"),
+        )
+    )
+    nd = toks.groupBy(F.col("lang").alias("cls")).agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    prior = (
+        nd.crossJoin(F.broadcast(nd.agg(F.sum("nd").alias("tot"))))
+        .select(
+            "cls",
+            F.round(F.log(F.col("nd") * 1.0 / F.col("tot")) * 1e9, 0)
+            .cast("bigint")
+            .alias("prior_units"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(grid), "token")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum("units").cast("bigint").alias("tok_units"))
+        .join(F.broadcast(prior), "cls")
+        .select(
+            "doc_id",
+            "cls",
+            (F.col("tok_units") + F.col("prior_units")).alias("score_units"),
+        )
+    )
+    pred = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("score_units"), "cls"
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("cls").alias("lang_pred"))
+    )
+    return pred
+
+
 @register(
     "ext_nb_langid",
     f"""
@@ -2060,74 +2135,8 @@ def ext_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream — the corpus shuffles once. Cited parity anchor:
     /root/reference/models (no ML ops in the reference;
     beyond-reference surface)."""
-    from ..ext import text as tx
-
+    pred = _nb_predict(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "lang", F.explode(tx.tokens(F.col("text"))).alias("token")
-    ).localCheckpoint(eager=False)  # feeds classes, vocab, counts, scoring
-    classes = toks.groupBy(F.col("lang").alias("cls")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tok")
-    )
-    vocab = toks.select("token").distinct()
-    vsize = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
-    cnt = toks.groupBy(F.col("lang").alias("cls"), "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    grid = (
-        vocab.crossJoin(F.broadcast(classes))
-        .crossJoin(F.broadcast(vsize))
-        .join(F.broadcast(cnt), ["token", "cls"], "left")
-        .select(
-            "token",
-            "cls",
-            F.round(
-                F.log(
-                    (F.coalesce("c", F.lit(0)) + 1.0)
-                    / (F.col("n_tok") + F.col("v"))
-                )
-                * 1e9,
-                0,
-            )
-            .cast("bigint")
-            .alias("units"),
-        )
-    )
-    nd = toks.groupBy(F.col("lang").alias("cls")).agg(
-        F.countDistinct("doc_id").alias("nd")
-    )
-    prior = (
-        nd.crossJoin(F.broadcast(nd.agg(F.sum("nd").alias("tot"))))
-        .select(
-            "cls",
-            F.round(F.log(F.col("nd") * 1.0 / F.col("tot")) * 1e9, 0)
-            .cast("bigint")
-            .alias("prior_units"),
-        )
-    )
-    scored = (
-        toks.join(F.broadcast(grid), "token")
-        .groupBy("doc_id", "cls")
-        .agg(F.sum("units").cast("bigint").alias("tok_units"))
-        .join(F.broadcast(prior), "cls")
-        .select(
-            "doc_id",
-            "cls",
-            (F.col("tok_units") + F.col("prior_units")).alias("score_units"),
-        )
-    )
-    pred = (
-        scored.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(
-                    F.desc("score_units"), "cls"
-                )
-            ),
-        )
-        .filter(F.col("rk") == 1)
-        .select("doc_id", F.col("cls").alias("lang_pred"))
-    )
     return (
         docs.select("doc_id", F.col("lang").alias("lang_declared"))
         .join(pred, "doc_id")
@@ -6494,3 +6503,285 @@ def ext_brand_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_brand_customer_overlap.__doc__ = ext_brand_customer_overlap.__doc__.replace(
     "{BRAND_OV_TOPN}", str(BRAND_OV_TOPN)
 )
+
+
+# ---------------------------------------------------------------------------
+# ext_cohens_kappa — chance-corrected agreement, exact integer algebra
+# ---------------------------------------------------------------------------
+
+from .extensions import LANGID_CASE_SQL as _LANGID_SQL  # noqa: E402
+
+
+@register(
+    "ext_cohens_kappa",
+    f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT lang AS a, {_LANGID_SQL} AS b FROM documents
+    ), cm AS MATERIALIZED (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY a, b
+    ), marg AS (
+        SELECT COALESCE(ra.lab, cb.lab) AS lab,
+               COALESCE(ra.rn, 0) AS rn, COALESCE(cb.cn, 0) AS cn
+        FROM (SELECT a AS lab, CAST(SUM(n) AS BIGINT) AS rn
+              FROM cm GROUP BY a) ra
+        FULL OUTER JOIN (SELECT b AS lab, CAST(SUM(n) AS BIGINT) AS cn
+                         FROM cm GROUP BY b) cb ON ra.lab = cb.lab
+    ), agg AS (
+        SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM cm) AS nn,
+               (SELECT CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
+                FROM cm) AS diag,
+               CAST(SUM(CAST(rn AS HUGEINT) * cn) AS HUGEINT) AS chance
+        FROM marg
+    )
+    SELECT nn AS n_docs, diag AS n_agree,
+           {dround('diag * 1.0 / nn', 6)} AS observed_agreement,
+           {dround('''CAST(CAST(chance AS VARCHAR) AS DOUBLE)
+                      / (nn * 1.0 * nn)''', 6)} AS chance_agreement,
+           {dround('''CAST(CAST(CAST(nn AS HUGEINT) * diag - chance
+                               AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(CAST(nn AS HUGEINT) * nn - chance
+                                  AS VARCHAR) AS DOUBLE)''', 6)} AS kappa
+    FROM agg
+    """,
+)
+def ext_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the declared document language and the
+    character-class lang-id heuristic (ext_text_langid's predictor):
+    chance-corrected agreement kappa = (N*D - sum r_l*c_l) /
+    (N^2 - sum r_l*c_l) — the inter-rater metric that exposes when a
+    classifier's raw accuracy is just marginal-distribution luck
+    (complementing ext_eval_confusion's raw matrix).
+
+    Determinism: the whole statistic is exact integer algebra — D and
+    the marginal products widen to 128-bit, and kappa divides two
+    string-path doubles of identical integers.
+
+    Scale shape: ONE (declared, predicted) aggregate (bounded by
+    #langs^2) and grid-sized marginal algebra after. Cited parity
+    anchor: /root/reference/models (beyond-reference surface)."""
+    from ..ext import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    cm = docs.select(
+        F.col("lang").alias("a"), tx.lang_id(F.col("text")).alias("b")
+    ).groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cm = cm.localCheckpoint(eager=False)  # marginals + diagonal + total
+    ra = cm.groupBy(F.col("a").alias("lab")).agg(
+        F.sum("n").cast("bigint").alias("rn")
+    )
+    cb = cm.groupBy(F.col("b").alias("lab")).agg(
+        F.sum("n").cast("bigint").alias("cn")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    marg = ra.join(cb, "lab", "full_outer").select(
+        F.coalesce("rn", F.lit(0)).alias("rn"),
+        F.coalesce("cn", F.lit(0)).alias("cn"),
+    )
+    chance = marg.agg(
+        F.sum(dec(F.col("rn")) * F.col("cn")).alias("chance")
+    )
+    tot = cm.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("diag"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(chance))
+        .select(
+            F.col("nn").alias("n_docs"),
+            F.col("diag").alias("n_agree"),
+            F.round(F.col("diag") * 1.0 / F.col("nn"), 6).alias(
+                "observed_agreement"
+            ),
+            F.round(
+                F.col("chance").cast("double") / (F.col("nn") * 1.0 * F.col("nn")),
+                6,
+            ).alias("chance_agreement"),
+            F.round(
+                (dec(F.col("nn")) * F.col("diag") - F.col("chance")).cast(
+                    "double"
+                )
+                / (dec(F.col("nn")) * F.col("nn") - F.col("chance")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("kappa"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_mcnemar_test — paired classifier comparison on shared documents
+# ---------------------------------------------------------------------------
+
+
+def _mcnemar_oracle() -> str:
+    nb = _ORACLE["ext_nb_langid"]
+    cut = nb.rindex("SELECT d.lang AS lang_declared")
+    return (
+        nb[:cut].rstrip().rstrip(",")
+        + f""", judged AS (
+        SELECT d.doc_id,
+               CASE WHEN ({_LANGID_SQL}) = d.lang THEN 1 ELSE 0 END AS h_ok,
+               CASE WHEN p.lang_pred = d.lang THEN 1 ELSE 0 END AS nb_ok
+        FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    ), cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN h_ok = 1 AND nb_ok = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN h_ok = 0 AND nb_ok = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM judged
+    )
+    SELECT n_docs, b AS heuristic_only_correct, c AS nb_only_correct,
+           {dround('''CASE WHEN b + c > 0
+                      THEN (b - c) * 1.0 * (b - c) / (b + c)
+                      ELSE 0.0 END''', 6)} AS mcnemar_chi2,
+           CAST(CASE WHEN (b - c) * (b - c) * 10000 > 38415 * (b + c)
+                     THEN 1 ELSE 0 END AS INTEGER) AS significant
+    FROM cells
+    """
+    )
+
+
+@register("ext_mcnemar_test", _mcnemar_oracle())
+def ext_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between the two language classifiers the
+    registry ships — the character-class heuristic (ext_text_langid)
+    and the naive-Bayes model (ext_nb_langid) — on the SAME documents:
+    only the discordant cells matter (b = heuristic right & NB wrong,
+    c = the reverse), chi2 = (b-c)^2/(b+c) with the 5% verdict by
+    exact integer cross-multiplication. THE correct way to compare two
+    classifiers on one test set (unpaired accuracy comparison wastes
+    the pairing).
+
+    Determinism: both predictors are deterministic; cells are exact
+    integers; the verdict is the ext_mann_kendall threshold
+    discipline. The NB pipeline is shared code/SQL with ext_nb_langid
+    (one implementation, oracles cannot drift).
+
+    Scale shape: the NB scoring pass (one token-stream reduce) plus a
+    narrow heuristic map and ONE scalar conditional count. Cited
+    parity anchor: /root/reference/models (beyond-reference
+    surface)."""
+    from ..ext import text as tx
+
+    pred = _nb_predict(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    judged = (
+        docs.select(
+            "doc_id",
+            "lang",
+            (tx.lang_id(F.col("text")) == F.col("lang")).cast("int").alias("h_ok"),
+        )
+        .join(pred, "doc_id")
+        .select(
+            "h_ok",
+            (F.col("lang_pred") == F.col("lang")).cast("int").alias("nb_ok"),
+        )
+    )
+    cells = judged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when((F.col("h_ok") == 1) & (F.col("nb_ok") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("h_ok") == 0) & (F.col("nb_ok") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    d = F.col("b") - F.col("c")
+    t = F.col("b") + F.col("c")
+    return cells.select(
+        "n_docs",
+        F.col("b").alias("heuristic_only_correct"),
+        F.col("c").alias("nb_only_correct"),
+        F.round(
+            F.when(t > 0, d * 1.0 * d / t).otherwise(F.lit(0.0)), 6
+        ).alias("mcnemar_chi2"),
+        F.when(d * d * 10000 > 38415 * t, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_capture_recapture — Chapman population estimate of the catalog
+# ---------------------------------------------------------------------------
+
+CR_Y1 = 1996
+CR_Y2 = 1997
+
+
+@register(
+    "ext_capture_recapture",
+    f"""
+    WITH s1 AS (
+        SELECT DISTINCT l_partkey FROM lineitem
+        WHERE EXTRACT(year FROM l_shipdate) = {CR_Y1}
+    ), s2 AS (
+        SELECT DISTINCT l_partkey FROM lineitem
+        WHERE EXTRACT(year FROM l_shipdate) = {CR_Y2}
+    ), c AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM s1 JOIN s2 USING (l_partkey)) AS m,
+               (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+                FROM lineitem) AS observed_total
+    )
+    SELECT n1 AS n_year1, n2 AS n_year2, m AS n_both, observed_total,
+           {dround('''(n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0''', 6)}
+               AS chapman_estimate,
+           {dround('''((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0)
+                      / observed_total''', 6)} AS coverage_ratio
+    FROM c
+    """,
+)
+def ext_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Chapman) estimate of the active part
+    population: treating {CR_Y1} and {CR_Y2} purchases as two
+    independent sightings, N^ = (n1+1)(n2+1)/(m+1) - 1 estimates how
+    many parts are ACTUALLY in circulation — the ecology estimator
+    data teams reuse to answer 'how much of the catalog has my crawl /
+    dedup / join actually seen?' (coverage_ratio vs the observed
+    distinct count).
+
+    Determinism: three distinct counts and one intersection; the
+    estimate combines exact integers through an identical expression
+    tree.
+
+    Scale shape: two year-filtered distinct collapses (filters pushed
+    to the scan), one partkey-keyed intersection join, scalar output.
+    Cited parity anchor: /root/reference/models (beyond-reference
+    surface)."""
+    li = load(spark, sf_dir, "lineitem")
+    yr = F.year("l_shipdate")
+    s1 = li.filter(yr == CR_Y1).select("l_partkey").distinct()
+    s2 = li.filter(yr == CR_Y2).select("l_partkey").distinct()
+    n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    m = s1.join(s2, "l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    obs = li.agg(F.countDistinct("l_partkey").cast("bigint").alias("observed_total"))
+    est = (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0) - 1.0
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(obs))
+        .select(
+            F.col("n1").alias("n_year1"),
+            F.col("n2").alias("n_year2"),
+            F.col("m").alias("n_both"),
+            "observed_total",
+            F.round(est, 6).alias("chapman_estimate"),
+            F.round(est / F.col("observed_total"), 6).alias("coverage_ratio"),
+        )
+    )
+
+
+ext_capture_recapture.__doc__ = ext_capture_recapture.__doc__.replace(
+    "{CR_Y1}", str(CR_Y1)
+).replace("{CR_Y2}", str(CR_Y2))
