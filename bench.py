@@ -264,6 +264,9 @@ HEADLINE = [
     "ext_sprt_sequential",
     "ext_pacf",
     "ext_brand_customer_overlap",
+    "ext_cohens_kappa",
+    "ext_mcnemar_test",
+    "ext_capture_recapture",
 ]
 
 
