@@ -6785,3 +6785,410 @@ def ext_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_capture_recapture.__doc__ = ext_capture_recapture.__doc__.replace(
     "{CR_Y1}", str(CR_Y1)
 ).replace("{CR_Y2}", str(CR_Y2))
+
+
+# ---------------------------------------------------------------------------
+# ext_evt_gumbel — extreme-value (Gumbel) fit on monthly revenue maxima
+# ---------------------------------------------------------------------------
+
+EVT_GAMMA = 0.5772156649015329  # Euler-Mascheroni
+EVT_SQRT6_PI = 0.779696801233676  # sqrt(6)/pi
+EVT_Y12 = 2.441716398881459  # -ln(-ln(1 - 1/12)): 12-block return level
+
+
+@register(
+    "ext_evt_gumbel",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(FLOOR(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) / 100.0) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), bm AS MATERIALIZED (
+        SELECT date_trunc('month', d)::DATE AS month,
+               CAST(MAX(y) AS BIGINT) AS mx
+        FROM daily GROUP BY 1
+    ), mom AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(mx) AS HUGEINT) AS s,
+               CAST(SUM(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS q
+        FROM bm
+    ), fit AS (
+        SELECT CAST(n AS BIGINT) AS n_blocks,
+               CAST(s AS BIGINT) * 1.0 / CAST(n AS BIGINT) AS mean_max,
+               sqrt(CAST(CAST(n * q - s * s AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(n * (n - 1) AS VARCHAR) AS DOUBLE)) AS sd
+        FROM mom
+    )
+    SELECT n_blocks,
+           {dround('mean_max', 6)} AS mean_block_max,
+           {dround('sd * {EVT_SQRT6_PI}', 6)} AS gumbel_beta,
+           {dround('mean_max - {EVT_GAMMA} * (sd * {EVT_SQRT6_PI})', 6)}
+               AS gumbel_mu,
+           {dround('''mean_max - {EVT_GAMMA} * (sd * {EVT_SQRT6_PI})
+                      + (sd * {EVT_SQRT6_PI}) * {EVT_Y12}''', 6)}
+               AS return_level_12
+    FROM fit
+    """.replace("{EVT_SQRT6_PI}", repr(EVT_SQRT6_PI))
+    .replace("{EVT_GAMMA}", repr(EVT_GAMMA))
+    .replace("{EVT_Y12}", repr(EVT_Y12)),
+)
+def ext_evt_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis of daily revenue: monthly block maxima
+    fit a Gumbel distribution by method of moments (beta = sd*sqrt6/pi,
+    mu = mean - gamma*beta), and the 12-block return level says what
+    peak a typical YEAR should produce — the capacity-planning /
+    risk-sizing op (dimension for the expected annual peak, not the
+    mean), extending ext_dow_quantile_bands' envelopes into the tail.
+
+    Determinism: block maxima are exact integers; moments widen to
+    128-bit with string-path conversion; gamma, sqrt(6)/pi, and the
+    return-level factor are shared IEEE literals, so every derived
+    double is identical.
+
+    Scale shape: day collapse -> ~80 block maxima -> one scalar moment
+    reduce. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.floor(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            / 100.0
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    bm = daily.groupBy(
+        F.date_trunc("month", "d").cast("date").alias("month")
+    ).agg(F.max("y").cast("bigint").alias("mx"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = bm.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("mx"))).alias("s"),
+        F.sum(dec(F.col("mx")) * dec(F.col("mx"))).alias("q"),
+    )
+    mean_max = F.col("s").cast("bigint") * 1.0 / F.col("n").cast("bigint")
+    sd = F.sqrt(
+        (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    beta = sd * EVT_SQRT6_PI
+    mu = mean_max - EVT_GAMMA * beta
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_blocks"),
+        F.round(mean_max, 6).alias("mean_block_max"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(mu + beta * EVT_Y12, 6).alias("return_level_12"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_jl_projection — Johnson-Lindenstrauss distortion audit
+# ---------------------------------------------------------------------------
+
+JL_OUT_DIMS = 16
+JL_PROBE = 50  # vectors in the pairwise-distance probe
+
+
+def _jl_sign_sql(j: int, d: int) -> str:
+    from .llm_ops import _md5_32
+
+    h = _md5_32(f"'jl{j}:' || CAST({d} AS VARCHAR)")
+    return f"CASE WHEN ({h}) % 2 = 0 THEN 1 ELSE -1 END"
+
+
+def _jl_oracle() -> str:
+    # projected coordinate j = sum_d sign(j,d) * q_d  (exact integers)
+    proj_cols = ", ".join(
+        f"""CAST(SUM((CASE WHEN ({{md5}}) % 2 = 0 THEN 1 ELSE -1 END) * q)
+             AS BIGINT) AS p{j}""".replace(
+            "{md5}",
+            "(instr('0123456789abcdef', substr(md5('jl"
+            + str(j)
+            + ":' || CAST(dim AS VARCHAR)), 1, 1)) - 1) * 268435456 + "
+            "(instr('0123456789abcdef', substr(md5('jl"
+            + str(j)
+            + ":' || CAST(dim AS VARCHAR)), 2, 1)) - 1) * 16777216 + "
+            "(instr('0123456789abcdef', substr(md5('jl"
+            + str(j)
+            + ":' || CAST(dim AS VARCHAR)), 3, 1)) - 1) * 1048576 + "
+            "(instr('0123456789abcdef', substr(md5('jl"
+            + str(j)
+            + ":' || CAST(dim AS VARCHAR)), 4, 1)) - 1) * 65536 + "
+            "(instr('0123456789abcdef', substr(md5('jl"
+            + str(j)
+            + ":' || CAST(dim AS VARCHAR)), 5, 1)) - 1) * 4096 + "
+            "(instr('0123456789abcdef', substr(md5('jl"
+            + str(j)
+            + ":' || CAST(dim AS VARCHAR)), 6, 1)) - 1) * 256 + "
+            "(instr('0123456789abcdef', substr(md5('jl"
+            + str(j)
+            + ":' || CAST(dim AS VARCHAR)), 7, 1)) - 1) * 16 + "
+            "(instr('0123456789abcdef', substr(md5('jl"
+            + str(j)
+            + ":' || CAST(dim AS VARCHAR)), 8, 1)) - 1)",
+        )
+        for j in range(JL_OUT_DIMS)
+    )
+    d2p = " + ".join(
+        f"(a.p{j} - b.p{j}) * 1.0 * (a.p{j} - b.p{j})" for j in range(JL_OUT_DIMS)
+    )
+    return f"""
+    WITH {_KM_PTS_SQL},
+    probe AS MATERIALIZED (
+        SELECT * FROM pts WHERE vec_id < {JL_PROBE}
+    ), proj AS MATERIALIZED (
+        SELECT vec_id, {proj_cols}
+        FROM probe GROUP BY vec_id
+    ), od AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+        FROM probe a JOIN probe b
+          ON a.dim = b.dim AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ), ratio AS (
+        SELECT CAST(ROUND(({d2p}) / ({JL_OUT_DIMS}.0 / 64.0)
+                          / od.d2 * 1000000000.0) AS BIGINT) AS r_units
+        FROM od
+        JOIN proj a ON a.vec_id = od.va
+        JOIN proj b ON b.vec_id = od.vb
+        WHERE od.d2 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {dround('SUM(r_units) * 1.0 / COUNT(*) / 1000000000.0', 6)}
+               AS mean_distortion,
+           {dround('MAX(r_units) / 1000000000.0', 6)} AS max_distortion,
+           {dround('MIN(r_units) / 1000000000.0', 6)} AS min_distortion
+    FROM ratio
+    """
+
+
+@register("ext_jl_projection", _jl_oracle())
+def ext_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection audit: the 64-dim
+    quantized embeddings project to {JL_OUT_DIMS} dims through a +/-1
+    md5-sign matrix, and a {JL_PROBE}-vector probe reports the
+    scaled pairwise squared-distance distortion (E[ratio] = 1 under
+    JL) — the dimensionality-reduction primitive the ANN/LSH family
+    implicitly relies on, here with its distortion made measurable
+    (ext_embed_pca_power is the data-aware sibling; JL is the
+    oblivious one).
+
+    Determinism: projections are exact integer sums of +/-1-signed
+    quantized components; original and projected squared distances are
+    exact integers; each pair's distortion ratio snaps to 1e-9 units
+    (ratio of identical integer-derived doubles).
+
+    Scale shape: the projection is one (vec, out-dim) reduce over the
+    tidy points — at corpus scale it is a narrow map-side matmul
+    against a broadcast sign matrix; the distance probe is
+    deliberately bounded ({JL_PROBE} vectors, C(n,2) pairs). Cited
+    parity anchor: /root/reference/models (beyond-reference
+    surface)."""
+    from .llm_ops import _spark_md5_32
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.filter(F.col("vec_id") < JL_PROBE).select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("x").cast("double") * KM_SCALE).cast("long").alias("q"),
+    ).localCheckpoint(eager=False)  # feeds projection AND original dists
+    proj_aggs = []
+    for j in range(JL_OUT_DIMS):
+        sign = F.when(
+            _spark_md5_32(
+                F.concat(F.lit(f"jl{j}:"), F.col("dim").cast("string"))
+            )
+            % 2
+            == 0,
+            1,
+        ).otherwise(-1)
+        proj_aggs.append(F.sum(sign * F.col("q")).cast("bigint").alias(f"p{j}"))
+    proj = pts.groupBy("vec_id").agg(*proj_aggs)
+    a = pts.select(F.col("vec_id").alias("va"), "dim", F.col("q").alias("qa"))
+    b = pts.select(F.col("vec_id").alias("vb"), "dim", F.col("q").alias("qb"))
+    od = (
+        a.join(b, "dim")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum((F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb")))
+            .cast("bigint")
+            .alias("d2")
+        )
+        .filter(F.col("d2") > 0)
+    )
+    pa = proj.select(
+        F.col("vec_id").alias("va"), *[F.col(f"p{j}").alias(f"a{j}") for j in range(JL_OUT_DIMS)]
+    )
+    pb = proj.select(
+        F.col("vec_id").alias("vb"), *[F.col(f"p{j}").alias(f"b{j}") for j in range(JL_OUT_DIMS)]
+    )
+    d2p = None
+    for j in range(JL_OUT_DIMS):
+        t = (F.col(f"a{j}") - F.col(f"b{j}")) * 1.0 * (
+            F.col(f"a{j}") - F.col(f"b{j}")
+        )
+        d2p = t if d2p is None else d2p + t
+    ratio = (
+        od.join(F.broadcast(pa), "va")
+        .join(F.broadcast(pb), "vb")
+        .select(
+            F.round(
+                d2p / (JL_OUT_DIMS / 64.0) / F.col("d2") * 1e9, 0
+            )
+            .cast("bigint")
+            .alias("r_units")
+        )
+    )
+    return ratio.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.sum("r_units") * 1.0 / F.count(F.lit(1)) / 1e9, 6).alias(
+            "mean_distortion"
+        ),
+        F.round(F.max("r_units") / 1e9, 6).alias("max_distortion"),
+        F.round(F.min("r_units") / 1e9, 6).alias("min_distortion"),
+    )
+
+
+ext_jl_projection.__doc__ = ext_jl_projection.__doc__.replace(
+    "{JL_OUT_DIMS}", str(JL_OUT_DIMS)
+).replace("{JL_PROBE}", str(JL_PROBE))
+
+
+# ---------------------------------------------------------------------------
+# ext_retrieval_ndcg — NDCG@k with frozen logarithmic discounts
+# ---------------------------------------------------------------------------
+
+# round(1e9 / log2(1 + r)) for ranks 1..10 — shared integer literals, so
+# the discount curve never touches libm at query time.
+NDCG_DISC = [
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+]
+
+
+def _ndcg_oracle() -> str:
+    disc_case = "CASE rk " + " ".join(
+        f"WHEN {r + 1} THEN {w}" for r, w in enumerate(NDCG_DISC)
+    ) + " END"
+    ideal = ", ".join(str(w) for w in NDCG_DISC)
+    return f"""
+    WITH {_SCORED_SQL}, topk AS MATERIALIZED (
+        SELECT qid, nlabel, rk FROM (
+            SELECT qid, nlabel,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, nid) AS rk
+            FROM scored
+        ) WHERE rk <= {MRR_K}
+    ), gains AS (
+        SELECT e.vec_id, e.label,
+               CAST(COALESCE(SUM(CASE WHEN t.nlabel = e.label
+                                      THEN {disc_case} END), 0) AS BIGINT)
+                   AS dcg_units,
+               CAST(LEAST((SELECT COUNT(*) - 1 FROM e e2
+                           WHERE e2.label = e.label), {MRR_K}) AS BIGINT)
+                   AS n_rel
+        FROM e LEFT JOIN topk t ON t.qid = e.vec_id
+        GROUP BY e.vec_id, e.label
+    ), ideal AS (
+        SELECT k, CAST(SUM(w) OVER (ORDER BY k) AS BIGINT) AS iunits
+        FROM (SELECT ROW_NUMBER() OVER () AS k, w
+              FROM (SELECT unnest([{ideal}]) AS w))
+    ), nd AS (
+        SELECT g.label,
+               CAST(ROUND(g.dcg_units * 1000000000.0 / i.iunits) AS BIGINT)
+                   AS ndcg_units
+        FROM gains g JOIN ideal i ON i.k = g.n_rel
+        WHERE g.n_rel > 0
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           {dround('SUM(ndcg_units) * 1.0 / COUNT(*) / 1000000000.0', 6)}
+               AS mean_ndcg
+    FROM nd GROUP BY label ORDER BY label
+    """
+
+
+@register("ext_retrieval_ndcg", _ndcg_oracle())
+def ext_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{MRR_K} with label-match relevance: each query's discounted
+    cumulative gain over its top-{MRR_K} neighbors, normalized by the
+    ideal DCG for its achievable relevant count — the industry-standard
+    graded ranking metric completing the retrieval-eval family
+    (ext_retrieval_mrr ranks the FIRST hit; NDCG scores the whole
+    list).
+
+    Determinism: the 1/log2(1+r) discount curve is PRE-ROUNDED integer
+    literals (no log at query time, ext_sprt_sequential discipline);
+    DCG and ideal-DCG are exact integer sums; each query's NDCG snaps
+    to 1e-9 units before the label mean.
+
+    Scale shape: the pruned top-k primitive once, then label-keyed
+    reduces; the ideal table is {MRR_K} rows. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    topk = _topk_scored(spark, sf_dir, k=MRR_K)
+    own = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("qid"), "label"
+    )
+    label_sizes = own.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_label")
+    )
+    disc = F.create_map(
+        *[x for r, w in enumerate(NDCG_DISC) for x in (F.lit(r + 1), F.lit(w))]
+    )
+    gains = (
+        own.join(
+            topk.select("qid", "nlabel", "rk"), "qid", "left"
+        )
+        .groupBy("qid", "label")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("nlabel") == F.col("label"),
+                        disc[F.col("rk")],
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("dcg_units")
+        )
+        .join(F.broadcast(label_sizes), "label")
+        .withColumn(
+            "n_rel",
+            F.least(F.col("n_label") - 1, F.lit(MRR_K)).cast("bigint"),
+        )
+    )
+    ideal_rows = [(k + 1, sum(NDCG_DISC[: k + 1])) for k in range(MRR_K)]
+    ideal = spark.createDataFrame(ideal_rows, ["n_rel", "iunits"])
+    nd = (
+        gains.filter(F.col("n_rel") > 0)
+        .join(F.broadcast(ideal), "n_rel")
+        .select(
+            "label",
+            F.round(F.col("dcg_units") * 1e9 / F.col("iunits"), 0)
+            .cast("bigint")
+            .alias("ndcg_units"),
+        )
+    )
+    return (
+        nd.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.round(
+                F.sum("ndcg_units") * 1.0 / F.count(F.lit(1)) / 1e9, 6
+            ).alias("mean_ndcg"),
+        )
+        .orderBy("label")
+    )
+
+
+ext_retrieval_ndcg.__doc__ = ext_retrieval_ndcg.__doc__.replace(
+    "{MRR_K}", str(MRR_K)
+)
