@@ -267,6 +267,9 @@ HEADLINE = [
     "ext_cohens_kappa",
     "ext_mcnemar_test",
     "ext_capture_recapture",
+    "ext_evt_gumbel",
+    "ext_jl_projection",
+    "ext_retrieval_ndcg",
 ]
 
 
