@@ -7192,3 +7192,258 @@ def ext_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_retrieval_ndcg.__doc__ = ext_retrieval_ndcg.__doc__.replace(
     "{MRR_K}", str(MRR_K)
 )
+
+
+# ---------------------------------------------------------------------------
+# ext_theil_decomposition — decomposable inequality (within/between nations)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_theil_decomposition",
+    f"""
+    WITH cust AS MATERIALIZED (
+        SELECT o.o_custkey, n.n_name AS nation,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY o.o_custkey, n.n_name
+    ), nat AS MATERIALIZED (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(s) AS BIGINT) AS sg
+        FROM cust GROUP BY nation
+    ), tot AS (
+        SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS st
+        FROM nat
+    ), within_u AS (
+        SELECT c.nation,
+               CAST(ROUND((c.s * 1.0 * a.ng / a.sg)
+                          * ln(c.s * 1.0 * a.ng / a.sg)
+                          * 1000000000.0) AS BIGINT) AS u
+        FROM cust c JOIN nat a ON a.nation = c.nation
+    ), within AS (
+        SELECT nation, CAST(SUM(u) AS BIGINT) AS su FROM within_u
+        GROUP BY nation
+    ), rows_ AS MATERIALIZED (
+        SELECT a.nation, a.ng, a.sg,
+               a.sg * 1.0 / t.st AS share,
+               w.su * 1.0 / a.ng / 1000000000.0 AS t_within,
+               CAST(ROUND((a.sg * 1.0 / t.st)
+                          * ln((a.sg * 1.0 / t.st) / (a.ng * 1.0 / t.n))
+                          * 1000000000.0) AS BIGINT) AS between_u,
+               CAST(ROUND((a.sg * 1.0 / t.st)
+                          * (w.su * 1.0 / a.ng / 1000000000.0)
+                          * 1000000000.0) AS BIGINT) AS contrib_u
+        FROM nat a JOIN within w ON w.nation = a.nation CROSS JOIN tot t
+    )
+    SELECT nation, ng AS n_customers,
+           {dround('share', 6)} AS spend_share,
+           {dround('t_within', 6)} AS theil_within,
+           {dround('SUM(between_u) OVER () / 1000000000.0', 6)}
+               AS theil_between,
+           {dround('''(SUM(between_u) OVER () + SUM(contrib_u) OVER ())
+                      / 1000000000.0''', 6)} AS theil_total
+    FROM rows_ ORDER BY nation
+    """,
+)
+def ext_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality decomposition of customer spend by nation:
+    total inequality = between-nation + spend-share-weighted
+    within-nation terms — the decomposability that Gini lacks
+    (ext_spend_gini ranks overall concentration; this key says WHERE
+    the inequality lives: across geographies or inside them).
+
+    Determinism: every entropy term (s_i*n_g/S_g)*ln(...) is computed
+    from ratios of exact integers and snapped to 1e-9 units per
+    customer / per nation BEFORE any sum (ext_drift_psi discipline);
+    totals are window sums of exact integers over the 25-nation grid.
+
+    Scale shape: one custkey aggregate behind broadcast dims (the only
+    corpus shuffle), a nation rollup, a per-customer term map joined
+    to 25 nation rows, and grid-sized algebra. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("o_custkey", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("s")
+        )
+        .localCheckpoint(eager=False)  # nation rollup + per-customer terms
+    )
+    nat = cust.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("s").cast("bigint").alias("sg"),
+    ).localCheckpoint(eager=False)
+    tot = nat.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sg").cast("bigint").alias("st"),
+    )
+    r = F.col("s") * 1.0 * F.col("ng") / F.col("sg")
+    within = (
+        cust.join(F.broadcast(nat), "nation")
+        .select(
+            "nation",
+            F.round(r * F.log(r) * 1e9, 0).cast("bigint").alias("u"),
+        )
+        .groupBy("nation")
+        .agg(F.sum("u").cast("bigint").alias("su"))
+    )
+    share = F.col("sg") * 1.0 / F.col("st")
+    t_within = F.col("su") * 1.0 / F.col("ng") / 1e9
+    rows_ = (
+        nat.join(within, "nation")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "ng",
+            share.alias("share"),
+            t_within.alias("t_within"),
+            F.round(
+                share * F.log(share / (F.col("ng") * 1.0 / F.col("n"))) * 1e9,
+                0,
+            )
+            .cast("bigint")
+            .alias("between_u"),
+            F.round(share * t_within * 1e9, 0).cast("bigint").alias("contrib_u"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return rows_.select(
+        "nation",
+        F.col("ng").alias("n_customers"),
+        F.round("share", 6).alias("spend_share"),
+        F.round("t_within", 6).alias("theil_within"),
+        F.round(F.sum("between_u").over(w_all) / 1e9, 6).alias("theil_between"),
+        F.round(
+            (F.sum("between_u").over(w_all) + F.sum("contrib_u").over(w_all))
+            / 1e9,
+            6,
+        ).alias("theil_total"),
+    ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# ext_grid_density_clusters — deterministic grid-based density clustering
+# ---------------------------------------------------------------------------
+
+GRID_G = 30  # cells per unit along each axis
+GRID_MINPTS = 5  # density threshold per cell
+GRID_OFF = 100  # id offset keeping cell ids positive
+GRID_TOPN = 15
+
+
+@register(
+    "ext_grid_density_clusters",
+    f"""
+    WITH RECURSIVE pts AS (
+        SELECT CAST(FLOOR(embedding[1] * {GRID_G}) AS BIGINT) AS q0,
+               CAST(FLOOR(embedding[2] * {GRID_G}) AS BIGINT) AS q1
+        FROM embeddings
+    ), cells AS (
+        SELECT q0, q1, (q0 + {GRID_OFF}) * 1000 + (q1 + {GRID_OFF}) AS cid,
+               CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM pts GROUP BY q0, q1
+        HAVING COUNT(*) >= {GRID_MINPTS}
+    ), edges AS (
+        SELECT a.cid AS u, b.cid AS v
+        FROM cells a JOIN cells b
+          ON abs(a.q0 - b.q0) <= 1 AND abs(a.q1 - b.q1) <= 1
+         AND a.cid <> b.cid
+    ), reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ), comp AS (
+        SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    ), labeled AS (
+        SELECT c.cid, COALESCE(p.component, c.cid) AS cluster_id, c.n_points
+        FROM cells c LEFT JOIN comp p ON p.node = c.cid
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n_points) AS BIGINT) AS n_points
+    FROM labeled GROUP BY cluster_id
+    ORDER BY n_points DESC, cluster_id
+    LIMIT {GRID_TOPN}
+    """,
+)
+def ext_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based density clustering (the deterministic DBSCAN
+    relative): embeddings bucket into a {GRID_G}x{GRID_G}-per-unit
+    grid on their first two dimensions, cells with >= {GRID_MINPTS}
+    points are dense, 8-adjacent dense cells merge via connected
+    components, and the {GRID_TOPN} largest clusters report — the
+    density-clustering family's entry (ext_kmeans_lloyd partitions
+    everything; density clustering finds arbitrary-shape blobs and
+    leaves sparse noise out).
+
+    Determinism: FLOOR bucketing of identical doubles, exact counting,
+    and min-label components (no tie exists under min).
+
+    Scale shape: ONE corpus aggregate to the bounded cell grid
+    (map-side combined); adjacency, components (DataFrame min-label
+    propagation; recursive-CTE closure in the oracle), and the rollup
+    all run on <= a few hundred cells. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    from ..ext.cluster import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.floor(F.col("embedding")[0].cast("double") * GRID_G)
+        .cast("bigint")
+        .alias("q0"),
+        F.floor(F.col("embedding")[1].cast("double") * GRID_G)
+        .cast("bigint")
+        .alias("q1"),
+    )
+    cells = (
+        pts.groupBy("q0", "q1")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+        .filter(F.col("n_points") >= GRID_MINPTS)
+        .withColumn(
+            "cid", (F.col("q0") + GRID_OFF) * 1000 + (F.col("q1") + GRID_OFF)
+        )
+        .localCheckpoint(eager=False)  # adjacency sides + final labeling
+    )
+    a = cells.select(
+        F.col("cid").alias("doc_a"), F.col("q0").alias("a0"), F.col("q1").alias("a1")
+    )
+    b = cells.select(
+        F.col("cid").alias("doc_b"), F.col("q0").alias("b0"), F.col("q1").alias("b1")
+    )
+    edges = a.join(
+        b,
+        (F.abs(F.col("a0") - F.col("b0")) <= 1)
+        & (F.abs(F.col("a1") - F.col("b1")) <= 1)
+        & (F.col("doc_a") < F.col("doc_b")),
+    ).select("doc_a", "doc_b")
+    comp = connected_components(edges)
+    labeled = cells.join(
+        comp, cells.cid == comp.node, "left"
+    ).select(
+        F.coalesce("component", F.col("cid")).alias("cluster_id"), "n_points"
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n_points").cast("bigint").alias("n_points"),
+        )
+        .orderBy(F.desc("n_points"), "cluster_id")
+        .limit(GRID_TOPN)
+    )
+
+
+ext_grid_density_clusters.__doc__ = ext_grid_density_clusters.__doc__.replace(
+    "{GRID_G}", str(GRID_G)
+).replace("{GRID_MINPTS}", str(GRID_MINPTS)).replace(
+    "{GRID_TOPN}", str(GRID_TOPN)
+)
