@@ -7389,12 +7389,11 @@ def ext_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and min-label components (no tie exists under min).
 
     Scale shape: ONE corpus aggregate to the bounded cell grid
-    (map-side combined); adjacency, components (DataFrame min-label
-    propagation; recursive-CTE closure in the oracle), and the rollup
-    all run on <= a few hundred cells. Cited parity anchor:
+    (map-side combined); the cell graph is resolution-bounded, so
+    components resolve with a driver-side union-find on the collected
+    edge list (recursive-CTE closure in the oracle) and broadcast
+    back; the rollup runs on <= a few hundred cells. Cited parity anchor:
     /root/reference/models (beyond-reference surface)."""
-    from ..ext.cluster import connected_components
-
     emb = load(spark, sf_dir, "embeddings")
     pts = emb.select(
         F.floor(F.col("embedding")[0].cast("double") * GRID_G)
@@ -7425,12 +7424,37 @@ def ext_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.abs(F.col("a1") - F.col("b1")) <= 1)
         & (F.col("doc_a") < F.col("doc_b")),
     ).select("doc_a", "doc_b")
-    comp = connected_components(edges)
-    labeled = cells.join(
-        comp, cells.cid == comp.node, "left"
-    ).select(
-        F.coalesce("component", F.col("cid")).alias("cluster_id"), "n_points"
-    )
+    # The cell graph is bounded by grid RESOLUTION ((2*GRID_G)^2 cells max),
+    # not corpus size, so components resolve driver-side: collect the tiny
+    # edge list, min-label union-find in Python, broadcast the mapping back
+    # (the ext_ann_ivf small-state discipline; iterative DataFrame CC here
+    # costs ~20 Spark rounds of fixed overhead for a few dozen rows).
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for ra, rb in edges.collect():
+        xa, xb = find(ra), find(rb)
+        if xa != xb:
+            lo, hi = (xa, xb) if xa < xb else (xb, xa)
+            parent[hi] = lo
+    mapping = [(k, find(k)) for k in list(parent)]
+    if mapping:
+        comp = spark.createDataFrame(mapping, ["node", "component"])
+        labeled = cells.join(
+            F.broadcast(comp), cells.cid == comp.node, "left"
+        ).select(
+            F.coalesce("component", F.col("cid")).alias("cluster_id"),
+            "n_points",
+        )
+    else:
+        labeled = cells.select(
+            F.col("cid").alias("cluster_id"), "n_points"
+        )
     return (
         labeled.groupBy("cluster_id")
         .agg(
