@@ -270,6 +270,8 @@ HEADLINE = [
     "ext_evt_gumbel",
     "ext_jl_projection",
     "ext_retrieval_ndcg",
+    "ext_theil_decomposition",
+    "ext_grid_density_clusters",
 ]
 
 
