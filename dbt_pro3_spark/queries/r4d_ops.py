@@ -7471,3 +7471,243 @@ ext_grid_density_clusters.__doc__ = ext_grid_density_clusters.__doc__.replace(
 ).replace("{GRID_MINPTS}", str(GRID_MINPTS)).replace(
     "{GRID_TOPN}", str(GRID_TOPN)
 )
+
+
+# ---------------------------------------------------------------------------
+# ext_kendall_tau — tau-b rank correlation on the collapsed value grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_kendall_tau",
+    f"""
+    WITH cells AS MATERIALIZED (
+        SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ), n AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM cells),
+    cd AS (
+        SELECT CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                             THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END)
+                    AS HUGEINT) AS conc,
+               CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                             THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END)
+                    AS HUGEINT) AS disc
+        FROM cells a CROSS JOIN cells b
+    ), ties AS (
+        SELECT (SELECT CAST(SUM(CAST(tc AS HUGEINT) * (tc - 1) / 2)
+                            AS HUGEINT)
+                FROM (SELECT SUM(c) AS tc FROM cells GROUP BY x)) AS t1,
+               (SELECT CAST(SUM(CAST(tc AS HUGEINT) * (tc - 1) / 2)
+                            AS HUGEINT)
+                FROM (SELECT SUM(c) AS tc FROM cells GROUP BY y)) AS t2
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_lines,
+           CAST(cd.conc AS BIGINT) AS concordant,
+           CAST(cd.disc AS BIGINT) AS discordant,
+           {dround('''CAST(CAST(cd.conc - cd.disc AS VARCHAR) AS DOUBLE)
+                      / sqrt(CAST(CAST((n.n * (n.n - 1) / 2 - t.t1)
+                                       * (n.n * (n.n - 1) / 2 - t.t2)
+                                  AS VARCHAR) AS DOUBLE))''', 6)} AS tau_b
+    FROM cd CROSS JOIN n CROSS JOIN ties t
+    """,
+)
+def ext_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between line quantity and discount, computed
+    ENTIRELY on the collapsed (quantity, discount) value grid:
+    concordant/discordant pair counts come from cell-count products
+    (each of the 550^2 cell pairs, never the n^2 line pairs), with the
+    standard tie corrections — the third rank-correlation after
+    ext_spearman_corr and ext_eval_auc's Mann-Whitney, preferred when
+    ties dominate (both axes here are heavily tied).
+
+    Determinism: all counts are exact 128-bit integers; tau divides a
+    string-path double by an IEEE-exact sqrt of another.
+
+    Scale shape: ONE map-side aggregate onto the value-bounded grid,
+    then a grid^2 cross join (~300k cell pairs — constant in corpus
+    size) and scalar algebra. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.floor("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c")).localCheckpoint(
+        eager=False
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n = cells.agg(F.sum("c").cast("decimal(38,0)").alias("n"))
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("c").alias("cb")
+    )
+    cd = a.crossJoin(b).agg(
+        F.sum(
+            F.when(
+                (F.col("xb") > F.col("xa")) & (F.col("yb") > F.col("ya")),
+                dec(F.col("ca")) * F.col("cb"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("xb") > F.col("xa")) & (F.col("yb") < F.col("ya")),
+                dec(F.col("ca")) * F.col("cb"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("disc"),
+    )
+    t1 = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("tc"))
+        .agg(F.sum(dec(F.col("tc")) * (F.col("tc") - 1) / 2).alias("t1"))
+    )
+    t2 = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("tc"))
+        .agg(F.sum(dec(F.col("tc")) * (F.col("tc") - 1) / 2).alias("t2"))
+    )
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    return (
+        cd.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            F.col("n").cast("bigint").alias("n_lines"),
+            F.col("conc").cast("bigint").alias("concordant"),
+            F.col("disc").cast("bigint").alias("discordant"),
+            F.round(
+                (F.col("conc") - F.col("disc")).cast("double")
+                / F.sqrt(
+                    ((n0 - F.col("t1")) * (n0 - F.col("t2"))).cast("double")
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_wilcoxon_signed_rank — paired yearly revenue shift test per part
+# ---------------------------------------------------------------------------
+
+WSR_Y1 = 1996
+WSR_Y2 = 1997
+
+
+@register(
+    "ext_wilcoxon_signed_rank",
+    f"""
+    WITH py AS MATERIALIZED (
+        SELECT l_partkey AS pk, EXTRACT(year FROM l_shipdate) AS yr,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem
+        WHERE EXTRACT(year FROM l_shipdate) IN ({WSR_Y1}, {WSR_Y2})
+        GROUP BY 1, 2
+    ), d AS (
+        SELECT CAST(FLOOR(ABS(b.rev - a.rev) / 100.0) AS BIGINT) AS ad,
+               CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END AS pos
+        FROM py a JOIN py b ON a.pk = b.pk
+        WHERE a.yr = {WSR_Y1} AND b.yr = {WSR_Y2} AND a.rev <> b.rev
+    ), grid AS (
+        SELECT ad, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(pos) AS BIGINT) AS np
+        FROM d GROUP BY ad
+    ), ranked AS (
+        SELECT ad, cnt, np, SUM(cnt) OVER (ORDER BY ad) AS cum
+        FROM grid
+    ), agg AS (
+        SELECT CAST(SUM(cnt) AS HUGEINT) AS n,
+               CAST(SUM(np * (2 * cum - cnt + 1)) AS HUGEINT) AS wp_x2
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(wp_x2 AS BIGINT) AS w_plus_x2,
+           {dround('''CAST(CAST(2 * wp_x2 - n * (n + 1) AS VARCHAR) AS DOUBLE)
+                      / sqrt(CAST(CAST(n * (n + 1) * (2 * n + 1) 
+                                  AS VARCHAR) AS DOUBLE)
+                             * (2.0 / 3.0))''', 6)} AS z_stat,
+           CAST(CASE WHEN (2 * wp_x2 - n * (n + 1))
+                          * (2 * wp_x2 - n * (n + 1)) * 30000
+                          > 76832 * (n * (n + 1) * (2 * n + 1))
+                     THEN 1 ELSE 0 END AS INTEGER) AS significant
+    FROM agg
+    """,
+)
+def ext_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test: did per-part revenue SHIFT between
+    {WSR_Y1} and {WSR_Y2}? Nonzero paired differences rank by absolute
+    dollar magnitude (midranks on the collapsed |d| grid), W+ sums the
+    positive ranks, and the normal approximation z = (W+ - n(n+1)/4) /
+    sqrt(n(n+1)(2n+1)/24) tests symmetry — the PAIRED nonparametric
+    test completing the family (ext_two_sample_ks unpaired
+    distributions, ext_eval_auc unpaired ranks, McNemar paired
+    binary; this is paired ordinal).
+
+    Determinism: |d| quantizes to whole dollars; midranks use the
+    2x-integer identity; W+ and the z's numerator/denominator are
+    exact 128-bit integers (z^2 = 3*num^2/(2*den), so the 5% verdict
+    is the cross-multiplication 30000*num^2 > 76832*den; the reported
+    z uses string-path doubles and IEEE sqrt).
+
+    Scale shape: one (part, year) aggregate with pushed filters, a
+    partkey pair join, the value-bounded |d| grid cumsum, scalar
+    output. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem")
+    yr = F.year("l_shipdate")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    py = (
+        li.filter(yr.isin(WSR_Y1, WSR_Y2))
+        .groupBy(F.col("l_partkey").alias("pk"), yr.alias("yr"))
+        .agg(F.sum(cents).cast("bigint").alias("rev"))
+    )
+    a = py.filter(F.col("yr") == WSR_Y1).select("pk", F.col("rev").alias("r1"))
+    b = py.filter(F.col("yr") == WSR_Y2).select("pk", F.col("rev").alias("r2"))
+    d = (
+        a.join(b, "pk")
+        .filter(F.col("r1") != F.col("r2"))
+        .select(
+            F.floor(F.abs(F.col("r2") - F.col("r1")) / 100.0)
+            .cast("bigint")
+            .alias("ad"),
+            F.when(F.col("r2") > F.col("r1"), 1).otherwise(0).alias("pos"),
+        )
+    )
+    grid = d.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("np"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = grid.select(
+        "cnt", "np", F.sum("cnt").over(w).alias("cum")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.sum("cnt").cast("decimal(38,0)").alias("n"),
+        F.sum(
+            dec(F.col("np")) * (2 * F.col("cum") - F.col("cnt") + 1)
+        ).alias("wp_x2"),
+    )
+    num = 2 * F.col("wp_x2") - F.col("n") * (F.col("n") + 1)
+    den = F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("wp_x2").cast("bigint").alias("w_plus_x2"),
+        F.round(
+            num.cast("double") / F.sqrt(den.cast("double") * (2.0 / 3.0)), 6
+        ).alias("z_stat"),
+        F.when(num * num * 30000 > 76832 * den, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("significant"),
+    )
+
+
+ext_wilcoxon_signed_rank.__doc__ = ext_wilcoxon_signed_rank.__doc__.replace(
+    "{WSR_Y1}", str(WSR_Y1)
+).replace("{WSR_Y2}", str(WSR_Y2))
