@@ -272,6 +272,8 @@ HEADLINE = [
     "ext_retrieval_ndcg",
     "ext_theil_decomposition",
     "ext_grid_density_clusters",
+    "ext_kendall_tau",
+    "ext_wilcoxon_signed_rank",
 ]
 
 
