@@ -7711,3 +7711,364 @@ def ext_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_wilcoxon_signed_rank.__doc__ = ext_wilcoxon_signed_rank.__doc__.replace(
     "{WSR_Y1}", str(WSR_Y1)
 ).replace("{WSR_Y2}", str(WSR_Y2))
+
+
+# ---------------------------------------------------------------------------
+# ext_permutation_test — deterministic sign-flip permutation test
+# ---------------------------------------------------------------------------
+
+PERM_K = 64  # pseudo-permutations (bits of two md5 draws)
+
+
+def _perm_oracle() -> str:
+    from .llm_ops import _md5_32
+
+    h0 = _md5_32("'perm0:' || CAST(o_custkey AS VARCHAR)")
+    h1 = _md5_32("'perm1:' || CAST(o_custkey AS VARCHAR)")
+    lanes = ", ".join(
+        f"""CAST(SUM(CASE WHEN (({h0 if k < 32 else h1}) >> {k % 32}) & 1 = 0
+                 THEN d ELSE -d END) AS HUGEINT) AS z{k}"""
+        for k in range(PERM_K)
+    )
+    extreme = " + ".join(
+        f"CASE WHEN ABS(z{k}) >= ABS(obs) THEN 1 ELSE 0 END"
+        for k in range(PERM_K)
+    )
+    return f"""
+    WITH panel AS MATERIALIZED (
+        SELECT o_custkey,
+               CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END)
+                    - SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                               THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS d
+        FROM orders GROUP BY o_custkey
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d) AS HUGEINT) AS obs,
+               {lanes}
+        FROM panel
+    )
+    SELECT n AS n_customers,
+           CAST(obs AS BIGINT) AS observed_sum_cents,
+           CAST({extreme} AS BIGINT) AS n_extreme,
+           {dround(f'({extreme}) * 1.0 / {PERM_K}', 6)} AS p_value_est
+    FROM s
+    """
+
+
+@register("ext_permutation_test", _perm_oracle())
+def ext_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-flip permutation test of the 1996->1997 per-customer spend
+    change: under H0 (no systematic change) each customer's difference
+    is symmetric, so {PERM_K} deterministic md5-bit sign patterns
+    build the permutation distribution of the summed difference and
+    the p-value is the share of permuted |sums| at least as extreme —
+    the assumption-free resampling test completing the family
+    (ext_bootstrap_ci resamples for INTERVALS; this permutes for
+    TESTS), with the registry's reproducible-randomness contract.
+
+    Determinism: every permuted sum is an exact 128-bit integer of
+    md5-bit signs (bits sliced from two hashes per customer — the
+    ext_sketch_ams_f2 discipline); the extremity count is integer
+    comparison.
+
+    Scale shape: ONE custkey panel aggregate, then ALL {PERM_K}
+    permuted sums in a single map-side scalar aggregate — no shuffle
+    beyond the panel build. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    from .llm_ops import _spark_md5_32
+
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    yr = F.year("o_orderdate")
+    panel = o.groupBy("o_custkey").agg(
+        (
+            F.sum(F.when(yr == 1997, cents).otherwise(0))
+            - F.sum(F.when(yr == 1996, cents).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    h0 = _spark_md5_32(
+        F.concat(F.lit("perm0:"), F.col("o_custkey").cast("string"))
+    )
+    h1 = _spark_md5_32(
+        F.concat(F.lit("perm1:"), F.col("o_custkey").cast("string"))
+    )
+    panel = panel.withColumn("_h0", h0).withColumn("_h1", h1)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("d"))).alias("obs"),
+    ]
+    for k in range(PERM_K):
+        h = F.col("_h0") if k < 32 else F.col("_h1")
+        sign = F.when(
+            F.shiftright(h, k % 32).bitwiseAND(F.lit(1)) == 0, F.col("d")
+        ).otherwise(-F.col("d"))
+        aggs.append(F.sum(dec(sign)).alias(f"z{k}"))
+    s = panel.agg(*aggs)
+    extreme = None
+    for k in range(PERM_K):
+        t = F.when(F.abs(F.col(f"z{k}")) >= F.abs(F.col("obs")), 1).otherwise(0)
+        extreme = t if extreme is None else extreme + t
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("obs").cast("bigint").alias("observed_sum_cents"),
+        extreme.cast("bigint").alias("n_extreme"),
+        F.round(extreme * 1.0 / PERM_K, 6).alias("p_value_est"),
+    )
+
+
+ext_permutation_test.__doc__ = ext_permutation_test.__doc__.replace(
+    "{PERM_K}", str(PERM_K)
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_qte — quantile treatment effects between hash-assigned arms
+# ---------------------------------------------------------------------------
+
+QTE_PS = [10, 50, 90]
+
+
+def _qte_band_sql(p: int) -> str:
+    return f"""CAST(ROUND((
+        (100 - ((MAX(n) - 1) * {p}) % 100)
+          * MAX(CASE WHEN rk = 1 + ((n - 1) * {p}) // 100 THEN v END)
+        + (((MAX(n) - 1) * {p}) % 100)
+          * MAX(CASE WHEN rk = 1 + ((n - 1) * {p}) // 100 + 1 THEN v END)
+        ) / 100.0, 6) AS DOUBLE)"""
+
+
+@register(
+    "ext_qte",
+    f"""
+    WITH arms AS (
+        SELECT CASE WHEN ({{h}}) % 2 = 0 THEN 0 ELSE 1 END AS arm,
+               CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0)
+                    AS BIGINT) AS v
+        FROM orders
+    ), ranked AS (
+        SELECT arm, v,
+               ROW_NUMBER() OVER (PARTITION BY arm ORDER BY v) AS rk,
+               COUNT(*) OVER (PARTITION BY arm) AS n
+        FROM arms
+    ), pad AS (
+        SELECT arm, v, rk, n FROM ranked
+        UNION ALL
+        SELECT arm, v, rk + 1 AS rk, n FROM ranked WHERE rk = n
+    ), q AS (
+        SELECT arm,
+               CAST(ANY_VALUE(n) AS BIGINT) AS n_orders,
+               {_qte_band_sql(10)} AS p10,
+               {_qte_band_sql(50)} AS p50,
+               {_qte_band_sql(90)} AS p90
+        FROM pad GROUP BY arm
+    )
+    SELECT a.n_orders AS n_arm0, b.n_orders AS n_arm1,
+           a.p10 AS p10_arm0, b.p10 AS p10_arm1,
+           {dround('b.p10 - a.p10', 6)} AS qte_p10,
+           a.p50 AS p50_arm0, b.p50 AS p50_arm1,
+           {dround('b.p50 - a.p50', 6)} AS qte_p50,
+           a.p90 AS p90_arm0, b.p90 AS p90_arm1,
+           {dround('b.p90 - a.p90', 6)} AS qte_p90
+    FROM (SELECT * FROM q WHERE arm = 0) a
+    CROSS JOIN (SELECT * FROM q WHERE arm = 1) b
+    """,
+)
+def ext_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects between the hash-assigned arms:
+    exact p10/p50/p90 of order value per arm and their differences —
+    the distributional readout that mean-based tests miss entirely
+    (a treatment can move the tail without moving the mean;
+    ext_ab_ztest sees nothing, QTE does).
+
+    Determinism: the same deterministic arm hash as ext_ab_srm_check;
+    quantiles assemble from exact order statistics with integer
+    rank-space interpolation (the ext_dow_quantile_bands discipline,
+    including the top-edge pad row).
+
+    Scale shape: values quantize to dollars; per-arm rank windows run
+    over the corpus ONCE (at 100 TB swap for the value-grid cumsum
+    pick used by ext_conformal_interval — kept exact-rank here because
+    the window also serves the pad). Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    from .llm_ops import _spark_md5_32
+
+    o = load(spark, sf_dir, "orders")
+    arm = (
+        _spark_md5_32(F.concat(F.lit("srm:"), F.col("o_custkey").cast("string")))
+        % 2
+    )
+    arms = o.select(
+        arm.alias("arm"),
+        F.floor(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint") / 100.0
+        )
+        .cast("bigint")
+        .alias("v"),
+    )
+    w = Window.partitionBy("arm").orderBy("v")
+    ranked = arms.select(
+        "arm",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("arm")).alias("n"),
+    )
+    pad = ranked.unionByName(
+        ranked.filter(F.col("rk") == F.col("n")).select(
+            "arm", "v", (F.col("rk") + 1).alias("rk"), "n"
+        )
+    )
+
+    def band(p):
+        lo_rk = 1 + F.floor((F.col("n") - 1) * p / 100)
+        v_lo = F.max(F.when(F.col("rk") == lo_rk, F.col("v")))
+        v_hi = F.max(F.when(F.col("rk") == lo_rk + 1, F.col("v")))
+        frac = ((F.max("n") - 1) * p) % 100
+        return F.round(((100 - frac) * v_lo + frac * v_hi) / 100.0, 6)
+
+    q = pad.groupBy("arm").agg(
+        F.first("n").cast("bigint").alias("n_orders"),
+        band(10).alias("p10"),
+        band(50).alias("p50"),
+        band(90).alias("p90"),
+    )
+    a = q.filter(F.col("arm") == 0).select(
+        F.col("n_orders").alias("n_arm0"),
+        F.col("p10").alias("p10_arm0"),
+        F.col("p50").alias("p50_arm0"),
+        F.col("p90").alias("p90_arm0"),
+    )
+    b = q.filter(F.col("arm") == 1).select(
+        F.col("n_orders").alias("n_arm1"),
+        F.col("p10").alias("p10_arm1"),
+        F.col("p50").alias("p50_arm1"),
+        F.col("p90").alias("p90_arm1"),
+    )
+    return a.crossJoin(b).select(
+        "n_arm0",
+        "n_arm1",
+        "p10_arm0",
+        "p10_arm1",
+        F.round(F.col("p10_arm1") - F.col("p10_arm0"), 6).alias("qte_p10"),
+        "p50_arm0",
+        "p50_arm1",
+        F.round(F.col("p50_arm1") - F.col("p50_arm0"), 6).alias("qte_p50"),
+        "p90_arm0",
+        "p90_arm1",
+        F.round(F.col("p90_arm1") - F.col("p90_arm0"), 6).alias("qte_p90"),
+    )
+
+
+_ORACLE["ext_qte"] = _ORACLE["ext_qte"].replace(
+    "{h}", _md5sql("'srm:' || CAST(o_custkey AS VARCHAR)")
+)
+
+
+# ---------------------------------------------------------------------------
+# ext_rdd_screen — regression-discontinuity screen at a value cutoff
+# ---------------------------------------------------------------------------
+
+RDD_CUTOFF_DOLLARS = 150_000
+RDD_BANDWIDTH = 15_000  # dollars each side
+
+
+@register(
+    "ext_rdd_screen",
+    f"""
+    WITH w AS (
+        SELECT CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0)
+                    AS BIGINT) AS v,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS hi
+        FROM orders
+        WHERE CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0)
+                   AS BIGINT)
+              BETWEEN {RDD_CUTOFF_DOLLARS - RDD_BANDWIDTH}
+                  AND {RDD_CUTOFF_DOLLARS + RDD_BANDWIDTH - 1}
+    ), sides AS (
+        SELECT CASE WHEN v >= {RDD_CUTOFF_DOLLARS} THEN 1 ELSE 0 END AS above,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(hi) AS BIGINT) AS n_hi
+        FROM w GROUP BY 1
+    )
+    SELECT a.n AS n_below, b.n AS n_above,
+           {dround('a.n_hi * 1.0 / a.n', 6)} AS high_priority_share_below,
+           {dround('b.n_hi * 1.0 / b.n', 6)} AS high_priority_share_above,
+           {dround('b.n_hi * 1.0 / b.n - a.n_hi * 1.0 / a.n', 6)}
+               AS discontinuity,
+           CAST(CASE WHEN (a.n - b.n) * (a.n - b.n) * 10000
+                          > {_SRM_CHI2_X1E4} * (a.n + b.n)
+                     THEN 1 ELSE 0 END AS INTEGER) AS density_jump_flag
+    FROM (SELECT * FROM sides WHERE above = 0) a
+    CROSS JOIN (SELECT * FROM sides WHERE above = 1) b
+    """,
+)
+def ext_rdd_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-discontinuity screen at the {RDD_CUTOFF_DOLLARS}-
+    dollar order-value cutoff: within a +/-{RDD_BANDWIDTH}-dollar
+    bandwidth, does the high-priority share JUMP across the threshold
+    (the local treatment effect), and does the running variable's
+    density jump too (the McCrary manipulation check, via the SRM
+    chi-square on side counts)? The threshold-based causal design
+    completing DiD (ext_promo_effect_did) and randomized arms
+    (ext_metric_cuped).
+
+    Determinism: dollar quantization, exact integer counts, ratios of
+    identical integers, and the density verdict by integer
+    cross-multiplication.
+
+    Scale shape: the bandwidth filter pushes to the scan; ONE two-cell
+    conditional aggregate. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    v = F.floor(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint") / 100.0
+    ).cast("bigint")
+    w = o.select(
+        v.alias("v"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("hi"),
+    ).filter(
+        (F.col("v") >= RDD_CUTOFF_DOLLARS - RDD_BANDWIDTH)
+        & (F.col("v") <= RDD_CUTOFF_DOLLARS + RDD_BANDWIDTH - 1)
+    )
+    sides = w.groupBy(
+        F.when(F.col("v") >= RDD_CUTOFF_DOLLARS, 1).otherwise(0).alias("above")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("hi").cast("bigint").alias("n_hi"),
+    )
+    a = sides.filter(F.col("above") == 0).select(
+        F.col("n").alias("n_below"), F.col("n_hi").alias("h_below")
+    )
+    b = sides.filter(F.col("above") == 1).select(
+        F.col("n").alias("n_above"), F.col("n_hi").alias("h_above")
+    )
+    sb = F.col("h_below") * 1.0 / F.col("n_below")
+    sa = F.col("h_above") * 1.0 / F.col("n_above")
+    dd = F.col("n_below") - F.col("n_above")
+    tt = F.col("n_below") + F.col("n_above")
+    return a.crossJoin(b).select(
+        "n_below",
+        "n_above",
+        F.round(sb, 6).alias("high_priority_share_below"),
+        F.round(sa, 6).alias("high_priority_share_above"),
+        F.round(sa - sb, 6).alias("discontinuity"),
+        F.when(dd * dd * 10000 > _SRM_CHI2_X1E4 * tt, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("density_jump_flag"),
+    )
+
+
+ext_rdd_screen.__doc__ = ext_rdd_screen.__doc__.replace(
+    "{RDD_CUTOFF_DOLLARS}", str(RDD_CUTOFF_DOLLARS)
+).replace("{RDD_BANDWIDTH}", str(RDD_BANDWIDTH))
