@@ -274,6 +274,9 @@ HEADLINE = [
     "ext_grid_density_clusters",
     "ext_kendall_tau",
     "ext_wilcoxon_signed_rank",
+    "ext_permutation_test",
+    "ext_qte",
+    "ext_rdd_screen",
 ]
 
 
