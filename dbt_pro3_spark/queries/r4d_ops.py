@@ -8072,3 +8072,328 @@ def ext_rdd_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_rdd_screen.__doc__ = ext_rdd_screen.__doc__.replace(
     "{RDD_CUTOFF_DOLLARS}", str(RDD_CUTOFF_DOLLARS)
 ).replace("{RDD_BANDWIDTH}", str(RDD_BANDWIDTH))
+
+
+# ---------------------------------------------------------------------------
+# ext_burrows_delta — stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+BD_TOP_WORDS = 20
+BD_TOPN = 15
+
+
+@register(
+    "ext_burrows_delta",
+    f"""
+    WITH tf AS MATERIALIZED (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source,
+                     unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                         AS token
+              FROM documents) GROUP BY source, token
+    ), topw AS MATERIALIZED (
+        SELECT token FROM (
+            SELECT token, SUM(c) AS tc FROM tf GROUP BY token
+            ORDER BY tc DESC, token LIMIT {BD_TOP_WORDS}
+        )
+    ), st AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM tf GROUP BY source
+    ), f AS MATERIALIZED (
+        SELECT s.source, w.token,
+               CAST(ROUND(COALESCE(x.c, 0) * 1000.0 * 1000000.0 / s.t)
+                    AS BIGINT) AS fu
+        FROM st s CROSS JOIN topw w
+        LEFT JOIN tf x ON x.source = s.source AND x.token = w.token
+    ), wstat AS MATERIALIZED (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(fu) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(fu AS HUGEINT) * fu) AS HUGEINT) AS q
+        FROM f GROUP BY token
+    ), z AS MATERIALIZED (
+        SELECT f.source, f.token,
+               CAST(ROUND(
+                   (w.n * f.fu - CAST(w.sx AS BIGINT)) * 1.0
+                   / sqrt(CAST(CAST((w.n * w.q - w.sx * w.sx) * w.n
+                                    / (w.n - 1) AS VARCHAR) AS DOUBLE))
+                   * 1000000000.0) AS BIGINT) AS zu
+        FROM f JOIN wstat w ON w.token = f.token
+        WHERE w.n * w.q - w.sx * w.sx > 0
+    ), pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(SUM(ABS(a.zu - b.zu)) AS BIGINT) AS su,
+               CAST(COUNT(*) AS BIGINT) AS nw
+        FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           {dround('su * 1.0 / nw / 1000000000.0', 6)} AS delta
+    FROM pairs
+    ORDER BY {dround('su * 1.0 / nw / 1000000000.0', 6)}, source_a, source_b
+    LIMIT {BD_TOPN}
+    """,
+)
+def ext_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometry between sources: the {BD_TOP_WORDS}
+    most frequent corpus words become style markers, each source's
+    per-mille usage z-scores against the cross-source distribution,
+    and Delta(a,b) = mean |z_a - z_b| — the authorship-attribution /
+    template-provenance measure (two 'different' crawls with nearly
+    identical function-word profiles are probably one pipeline),
+    reported as the {BD_TOPN} most stylistically similar pairs.
+
+    Determinism: per-mille frequencies snap to integer micro-units;
+    word means/variances are exact 128-bit integers; each z snaps to
+    1e-9 units (string-path sqrt input); Delta sums exact integers.
+    Zero-variance markers are excluded on both engines.
+
+    Scale shape: one (source, token) count (the only corpus shuffle),
+    a {BD_TOP_WORDS}-row marker table, and sources x markers grid
+    algebra; the pair join is sources^2 x markers. Cited parity
+    anchor: /root/reference/models (beyond-reference surface)."""
+    from ..ext import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(tx.tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # top words + totals + freq grid
+    )
+    topw = (
+        tf.groupBy("token")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), "token")
+        .limit(BD_TOP_WORDS)
+        .select("token")
+    )
+    st = tf.groupBy("source").agg(F.sum("c").cast("bigint").alias("t"))
+    f = (
+        st.crossJoin(F.broadcast(topw))
+        .join(tf, ["source", "token"], "left")
+        .select(
+            "source",
+            "token",
+            F.round(F.coalesce("c", F.lit(0)) * 1000.0 * 1e6 / F.col("t"), 0)
+            .cast("bigint")
+            .alias("fu"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    wstat = f.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("fu"))).alias("sx"),
+        F.sum(dec(F.col("fu")) * F.col("fu")).alias("q"),
+    )
+    var_num = F.col("n") * F.col("q") - F.col("sx") * F.col("sx")
+    z = (
+        f.join(F.broadcast(wstat), "token")
+        .filter(var_num > 0)
+        .select(
+            "source",
+            "token",
+            F.round(
+                (F.col("n") * F.col("fu") - F.col("sx").cast("bigint")) * 1.0
+                / F.sqrt(
+                    (var_num * F.col("n") / (F.col("n") - 1)).cast("double")
+                )
+                * 1e9,
+                0,
+            )
+            .cast("bigint")
+            .alias("zu"),
+        )
+    )
+    a = z.select(F.col("source").alias("source_a"), "token", F.col("zu").alias("za"))
+    b = z.select(F.col("source").alias("source_b"), "token", F.col("zu").alias("zb"))
+    pairs = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.abs(F.col("za") - F.col("zb"))).cast("bigint").alias("su"),
+            F.count(F.lit(1)).cast("bigint").alias("nw"),
+        )
+    )
+    delta = F.round(F.col("su") * 1.0 / F.col("nw") / 1e9, 6)
+    return (
+        pairs.select("source_a", "source_b", delta.alias("delta"))
+        .orderBy("delta", "source_a", "source_b")
+        .limit(BD_TOPN)
+    )
+
+
+ext_burrows_delta.__doc__ = ext_burrows_delta.__doc__.replace(
+    "{BD_TOP_WORDS}", str(BD_TOP_WORDS)
+).replace("{BD_TOPN}", str(BD_TOPN))
+
+
+# ---------------------------------------------------------------------------
+# ext_shift_share — regional growth decomposition (shift-share analysis)
+# ---------------------------------------------------------------------------
+
+SS_Y1 = 1996
+SS_Y2 = 1997
+
+
+@register(
+    "ext_shift_share",
+    f"""
+    WITH cell AS MATERIALIZED (
+        SELECT n.n_name AS nation, p.p_brand AS brand,
+               CAST(SUM(CASE WHEN EXTRACT(year FROM l.l_shipdate) = {SS_Y1}
+                             THEN CAST(ROUND(l.l_extendedprice
+                                             * (1 - l.l_discount) * 100)
+                                  AS BIGINT) ELSE 0 END) AS BIGINT) AS r1,
+               CAST(SUM(CASE WHEN EXTRACT(year FROM l.l_shipdate) = {SS_Y2}
+                             THEN CAST(ROUND(l.l_extendedprice
+                                             * (1 - l.l_discount) * 100)
+                                  AS BIGINT) ELSE 0 END) AS BIGINT) AS r2
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE EXTRACT(year FROM l.l_shipdate) IN ({SS_Y1}, {SS_Y2})
+        GROUP BY 1, 2
+    ), ind AS MATERIALIZED (
+        SELECT brand, CAST(SUM(r1) AS BIGINT) AS b1,
+               CAST(SUM(r2) AS BIGINT) AS b2
+        FROM cell GROUP BY brand
+    ), tot AS (
+        SELECT CAST(SUM(b1) AS BIGINT) AS t1, CAST(SUM(b2) AS BIGINT) AS t2
+        FROM ind
+    ), terms AS MATERIALIZED (
+        SELECT c.nation,
+               c.r2 - c.r1 AS actual,
+               CAST(ROUND(c.r1 * ((t.t2 - t.t1) * 1.0 / t.t1) * 1000.0)
+                    AS BIGINT) AS ns_mu,
+               CAST(ROUND(c.r1 * ((i.b2 - i.b1) * 1.0 / i.b1
+                                  - (t.t2 - t.t1) * 1.0 / t.t1) * 1000.0)
+                    AS BIGINT) AS im_mu,
+               CASE WHEN c.r1 > 0
+                    THEN CAST(ROUND(c.r1 * ((c.r2 - c.r1) * 1.0 / c.r1
+                                            - (i.b2 - i.b1) * 1.0 / i.b1)
+                                    * 1000.0) AS BIGINT)
+                    ELSE (c.r2 - c.r1) * 1000
+                         - CAST(ROUND(c.r1 * ((i.b2 - i.b1) * 1.0 / i.b1)
+                                      * 1000.0) AS BIGINT) END AS cs_mu
+        FROM cell c
+        JOIN ind i ON i.brand = c.brand
+        CROSS JOIN tot t
+    )
+    SELECT nation,
+           CAST(SUM(actual) AS BIGINT) AS actual_change_cents,
+           {dround('SUM(ns_mu) / 1000.0 / 100.0', 6)} AS national_effect_dollars,
+           {dround('SUM(im_mu) / 1000.0 / 100.0', 6)} AS industry_mix_dollars,
+           {dround('SUM(cs_mu) / 1000.0 / 100.0', 6)} AS competitive_dollars
+    FROM terms GROUP BY nation ORDER BY nation
+    """,
+)
+def ext_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-share decomposition of each nation's {SS_Y1}->{SS_Y2}
+    revenue change: national effect (what growing with the whole
+    market would give), industry mix (being in fast/slow brands), and
+    competitive shift (out/under-performing within each brand) — the
+    regional-economics decomposition that explains WHY a geography
+    grew, completing the growth-accounting family
+    (ext_price_volume_mix decomposes price x volume; this decomposes
+    geography x industry).
+
+    Determinism: every (nation, brand) term multiplies exact integer
+    cents by rate differences of identical integer ratios and snaps to
+    MILLI-cent units per cell before the nation rollup; zero-base
+    cells route the entire change into the competitive term
+    (documented rule, both engines).
+
+    Scale shape: the two-year filter pushes to the scan; one
+    (nation, brand) conditional aggregate behind broadcast dims
+    (<= 625 cells); all decomposition algebra on that grid. Cited
+    parity anchor: /root/reference/models (beyond-reference
+    surface)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pt = load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    yr = F.year("l_shipdate")
+    cell = (
+        li.filter(yr.isin(SS_Y1, SS_Y2))
+        .select("l_orderkey", "l_partkey", yr.alias("yr"), cents.alias("cents"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("n_name").alias("nation"), "brand")
+        .agg(
+            F.sum(F.when(F.col("yr") == SS_Y1, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("r1"),
+            F.sum(F.when(F.col("yr") == SS_Y2, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("r2"),
+        )
+        .localCheckpoint(eager=False)  # industry rollup + the term grid
+    )
+    ind = cell.groupBy("brand").agg(
+        F.sum("r1").cast("bigint").alias("b1"),
+        F.sum("r2").cast("bigint").alias("b2"),
+    )
+    tot = ind.agg(
+        F.sum("b1").cast("bigint").alias("t1"),
+        F.sum("b2").cast("bigint").alias("t2"),
+    )
+    g_tot = (F.col("t2") - F.col("t1")) * 1.0 / F.col("t1")
+    g_ind = (F.col("b2") - F.col("b1")) * 1.0 / F.col("b1")
+    g_cell = (F.col("r2") - F.col("r1")) * 1.0 / F.col("r1")
+    terms = (
+        cell.join(F.broadcast(ind), "brand")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            (F.col("r2") - F.col("r1")).alias("actual"),
+            F.round(F.col("r1") * g_tot * 1000.0, 0)
+            .cast("bigint")
+            .alias("ns_mu"),
+            F.round(F.col("r1") * (g_ind - g_tot) * 1000.0, 0)
+            .cast("bigint")
+            .alias("im_mu"),
+            F.when(
+                F.col("r1") > 0,
+                F.round(F.col("r1") * (g_cell - g_ind) * 1000.0, 0).cast(
+                    "bigint"
+                ),
+            )
+            .otherwise(
+                (F.col("r2") - F.col("r1")) * 1000
+                - F.round(F.col("r1") * g_ind * 1000.0, 0).cast("bigint")
+            )
+            .alias("cs_mu"),
+        )
+    )
+    return (
+        terms.groupBy("nation")
+        .agg(
+            F.sum("actual").cast("bigint").alias("actual_change_cents"),
+            F.round(F.sum("ns_mu") / 1000.0 / 100.0, 6).alias(
+                "national_effect_dollars"
+            ),
+            F.round(F.sum("im_mu") / 1000.0 / 100.0, 6).alias(
+                "industry_mix_dollars"
+            ),
+            F.round(F.sum("cs_mu") / 1000.0 / 100.0, 6).alias(
+                "competitive_dollars"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+ext_shift_share.__doc__ = ext_shift_share.__doc__.replace(
+    "{SS_Y1}", str(SS_Y1)
+).replace("{SS_Y2}", str(SS_Y2))
