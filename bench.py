@@ -277,6 +277,8 @@ HEADLINE = [
     "ext_permutation_test",
     "ext_qte",
     "ext_rdd_screen",
+    "ext_burrows_delta",
+    "ext_shift_share",
 ]
 
 
