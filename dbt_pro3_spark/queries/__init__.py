@@ -88,6 +88,7 @@ def _load_all() -> None:
     from . import r4b_ops  # noqa: F401
     from . import r4c_ops  # noqa: F401
     from . import r4d_ops  # noqa: F401
+    from . import r4e_ops  # noqa: F401
     _LOADED = True
 
 
