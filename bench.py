@@ -279,6 +279,9 @@ HEADLINE = [
     "ext_rdd_screen",
     "ext_burrows_delta",
     "ext_shift_share",
+    "ext_cramer_von_mises",
+    "ext_anderson_darling_2s",
+    "ext_mood_median",
 ]
 
 
