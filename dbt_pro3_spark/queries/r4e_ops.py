@@ -354,3 +354,329 @@ def ext_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             (chi2 > MOOD_CRIT).alias("significant"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch AD — cluster-validity indices on the embeddings' label clusters
+# ---------------------------------------------------------------------------
+
+CV_SCALE = 1_000_000  # micro-unit quantization of float32 components
+
+# Tidy quantized points (vec_id, label, dim, q) — shared by both oracles.
+_CV_PTS_SQL = f"""pts AS MATERIALIZED (
+        SELECT vec_id, label, CAST(pos - 1 AS INTEGER) AS dim,
+               CAST(FLOOR(x * {CV_SCALE}) AS BIGINT) AS q
+        FROM (
+            SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        )
+    ),
+    cent AS MATERIALIZED (
+        SELECT label AS lc, dim, CAST(SUM(q) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts GROUP BY label, dim
+    )"""
+
+
+def _spark_cv_pts(spark: SparkSession, sf_dir: str):
+    """(pts, cent): micro-quantized tidy embedding points and the per-label
+    per-dim component sums. One narrow posexplode (no shuffle) plus one
+    (label, dim) aggregate — 640 centroid cells at any corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("x") * CV_SCALE).cast("bigint").alias("q"),
+    )
+    cent = pts.groupBy(F.col("label").alias("lc"), "dim").agg(
+        F.sum("q").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return pts, cent
+
+
+@register(
+    "ext_cluster_silhouette",
+    f"""
+    WITH {_CV_PTS_SQL},
+    d2 AS (
+        SELECT p.vec_id, p.label, c.lc,
+               CAST(SUM(CAST(ROUND((CAST(p.q AS DOUBLE) - CAST(c.s AS DOUBLE) / c.n)
+                                   * (CAST(p.q AS DOUBLE) - CAST(c.s AS DOUBLE) / c.n)
+                                   * 1000.0) AS BIGINT)) AS BIGINT) AS s2
+        FROM pts p JOIN cent c USING (dim)
+        GROUP BY p.vec_id, p.label, c.lc
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               MIN(CASE WHEN lc = label THEN SQRT(s2 / 1000.0) / {CV_SCALE} END) AS a,
+               MIN(CASE WHEN lc <> label THEN SQRT(s2 / 1000.0) / {CV_SCALE} END) AS b
+        FROM d2 GROUP BY vec_id, label
+    ),
+    si AS (
+        SELECT label,
+               CAST(ROUND(CASE WHEN GREATEST(a, b) > 0
+                               THEN (b - a) / GREATEST(a, b) ELSE 0 END
+                          * 1000000000.0) AS BIGINT) AS nano
+        FROM ab
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points,
+           {dround('CAST(SUM(nano) AS DOUBLE) / 1000000000.0 / COUNT(*)', 6)} AS mean_silhouette
+    FROM si GROUP BY label ORDER BY label
+    """,
+)
+def ext_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label cluster: for each
+    embedding, a = distance to its own label centroid, b = distance to
+    the nearest other centroid, s = (b - a) / max(a, b) — the O(n*k)
+    cluster-cohesion score that replaces the O(n^2) exact silhouette at
+    corpus scale (the standard large-data variant).
+
+    Determinism: components are FLOOR-quantized to integer micro-units;
+    each squared centroid deviation is frozen to integer milli-units
+    before the per-point sum; per-point silhouettes freeze to integer
+    nano-units before the per-cluster mean, so no float sum ever
+    depends on partition order.
+
+    Scale shape: one narrow posexplode, a 640-cell centroid aggregate
+    broadcast back, and one (vec_id, candidate-label) aggregate —
+    n*k*64 flat rows, no pair joins. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    pts, cent = _spark_cv_pts(spark, sf_dir)
+    mu = F.col("s").cast("double") / F.col("n")
+    diff = F.col("q").cast("double") - mu
+    d2 = (
+        pts.join(F.broadcast(cent), "dim")
+        .select(
+            "vec_id",
+            "label",
+            "lc",
+            F.round(diff * diff * 1000.0, 0).cast("bigint").alias("m"),
+        )
+        .groupBy("vec_id", "label", "lc")
+        .agg(F.sum("m").cast("bigint").alias("s2"))
+    )
+    u = F.sqrt(F.col("s2") / 1000.0) / CV_SCALE
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("lc") == F.col("label"), u)).alias("a"),
+        F.min(F.when(F.col("lc") != F.col("label"), u)).alias("b"),
+    )
+    s_i = F.when(
+        F.greatest(F.col("a"), F.col("b")) > 0,
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")),
+    ).otherwise(F.lit(0.0))
+    return (
+        ab.select(
+            "label",
+            F.round(s_i * 1000000000.0, 0).cast("bigint").alias("nano"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(
+                F.sum("nano").cast("double") / 1000000000.0 / F.count(F.lit(1)),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "ext_cluster_validity",
+    f"""
+    WITH {_CV_PTS_SQL},
+    gcent AS (
+        SELECT dim, CAST(SUM(q) AS BIGINT) AS sg, CAST(COUNT(*) AS BIGINT) AS ng
+        FROM pts GROUP BY dim
+    ),
+    own AS MATERIALIZED (
+        SELECT p.vec_id, p.label,
+               CAST(SUM(CAST(ROUND((CAST(p.q AS DOUBLE) - CAST(c.s AS DOUBLE) / c.n)
+                                   * (CAST(p.q AS DOUBLE) - CAST(c.s AS DOUBLE) / c.n)
+                                   * 1000.0) AS BIGINT)) AS BIGINT) AS s2
+        FROM pts p JOIN cent c ON c.lc = p.label AND c.dim = p.dim
+        GROUP BY p.vec_id, p.label
+    ),
+    w AS (
+        SELECT CAST(SUM(CAST(s2 AS HUGEINT)) AS HUGEINT) AS wsum,
+               CAST(COUNT(*) AS BIGINT) AS npts
+        FROM own
+    ),
+    b AS (
+        SELECT CAST(SUM(CAST(nc AS HUGEINT) * b2) AS HUGEINT) AS bsum,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM (
+            SELECT c.lc, MIN(c.n) AS nc,
+                   CAST(SUM(CAST(ROUND((CAST(c.s AS DOUBLE) / c.n - CAST(g.sg AS DOUBLE) / g.ng)
+                                       * (CAST(c.s AS DOUBLE) / c.n - CAST(g.sg AS DOUBLE) / g.ng)
+                                       * 1000.0) AS BIGINT)) AS BIGINT) AS b2
+            FROM cent c JOIN gcent g USING (dim)
+            GROUP BY c.lc
+        )
+    ),
+    sc AS MATERIALIZED (
+        SELECT o.label, CAST(SUM(CAST(ROUND(SQRT(o.s2 / 1000.0)) AS BIGINT)) AS BIGINT) AS smic,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM own o GROUP BY o.label
+    ),
+    mdist AS (
+        SELECT a.lc AS la, bb.lc AS lb,
+               SQRT(SUM(CAST(ROUND((CAST(a.s AS DOUBLE) / a.n - CAST(bb.s AS DOUBLE) / bb.n)
+                                   * (CAST(a.s AS DOUBLE) / a.n - CAST(bb.s AS DOUBLE) / bb.n)
+                                   * 1000.0) AS BIGINT)) / 1000.0) AS m
+        FROM cent a JOIN cent bb USING (dim)
+        WHERE a.lc <> bb.lc
+        GROUP BY a.lc, bb.lc
+    ),
+    rmax AS (
+        SELECT m.la,
+               CAST(ROUND(MAX((CAST(s1.smic AS DOUBLE) / s1.n + CAST(s2.smic AS DOUBLE) / s2.n) / m.m)
+                          * 1000000000.0) AS BIGINT) AS rnano
+        FROM mdist m
+        JOIN sc s1 ON s1.label = m.la
+        JOIN sc s2 ON s2.label = m.lb
+        WHERE m.m > 0
+        GROUP BY m.la
+    )
+    SELECT b.k, w.npts AS n_points,
+           {dround(f"({_vd('b.bsum')} / (b.k - 1)) / ({_vd('w.wsum')} / (w.npts - b.k))", 6)} AS ch_index,
+           {dround('(SELECT CAST(SUM(rnano) AS DOUBLE) FROM rmax) / 1000000000.0 / b.k', 6)} AS db_index
+    FROM w CROSS JOIN b
+    """,
+)
+def ext_cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz and Davies-Bouldin cluster-validity indices for
+    the embeddings' label partition: CH = (B/(k-1)) / (W/(N-k)) from
+    exact between/within squared-deviation sums, DB = mean over
+    clusters of the worst (s_i + s_j) / d(mu_i, mu_j) ratio — the two
+    standard internal quality scores for a clustering, both centroid-
+    based and therefore O(n*k) at corpus scale.
+
+    Determinism: every squared deviation freezes to integer milli-units
+    before summing (W and B accumulate in 128-bit); per-point distances
+    for the DB scatter terms round to integer q-units before the
+    cluster mean; the k max-ratios freeze to nano-units before the
+    final mean. HUGEINT totals route to double via VARCHAR.
+
+    Scale shape: the same narrow posexplode + 640-cell centroid
+    aggregate as ext_cluster_silhouette; the only per-point work is the
+    own-centroid deviation pass, and all index algebra runs on k x k
+    grids. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    pts, cent = _spark_cv_pts(spark, sf_dir)
+    gcent = pts.groupBy("dim").agg(
+        F.sum("q").cast("bigint").alias("sg"),
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    diff_own = F.col("q").cast("double") - mu
+    own = (
+        pts.join(
+            F.broadcast(cent),
+            (F.col("lc") == F.col("label")) & (cent["dim"] == pts["dim"]),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round(diff_own * diff_own * 1000.0, 0).cast("bigint").alias("m"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("m").cast("bigint").alias("s2"))
+        .localCheckpoint(eager=False)
+    )
+    w = own.agg(
+        F.sum(_dec(F.col("s2"))).cast("decimal(38,0)").alias("wsum"),
+        F.count(F.lit(1)).cast("bigint").alias("npts"),
+    )
+    mug = F.col("sg").cast("double") / F.col("ng")
+    diff_b = mu - mug
+    b = (
+        cent.join(F.broadcast(gcent), "dim")
+        .select(
+            "lc",
+            "n",
+            F.round(diff_b * diff_b * 1000.0, 0).cast("bigint").alias("m"),
+        )
+        .groupBy("lc")
+        .agg(
+            F.min("n").alias("nc"),
+            F.sum("m").cast("bigint").alias("b2"),
+        )
+        .agg(
+            F.sum(_dec(F.col("nc")) * F.col("b2"))
+            .cast("decimal(38,0)")
+            .alias("bsum"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+    )
+    sc = own.groupBy("label").agg(
+        F.sum(F.round(F.sqrt(F.col("s2") / 1000.0), 0).cast("bigint"))
+        .cast("bigint")
+        .alias("smic"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    ca = cent.select(
+        F.col("lc").alias("la"), F.col("dim").alias("d"), mu.alias("mua")
+    )
+    cb = cent.select(
+        F.col("lc").alias("lb"), F.col("dim").alias("db_"), mu.alias("mub")
+    )
+    dmu = F.col("mua") - F.col("mub")
+    mdist = (
+        ca.join(F.broadcast(cb), (F.col("d") == F.col("db_")))
+        .filter(F.col("la") != F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            F.round(dmu * dmu * 1000.0, 0).cast("bigint").alias("m"),
+        )
+        .groupBy("la", "lb")
+        .agg(F.sqrt(F.sum("m") / 1000.0).alias("m"))
+    )
+    s1 = sc.select(
+        F.col("label").alias("la"),
+        (F.col("smic").cast("double") / F.col("n")).alias("sa"),
+    )
+    s2_ = sc.select(
+        F.col("label").alias("lb"),
+        (F.col("smic").cast("double") / F.col("n")).alias("sb"),
+    )
+    rmax = (
+        mdist.filter(F.col("m") > 0)
+        .join(F.broadcast(s1), "la")
+        .join(F.broadcast(s2_), "lb")
+        .groupBy("la")
+        .agg(
+            F.round(
+                F.max((F.col("sa") + F.col("sb")) / F.col("m")) * 1000000000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("rnano")
+        )
+        .agg(F.sum("rnano").cast("double").alias("rsum"))
+    )
+    ch = (F.col("bsum").cast("double") / (F.col("k") - 1)) / (
+        F.col("wsum").cast("double") / (F.col("npts") - F.col("k"))
+    )
+    return (
+        w.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(rmax))
+        .select(
+            "k",
+            F.col("npts").alias("n_points"),
+            F.round(ch, 6).alias("ch_index"),
+            F.round(
+                F.col("rsum") / 1000000000.0 / F.col("k"), 6
+            ).alias("db_index"),
+        )
+    )
