@@ -282,6 +282,8 @@ HEADLINE = [
     "ext_cramer_von_mises",
     "ext_anderson_darling_2s",
     "ext_mood_median",
+    "ext_cluster_silhouette",
+    "ext_cluster_validity",
 ]
 
 
