@@ -680,3 +680,292 @@ def ext_cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("db_index"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch AE — LLM training-data ops: watermark screen, char entropy,
+# aspect-ratio bucketing
+# ---------------------------------------------------------------------------
+
+from math import lcm as _lcm
+
+from .llm_ops import _md5_32, _spark_md5_32
+
+WM_GREEN_MOD = 4  # green list = 1/4 of the token space
+WM_Z_FLAG = 4.0  # flag docs whose green fraction is > 4 sigma high
+
+
+@register(
+    "ext_text_greenlist_score",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(toks,
+                    tk -> CASE WHEN {_md5_32("'wm:' || tk")} % {WM_GREEN_MOD} = 0
+                               THEN 1 ELSE 0 END)) AS BIGINT) AS n_green
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_tokens, n_green,
+           {dround(f'(CAST(n_green AS DOUBLE) - 0.25 * n_tokens) / SQRT(0.1875 * n_tokens)', 6)} AS z_score,
+           CAST((CAST(n_green AS DOUBLE) - 0.25 * n_tokens) / SQRT(0.1875 * n_tokens) > {WM_Z_FLAG} AS BOOLEAN) AS flagged
+    FROM c
+    """,
+)
+def ext_text_greenlist_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-watermark screen (Kirchenbauer-style green-list detector): hash
+    every token into a fixed 1/{WM_GREEN_MOD} "green" partition of the
+    token space and z-score each document's green fraction against the
+    null binomial(n, 1/{WM_GREEN_MOD}) — watermarked model output shows
+    a systematic green excess, and training corpora should be screened
+    for it before ingestion.
+
+    Determinism: token membership is the shared md5-slice hash (bit-
+    identical integers both engines); z = (g - 0.25n) / sqrt(0.1875n)
+    uses only exactly-representable constants (1/4, 3/16), an exact
+    int-to-double numerator, and one correctly-rounded sqrt.
+
+    Scale shape: pure per-row expression work — the green count folds
+    inside a higher-order aggregate over the token array (no explode,
+    no shuffle, no UDF). Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    green = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, tk: acc
+        + F.when(
+            _spark_md5_32(F.concat(F.lit("wm:"), tk)) % WM_GREEN_MOD == 0, 1
+        ).otherwise(0),
+    )
+    c = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        green.alias("n_green"),
+    ).filter(F.col("n_tokens") > 0)
+    z = (F.col("n_green").cast("double") - 0.25 * F.col("n_tokens")) / F.sqrt(
+        0.1875 * F.col("n_tokens")
+    )
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "n_green",
+        F.round(z, 6).alias("z_score"),
+        (z > WM_Z_FLAG).alias("flagged"),
+    )
+
+
+CE_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+CE_LOW_NATS = 2.5  # repetitive/spam screen threshold
+
+
+def _ce_duck_cnt(ch: str) -> str:
+    lit = "' '" if ch == " " else f"'{ch}'"
+    return f"(length(lt) - length(replace(lt, {lit}, '')))"
+
+
+@register(
+    "ext_text_char_entropy",
+    f"""
+    WITH c AS (
+        SELECT doc_id, length(text) AS n_chars, lower(text) AS lt
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, n_chars,
+               {' + '.join(f'CAST({_ce_duck_cnt(ch)} AS BIGINT)' for ch in CE_ALPHABET)} AS t,
+               {', '.join(f'CAST({_ce_duck_cnt(ch)} AS BIGINT) AS c{i}' for i, ch in enumerate(CE_ALPHABET))}
+        FROM c
+    ),
+    e AS (
+        SELECT doc_id, n_chars, t,
+               {' + '.join(f"(CASE WHEN c{i} > 0 THEN CAST(ROUND(-(CAST(c{i} AS DOUBLE) / t) * LN(CAST(c{i} AS DOUBLE) / t) * 1000000000.0) AS BIGINT) ELSE 0 END)" for i in range(len(CE_ALPHABET)))} AS nano
+        FROM k WHERE t > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, t AS n_alpha,
+           {dround('CAST(nano AS DOUBLE) / 1000000000.0', 6)} AS entropy_nats,
+           {dround('CAST(t AS DOUBLE) / n_chars', 6)} AS alpha_ratio,
+           CAST(CAST(nano AS DOUBLE) / 1000000000.0 < {CE_LOW_NATS} AS BOOLEAN) AS low_entropy
+    FROM e
+    """,
+)
+def ext_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per document over a fixed 37-symbol
+    alphabet (a-z, 0-9, space) — the classic cheap spam/boilerplate
+    screen (CCNet-family quality signal): low entropy means repeated
+    characters or template junk; alpha_ratio is the share of the text
+    the alphabet covers.
+
+    Determinism: symbol counts come from exact length-difference
+    arithmetic (no explode); each -p*ln(p) term is an ln of a ratio of
+    identical integers, frozen to integer nano-units PER TERM before
+    the fixed 37-term integer sum (the ext_drift_psi ln discipline).
+
+    Scale shape: pure per-row column expressions — 37 replace/length
+    pairs, no shuffle, no UDF; cost is linear scan bandwidth at any
+    corpus size. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    docs = load(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    cnts = [
+        (F.length(lt) - F.length(F.replace(lt, F.lit(ch)))).cast("bigint")
+        for ch in CE_ALPHABET
+    ]
+    t = cnts[0]
+    for cc in cnts[1:]:
+        t = t + cc
+    k = docs.select(
+        "doc_id",
+        F.length(F.col("text")).cast("bigint").alias("n_chars"),
+        t.alias("t"),
+        *[cc.alias(f"c{i}") for i, cc in enumerate(cnts)],
+    ).filter(F.col("t") > 0)
+    terms = [
+        F.when(
+            F.col(f"c{i}") > 0,
+            F.round(
+                -(F.col(f"c{i}").cast("double") / F.col("t"))
+                * F.log(F.col(f"c{i}").cast("double") / F.col("t"))
+                * 1000000000.0,
+                0,
+            ).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for i in range(len(CE_ALPHABET))
+    ]
+    nano = terms[0]
+    for tm in terms[1:]:
+        nano = nano + tm
+    ent = nano.cast("double") / 1000000000.0
+    return k.select(
+        "doc_id",
+        "n_chars",
+        F.col("t").alias("n_alpha"),
+        F.round(ent, 6).alias("entropy_nats"),
+        F.round(F.col("t").cast("double") / F.col("n_chars"), 6).alias(
+            "alpha_ratio"
+        ),
+        (ent < CE_LOW_NATS).alias("low_entropy"),
+    )
+
+
+# SDXL-style aspect-ratio ladder: (bucket_id, width, height).
+AB_LADDER = [
+    (0, 1024, 1024),
+    (1, 1152, 896),
+    (2, 896, 1152),
+    (3, 1216, 832),
+    (4, 832, 1216),
+    (5, 1344, 768),
+    (6, 768, 1344),
+]
+AB_K = _lcm(*[bh for _, _, bh in AB_LADDER])  # common height multiple
+AB_BATCH = 32  # images per training batch
+
+
+@register(
+    "ext_mm_aspect_bucket",
+    f"""
+    WITH img AS (
+        SELECT doc_id,
+               256 + ({_md5_32("'w:' || CAST(doc_id AS VARCHAR)")} % 1024) AS w,
+               256 + ({_md5_32("'h:' || CAST(doc_id AS VARCHAR)")} % 1024) AS h
+        FROM documents
+    ),
+    ladder(bucket_id, bw, bh, mult) AS (
+        VALUES {', '.join(f'({b}, {bw}, {bh}, {AB_K // bh})' for b, bw, bh in AB_LADDER)}
+    ),
+    scored AS (
+        SELECT i.doc_id, l.bucket_id, l.bw, l.bh,
+               ABS(i.w * l.bh - l.bw * i.h) * l.mult AS metric
+        FROM img i CROSS JOIN ladder l
+    ),
+    pick AS (
+        SELECT doc_id, bucket_id, bw, bh
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY metric, bucket_id) = 1
+    )
+    SELECT bucket_id, MIN(bw) AS width, MIN(bh) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / {AB_BATCH}) AS BIGINT) AS n_batches
+    FROM pick GROUP BY bucket_id ORDER BY bucket_id
+    """,
+)
+def ext_mm_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for image training batches (the SDXL
+    recipe): every image goes to the ladder resolution whose aspect
+    ratio is nearest, and batches are then drawn within a bucket so no
+    batch mixes shapes. Image geometry here is the deterministic stub
+    (md5-derived width/height 256..1279 — the container has no codecs;
+    a real decoder drops in at ext/multimodal.py), but the bucketing
+    plumbing — ladder broadcast, exact nearest-ratio argmin, per-bucket
+    batch counts — is the production shape.
+
+    Determinism: nearest-ratio selection compares the exact integer
+    |w*bh - bw*h| * (LCM/bh) (cross-multiplied ratio distance times a
+    common height multiple — no float ratios), tie-broken by bucket_id.
+
+    Scale shape: a 7-row ladder broadcast against the corpus (flat
+    7x expansion), a per-image min-struct aggregate, and a 7-group
+    rollup — no shuffle beyond the final tiny aggregate. Cited parity
+    anchor: /root/reference/models (beyond-reference surface)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    img = docs.select(
+        "doc_id",
+        (
+            256
+            + _spark_md5_32(
+                F.concat(F.lit("w:"), F.col("doc_id").cast("string"))
+            )
+            % 1024
+        ).alias("w"),
+        (
+            256
+            + _spark_md5_32(
+                F.concat(F.lit("h:"), F.col("doc_id").cast("string"))
+            )
+            % 1024
+        ).alias("h"),
+    )
+    ladder = spark.createDataFrame(
+        [(b, bw, bh, AB_K // bh) for b, bw, bh in AB_LADDER],
+        "bucket_id int, bw int, bh int, mult int",
+    )
+    scored = img.crossJoin(F.broadcast(ladder)).select(
+        "doc_id",
+        "bucket_id",
+        "bw",
+        "bh",
+        (
+            F.abs(F.col("w") * F.col("bh") - F.col("bw") * F.col("h"))
+            * F.col("mult")
+        ).alias("metric"),
+    )
+    pick = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.min(F.struct("metric", "bucket_id", "bw", "bh")).alias("best")
+        )
+        .select(
+            F.col("best.bucket_id").alias("bucket_id"),
+            F.col("best.bw").alias("bw"),
+            F.col("best.bh").alias("bh"),
+        )
+    )
+    return (
+        pick.groupBy("bucket_id")
+        .agg(
+            F.min("bw").alias("width"),
+            F.min("bh").alias("height"),
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.ceil(F.count(F.lit(1)).cast("double") / AB_BATCH)
+            .cast("bigint")
+            .alias("n_batches"),
+        )
+        .orderBy("bucket_id")
+    )
