@@ -764,34 +764,36 @@ CE_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
 CE_LOW_NATS = 2.5  # repetitive/spam screen threshold
 
 
-def _ce_duck_cnt(ch: str) -> str:
-    lit = "' '" if ch == " " else f"'{ch}'"
-    return f"(length(lt) - length(replace(lt, {lit}, '')))"
+_CE_CHARS = ", ".join(f"'{c}'" for c in CE_ALPHABET).replace("' '", "' '")
 
 
 @register(
     "ext_text_char_entropy",
     f"""
     WITH c AS (
-        SELECT doc_id, length(text) AS n_chars, lower(text) AS lt
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+               lower(text) AS lt
         FROM documents
     ),
-    k AS (
-        SELECT doc_id, n_chars,
-               {' + '.join(f'CAST({_ce_duck_cnt(ch)} AS BIGINT)' for ch in CE_ALPHABET)} AS t,
-               {', '.join(f'CAST({_ce_duck_cnt(ch)} AS BIGINT) AS c{i}' for i, ch in enumerate(CE_ALPHABET))}
-        FROM c
+    x AS (
+        SELECT doc_id, n_chars, unnest(string_split(lt, '')) AS ch FROM c
     ),
-    e AS (
-        SELECT doc_id, n_chars, t,
-               {' + '.join(f"(CASE WHEN c{i} > 0 THEN CAST(ROUND(-(CAST(c{i} AS DOUBLE) / t) * LN(CAST(c{i} AS DOUBLE) / t) * 1000000000.0) AS BIGINT) ELSE 0 END)" for i in range(len(CE_ALPHABET)))} AS nano
-        FROM k WHERE t > 0
+    f AS (
+        SELECT doc_id, n_chars, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM x WHERE ch IN ({_CE_CHARS})
+        GROUP BY doc_id, n_chars, ch
+    ),
+    g AS (
+        SELECT doc_id, n_chars, CAST(SUM(cnt) AS BIGINT) AS t,
+               CAST(SUM(CAST(ROUND(cnt * LN(CAST(cnt AS DOUBLE))
+                                   * 1000000000.0) AS BIGINT)) AS BIGINT) AS s
+        FROM f GROUP BY doc_id, n_chars
     )
-    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, t AS n_alpha,
-           {dround('CAST(nano AS DOUBLE) / 1000000000.0', 6)} AS entropy_nats,
+    SELECT doc_id, n_chars, t AS n_alpha,
+           {dround('(CAST(CAST(ROUND(LN(CAST(t AS DOUBLE)) * 1000000000.0) AS BIGINT) AS DOUBLE) - CAST(s AS DOUBLE) / t) / 1000000000.0', 6)} AS entropy_nats,
            {dround('CAST(t AS DOUBLE) / n_chars', 6)} AS alpha_ratio,
-           CAST(CAST(nano AS DOUBLE) / 1000000000.0 < {CE_LOW_NATS} AS BOOLEAN) AS low_entropy
-    FROM e
+           CAST((CAST(CAST(ROUND(LN(CAST(t AS DOUBLE)) * 1000000000.0) AS BIGINT) AS DOUBLE) - CAST(s AS DOUBLE) / t) / 1000000000.0 < {CE_LOW_NATS} AS BOOLEAN) AS low_entropy
+    FROM g
     """,
 )
 def ext_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -801,47 +803,49 @@ def ext_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     characters or template junk; alpha_ratio is the share of the text
     the alphabet covers.
 
-    Determinism: symbol counts come from exact length-difference
-    arithmetic (no explode); each -p*ln(p) term is an ln of a ratio of
-    identical integers, frozen to integer nano-units PER TERM before
-    the fixed 37-term integer sum (the ext_drift_psi ln discipline).
+    Determinism: uses the identity H = ln t - (sum_c cnt*ln cnt) / t so
+    every ln is taken on an exact integer; each cnt*ln(cnt) term and
+    the ln(t) term freeze to integer nano-units before any sum (the
+    ext_drift_psi ln discipline), making the result independent of
+    aggregation order on both engines.
 
-    Scale shape: pure per-row column expressions — 37 replace/length
-    pairs, no shuffle, no UDF; cost is linear scan bandwidth at any
-    corpus size. Cited parity anchor: /root/reference/models
-    (beyond-reference surface)."""
+    Scale shape: one char explode (bounded by text bytes) into a
+    (doc, symbol) count aggregate with a <= 37-row fan-in per document
+    — two narrow shuffles, no UDF, and a deliberately small expression
+    tree (a 74-op length/replace variant spent more time in plan
+    analysis + interpreted eval than this shape spends end-to-end).
+    Cited parity anchor: /root/reference/models (beyond-reference
+    surface)."""
     docs = load(spark, sf_dir, "documents")
-    lt = F.lower(F.col("text"))
-    cnts = [
-        (F.length(lt) - F.length(F.replace(lt, F.lit(ch)))).cast("bigint")
-        for ch in CE_ALPHABET
-    ]
-    t = cnts[0]
-    for cc in cnts[1:]:
-        t = t + cc
-    k = docs.select(
+    base = docs.select(
         "doc_id",
         F.length(F.col("text")).cast("bigint").alias("n_chars"),
-        t.alias("t"),
-        *[cc.alias(f"c{i}") for i, cc in enumerate(cnts)],
-    ).filter(F.col("t") > 0)
-    terms = [
-        F.when(
-            F.col(f"c{i}") > 0,
+        F.lower(F.col("text")).alias("lt"),
+    )
+    x = base.select(
+        "doc_id", "n_chars", F.explode(F.split(F.col("lt"), "")).alias("ch")
+    ).filter(F.col("ch").isin(*list(CE_ALPHABET)))
+    f = x.groupBy("doc_id", "n_chars", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    g = f.groupBy("doc_id", "n_chars").agg(
+        F.sum("cnt").cast("bigint").alias("t"),
+        F.sum(
             F.round(
-                -(F.col(f"c{i}").cast("double") / F.col("t"))
-                * F.log(F.col(f"c{i}").cast("double") / F.col("t"))
-                * 1000000000.0,
+                F.col("cnt") * F.log(F.col("cnt").cast("double")) * 1000000000.0,
                 0,
-            ).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for i in range(len(CE_ALPHABET))
-    ]
-    nano = terms[0]
-    for tm in terms[1:]:
-        nano = nano + tm
-    ent = nano.cast("double") / 1000000000.0
-    return k.select(
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("s"),
+    )
+    ent = (
+        F.round(F.log(F.col("t").cast("double")) * 1000000000.0, 0)
+        .cast("bigint")
+        .cast("double")
+        - F.col("s").cast("double") / F.col("t")
+    ) / 1000000000.0
+    return g.select(
         "doc_id",
         "n_chars",
         F.col("t").alias("n_alpha"),
