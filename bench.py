@@ -284,6 +284,9 @@ HEADLINE = [
     "ext_mood_median",
     "ext_cluster_silhouette",
     "ext_cluster_validity",
+    "ext_text_greenlist_score",
+    "ext_text_char_entropy",
+    "ext_mm_aspect_bucket",
 ]
 
 
