@@ -973,3 +973,351 @@ def ext_mm_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch AF — changepoint binseg, Gower mixed-type similarity, Friedman test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_changepoint_binseg",
+    f"""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               CAST(FLOOR(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100)
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    g AS MATERIALIZED (
+        SELECT mon, y,
+               CAST(ROW_NUMBER() OVER (ORDER BY mon) AS BIGINT) AS i,
+               CAST(SUM(y) OVER (ORDER BY mon) AS BIGINT) AS p,
+               CAST(SUM(CAST(y AS HUGEINT) * y) OVER (ORDER BY mon) AS HUGEINT) AS a
+        FROM m
+    ),
+    tot AS (
+        SELECT MAX(i) AS nm, MAX(p) AS pt,
+               CAST(MAX(a) AS HUGEINT) AS att
+        FROM g
+    ),
+    j AS (
+        SELECT g.mon, g.i, g.p, t.nm, t.pt,
+               ({_vd('g.a')} - {_vd('CAST(g.p AS HUGEINT) * g.p')} / g.i)
+               + (({_vd('t.att')} - {_vd('g.a')})
+                  - {_vd('CAST(t.pt - g.p AS HUGEINT) * (t.pt - g.p)')} / (t.nm - g.i)) AS cost
+        FROM g CROSS JOIN tot t
+        WHERE g.i < t.nm
+    ),
+    best AS (
+        SELECT mon, i, p, nm, pt, cost
+        FROM j
+        QUALIFY ROW_NUMBER() OVER (ORDER BY cost, mon) = 1
+    )
+    SELECT b.mon AS split_month,
+           CAST(b.i AS BIGINT) AS n_left,
+           CAST(b.nm - b.i AS BIGINT) AS n_right,
+           {dround('CAST(b.p AS DOUBLE) / b.i', 6)} AS mean_left_dollars,
+           {dround('CAST(b.pt - b.p AS DOUBLE) / (b.nm - b.i)', 6)} AS mean_right_dollars,
+           {dround(f"1.0 - b.cost / ({_vd('t.att')} - {_vd('CAST(t.pt AS HUGEINT) * t.pt')} / t.nm)", 6)} AS var_reduction
+    FROM best b CROSS JOIN tot t
+    """,
+)
+def ext_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split binary segmentation over the monthly revenue series:
+    the month boundary that minimizes total within-segment squared
+    error (the inner step of the binseg/PELT changepoint family,
+    complementing ext_changepoint_cusum's drift detector with an exact
+    least-squares split). Reports the split plus the variance
+    reduction it buys.
+
+    Determinism: monthly revenue is exact integer dollars; prefix sums
+    P and A = sum(y^2) are exact 128-bit integers; each candidate cost
+    J(tau) = (A_L - P_L^2/n_L) + (A_R - P_R^2/n_R) is assembled from
+    VARCHAR-routed correctly-rounded doubles in a pinned order, and the
+    argmin tie-breaks on month.
+
+    Scale shape: the corpus collapses to a <= ~84-row month grid in one
+    aggregate; windows and the argmin run on that bounded grid. Cited
+    parity anchor: /root/reference/models (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon")
+    ).agg(
+        F.floor(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy("mon").rowsBetween(Window.unboundedPreceding, 0)
+    g = m.select(
+        "mon",
+        "y",
+        F.row_number().over(Window.orderBy("mon")).cast("bigint").alias("i"),
+        F.sum("y").over(w).cast("bigint").alias("p"),
+        F.sum(_dec(F.col("y")) * F.col("y")).over(w)
+        .cast("decimal(38,0)")
+        .alias("a"),
+    )
+    tot = g.agg(
+        F.max("i").alias("nm"),
+        F.max("p").alias("pt"),
+        F.max("a").alias("att"),
+    )
+    cost = (
+        F.col("a").cast("double")
+        - (_dec(F.col("p")) * F.col("p")).cast("double") / F.col("i")
+    ) + (
+        (F.col("att").cast("double") - F.col("a").cast("double"))
+        - (_dec(F.col("pt") - F.col("p")) * (F.col("pt") - F.col("p"))).cast(
+            "double"
+        )
+        / (F.col("nm") - F.col("i"))
+    )
+    j = (
+        g.crossJoin(F.broadcast(tot))
+        .filter(F.col("i") < F.col("nm"))
+        .select("mon", "i", "p", "nm", "pt", cost.alias("cost"))
+    )
+    best = (
+        j.agg(F.min(F.struct("cost", "mon", "i", "p", "nm", "pt")).alias("b"))
+        .select("b.*")
+    )
+    j0 = F.col("att").cast("double") - (
+        _dec(F.col("pt")) * F.col("pt")
+    ).cast("double") / F.col("nm")
+    return best.crossJoin(F.broadcast(tot.select(F.col("att").alias("att2")))).select(
+        F.col("mon").alias("split_month"),
+        F.col("i").alias("n_left"),
+        (F.col("nm") - F.col("i")).alias("n_right"),
+        F.round(F.col("p").cast("double") / F.col("i"), 6).alias(
+            "mean_left_dollars"
+        ),
+        F.round(
+            (F.col("pt") - F.col("p")).cast("double") / (F.col("nm") - F.col("i")),
+            6,
+        ).alias("mean_right_dollars"),
+        F.round(
+            1.0
+            - F.col("cost")
+            / (
+                F.col("att2").cast("double")
+                - (_dec(F.col("pt")) * F.col("pt")).cast("double") / F.col("nm")
+            ),
+            6,
+        ).alias("var_reduction"),
+    )
+
+
+GW_SIZE_BAND = 5  # p_size candidate band
+GW_PRICE_BAND = 500  # retail-price candidate band (cents)
+GW_TOPK = 100  # most-similar pairs reported
+
+
+@register(
+    "ext_gower_topk",
+    f"""
+    WITH p AS MATERIALIZED (
+        SELECT p_partkey AS pk, p_brand AS brand, p_type AS typ,
+               CAST(p_size AS BIGINT) AS sz,
+               CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+               CAST(FLOOR(p_size / {GW_SIZE_BAND}) AS BIGINT) AS sb,
+               CAST(FLOOR(ROUND(p_retailprice * 100) / {GW_PRICE_BAND}) AS BIGINT) AS pb
+        FROM part
+    ),
+    r AS (
+        SELECT MAX(sz) - MIN(sz) AS rs, MAX(cents) - MIN(cents) AS rp FROM p
+    ),
+    pairs AS (
+        SELECT a.pk AS part_a, b.pk AS part_b,
+               ABS(a.sz - b.sz) * r.rp + ABS(a.cents - b.cents) * r.rs
+               + (CASE WHEN a.brand <> b.brand THEN 1 ELSE 0 END) * r.rs * r.rp
+               AS score,
+               r.rs * r.rp * 3 AS den
+        FROM p a
+        JOIN p b ON a.typ = b.typ AND a.sb = b.sb AND a.pb = b.pb
+                AND a.pk < b.pk
+        CROSS JOIN r
+    )
+    SELECT part_a, part_b,
+           {dround('1.0 - CAST(score AS DOUBLE) / den', 6)} AS gower_sim
+    FROM pairs
+    ORDER BY score, part_a, part_b
+    LIMIT {GW_TOPK}
+    """,
+)
+def ext_gower_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gower mixed-type similarity for near-duplicate part detection: the
+    {GW_TOPK} most-similar part pairs under the Gower metric (numeric
+    size and price range-normalized, categorical brand as 0/1
+    mismatch) — the standard record-linkage distance when columns mix
+    types. Candidates are banded on (type, size band {GW_SIZE_BAND},
+    $5 price band) like the dedup family — the banding is part of the
+    key's contract and keeps pair counts linear in block granularity
+    rather than corpus-quadratic.
+
+    Determinism: the Gower score is ranked by the exact integer
+    |ds|*rp + |dp|*rs + neq*rs*rp (the metric cross-multiplied by
+    3*rs*rp — no float ratios), with a (score, part_a, part_b) total
+    order; the reported similarity divides once, at the end.
+
+    Scale shape: a banded self-equi-join (never all-pairs), global
+    broadcast ranges, and a TakeOrdered top-k — no full sort. Cited
+    parity anchor: /root/reference/models (beyond-reference
+    surface)."""
+    part = load(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+    p = part.select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("typ"),
+        F.col("p_size").cast("bigint").alias("sz"),
+        cents.alias("cents"),
+        F.floor(F.col("p_size") / GW_SIZE_BAND).cast("bigint").alias("sb"),
+        F.floor(cents / GW_PRICE_BAND).cast("bigint").alias("pb"),
+    ).localCheckpoint(eager=False)
+    r = p.agg(
+        (F.max("sz") - F.min("sz")).alias("rs"),
+        (F.max("cents") - F.min("cents")).alias("rp"),
+    )
+    a = p.select(*[F.col(c).alias(f"{c}_a") for c in p.columns])
+    b = p.select(*[F.col(c).alias(f"{c}_b") for c in p.columns])
+    pairs = (
+        a.join(
+            b,
+            (F.col("typ_a") == F.col("typ_b"))
+            & (F.col("sb_a") == F.col("sb_b"))
+            & (F.col("pb_a") == F.col("pb_b"))
+            & (F.col("pk_a") < F.col("pk_b")),
+        )
+        .crossJoin(F.broadcast(r))
+        .select(
+            F.col("pk_a").alias("part_a"),
+            F.col("pk_b").alias("part_b"),
+            (
+                F.abs(F.col("sz_a") - F.col("sz_b")) * F.col("rp")
+                + F.abs(F.col("cents_a") - F.col("cents_b")) * F.col("rs")
+                + F.when(F.col("brand_a") != F.col("brand_b"), 1)
+                .otherwise(0)
+                * F.col("rs")
+                * F.col("rp")
+            ).alias("score"),
+            (F.col("rs") * F.col("rp") * 3).alias("den"),
+        )
+    )
+    return (
+        pairs.orderBy("score", "part_a", "part_b")
+        .limit(GW_TOPK)
+        .select(
+            "part_a",
+            "part_b",
+            F.round(1.0 - F.col("score").cast("double") / F.col("den"), 6).alias(
+                "gower_sim"
+            ),
+        )
+    )
+
+
+FR_CRIT = 9.488  # chi2(4) 5% critical value (k=5 treatments)
+
+
+@register(
+    "ext_friedman_test",
+    f"""
+    WITH cell AS (
+        SELECT c.c_nationkey AS nk, o.o_orderpriority AS pri,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT nk, pri,
+               CAST(ROW_NUMBER() OVER (PARTITION BY nk ORDER BY cents, pri) AS BIGINT) AS r
+        FROM cell
+    ),
+    rs AS MATERIALIZED (
+        SELECT pri, CAST(SUM(r) AS BIGINT) AS rsum FROM rk GROUP BY pri
+    ),
+    dims AS (
+        SELECT CAST(COUNT(DISTINCT nk) AS BIGINT) AS b,
+               CAST(COUNT(DISTINCT pri) AS BIGINT) AS k
+        FROM cell
+    ),
+    q AS (
+        SELECT CAST(SUM(rsum * rsum) AS BIGINT) AS ssq,
+               (SELECT pri FROM rs ORDER BY rsum, pri LIMIT 1) AS low_pri,
+               (SELECT pri FROM rs ORDER BY rsum DESC, pri DESC LIMIT 1) AS high_pri
+        FROM rs
+    )
+    SELECT d.b AS n_blocks, d.k AS n_treatments,
+           q.low_pri AS lowest_revenue_priority,
+           q.high_pri AS highest_revenue_priority,
+           {dround('CAST(12 * q.ssq AS DOUBLE) / (d.b * d.k * (d.k + 1)) - 3 * d.b * (d.k + 1)', 6)} AS q_stat,
+           CAST(CAST(12 * q.ssq AS DOUBLE) / (d.b * d.k * (d.k + 1)) - 3 * d.b * (d.k + 1) > {FR_CRIT} AS BOOLEAN) AS significant
+    FROM q CROSS JOIN dims d
+    """,
+)
+def ext_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test across k related samples: within each nation
+    (block), rank the five order priorities by total revenue, then test
+    whether the priority rankings are consistent across nations
+    (Q = 12*sum(R_j^2)/(b*k*(k+1)) - 3*b*(k+1) vs chi2(k-1)) — the
+    nonparametric repeated-measures ANOVA, completing the rank-test
+    family (Wilcoxon pairs, Kendall concordance, Friedman blocks).
+
+    Determinism: within-block ranks are exact ROW_NUMBERs under the
+    pinned (cents, priority) total order; rank sums and their squares
+    are small exact integers; Q divides once with integer numerator
+    and denominator.
+
+    Scale shape: one (nation, priority) aggregate (125 cells at any
+    corpus size), a 125-row window, and scalar algebra. Cited parity
+    anchor: /root/reference/models (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cell = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    rk = cell.select(
+        "nk",
+        "pri",
+        F.row_number()
+        .over(Window.partitionBy("nk").orderBy("cents", "pri"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    rs = rk.groupBy("pri").agg(F.sum("r").cast("bigint").alias("rsum"))
+    dims = cell.agg(
+        F.countDistinct("nk").cast("bigint").alias("b"),
+        F.countDistinct("pri").cast("bigint").alias("k"),
+    )
+    q = rs.agg(
+        F.sum(F.col("rsum") * F.col("rsum")).cast("bigint").alias("ssq"),
+        F.min(F.struct("rsum", "pri")).alias("lo"),
+        F.max(F.struct("rsum", "pri")).alias("hi"),
+    ).select(
+        "ssq",
+        F.col("lo.pri").alias("low_pri"),
+        F.col("hi.pri").alias("high_pri"),
+    )
+    qs = (12 * F.col("ssq")).cast("double") / (
+        F.col("b") * F.col("k") * (F.col("k") + 1)
+    ) - 3 * F.col("b") * (F.col("k") + 1)
+    return q.crossJoin(F.broadcast(dims)).select(
+        F.col("b").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        F.col("low_pri").alias("lowest_revenue_priority"),
+        F.col("high_pri").alias("highest_revenue_priority"),
+        F.round(qs, 6).alias("q_stat"),
+        (qs > FR_CRIT).alias("significant"),
+    )
