@@ -287,6 +287,9 @@ HEADLINE = [
     "ext_text_greenlist_score",
     "ext_text_char_entropy",
     "ext_mm_aspect_bucket",
+    "ext_changepoint_binseg",
+    "ext_gower_topk",
+    "ext_friedman_test",
 ]
 
 
