@@ -1321,3 +1321,345 @@ def ext_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(qs, 6).alias("q_stat"),
         (qs > FR_CRIT).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch AG — ordered-alternative and variance-homogeneity tests
+# ---------------------------------------------------------------------------
+
+PG_CRIT = 1.96  # two-sided 5% normal point
+
+
+@register(
+    "ext_page_trend",
+    f"""
+    WITH cell AS (
+        SELECT c.c_nationkey AS nk,
+               CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS j,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT nk, j,
+               CAST(ROW_NUMBER() OVER (PARTITION BY nk ORDER BY cents, j) AS BIGINT) AS r
+        FROM cell
+    ),
+    rs AS (
+        SELECT j, CAST(SUM(r) AS BIGINT) AS rsum FROM rk GROUP BY j
+    ),
+    dims AS (
+        SELECT CAST(COUNT(DISTINCT nk) AS BIGINT) AS b,
+               CAST(COUNT(DISTINCT j) AS BIGINT) AS k
+        FROM cell
+    ),
+    l AS (
+        SELECT CAST(SUM(j * rsum) AS BIGINT) AS lstat FROM rs
+    )
+    SELECT d.b AS n_blocks, d.k AS n_treatments, l.lstat AS l_stat,
+           {dround('(CAST(l.lstat AS DOUBLE) - CAST(d.b * d.k * (d.k + 1) * (d.k + 1) AS DOUBLE) / 4) / SQRT(CAST(d.b * d.k * d.k * (d.k + 1) * (d.k * d.k - 1) AS DOUBLE) / 144)', 6)} AS z_score,
+           CAST(ABS((CAST(l.lstat AS DOUBLE) - CAST(d.b * d.k * (d.k + 1) * (d.k + 1) AS DOUBLE) / 4) / SQRT(CAST(d.b * d.k * d.k * (d.k + 1) * (d.k * d.k - 1) AS DOUBLE) / 144)) > {PG_CRIT} AS BOOLEAN) AS significant
+    FROM l CROSS JOIN dims d
+    """,
+)
+def ext_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test for ORDERED treatments: priorities 1-URGENT ..
+    5-LOW have a natural order, so instead of Friedman's any-difference
+    alternative this tests for a monotone revenue trend across the
+    priority ladder within each nation block (L = sum j * R_j against
+    its exact null mean b*k*(k+1)^2/4 and variance
+    b*k^2*(k+1)*(k^2-1)/144).
+
+    Determinism: within-block ranks are ROW_NUMBERs under the pinned
+    (cents, j) order; L, its null mean numerator, and the variance
+    numerator are exact integers; the z-score divides correctly-rounded
+    doubles in a pinned order.
+
+    Scale shape: identical to ext_friedman_test — a 125-cell grid plus
+    scalar algebra; the corpus-sized work is one aggregate. Cited
+    parity anchor: /root/reference/models (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cell = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.substring(F.col("o_orderpriority"), 1, 1)
+            .cast("bigint")
+            .alias("j"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    rk = cell.select(
+        "nk",
+        "j",
+        F.row_number()
+        .over(Window.partitionBy("nk").orderBy("cents", "j"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    rs = rk.groupBy("j").agg(F.sum("r").cast("bigint").alias("rsum"))
+    dims = cell.agg(
+        F.countDistinct("nk").cast("bigint").alias("b"),
+        F.countDistinct("j").cast("bigint").alias("k"),
+    )
+    l = rs.agg(F.sum(F.col("j") * F.col("rsum")).cast("bigint").alias("lstat"))
+    mean = (
+        F.col("b") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1)
+    ).cast("double") / 4
+    varn = (
+        F.col("b")
+        * F.col("k")
+        * F.col("k")
+        * (F.col("k") + 1)
+        * (F.col("k") * F.col("k") - 1)
+    ).cast("double") / 144
+    z = (F.col("lstat").cast("double") - mean) / F.sqrt(varn)
+    return l.crossJoin(F.broadcast(dims)).select(
+        F.col("b").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        F.col("lstat").alias("l_stat"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > PG_CRIT).alias("significant"),
+    )
+
+
+JT_CRIT = 1.96  # two-sided 5% normal point (untied-variance approximation)
+
+
+@register(
+    "ext_jonckheere_trend",
+    f"""
+    WITH grid AS MATERIALIZED (
+        SELECT g,
+               {', '.join(f"CAST(SUM(CASE WHEN j = {i} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}, CAST(SUM(SUM(CASE WHEN j = {i} THEN 1 ELSE 0 END)) OVER (ORDER BY g) AS BIGINT) AS m{i}" for i in range(1, 6))}
+        FROM (
+            SELECT CAST(FLOOR(o_totalprice / {TS_BIN}) AS BIGINT) AS g,
+                   CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS j
+            FROM orders
+        )
+        GROUP BY g
+    ),
+    tot AS (
+        SELECT {', '.join(f'MAX(m{i}) AS n{i}' for i in range(1, 6))},
+               {' + '.join(f'MAX(m{i})' for i in range(1, 6))} AS n
+        FROM grid
+    ),
+    jt AS (
+        SELECT CAST(SUM({' + '.join(f'CAST(c{jj} AS HUGEINT) * (2 * m{ii} - c{ii})' for ii in range(1, 6) for jj in range(ii + 1, 6))}) AS HUGEINT) AS jt2
+        FROM grid
+    )
+    SELECT t.n AS n_orders, jt.jt2 AS jt_doubled,
+           {dround(f"({_vd('jt.jt2')} - ({_vd('CAST(t.n AS HUGEINT) * t.n - (' + ' + '.join(f'CAST(t.n{i} AS HUGEINT) * t.n{i}' for i in range(1, 6)) + ')')}) / 2) / (2 * SQRT(({_vd('CAST(t.n AS HUGEINT) * t.n * (2 * t.n + 3) - (' + ' + '.join(f'CAST(t.n{i} AS HUGEINT) * t.n{i} * (2 * t.n{i} + 3)' for i in range(1, 6)) + ')')}) / 72))", 6)} AS z_score,
+           CAST(ABS(({_vd('jt.jt2')} - ({_vd('CAST(t.n AS HUGEINT) * t.n - (' + ' + '.join(f'CAST(t.n{i} AS HUGEINT) * t.n{i}' for i in range(1, 6)) + ')')}) / 2) / (2 * SQRT(({_vd('CAST(t.n AS HUGEINT) * t.n * (2 * t.n + 3) - (' + ' + '.join(f'CAST(t.n{i} AS HUGEINT) * t.n{i} * (2 * t.n{i} + 3)' for i in range(1, 6)) + ')')}) / 72))) > {JT_CRIT} AS BOOLEAN) AS significant
+    FROM jt CROSS JOIN tot t
+    """,
+)
+def ext_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test: are order values
+    stochastically increasing along the priority ladder 1-URGENT ->
+    5-LOW? JT sums the Mann-Whitney "later group wins" counts over all
+    ordered group pairs; computed on the bounded $100 grid as
+    2*JT = sum_cells sum_{{i<j}} c_j * (2*cum_i - c_i) (ties at a grid
+    cell contribute 1 per pair via the midrank convention). The
+    z-score uses the classical untied variance approximation —
+    documented contract, since grid binning introduces ties.
+
+    Determinism: 2*JT, the null mean numerator N^2 - sum n_i^2, and
+    the variance numerator are exact 128-bit integers; the z pipeline
+    is VARCHAR-routed correctly-rounded doubles in a pinned order.
+
+    Scale shape: one conditional aggregate to the bounded grid, five
+    bounded cumulative windows, a 10-term per-cell fold — flat cost in
+    corpus size. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") / TS_BIN).cast("bigint").alias("g"),
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("bigint").alias("j"),
+    )
+    aggs = []
+    for i in range(1, 6):
+        aggs.append(
+            F.sum(F.when(F.col("j") == i, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{i}")
+        )
+    cells = o.groupBy("g").agg(*aggs)
+    w = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    grid = cells.select(
+        "g",
+        *[F.col(f"c{i}") for i in range(1, 6)],
+        *[
+            F.sum(f"c{i}").over(w).cast("bigint").alias(f"m{i}")
+            for i in range(1, 6)
+        ],
+    )
+    tot = grid.agg(
+        *[F.max(f"m{i}").alias(f"n{i}") for i in range(1, 6)],
+    ).select(
+        *[F.col(f"n{i}") for i in range(1, 6)],
+        sum(
+            [F.col(f"n{i}") for i in range(2, 6)], F.col("n1")
+        ).alias("n"),
+    )
+    term = None
+    for ii in range(1, 6):
+        for jj in range(ii + 1, 6):
+            t = _dec(F.col(f"c{jj}")) * (
+                2 * F.col(f"m{ii}") - F.col(f"c{ii}")
+            )
+            term = t if term is None else term + t
+    jt = grid.select(term.alias("t")).agg(
+        F.sum("t").cast("decimal(38,0)").alias("jt2")
+    )
+    sumsq = None
+    sumvar = None
+    for i in range(1, 6):
+        sq = _dec(F.col(f"n{i}")) * F.col(f"n{i}")
+        vr = _dec(F.col(f"n{i}")) * F.col(f"n{i}") * (2 * F.col(f"n{i}") + 3)
+        sumsq = sq if sumsq is None else sumsq + sq
+        sumvar = vr if sumvar is None else sumvar + vr
+    e2 = (
+        (_dec(F.col("n")) * F.col("n") - sumsq).cast("decimal(38,0)").cast("double")
+    ) / 2
+    varnum = (
+        (_dec(F.col("n")) * F.col("n") * (2 * F.col("n") + 3) - sumvar)
+        .cast("decimal(38,0)")
+        .cast("double")
+    )
+    z = (F.col("jt2").cast("double") - e2) / (2 * F.sqrt(varnum / 72))
+    return jt.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_orders"),
+        F.col("jt2").alias("jt_doubled"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > JT_CRIT).alias("significant"),
+    )
+
+
+LV_F_CRIT = 2.372  # F(4, inf) 5% critical value (documented asymptotic gate)
+
+
+@register(
+    "ext_levene_bf",
+    f"""
+    WITH grid AS MATERIALIZED (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS j,
+               CAST(FLOOR(o_totalprice / {TS_BIN}) AS BIGINT) AS g,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT j, g, c,
+               CAST(SUM(c) OVER (PARTITION BY j ORDER BY g) AS BIGINT) AS m,
+               CAST(SUM(c) OVER (PARTITION BY j) AS BIGINT) AS ng
+        FROM grid
+    ),
+    med AS MATERIALIZED (
+        SELECT j, MIN(g) * {TS_BIN} * 100 + {TS_BIN} * 50 AS med_cents, MIN(ng) AS ng
+        FROM cum WHERE m * 2 >= ng GROUP BY j
+    ),
+    z AS (
+        SELECT o.j, ABS(o.cents - m.med_cents) AS z
+        FROM (
+            SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS j,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ) o JOIN med m ON m.j = o.j
+    ),
+    gstat AS MATERIALIZED (
+        SELECT j, CAST(SUM(CAST(z AS HUGEINT)) AS HUGEINT) AS s,
+               CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS ss,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM z GROUP BY j
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS ntot,
+               CAST(SUM(CAST(ROUND({_vd('s * s')} / n * 1000.0) AS HUGEINT)) AS HUGEINT) AS sqn_milli,
+               CAST(SUM(s) AS HUGEINT) AS st,
+               CAST(SUM(ss) AS HUGEINT) AS sst
+        FROM gstat
+    )
+    SELECT k, ntot AS n_orders,
+           {dround(f"(({_vd('sqn_milli')} / 1000.0 - {_vd('st * st')} / ntot) / (k - 1)) / (({_vd('sst')} - {_vd('sqn_milli')} / 1000.0) / (ntot - k))", 6)} AS f_stat,
+           CAST((({_vd('sqn_milli')} / 1000.0 - {_vd('st * st')} / ntot) / (k - 1)) / (({_vd('sst')} - {_vd('sqn_milli')} / 1000.0) / (ntot - k)) > {LV_F_CRIT} AS BOOLEAN) AS significant
+    FROM fold
+    """,
+)
+def ext_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test: do the five order
+    priorities have equal SPREAD, not just equal location? Each value's
+    absolute deviation from its group's binned median feeds a one-way
+    ANOVA F; the median is the $100-grid cell midpoint (the same
+    bounded-grid contract as ext_mood_median, making the group medians
+    integer cents). Gate is the asymptotic F(k-1, inf) 5% point.
+
+    Determinism: deviations are exact integer cents; group sums and
+    squared sums accumulate in 128-bit; each S_g^2/n_g term freezes to
+    integer milli-units before the cross-group fold (the
+    ext_anova_quantity SS discipline); the F ratio is VARCHAR-routed
+    pinned-order double algebra.
+
+    Scale shape: a bounded per-group grid for the medians (broadcast
+    back), then ONE pass of exact-integer aggregation — no per-group
+    sort, no corpus-wide window. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("bigint").alias("j"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.floor(F.col("o_totalprice") / TS_BIN).cast("bigint").alias("g"),
+    )
+    grid = o.groupBy("j", "g").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wj = Window.partitionBy("j").orderBy("g").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "j",
+        "g",
+        F.sum("c").over(wj).cast("bigint").alias("m"),
+        F.sum("c").over(Window.partitionBy("j")).cast("bigint").alias("ng"),
+    )
+    med = (
+        cum.filter(F.col("m") * 2 >= F.col("ng"))
+        .groupBy("j")
+        .agg(
+            (F.min("g") * TS_BIN * 100 + TS_BIN * 50).alias("med_cents"),
+        )
+    )
+    z = o.join(F.broadcast(med), "j").select(
+        "j", F.abs(F.col("cents") - F.col("med_cents")).alias("z")
+    )
+    gstat = z.groupBy("j").agg(
+        F.sum(_dec(F.col("z"))).cast("decimal(38,0)").alias("s"),
+        F.sum(_dec(F.col("z")) * F.col("z")).cast("decimal(38,0)").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    fold = gstat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("ntot"),
+        F.sum(
+            F.round(
+                (F.col("s") * F.col("s")).cast("double") / F.col("n") * 1000.0,
+                0,
+            ).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sqn_milli"),
+        F.sum("s").cast("decimal(38,0)").alias("st"),
+        F.sum("ss").cast("decimal(38,0)").alias("sst"),
+    )
+    ssb = F.col("sqn_milli").cast("double") / 1000.0 - (
+        F.col("st") * F.col("st")
+    ).cast("double") / F.col("ntot")
+    ssw = F.col("sst").cast("double") - F.col("sqn_milli").cast("double") / 1000.0
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("ntot") - F.col("k")))
+    return fold.select(
+        "k",
+        F.col("ntot").alias("n_orders"),
+        F.round(f_stat, 6).alias("f_stat"),
+        (f_stat > LV_F_CRIT).alias("significant"),
+    )
