@@ -290,6 +290,9 @@ HEADLINE = [
     "ext_changepoint_binseg",
     "ext_gower_topk",
     "ext_friedman_test",
+    "ext_page_trend",
+    "ext_jonckheere_trend",
+    "ext_levene_bf",
 ]
 
 
