@@ -1663,3 +1663,240 @@ def ext_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f_stat, 6).alias("f_stat"),
         (f_stat > LV_F_CRIT).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch AH — MMR diverse selection and recall@k retrieval metric
+# ---------------------------------------------------------------------------
+
+MMR_QID = 0  # query vector
+MMR_K = 10  # selections
+MMR_LAM = 0.7  # relevance weight (1 - 0.3 diversity)
+
+
+def _mmr_oracle() -> str:
+    parts = [
+        """c0 AS MATERIALIZED (
+        SELECT e.vec_id, e.v,
+               ROUND(list_cosine_similarity(q.qv, e.v), 6) AS rel,
+               0.0 AS ms
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+        CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                    WHERE vec_id = %d) q
+        WHERE e.vec_id <> %d
+    )"""
+        % (MMR_QID, MMR_QID)
+    ]
+    for r in range(1, MMR_K + 1):
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+        SELECT vec_id, v, rel, ms, {MMR_LAM} * rel - 0.3 * ms AS score
+        FROM c{r - 1}
+        QUALIFY ROW_NUMBER() OVER (ORDER BY {MMR_LAM} * rel - 0.3 * ms DESC,
+                                   vec_id) = 1
+    )"""
+        )
+        if r < MMR_K:
+            parts.append(
+                f"""c{r} AS MATERIALIZED (
+        SELECT c.vec_id, c.v, c.rel,
+               GREATEST(c.ms, ROUND(list_cosine_similarity(c.v, w.v), 6)) AS ms
+        FROM c{r - 1} c, w{r} w
+        WHERE c.vec_id <> w.vec_id
+    )"""
+            )
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS sel_rank, vec_id, rel AS relevance, "
+        f"ROUND(ms, 6) AS max_sim_at_pick, ROUND(score, 6) AS mmr_score FROM w{r}"
+        for r in range(1, MMR_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT * FROM (\n    {sel}\n    ) ORDER BY sel_rank"
+    )
+
+
+@register("ext_embed_mmr_select", _mmr_oracle())
+def ext_embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection: greedily pick {MMR_K} corpus
+    vectors that are RELEVANT to the query (vec_id {MMR_QID}) yet
+    DIVERSE among themselves (score = {MMR_LAM}*rel - 0.3*max_sim_to_
+    selected) — the standard reranker for retrieval results and for
+    drawing diverse training samples from a near-duplicate-heavy pool.
+
+    Determinism: every cosine rounds to 6dp before any comparison (the
+    ext_topk_cosine total-order discipline, tie-broken by vec_id); the
+    greedy score is pinned-order double algebra on those 6dp values;
+    round 1's diversity term is defined as 0.
+
+    Scale shape: {MMR_K} bounded rounds; each round is one broadcast
+    of the single winning vector against the candidate set (collected
+    winner row is 1 row x 64 doubles — the documented bounded-driver
+    pattern, like ext_ann_ivf's seed sample) — never a candidate-pair
+    join. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    from ..ext import similarity as sim
+
+    emb = sim.with_norm(load(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") == MMR_QID).select(
+        F.col("_v").alias("qv"), F.col("_norm").alias("qn")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != MMR_QID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "_v",
+            "_norm",
+            F.round(
+                sim.cosine(F.col("qv"), F.col("qn"), F.col("_v"), F.col("_norm")),
+                6,
+            ).alias("rel"),
+            F.lit(0.0).alias("ms"),
+        )
+        .localCheckpoint()
+    )
+    out = []
+    for r in range(1, MMR_K + 1):
+        score = MMR_LAM * F.col("rel") - 0.3 * F.col("ms")
+        win = (
+            cand.select("vec_id", "_v", "_norm", "rel", "ms", score.alias("score"))
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        out.append((r, win.vec_id, win.rel, round(win.ms, 6), round(win.score, 6)))
+        if r < MMR_K:
+            wv = F.array(*[F.lit(float(x)) for x in win._v])
+            wn = F.lit(float(win._norm))
+            cand = (
+                cand.filter(F.col("vec_id") != win.vec_id)
+                .select(
+                    "vec_id",
+                    "_v",
+                    "_norm",
+                    "rel",
+                    F.greatest(
+                        F.col("ms"),
+                        F.round(
+                            sim.cosine(F.col("_v"), F.col("_norm"), wv, wn), 6
+                        ),
+                    ).alias("ms"),
+                )
+                .localCheckpoint()
+            )
+    return spark.createDataFrame(
+        out,
+        "sel_rank int, vec_id bigint, relevance double, "
+        "max_sim_at_pick double, mmr_score double",
+    ).orderBy("sel_rank")
+
+
+RC_K = 10  # retrieved depth
+RC_NQ = 10  # queries
+
+
+@register(
+    "ext_retrieval_recall",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+          FROM e WHERE vec_id < {RC_NQ}),
+    scored AS (
+        SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+               ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    top AS (
+        SELECT query_id, qlabel, label
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) <= {RC_K}
+    ),
+    rel AS (
+        SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+        FROM q JOIN e ON e.vec_id <> q.query_id AND e.label = q.qlabel
+        GROUP BY q.query_id
+    ),
+    hits AS (
+        SELECT query_id,
+               CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM top GROUP BY query_id
+    )
+    SELECT h.query_id, h.n_hits, r.n_relevant,
+           {dround(f'CAST(h.n_hits AS DOUBLE) / LEAST({RC_K}, r.n_relevant)', 6)} AS recall_at_k
+    FROM hits h JOIN rel r USING (query_id)
+    ORDER BY query_id
+    """,
+)
+def ext_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{RC_K} per query with same-label vectors as the relevance
+    ground truth — completing the retrieval-metric family (ext_
+    retrieval_mrr ranks the first hit, ext_retrieval_ndcg discounts by
+    position, this measures coverage of the relevant set, capped at k).
+
+    Determinism: retrieval order is the rounded-cosine total order
+    (6dp DESC, vec_id ASC); recall is a ratio of exact integers.
+
+    Scale shape: broadcast query side against one corpus scan, a
+    per-query top-k window, and two tiny aggregates. Cited parity
+    anchor: /root/reference/models (beyond-reference surface)."""
+    from ..ext import similarity as sim
+
+    emb = load(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    queries = emb.filter(F.col("vec_id") < RC_NQ)
+    top = (
+        sim.topk_bruteforce(queries, emb, k=RC_K)
+        .join(F.broadcast(labels), "vec_id")
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("qlabel"),
+                )
+            ),
+            "query_id",
+        )
+    )
+    hits = top.groupBy("query_id").agg(
+        F.sum(F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits")
+    )
+    qlab = labels.filter(F.col("vec_id") < RC_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    rel = (
+        emb.select("vec_id", "label")
+        .crossJoin(F.broadcast(qlab))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") == F.col("qlabel"))
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_relevant"))
+    )
+    return (
+        hits.join(rel, "query_id")
+        .select(
+            "query_id",
+            "n_hits",
+            "n_relevant",
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.least(F.lit(RC_K), F.col("n_relevant")),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ext_embed_mmr_select.__doc__ = ext_embed_mmr_select.__doc__.replace(
+    "{MMR_K}", str(MMR_K)
+).replace("{MMR_QID}", str(MMR_QID)).replace("{MMR_LAM}", str(MMR_LAM))
+ext_retrieval_recall.__doc__ = ext_retrieval_recall.__doc__.replace(
+    "{RC_K}", str(RC_K)
+)
