@@ -293,6 +293,8 @@ HEADLINE = [
     "ext_page_trend",
     "ext_jonckheere_trend",
     "ext_levene_bf",
+    "ext_embed_mmr_select",
+    "ext_retrieval_recall",
 ]
 
 
