@@ -1900,3 +1900,249 @@ ext_embed_mmr_select.__doc__ = ext_embed_mmr_select.__doc__.replace(
 ext_retrieval_recall.__doc__ = ext_retrieval_recall.__doc__.replace(
     "{RC_K}", str(RC_K)
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch AI — EOQ inventory sizing and Holt linear trend via frozen weights
+# ---------------------------------------------------------------------------
+
+EOQ_YEAR = 2000  # demand year
+EOQ_S_CENTS = 10000  # fixed order cost ($100) in cents
+# Holding cost = 20% of retail price per unit-year (cents = ROUND(c/5)).
+
+
+@register(
+    "ext_eoq",
+    f"""
+    WITH d AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS dem
+        FROM lineitem
+        WHERE year(l_shipdate) = {EOQ_YEAR}
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT p_partkey AS pk, p_brand AS brand,
+               CAST(ROUND(ROUND(p_retailprice * 100) / 5) AS BIGINT) AS h_cents
+        FROM part
+    ),
+    e AS (
+        SELECT p.brand, d.dem,
+               CAST(ROUND(SQRT(CAST(2 * d.dem * {EOQ_S_CENTS} AS DOUBLE) / p.h_cents)
+                          * 1000000.0) AS BIGINT) AS eoq_micro
+        FROM d JOIN p ON p.pk = d.pk
+    )
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(dem) AS BIGINT) AS annual_demand_units,
+           {dround('CAST(SUM(eoq_micro) AS DOUBLE) / 1000000.0 / COUNT(*)', 6)} AS avg_eoq_units
+    FROM e GROUP BY brand ORDER BY brand
+    """,
+)
+def ext_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity per part, rolled up by brand: EOQ =
+    sqrt(2*D*S/H) with D = year-{EOQ_YEAR} shipped demand, S = $100
+    fixed order cost, H = 20% of retail price — the classical
+    inventory-sizing answer that completes the replenishment family
+    (ext_safety_stock buffers variability, ext_reorder_rate watches
+    cadence, this sizes the lot).
+
+    Determinism: D, S, H are exact integers; EOQ is one correctly-
+    rounded division + sqrt, frozen to integer micro-units per part
+    before the brand average.
+
+    Scale shape: the year filter pushes to the lineitem scan; one
+    per-part aggregate joins a broadcastable part dim; brand rollup is
+    25 rows. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.year(F.col("l_shipdate")) == EOQ_YEAR
+    )
+    d = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.round(F.col("l_quantity"), 0).cast("bigint"))
+        .cast("bigint")
+        .alias("dem")
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_brand").alias("brand"),
+        F.round(F.round(F.col("p_retailprice") * 100, 0) / 5, 0)
+        .cast("bigint")
+        .alias("h_cents"),
+    )
+    e = d.join(F.broadcast(p), "pk").select(
+        "brand",
+        "dem",
+        F.round(
+            F.sqrt(
+                (2 * F.col("dem") * EOQ_S_CENTS).cast("double")
+                / F.col("h_cents")
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("eoq_micro"),
+    )
+    return (
+        e.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("dem").cast("bigint").alias("annual_demand_units"),
+            F.round(
+                F.sum("eoq_micro").cast("double") / 1000000.0 / F.count(F.lit(1)),
+                6,
+            ).alias("avg_eoq_units"),
+        )
+        .orderBy("brand")
+    )
+
+
+# Holt's linear trend, made hash-checkable: the double-exponential
+# recursion l_t = a*y_t + (1-a)(l+b), b_t = g*(l_t-l_{t-1}) + (1-g)*b_t-1
+# over a FIXED 48-month window is a linear function of the series, so the
+# level/trend weight vectors are precomputed once (exact Python doubles,
+# frozen below as literals via repr — strtod gives both engines the same
+# IEEE values) and the smoother becomes a weighted dot product. Months
+# absent from the window contribute y=0 on both engines by construction.
+HOLT_T = 48
+HOLT_A = 0.3
+HOLT_G = 0.1
+
+
+def _holt_weights() -> list[tuple[int, float, float]]:
+    wl: dict[int, float] = {}
+    wb: dict[int, float] = {}
+    for t in range(HOLT_T):
+        if t == 0:
+            nl, nb = {0: 1.0}, {}
+        else:
+            pred = {
+                k: wl.get(k, 0.0) + wb.get(k, 0.0) for k in set(wl) | set(wb)
+            }
+            nl = {k: (1 - HOLT_A) * v for k, v in pred.items()}
+            nl[t] = nl.get(t, 0.0) + HOLT_A
+            nb = {
+                k: HOLT_G * (nl.get(k, 0.0) - wl.get(k, 0.0))
+                + (1 - HOLT_G) * wb.get(k, 0.0)
+                for k in set(nl) | set(wl) | set(wb)
+            }
+        wl, wb = nl, nb
+    return [(t, wl.get(t, 0.0), wb.get(t, 0.0)) for t in range(HOLT_T)]
+
+
+_HOLT_W = _holt_weights()
+
+
+@register(
+    "ext_holt_linear",
+    f"""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               CAST(FLOOR(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100)
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT MAX(mon) AS maxmon FROM m),
+    idx AS (
+        SELECT CAST({HOLT_T - 1} - date_diff('month', m.mon, x.maxmon) AS BIGINT) AS t,
+               m.y
+        FROM m CROSS JOIN mx x
+        WHERE date_diff('month', m.mon, x.maxmon) < {HOLT_T}
+    ),
+    w(t, wl, wb) AS (
+        VALUES {', '.join(f'({t}, {wl!r}, {wb!r})' for t, wl, wb in _HOLT_W)}
+    ),
+    s AS (
+        SELECT CAST(SUM(CAST(ROUND(i.y * w.wl * 1000000.0) AS BIGINT)) AS BIGINT) AS l_micro,
+               CAST(SUM(CAST(ROUND(i.y * w.wb * 1000000.0) AS BIGINT)) AS BIGINT) AS b_micro
+        FROM idx i JOIN w ON w.t = i.t
+    )
+    SELECT x.maxmon AS last_month,
+           {dround('CAST(s.l_micro AS DOUBLE) / 1000000.0', 6)} AS level_dollars,
+           {dround('CAST(s.b_micro AS DOUBLE) / 1000000.0', 6)} AS trend_dollars,
+           {dround('CAST(s.l_micro + 1 * s.b_micro AS DOUBLE) / 1000000.0', 6)} AS forecast_1m,
+           {dround('CAST(s.l_micro + 3 * s.b_micro AS DOUBLE) / 1000000.0', 6)} AS forecast_3m,
+           {dround('CAST(s.l_micro + 6 * s.b_micro AS DOUBLE) / 1000000.0', 6)} AS forecast_6m
+    FROM s CROSS JOIN mx x
+    """,
+)
+def ext_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoother over the last {HOLT_T} months of
+    revenue, with 1/3/6-month-ahead forecasts — the trend extension of
+    ext_ses_forecast. The double recursion is UNROLLED INTO FROZEN
+    WEIGHT VECTORS (level/trend coefficients per lag, precomputed as
+    exact doubles and embedded as literals), turning an inherently
+    sequential smoother into one distributed dot product — the same
+    trick ext_adstock_transform uses for its decay powers.
+
+    Determinism: monthly revenue is exact integer dollars; each
+    y * weight product freezes to integer micro-units before the sum;
+    the window is fixed at {HOLT_T} months ending at the newest month,
+    with absent months contributing zero on both engines by
+    construction.
+
+    Scale shape: the corpus collapses to the month grid in one
+    aggregate; the dot product joins a {HOLT_T}-row broadcast weight
+    table. Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon")
+    ).agg(
+        F.floor(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    mx = m.agg(F.max("mon").alias("maxmon"))
+    idx = (
+        m.crossJoin(F.broadcast(mx))
+        .filter(
+            F.months_between(F.col("maxmon"), F.col("mon")).cast("bigint")
+            < HOLT_T
+        )
+        .select(
+            (
+                F.lit(HOLT_T - 1)
+                - F.months_between(F.col("maxmon"), F.col("mon")).cast("bigint")
+            ).alias("t"),
+            "y",
+        )
+    )
+    w = spark.createDataFrame(_HOLT_W, "t bigint, wl double, wb double")
+    s = idx.join(F.broadcast(w), "t").agg(
+        F.sum(F.round(F.col("y") * F.col("wl") * 1000000.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("l_micro"),
+        F.sum(F.round(F.col("y") * F.col("wb") * 1000000.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("b_micro"),
+    )
+    return s.crossJoin(F.broadcast(mx)).select(
+        F.col("maxmon").alias("last_month"),
+        F.round(F.col("l_micro").cast("double") / 1000000.0, 6).alias(
+            "level_dollars"
+        ),
+        F.round(F.col("b_micro").cast("double") / 1000000.0, 6).alias(
+            "trend_dollars"
+        ),
+        F.round(
+            (F.col("l_micro") + 1 * F.col("b_micro")).cast("double") / 1000000.0,
+            6,
+        ).alias("forecast_1m"),
+        F.round(
+            (F.col("l_micro") + 3 * F.col("b_micro")).cast("double") / 1000000.0,
+            6,
+        ).alias("forecast_3m"),
+        F.round(
+            (F.col("l_micro") + 6 * F.col("b_micro")).cast("double") / 1000000.0,
+            6,
+        ).alias("forecast_6m"),
+    )
+
+
+ext_eoq.__doc__ = ext_eoq.__doc__.replace("{EOQ_YEAR}", str(EOQ_YEAR))
+ext_holt_linear.__doc__ = ext_holt_linear.__doc__.replace(
+    "{HOLT_T}", str(HOLT_T)
+)
