@@ -295,6 +295,8 @@ HEADLINE = [
     "ext_levene_bf",
     "ext_embed_mmr_select",
     "ext_retrieval_recall",
+    "ext_eoq",
+    "ext_holt_linear",
 ]
 
 
