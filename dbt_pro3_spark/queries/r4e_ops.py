@@ -2146,3 +2146,277 @@ ext_eoq.__doc__ = ext_eoq.__doc__.replace("{EOQ_YEAR}", str(EOQ_YEAR))
 ext_holt_linear.__doc__ = ext_holt_linear.__doc__.replace(
     "{HOLT_T}", str(HOLT_T)
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch AJ — dbt-lifecycle parity ops: source freshness, SCD2 hard deletes,
+# model contracts
+# ---------------------------------------------------------------------------
+
+FR_WARN_MIN = 60  # warn_after: 60 minutes
+FR_ERR_MIN = 180  # error_after: 180 minutes
+
+
+@register(
+    "ext_source_freshness",
+    f"""
+    WITH x AS (
+        SELECT event_type, MAX(ts) AS max_loaded_at,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY event_type
+    ),
+    a AS (SELECT MAX(max_loaded_at) AS anchor FROM x)
+    SELECT x.event_type, x.max_loaded_at, x.n_rows,
+           CAST(FLOOR((epoch_us(a.anchor) - epoch_us(x.max_loaded_at))
+                      / 60000000) AS BIGINT) AS age_minutes,
+           CASE WHEN FLOOR((epoch_us(a.anchor) - epoch_us(x.max_loaded_at))
+                           / 60000000) >= {FR_ERR_MIN} THEN 'error'
+                WHEN FLOOR((epoch_us(a.anchor) - epoch_us(x.max_loaded_at))
+                           / 60000000) >= {FR_WARN_MIN} THEN 'warn'
+                ELSE 'pass' END AS status
+    FROM x CROSS JOIN a
+    ORDER BY x.event_type
+    """,
+)
+def ext_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt `source freshness` semantics: per source stream (event_type),
+    the newest loaded_at timestamp and its age against warn_after =
+    {FR_WARN_MIN} min / error_after = {FR_ERR_MIN} min thresholds —
+    the staleness gate a scheduler checks before running downstream
+    models. The "now" anchor is the global max event time (the
+    deterministic stand-in for wall clock, as the streaming oracles
+    use for watermarks).
+
+    Determinism: ages are exact integer microsecond differences
+    (unix_micros / epoch_us — DuckDB's epoch() returns fractional
+    DOUBLEs and is avoided) floored to minutes.
+
+    Scale shape: one per-type aggregate and a broadcast scalar anchor.
+    Cited parity anchor: dbt source freshness
+    (/root/reference/models/sources.yml surface; beyond-reference
+    thresholds)."""
+    ev = load(spark, sf_dir, "events")
+    x = ev.groupBy("event_type").agg(
+        F.max("ts").alias("max_loaded_at"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    a = x.agg(F.max("max_loaded_at").alias("anchor"))
+    age = F.floor(
+        (F.unix_micros(F.col("anchor")) - F.unix_micros(F.col("max_loaded_at")))
+        / 60000000
+    ).cast("bigint")
+    return (
+        x.crossJoin(F.broadcast(a))
+        .select(
+            "event_type",
+            "max_loaded_at",
+            "n_rows",
+            age.alias("age_minutes"),
+            F.when(age >= FR_ERR_MIN, "error")
+            .when(age >= FR_WARN_MIN, "warn")
+            .otherwise("pass")
+            .alias("status"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SCD_D1 = "2024-01-01"
+SCD_D2 = "2024-02-01"
+
+
+@register(
+    "ext_scd2_hard_delete",
+    f"""
+    WITH b1 AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 600
+    ),
+    b2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0 AND c_custkey < 600
+                    THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey >= 100 AND c_custkey < 700
+    ),
+    j AS (
+        SELECT COALESCE(b1.c_custkey, b2.c_custkey) AS k,
+               b1.c_acctbal AS v1, b2.c_acctbal AS v2,
+               b1.c_custkey IS NOT NULL AS in1,
+               b2.c_custkey IS NOT NULL AS in2
+        FROM b1 FULL OUTER JOIN b2 ON b1.c_custkey = b2.c_custkey
+    )
+    SELECT k AS c_custkey, v1 AS c_acctbal,
+           DATE '{SCD_D1}' AS valid_from, DATE '{SCD_D2}' AS valid_to,
+           FALSE AS is_current, NOT in2 AS is_deleted
+    FROM j WHERE in1 AND (NOT in2 OR v1 <> v2)
+    UNION ALL
+    SELECT k, COALESCE(v2, v1),
+           CASE WHEN in1 AND v1 = v2 THEN DATE '{SCD_D1}'
+                ELSE DATE '{SCD_D2}' END,
+           CAST(NULL AS DATE), TRUE, FALSE
+    FROM j WHERE in2
+    ORDER BY c_custkey, valid_from
+    """,
+)
+def ext_scd2_hard_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 snapshot with dbt's invalidate_hard_deletes: batch 2 drops
+    keys < 100 (hard deletes), doubles every 3rd surviving balance, and
+    adds keys 600-699. Deleted keys get their open version CLOSED at
+    the batch-2 date and flagged is_deleted — the semantics
+    ext_scd2_snapshot (which ignores deletes, dbt's default) does not
+    produce. Derived declaratively from the two batches: one full
+    outer join then version rows by change class.
+
+    Determinism: balances compare as identical parquet doubles
+    (the *2 change is exact); dates are literals.
+
+    Scale shape: one key-partitioned full outer join, no windows.
+    Cited parity anchor: dbt snapshots invalidate_hard_deletes
+    (reference dbt_project.yml surface; beyond-reference scenario)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    b1 = c.filter(F.col("c_custkey") < 600).select(
+        F.col("c_custkey").alias("k1"), F.col("c_acctbal").alias("v1")
+    )
+    b2 = (
+        c.filter((F.col("c_custkey") >= 100) & (F.col("c_custkey") < 700))
+        .select(
+            F.col("c_custkey").alias("k2"),
+            F.when(
+                (F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") < 600),
+                F.col("c_acctbal") * 2,
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("v2"),
+        )
+    )
+    j = b1.join(b2, F.col("k1") == F.col("k2"), "full_outer").select(
+        F.coalesce(F.col("k1"), F.col("k2")).alias("k"),
+        "v1",
+        "v2",
+        F.col("k1").isNotNull().alias("in1"),
+        F.col("k2").isNotNull().alias("in2"),
+    )
+    closed = j.filter(
+        F.col("in1") & (~F.col("in2") | (F.col("v1") != F.col("v2")))
+    ).select(
+        F.col("k").alias("c_custkey"),
+        F.col("v1").alias("c_acctbal"),
+        F.lit(SCD_D1).cast("date").alias("valid_from"),
+        F.lit(SCD_D2).cast("date").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+        (~F.col("in2")).alias("is_deleted"),
+    )
+    current = j.filter(F.col("in2")).select(
+        F.col("k").alias("c_custkey"),
+        F.coalesce(F.col("v2"), F.col("v1")).alias("c_acctbal"),
+        F.when(
+            F.col("in1") & (F.col("v1") == F.col("v2")), F.lit(SCD_D1)
+        )
+        .otherwise(F.lit(SCD_D2))
+        .cast("date")
+        .alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.lit(False).alias("is_deleted"),
+    )
+    return closed.unionAll(current).orderBy("c_custkey", "valid_from")
+
+
+@register(
+    "ext_contract_enforce",
+    """
+    WITH checks AS (
+        SELECT 'o_orderkey_not_null' AS rule_name,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice_positive',
+               CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus_enum',
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority_pattern',
+               CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate_range',
+               CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                               OR o_orderdate >= TIMESTAMP '2010-01-01'
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders
+    )
+    SELECT rule_name, n_violations, n_rows,
+           n_violations = 0 AS passed
+    FROM checks ORDER BY rule_name
+    """,
+)
+def ext_contract_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt model-contract enforcement report: five declarative column
+    constraints on orders (not-null key, positive money, status enum,
+    priority pattern, date range) evaluated in ONE scan with per-rule
+    violation counts — the build-time gate that fails a model whose
+    output drifts from its contract (complements the row-level dq_*
+    flag keys with a contract-level summary).
+
+    Determinism: pure integer counts.
+
+    Scale shape: a single conditional-aggregate pass per rule over one
+    cached scan — Spark computes all five aggregates in one job via
+    unionAll of scalar aggregates on the same source. Cited parity
+    anchor: dbt model contracts (/root/reference/dbt_project.yml
+    surface; beyond-reference rules)."""
+    o = load(spark, sf_dir, "orders")
+
+    def rule(name: str, viol) -> DataFrame:
+        return o.agg(
+            F.lit(name).alias("rule_name"),
+            F.sum(F.when(viol, 1).otherwise(0)).cast("bigint").alias(
+                "n_violations"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+
+    checks = (
+        rule("o_orderkey_not_null", F.col("o_orderkey").isNull())
+        .unionAll(rule("o_totalprice_positive", F.col("o_totalprice") <= 0))
+        .unionAll(
+            rule(
+                "o_orderstatus_enum",
+                ~F.col("o_orderstatus").isin("O", "F", "P"),
+            )
+        )
+        .unionAll(
+            rule(
+                "o_orderpriority_pattern",
+                ~F.col("o_orderpriority").rlike("^[1-5]-"),
+            )
+        )
+        .unionAll(
+            rule(
+                "o_orderdate_range",
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("2010-01-01").cast("timestamp")
+                ),
+            )
+        )
+    )
+    return checks.select(
+        "rule_name",
+        "n_violations",
+        "n_rows",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("rule_name")
+
+
+ext_source_freshness.__doc__ = ext_source_freshness.__doc__.replace(
+    "{FR_WARN_MIN}", str(FR_WARN_MIN)
+).replace("{FR_ERR_MIN}", str(FR_ERR_MIN))
