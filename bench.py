@@ -297,6 +297,9 @@ HEADLINE = [
     "ext_retrieval_recall",
     "ext_eoq",
     "ext_holt_linear",
+    "ext_source_freshness",
+    "ext_scd2_hard_delete",
+    "ext_contract_enforce",
 ]
 
 
