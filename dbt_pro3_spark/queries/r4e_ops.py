@@ -2420,3 +2420,288 @@ def ext_contract_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_source_freshness.__doc__ = ext_source_freshness.__doc__.replace(
     "{FR_WARN_MIN}", str(FR_WARN_MIN)
 ).replace("{FR_ERR_MIN}", str(FR_ERR_MIN))
+
+
+# ---------------------------------------------------------------------------
+# Batch AK — HITS bipartite ranking, MASE forecast scale, nearest as-of
+# ---------------------------------------------------------------------------
+
+HITS_TOPK = 10
+
+
+@register(
+    "ext_graph_hits",
+    f"""
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    a1 AS MATERIALIZED (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM edges GROUP BY p
+    ),
+    h1 AS MATERIALIZED (
+        SELECT e.c, CAST(SUM(a1.s) AS BIGINT) AS s
+        FROM edges e JOIN a1 ON a1.p = e.p GROUP BY e.c
+    ),
+    a2 AS MATERIALIZED (
+        SELECT e.p, CAST(SUM(CAST(h1.s AS HUGEINT)) AS HUGEINT) AS s
+        FROM edges e JOIN h1 ON h1.c = e.c GROUP BY e.p
+    ),
+    h2 AS (
+        SELECT e.c, CAST(SUM(a2.s) AS HUGEINT) AS s
+        FROM edges e JOIN a2 ON a2.p = e.p GROUP BY e.c
+    ),
+    u AS (
+        SELECT 'authority' AS role, p AS node_id, s FROM a2
+        UNION ALL
+        SELECT 'hub', c, s FROM h2
+    )
+    SELECT role, node_id, CAST(s AS VARCHAR) AS score,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT role, node_id, s,
+               ROW_NUMBER() OVER (PARTITION BY role ORDER BY s DESC, node_id) AS rk
+        FROM u
+    )
+    WHERE rk <= {HITS_TOPK}
+    ORDER BY role, rk
+    """,
+)
+def ext_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the customer-part purchase bipartite
+    graph: two exact power-iteration rounds WITHOUT normalization, so
+    every score is an exact path count (authorities after round 2 =
+    number of length-3 alternating paths into the part) — the integer
+    formulation that makes an inherently iterative eigenvector method
+    hash-checkable, the same trick as ext_graph_pagerank's unrolled
+    CTEs. Top-{HITS_TOPK} per role under the (score DESC, id) total
+    order; scores reported as strings because round-2 counts exceed
+    64-bit at large SF (128-bit on both engines).
+
+    Scale shape: each round is one edges-to-scores equi-join plus a
+    key aggregate — never materializing neighbor pairs; edge list is
+    deduplicated once and reused (MATERIALIZED / localCheckpoint).
+    Cited parity anchor: /root/reference/models (beyond-reference
+    surface)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a1 = edges.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    h1 = (
+        edges.join(a1.withColumnRenamed("s", "as1"), "p")
+        .groupBy("c")
+        .agg(F.sum("as1").cast("bigint").alias("s"))
+    )
+    a2 = (
+        edges.join(h1.withColumnRenamed("s", "hs1"), "c")
+        .groupBy("p")
+        .agg(F.sum(_dec(F.col("hs1"))).cast("decimal(38,0)").alias("s"))
+    )
+    h2 = (
+        edges.join(a2.withColumnRenamed("s", "as2"), "p")
+        .groupBy("c")
+        .agg(F.sum(F.col("as2")).cast("decimal(38,0)").alias("s"))
+    )
+    u = a2.select(
+        F.lit("authority").alias("role"),
+        F.col("p").alias("node_id"),
+        "s",
+    ).unionAll(
+        h2.select(F.lit("hub").alias("role"), F.col("c").alias("node_id"), "s")
+    )
+    w = Window.partitionBy("role").orderBy(F.desc("s"), "node_id")
+    return (
+        u.select(
+            "role",
+            "node_id",
+            "s",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= HITS_TOPK)
+        .select(
+            "role",
+            "node_id",
+            F.col("s").cast("decimal(38,0)").cast("string").alias("score"),
+            "rk",
+        )
+        .orderBy("role", "rk")
+    )
+
+
+@register(
+    "ext_forecast_mase",
+    f"""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               CAST(FLOOR(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100)
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    l AS (
+        SELECT mon, y,
+               LAG(y, 1) OVER (ORDER BY mon) AS y1,
+               LAG(y, 12) OVER (ORDER BY mon) AS y12
+        FROM m
+    ),
+    e AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ABS(y - y1)) AS BIGINT) AS e1,
+               CAST(SUM(ABS(y - y12)) AS BIGINT) AS e12
+        FROM l WHERE y12 IS NOT NULL
+    )
+    SELECT n AS n_scored_months,
+           {dround('CAST(e1 AS DOUBLE) / n', 6)} AS mae_naive1_dollars,
+           {dround('CAST(e12 AS DOUBLE) / n', 6)} AS mae_seasonal12_dollars,
+           {dround('CAST(e1 AS DOUBLE) / e12', 6)} AS mase_naive1,
+           CAST(e1 < e12 AS BOOLEAN) AS naive1_beats_seasonal
+    FROM e
+    """,
+)
+def ext_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (mean absolute scaled error) machinery on the monthly
+    revenue series: the naive-1 forecaster's MAE scaled by the
+    seasonal-naive (lag-12) MAE over the same scored months — the
+    scale-free forecast-accuracy denominator the M-competitions
+    standardized, completing the forecast-eval family
+    (ext_forecast_backtest scores a model; this provides the
+    benchmark scale every model must beat).
+
+    Determinism: monthly revenue and both absolute-error sums are
+    exact integers; the three ratios divide once each.
+
+    Scale shape: corpus -> bounded month grid -> one <= ~84-row lag
+    window -> scalar fold. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon")
+    ).agg(
+        F.floor(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy("mon")
+    l = m.select(
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 12).over(w).alias("y12"),
+    ).filter(F.col("y12").isNotNull())
+    e = l.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.abs(F.col("y") - F.col("y1"))).cast("bigint").alias("e1"),
+        F.sum(F.abs(F.col("y") - F.col("y12"))).cast("bigint").alias("e12"),
+    )
+    return e.select(
+        F.col("n").alias("n_scored_months"),
+        F.round(F.col("e1").cast("double") / F.col("n"), 6).alias(
+            "mae_naive1_dollars"
+        ),
+        F.round(F.col("e12").cast("double") / F.col("n"), 6).alias(
+            "mae_seasonal12_dollars"
+        ),
+        F.round(F.col("e1").cast("double") / F.col("e12"), 6).alias(
+            "mase_naive1"
+        ),
+        (F.col("e1") < F.col("e12")).alias("naive1_beats_seasonal"),
+    )
+
+
+@register(
+    "ext_asof_nearest",
+    """
+    WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_id,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ts,
+               FIRST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                           IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_id,
+               FIRST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+                           IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts
+        FROM events
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN next_id IS NULL THEN prev_id
+                WHEN prev_id IS NULL THEN next_id
+                WHEN epoch_us(ts) - epoch_us(prev_ts)
+                     <= epoch_us(next_ts) - epoch_us(ts) THEN prev_id
+                ELSE next_id END AS click_id,
+           CASE WHEN next_id IS NULL THEN epoch_us(prev_ts) - epoch_us(ts)
+                WHEN prev_id IS NULL THEN epoch_us(next_ts) - epoch_us(ts)
+                WHEN epoch_us(ts) - epoch_us(prev_ts)
+                     <= epoch_us(next_ts) - epoch_us(ts)
+                THEN epoch_us(prev_ts) - epoch_us(ts)
+                ELSE epoch_us(next_ts) - epoch_us(ts) END AS gap_us
+    FROM s
+    WHERE event_type = 'purchase' AND (prev_id IS NOT NULL OR next_id IS NOT NULL)
+    ORDER BY purchase_id
+    """,
+)
+def ext_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of match (pandas merge_asof
+    direction='nearest'): each purchase takes the click closest in
+    time in EITHER direction, per user — the bidirectional complement
+    to ext_asof_join's backward-only carry-forward. Ties at equal
+    gap resolve backward (the earlier click).
+
+    Determinism: candidate clicks come from IGNORE-NULLS running
+    first/last values under the pinned (ts, event_id) order; gaps are
+    exact integer microseconds (unix_micros / epoch_us).
+
+    Scale shape: one shuffle on user_id feeding two frame-bounded
+    windows over the interleaved stream — no join, no range
+    explosion (the same shape as ext/asof.py, extended forward).
+    Cited parity anchor: /root/reference/models (beyond-reference
+    surface)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wb = w.rowsBetween(Window.unboundedPreceding, -1)
+    wf = w.rowsBetween(1, Window.unboundedFollowing)
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(click_id, ignorenulls=True).over(wb).alias("prev_id"),
+        F.last(click_ts, ignorenulls=True).over(wb).alias("prev_ts"),
+        F.first(click_id, ignorenulls=True).over(wf).alias("next_id"),
+        F.first(click_ts, ignorenulls=True).over(wf).alias("next_ts"),
+    )
+    back_gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    fwd_gap = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+    pick_prev = F.when(F.col("next_id").isNull(), True).otherwise(
+        F.when(F.col("prev_id").isNull(), False).otherwise(back_gap <= fwd_gap)
+    )
+    return (
+        s.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("prev_id").isNotNull() | F.col("next_id").isNotNull())
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(pick_prev, F.col("prev_id"))
+            .otherwise(F.col("next_id"))
+            .alias("click_id"),
+            F.when(pick_prev, -back_gap).otherwise(fwd_gap).alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
