@@ -58,6 +58,12 @@ def dround(expr: str, n: int) -> str:
 
 _LOADED = False
 
+# Keys registered by the round-4/5 statistical-analytics modules
+# (r4_ops..r4e_ops, r5_ops) — populated at load time. These have the least
+# driver-CORRECTNESS coverage, so the fresh partition of the driver ordering
+# leads with them (after the re-sample fix keys).
+_R4_KEYS: set[str] = set()
+
 
 def register(name: str, oracle: str | None = None):
     """Decorator: register a query callable and (optionally) its oracle SQL."""
@@ -84,11 +90,14 @@ def _load_all() -> None:
     from . import correlated  # noqa: F401
     from . import llm_ops  # noqa: F401
     from . import scale_ops  # noqa: F401
+    pre_r4 = set(QUERIES)
     from . import r4_ops  # noqa: F401
     from . import r4b_ops  # noqa: F401
     from . import r4c_ops  # noqa: F401
     from . import r4d_ops  # noqa: F401
     from . import r4e_ops  # noqa: F401
+    from . import r5_ops  # noqa: F401
+    _R4_KEYS.update(set(QUERIES) - pre_r4)
     _LOADED = True
 
 
@@ -186,6 +195,19 @@ _PRIORITY_TAIL = [
 # order, followed by _PRIORITY_TAIL, followed by the rest.
 _CORE_MODULES_LAST_KEY = "audit_rowcount_log"
 
+# Round-5 re-sample targets: keys whose round-4 defect was fixed this round
+# and must land a driver-green CORRECTNESS row before anything else.
+# ext_text_pack: oracle's HUGEINT cum_before now cast to BIGINT;
+# q_priority_shipping / ext_jonckheere_trend: same latent HUGEINT-output
+# class, cast pre-emptively; pipeline_medallion: upgraded from rows-only to
+# a SQL-expressible per-layer summary oracle.
+_R5_RESAMPLE = [
+    "ext_text_pack",
+    "pipeline_medallion",
+    "q_priority_shipping",
+    "ext_jonckheere_trend",
+]
+
 # Keys the driver's bounded CORRECTNESS window has already verified green in
 # rounds 1-3 (union of CORRECTNESS_r01/r02/r03 key sets). The driver samples
 # the first ~50 keys of queries() per round, so verified keys rotate to the
@@ -198,6 +220,26 @@ _CORE_MODULES_LAST_KEY = "audit_rowcount_log"
 # their best-possible driver check in r03 (rows recorded, no_oracle by
 # design) and rotate out with the rest.
 _DRIVER_VERIFIED = {
+    # r04 window (CORRECTNESS_r04.json — 48 hash-green; ext_text_pack and
+    # pipeline_medallion deliberately EXCLUDED so the r05 window re-samples
+    # them after their fixes: ext_text_pack's oracle HUGEINT output is now
+    # cast to BIGINT, pipeline_medallion gained a SQL-expressible oracle)
+    "agg_cube", "agg_percentile", "agg_pivot",
+    "agg_rollup", "agg_stddev", "ext_curation_pipeline",
+    "ext_date_spine_fill", "ext_dedup_incremental", "ext_dedup_keep_best",
+    "ext_embed_centroids", "ext_embed_quantize", "ext_event_funnel",
+    "ext_graph_pagerank", "ext_incremental_merge", "ext_mixture_resample",
+    "ext_mm_audio_frames", "ext_mm_phash_dedup", "ext_quality_filter",
+    "ext_retention_cohorts", "ext_scd2_snapshot", "ext_sketch_countmin",
+    "ext_sketch_merge", "ext_stream_outer_join", "ext_stream_session_timeout",
+    "ext_text_bm25", "ext_text_bpe_pairs", "ext_text_decontaminate",
+    "ext_text_dup_ngram_spans", "ext_text_unigram_xent", "ext_text_vocab",
+    "join_left_anti", "join_left_semi", "join_salted_skew",
+    "profile_table", "reshape_unpivot", "sample_deterministic",
+    "sample_stratified", "scan_zorder_key", "setop_except",
+    "setop_intersect", "setop_union_all", "sort_limit_topk",
+    "src_jsonl_parse", "test_accepted_values", "test_relationships",
+    "win_first_last_value", "win_rank_dense_ntile", "win_running_sum",
     # r03 window (CORRECTNESS_r03.json — 47 hash-green + 3 rows-only)
     "src_file_metadata", "dq_filter_then_window", "derive_business_cols",
     "test_not_null", "test_unique", "audit_rowcount_log",
@@ -246,10 +288,16 @@ def _ordered_keys() -> list[str]:
     rest = [k for k in keys if k not in head and k not in tail]
     ordered = list(dict.fromkeys(head + tail + rest))
     # Stable partition: never-driver-sampled keys first (priority order
-    # preserved), already-verified keys last.
+    # preserved), already-verified keys last. Within the fresh partition,
+    # the round-5 re-sample targets lead (keys whose defect was fixed this
+    # round and must land a driver-green row), then the r4/r5 statistical
+    # batch (zero driver rows so far), then the remaining fresh keys.
     fresh = [k for k in ordered if k not in _DRIVER_VERIFIED]
     done = [k for k in ordered if k in _DRIVER_VERIFIED]
-    return fresh + done
+    resample = [k for k in _R5_RESAMPLE if k in fresh]
+    fresh_r4 = [k for k in fresh if k in _R4_KEYS and k not in resample]
+    fresh_rest = [k for k in fresh if k not in _R4_KEYS and k not in resample]
+    return resample + fresh_r4 + fresh_rest + done
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -465,7 +465,8 @@ def ext_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS cum_before
         FROM toks WHERE n_tokens > 0
     )
-    SELECT doc_id, n_tokens, cum_before,
+    SELECT doc_id, n_tokens,
+           CAST(cum_before AS BIGINT) AS cum_before,
            CAST(FLOOR(cum_before / {PACK_CTX}) AS BIGINT) AS pack_first,
            CAST(FLOOR((cum_before + n_tokens - 1) / {PACK_CTX}) AS BIGINT) AS pack_last,
            CAST(FLOOR((cum_before + n_tokens - 1) / {PACK_CTX})

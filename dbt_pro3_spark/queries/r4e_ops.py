@@ -1453,7 +1453,7 @@ JT_CRIT = 1.96  # two-sided 5% normal point (untied-variance approximation)
         SELECT CAST(SUM({' + '.join(f'CAST(c{jj} AS HUGEINT) * (2 * m{ii} - c{ii})' for ii in range(1, 6) for jj in range(ii + 1, 6))}) AS HUGEINT) AS jt2
         FROM grid
     )
-    SELECT t.n AS n_orders, jt.jt2 AS jt_doubled,
+    SELECT t.n AS n_orders, CAST(jt.jt2 AS BIGINT) AS jt_doubled,
            {dround(f"({_vd('jt.jt2')} - ({_vd('CAST(t.n AS HUGEINT) * t.n - (' + ' + '.join(f'CAST(t.n{i} AS HUGEINT) * t.n{i}' for i in range(1, 6)) + ')')}) / 2) / (2 * SQRT(({_vd('CAST(t.n AS HUGEINT) * t.n * (2 * t.n + 3) - (' + ' + '.join(f'CAST(t.n{i} AS HUGEINT) * t.n{i} * (2 * t.n{i} + 3)' for i in range(1, 6)) + ')')}) / 72))", 6)} AS z_score,
            CAST(ABS(({_vd('jt.jt2')} - ({_vd('CAST(t.n AS HUGEINT) * t.n - (' + ' + '.join(f'CAST(t.n{i} AS HUGEINT) * t.n{i}' for i in range(1, 6)) + ')')}) / 2) / (2 * SQRT(({_vd('CAST(t.n AS HUGEINT) * t.n * (2 * t.n + 3) - (' + ' + '.join(f'CAST(t.n{i} AS HUGEINT) * t.n{i} * (2 * t.n{i} + 3)' for i in range(1, 6)) + ')')}) / 72))) > {JT_CRIT} AS BOOLEAN) AS significant
     FROM jt CROSS JOIN tot t
@@ -1534,7 +1534,9 @@ def ext_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("jt2").cast("double") - e2) / (2 * F.sqrt(varnum / 72))
     return jt.crossJoin(F.broadcast(tot)).select(
         F.col("n").alias("n_orders"),
-        F.col("jt2").alias("jt_doubled"),
+        # 2*JT <= n^2 < 2^63 for any n < ~3e9 rows — bigint is exact here;
+        # the 128-bit width is only needed for the internal accumulation.
+        F.col("jt2").cast("bigint").alias("jt_doubled"),
         F.round(z, 6).alias("z_score"),
         (F.abs(z) > JT_CRIT).alias("significant"),
     )
