@@ -99,11 +99,16 @@ def main() -> None:
                 order = sorted(scols)
                 si = {c: i for i, c in enumerate(scols)}
                 di = {c: i for i, c in enumerate(dcols)}
+                def skey(row):
+                    return tuple((x is None, repr(x)) for x in row)
+
                 sn = sorted(
-                    tuple(norm(r[si[c]]) for c in order) for r in srows
+                    (tuple(norm(r[si[c]]) for c in order) for r in srows),
+                    key=skey,
                 )
                 dn = sorted(
-                    tuple(norm(r[di[c]]) for c in order) for r in drows
+                    (tuple(norm(r[di[c]]) for c in order) for r in drows),
+                    key=skey,
                 )
                 for i, (a, b) in enumerate(zip(sn, dn)):
                     if a != b:
