@@ -1,23 +1,40 @@
 """Local stand-in for the driver's oracle comparison.
 
 Mimics CORRECTNESS checking: row count, sorted column names, and an
-order-insensitive comparison of values (floats via isclose so we catch real
-semantic diffs, not IEEE noise — the queries themselves round terminal floats
-so the driver's exact hash should also match).
+order-insensitive comparison of values. Since round 5 this compare is
+STRICT — the driver's hash is exact and type-lane-sensitive, and the whole
+registry passes bit-exact at sf0.001/sf0.01/sf0.1 (scripts/strict_parity.py
+sweeps), so the in-repo suite now enforces the same contract:
+
+- float cells must be BIT-IDENTICAL (struct-packed; NaN == NaN, but
+  +0.0 != -0.0 — the hash lanes differ);
+- numeric kinds must match exactly: an int on one side and a Decimal or
+  float on the other is a TYPE-LANE mismatch even when values agree
+  (the round-4 ext_text_pack failure class);
+- Decimals compare by their exact string (scale included);
+- everything else (strings, dates, timestamps, bools, arrays) compares
+  exactly.
+
+Set PARITY_TOLERANT=1 to fall back to the old isclose(1e-9) compare when
+triaging whether a strict failure is a value bug or a representation bug.
 """
 
 from __future__ import annotations
 
 import datetime as dt
 import math
+import os
+import struct
 from decimal import Decimal
+
+TOLERANT = os.environ.get("PARITY_TOLERANT") == "1"
 
 
 def _norm_cell(v):
     if v is None:
         return None
     if isinstance(v, bool):
-        return bool(v)
+        return ("b", bool(v))
     if isinstance(v, Decimal):
         return ("dec", str(v))
     if isinstance(v, float):
@@ -77,22 +94,28 @@ def compare(spark_df, duck_con, sql: str, name: str = "?") -> list[str]:
     return errs
 
 
+def _float_eq(a: float, b: float) -> bool:
+    if TOLERANT:
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    return struct.pack("<d", a) == struct.pack("<d", b) or (
+        math.isnan(a) and math.isnan(b)
+    )
+
+
 def _cell_eq(x, y) -> bool:
     if x is None or y is None:
         return x is None and y is None
     if isinstance(x, tuple) and isinstance(y, tuple) and x and y:
         if x[0] == "arr" or y[0] == "arr":
             return x[0] == y[0] and _rows_eq(x[1], y[1])
-        if x[0] == "f" or y[0] == "f" or x[0] == "i" or y[0] == "i":
-            # numeric kinds compare cross-type with tolerance
-            if x[0] in ("f", "i", "dec") and y[0] in ("f", "i", "dec"):
-                a = float(x[1]) if x[0] != "dec" else float(Decimal(x[1]))
-                b = float(y[1]) if y[0] != "dec" else float(Decimal(y[1]))
-                return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
-        if x[0] == "dec" and y[0] == "dec":
-            return Decimal(x[1]) == Decimal(y[1])
+        if TOLERANT and (x[0] in ("f", "i", "dec") and y[0] in ("f", "i", "dec")):
+            a = float(x[1]) if x[0] != "dec" else float(Decimal(x[1]))
+            b = float(y[1]) if y[0] != "dec" else float(Decimal(y[1]))
+            return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
         if x[0] != y[0]:
-            return False
+            return False  # type-lane mismatch (int vs dec vs float)
+        if x[0] == "f":
+            return _float_eq(x[1], y[1])
         if isinstance(x[1], tuple):
             return _rows_eq(x[1], y[1])
         return x[1] == y[1]
