@@ -17,6 +17,13 @@ sweeps), so the in-repo suite now enforces the same contract:
 
 Set PARITY_TOLERANT=1 to fall back to the old isclose(1e-9) compare when
 triaging whether a strict failure is a value bug or a representation bug.
+
+Callers can also pass ``compare(..., tolerant=True)`` explicitly: the
+pipeline golden tests (tests/test_pipeline.py) replicate the REFERENCE's
+models, whose gold marts aggregate raw doubles without terminal rounding —
+cross-engine summation order makes bit-identity unattainable there BY
+DESIGN, and those goldens are not part of the driver's hash contract. The
+driver-facing registry keys always use the strict default.
 """
 
 from __future__ import annotations
@@ -59,8 +66,15 @@ def _sort_key(row):
     )
 
 
-def compare(spark_df, duck_con, sql: str, name: str = "?") -> list[str]:
-    """Return a list of mismatch descriptions (empty == parity)."""
+def compare(
+    spark_df, duck_con, sql: str, name: str = "?", tolerant: bool | None = None
+) -> list[str]:
+    """Return a list of mismatch descriptions (empty == parity).
+
+    ``tolerant=None`` (default) follows PARITY_TOLERANT; ``tolerant=True``
+    forces the isclose(1e-9) numeric compare for callers whose contract is
+    semantic replication rather than the driver's exact hash (the pipeline
+    goldens)."""
     errs: list[str] = []
     srows = spark_df.collect()
     scols = spark_df.columns
@@ -86,47 +100,48 @@ def compare(spark_df, duck_con, sql: str, name: str = "?") -> list[str]:
         (tuple(_norm_cell(r[didx[c]]) for c in cols_sorted) for r in drows),
         key=_sort_key,
     )
+    tol = TOLERANT if tolerant is None else tolerant
     for i, (a, b) in enumerate(zip(snorm, dnorm)):
-        if not _rows_eq(a, b):
+        if not _rows_eq(a, b, tol):
             errs.append(f"[{name}] row {i} differs (cols {cols_sorted}):\n  spark={a}\n  duck ={b}")
             if len(errs) > 5:
                 break
     return errs
 
 
-def _float_eq(a: float, b: float) -> bool:
-    if TOLERANT:
+def _float_eq(a: float, b: float, tol: bool) -> bool:
+    if tol:
         return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
     return struct.pack("<d", a) == struct.pack("<d", b) or (
         math.isnan(a) and math.isnan(b)
     )
 
 
-def _cell_eq(x, y) -> bool:
+def _cell_eq(x, y, tol: bool) -> bool:
     if x is None or y is None:
         return x is None and y is None
     if isinstance(x, tuple) and isinstance(y, tuple) and x and y:
         if x[0] == "arr" or y[0] == "arr":
-            return x[0] == y[0] and _rows_eq(x[1], y[1])
-        if TOLERANT and (x[0] in ("f", "i", "dec") and y[0] in ("f", "i", "dec")):
+            return x[0] == y[0] and _rows_eq(x[1], y[1], tol)
+        if tol and (x[0] in ("f", "i", "dec") and y[0] in ("f", "i", "dec")):
             a = float(x[1]) if x[0] != "dec" else float(Decimal(x[1]))
             b = float(y[1]) if y[0] != "dec" else float(Decimal(y[1]))
             return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
         if x[0] != y[0]:
             return False  # type-lane mismatch (int vs dec vs float)
         if x[0] == "f":
-            return _float_eq(x[1], y[1])
+            return _float_eq(x[1], y[1], tol)
         if isinstance(x[1], tuple):
-            return _rows_eq(x[1], y[1])
+            return _rows_eq(x[1], y[1], tol)
         return x[1] == y[1]
     if isinstance(x, tuple) and isinstance(y, tuple):
-        return _rows_eq(x, y)
+        return _rows_eq(x, y, tol)
     return x == y
 
 
-def _rows_eq(a, b) -> bool:
+def _rows_eq(a, b, tol: bool = False) -> bool:
     if not isinstance(a, tuple) or not isinstance(b, tuple):
-        return _cell_eq(a, b)
+        return _cell_eq(a, b, tol)
     if len(a) != len(b):
         return False
-    return all(_cell_eq(x, y) for x, y in zip(a, b))
+    return all(_cell_eq(x, y, tol) for x, y in zip(a, b))

@@ -501,7 +501,12 @@ def test_gold_golden(pipeline_run, duck_raw, model, sql, exclude):
     oracle_cols = {d[0] for d in duck_raw.execute(f"SELECT * FROM ({sql}) t LIMIT 0").description}
     drop = sorted(exclude & oracle_cols)
     cmp_sql = f"SELECT * EXCLUDE ({', '.join(drop)}) FROM ({sql}) t" if drop else sql
-    errs = compare(df.select(*keep), duck_raw, cmp_sql, model)
+    # tolerant=True: these goldens replicate the REFERENCE models, whose
+    # gold marts aggregate raw doubles with no terminal rounding — summation
+    # order differs across engines, so bit-identical floats are unattainable
+    # by design. They are replication tests, not driver hash contracts; the
+    # registry oracle suite keeps the strict default.
+    errs = compare(df.select(*keep), duck_raw, cmp_sql, model, tolerant=True)
     assert not errs, "\n".join(errs[:5])
     if "gwp_growth_rate_yoy" in exclude:
         import math
