@@ -321,6 +321,13 @@ HEADLINE = [
     "ext_rerank_rrf",
     "ext_text_loss_mask",
     "ext_corpus_manifest",
+    # round-5 second batch (first stable numbers become their baselines)
+    "ext_fdr_bh",
+    "ext_metric_delta_ratio",
+    "ext_sketch_quantile_bottomk",
+    "ext_kfold_assign",
+    "ext_text_curriculum",
+    "ext_text_doc_novelty",
 ]
 
 
