@@ -328,6 +328,12 @@ HEADLINE = [
     "ext_kfold_assign",
     "ext_text_curriculum",
     "ext_text_doc_novelty",
+    # round-5 third batch (first stable numbers become their baselines)
+    "ext_eval_pass_at_k",
+    "ext_feature_woe_iv",
+    "ext_stat_wasserstein_1d",
+    "ext_embed_matryoshka_audit",
+    "ext_data_epoch_order",
 ]
 
 
