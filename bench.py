@@ -334,6 +334,11 @@ HEADLINE = [
     "ext_stat_wasserstein_1d",
     "ext_embed_matryoshka_audit",
     "ext_data_epoch_order",
+    # round-5 fourth batch (first stable numbers become their baselines)
+    "ext_calibration_temperature",
+    "ext_causal_ipw_ate",
+    "ext_sample_negatives_plan",
+    "ext_text_canary_scan",
 ]
 
 
