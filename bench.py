@@ -339,6 +339,10 @@ HEADLINE = [
     "ext_causal_ipw_ate",
     "ext_sample_negatives_plan",
     "ext_text_canary_scan",
+    # round-5 fifth batch (first stable numbers become their baselines)
+    "ext_eval_qini_uplift",
+    "ext_fit_lognormal",
+    "ext_causal_poststrat_ate",
 ]
 
 
