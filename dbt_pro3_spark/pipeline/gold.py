@@ -13,8 +13,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _rdate(run_date: str | None) -> F.Column:
+    """Report-date expression: the injected run date when the caller provides
+    one (deterministic runs / pinned goldens), else the reference semantics
+    (CURRENT_DATE in models/gold/*.sql). Never pin a golden constant over the
+    CURRENT_DATE path — it is valid for exactly one calendar day."""
+    return F.lit(run_date).cast("date") if run_date is not None else F.current_date()
+
+
 def gold_customer_360(
-    customers_silver: DataFrame, policies_silver: DataFrame, claims_silver: DataFrame
+    customers_silver: DataFrame, policies_silver: DataFrame, claims_silver: DataFrame,
+    run_date: str | None = None,
 ) -> DataFrame:
     """gold_customer_360.sql:21-149."""
     cb = customers_silver.filter(F.col("invalid_email_flag") == 0).select(
@@ -108,17 +117,18 @@ def gold_customer_360(
         .when(claims0.cast("double") / F.coalesce("total_policies", F.lit(1)) < 0.3, "Medium Risk")
         .otherwise("High Risk")
         .alias("risk_tier"),
-        F.when(F.col("latest_policy_end") < F.current_date(), 1).otherwise(0).alias("churned_flag"),
+        F.when(F.col("latest_policy_end") < _rdate(run_date), 1).otherwise(0).alias("churned_flag"),
         F.when(F.coalesce("potential_fraud_claims", F.lit(0)) > 0, 1)
         .otherwise(0)
         .alias("fraud_flag"),
-        F.current_date().alias("report_date"),
+        _rdate(run_date).alias("report_date"),
         "processed_at",
     )
 
 
 def gold_policy_performance(
-    policies_silver: DataFrame, claims_silver: DataFrame
+    policies_silver: DataFrame, claims_silver: DataFrame,
+    run_date: str | None = None,
 ) -> DataFrame:
     """gold_policy_performance.sql:21-126."""
     pb = (
@@ -209,12 +219,13 @@ def gold_policy_performance(
         .alias("performance_tier"),
         F.lag("total_premium_revenue", 12).over(w).alias("premium_revenue_prev_year"),
         F.lag("policy_count", 12).over(w).alias("policy_count_prev_year"),
-        F.current_date().alias("report_date"),
+        _rdate(run_date).alias("report_date"),
     )
 
 
 def gold_claims_operations(
-    claims_silver: DataFrame, policies_silver: DataFrame, customers_silver: DataFrame
+    claims_silver: DataFrame, policies_silver: DataFrame, customers_silver: DataFrame,
+    run_date: str | None = None,
 ) -> DataFrame:
     """gold_claims_operations.sql:21-128."""
     cb = (
@@ -318,12 +329,13 @@ def gold_claims_operations(
         .alias("customer_age_category"),
         F.lag("claim_count", 1).over(w).alias("prev_month_claims"),
         F.lag("total_claim_amount", 1).over(w).alias("prev_month_claim_amount"),
-        F.current_date().alias("report_date"),
+        _rdate(run_date).alias("report_date"),
     )
 
 
 def gold_executive_summary(
-    policies_silver: DataFrame, claims_silver: DataFrame, run_ts: str | None = None
+    policies_silver: DataFrame, claims_silver: DataFrame, run_ts: str | None = None,
+    run_date: str | None = None,
 ) -> DataFrame:
     """gold_executive_summary.sql:21-146.
 
@@ -417,7 +429,7 @@ def gold_executive_summary(
         .when(F.col("loss_ratio") <= 1.0, "Acceptable")
         .otherwise("Concerning")
         .alias("performance_category"),
-        F.current_date().alias("report_date"),
+        _rdate(run_date).alias("report_date"),
         (
             F.lit(run_ts).cast("timestamp") if run_ts is not None else F.current_timestamp()
         ).alias("created_at"),

@@ -23,6 +23,12 @@ DEFAULT_RUN_TS = "2025-06-30 12:00:00"
 
 
 def build_registry(raw: dict[str, DataFrame], run_ts: str = DEFAULT_RUN_TS) -> ModelRegistry:
+    # The run DATE derived from run_ts is injected everywhere the reference
+    # uses CURRENT_DATE (report_date, age, churned_flag) so a registry built
+    # with a fixed run_ts is deterministic across calendar days — goldens
+    # pinned over its outputs stay valid forever. Passing run_ts=None falls
+    # back to live CURRENT_DATE/CURRENT_TIMESTAMP (reference semantics).
+    run_date = run_ts[:10] if run_ts is not None else None
     reg = ModelRegistry()
 
     reg.model("customers_bronze", layer="bronze")(
@@ -43,7 +49,7 @@ def build_registry(raw: dict[str, DataFrame], run_ts: str = DEFAULT_RUN_TS) -> M
         deps=("customers_bronze",),
         layer="silver",
         tests=(("not_null", "customer_id"), ("unique", "customer_id")),
-    )(lambda s, ref: sv.customers_silver(ref("customers_bronze"), run_ts))
+    )(lambda s, ref: sv.customers_silver(ref("customers_bronze"), run_ts, run_date))
     reg.model(
         "policies_silver",
         deps=("policies_bronze",),
@@ -69,21 +75,27 @@ def build_registry(raw: dict[str, DataFrame], run_ts: str = DEFAULT_RUN_TS) -> M
         layer="gold",
     )(
         lambda s, ref: gd.gold_customer_360(
-            ref("customers_silver"), ref("policies_silver"), ref("claims_silver")
+            ref("customers_silver"), ref("policies_silver"), ref("claims_silver"),
+            run_date,
         )
     )
     reg.model(
         "gold_policy_performance",
         deps=("policies_silver", "claims_silver"),
         layer="gold",
-    )(lambda s, ref: gd.gold_policy_performance(ref("policies_silver"), ref("claims_silver")))
+    )(
+        lambda s, ref: gd.gold_policy_performance(
+            ref("policies_silver"), ref("claims_silver"), run_date
+        )
+    )
     reg.model(
         "gold_claims_operations",
         deps=("claims_silver", "policies_silver", "customers_silver"),
         layer="gold",
     )(
         lambda s, ref: gd.gold_claims_operations(
-            ref("claims_silver"), ref("policies_silver"), ref("customers_silver")
+            ref("claims_silver"), ref("policies_silver"), ref("customers_silver"),
+            run_date,
         )
     )
     reg.model(
@@ -92,7 +104,7 @@ def build_registry(raw: dict[str, DataFrame], run_ts: str = DEFAULT_RUN_TS) -> M
         layer="gold",
     )(
         lambda s, ref: gd.gold_executive_summary(
-            ref("policies_silver"), ref("claims_silver"), run_ts
+            ref("policies_silver"), ref("claims_silver"), run_ts, run_date
         )
     )
 

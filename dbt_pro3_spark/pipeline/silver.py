@@ -29,8 +29,15 @@ def _flag(cond) -> F.Column:
     return F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("int")
 
 
-def customers_silver(bronze: DataFrame, run_ts: str) -> DataFrame:
-    """customers_silver.sql:21-91."""
+def customers_silver(
+    bronze: DataFrame, run_ts: str, run_date: str | None = None
+) -> DataFrame:
+    """customers_silver.sql:21-91.
+
+    ``age`` mirrors the reference's YEAR(CURRENT_DATE) - YEAR(dob)
+    (customers_silver.sql:52); when ``run_date`` is injected the run date's
+    year is used instead so deterministic runs don't roll over at new year.
+    """
     c = bronze
     cleaned = c.select(
         F.trim("customer_id").cast("string").alias("customer_id"),
@@ -54,7 +61,10 @@ def customers_silver(bronze: DataFrame, run_ts: str) -> DataFrame:
         F.lit(run_ts).cast("timestamp").alias("processed_at"),
         F.when(
             F.col("date_of_birth").isNotNull(),
-            F.year(F.current_date()) - F.year("date_of_birth"),
+            F.year(
+                F.lit(run_date).cast("date") if run_date is not None
+                else F.current_date()
+            ) - F.year("date_of_birth"),
         ).alias("age"),
         # CONCAT, not concat_ws: NULL name => NULL full_name (sql:47)
         F.concat(

@@ -206,10 +206,12 @@ _CORE_MODULES_LAST_KEY = "audit_rowcount_log"
 # class, cast pre-emptively; pipeline_medallion: upgraded from rows-only to
 # a SQL-expressible per-layer summary oracle.
 _R5_RESAMPLE = [
-    "ext_text_pack",
+    # Round-6 re-sample targets: the two round-5 DECIMAL-lane hash-misses,
+    # fixed this round (fertility -> dround/DOUBLE; medallion checksum ->
+    # VARCHAR + calendar-invariant run_date injection) and must land a
+    # driver-green row before anything else.
     "pipeline_medallion",
-    "q_priority_shipping",
-    "ext_jonckheere_trend",
+    "ext_tokenizer_fertility",
 ]
 
 # Keys the driver's bounded CORRECTNESS window has already verified green in
@@ -224,6 +226,27 @@ _R5_RESAMPLE = [
 # their best-possible driver check in r03 (rows recorded, no_oracle by
 # design) and rotate out with the rest.
 _DRIVER_VERIFIED = {
+    # r05 window (CORRECTNESS_r05.json — 48 hash-green; the two misses,
+    # pipeline_medallion and ext_tokenizer_fertility, deliberately EXCLUDED
+    # so the r06 window re-samples them after the DECIMAL-lane fixes)
+    "ext_abc_xyz_matrix", "ext_assoc_rules", "ext_bootstrap_ci",
+    "ext_changepoint_cusum", "ext_chi2_independence", "ext_customer_rfm",
+    "ext_embed_centroid_classify", "ext_embed_isotropy",
+    "ext_embed_pca_power", "ext_embed_pca_project", "ext_eval_calibration",
+    "ext_eval_lift", "ext_eval_threshold_sweep",
+    "ext_exact_quantiles_grouped", "ext_exact_quantiles_twopass",
+    "ext_fk_discovery", "ext_funnel_latency", "ext_graph_label_prop",
+    "ext_incremental_agg_maintain", "ext_item_cooccur_cosine",
+    "ext_jonckheere_trend", "ext_keyword_pmi", "ext_lorenz_points",
+    "ext_mixture_temperature", "ext_privacy_l_diversity",
+    "ext_rank_effect_stats", "ext_sample_weighted", "ext_seasonal_anomaly",
+    "ext_session_attribution", "ext_session_path_topk", "ext_sketch_bloom",
+    "ext_sketch_hll_custom", "ext_sketch_kmv", "ext_source_js_divergence",
+    "ext_source_lang_mix", "ext_survival_km", "ext_target_encode_loo",
+    "ext_text_bigram_kn", "ext_text_burstiness", "ext_text_pack",
+    "ext_text_readability", "ext_text_template_mask", "ext_trend_ols",
+    "ext_ts_autocorrelation", "ext_ts_decompose", "ext_ts_rolling_corr",
+    "ext_two_sample_ks", "q_priority_shipping",
     # r04 window (CORRECTNESS_r04.json — 48 hash-green; ext_text_pack and
     # pipeline_medallion deliberately EXCLUDED so the r05 window re-samples
     # them after their fixes: ext_text_pack's oracle HUGEINT output is now

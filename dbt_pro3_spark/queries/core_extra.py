@@ -327,15 +327,19 @@ _MEDALLION_GOLDEN = [
     # replication in tests/test_pipeline.py (the real correctness evidence);
     # this oracle turns that golden into a driver-hashable contract so any
     # regression in bronze/silver/gold logic, dedup ordering, flag rules, or
-    # the audit/test hooks flips the hash.
+    # the audit/test hooks flips the hash. CALENDAR-INVARIANT: every
+    # date-derived column (report_date/age/churned_flag) is computed from the
+    # injected run_ts date, never CURRENT_DATE (round-5 date-bomb fix —
+    # tests/test_pipeline.py::test_injected_run_date_no_wall_clock guards the
+    # class), so these constants are valid on every calendar day.
     ("claims_bronze", 18, 1015, "312001496376808775345"),
     ("claims_silver", 26, 983, "-31898734014238245386"),
     ("customers_bronze", 18, 204, "7106422083167842290"),
-    ("customers_silver", 22, 196, "212552565000247172"),
-    ("gold_claims_operations", 26, 870, "39839865472361857876"),
-    ("gold_customer_360", 31, 187, "-28689812866256154512"),
-    ("gold_executive_summary", 22, 34, "18174751819738553715"),
-    ("gold_policy_performance", 25, 461, "32511328868436613856"),
+    ("customers_silver", 22, 196, "29955884301404197139"),
+    ("gold_claims_operations", 26, 870, "-67324293188984407705"),
+    ("gold_customer_360", 31, 187, "39451440873503645857"),
+    ("gold_executive_summary", 22, 34, "-46299711832532922444"),
+    ("gold_policy_performance", 25, 461, "-148929567040284575642"),
     ("policies_bronze", 17, 612, "-101419116030403293445"),
     ("policies_silver", 23, 585, "13420469975845498771"),
     ("premiums_bronze", 19, 2038, "-266296204160056593705"),
@@ -348,7 +352,7 @@ _MEDALLION_GOLDEN = [
     "SELECT * FROM (VALUES "
     + ", ".join(
         f"('{m}', CAST({c} AS BIGINT), CAST({n} AS BIGINT), "
-        + (f"CAST('{cs}' AS DECIMAL(38,0))" if cs is not None else "CAST(NULL AS DECIMAL(38,0))")
+        + (f"CAST('{cs}' AS VARCHAR)" if cs is not None else "CAST(NULL AS VARCHAR)")
         + ")"
         for m, c, n, cs in _MEDALLION_GOLDEN
     )
@@ -359,7 +363,9 @@ def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: 
     deterministic fixtures (bronze -> silver -> gold with audit hooks and
     schema tests), summarized per layer table: row count, column count, and
     an order-invariant content checksum (sum of xxhash64, widened to
-    decimal(38,0) so the fold can't overflow). The oracle is the PINNED
+    decimal(38,0) so the fold can't overflow, then emitted as its canonical
+    digit STRING — the only type-lane both engines fetch losslessly). The
+    oracle is the PINNED
     golden summary (_MEDALLION_GOLDEN) — the per-row evidence behind those
     constants is the full-output DuckDB replication in
     tests/test_pipeline.py. Checksum columns are the EXACT-typed ones
@@ -393,7 +399,12 @@ def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: 
                 F.lit(name).alias("model"),
                 F.lit(len(df.columns)).cast("bigint").alias("n_cols"),
                 F.count(F.lit(1)).alias("n_rows"),
-                cs.alias("checksum"),
+                # VARCHAR lane: the decimal(38,0) fold exceeds both int64 and
+                # float64-exact range, and DuckDB's pandas fetch demotes
+                # DECIMAL to lossy float64 while Spark keeps Decimal objects
+                # (round-5 driver hash-miss class). A canonical digit string
+                # is the one type-lane both engines fetch losslessly.
+                cs.cast("string").alias("checksum"),
             )
         )
     out = summaries[0]

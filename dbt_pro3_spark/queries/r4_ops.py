@@ -1075,7 +1075,7 @@ def ext_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_tokenizer_fertility",
-    r"""
+    rf"""
     WITH per_doc AS (
         SELECT source,
                CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -1090,9 +1090,8 @@ def ext_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(ws) AS BIGINT) AS words,
            CAST(SUM(sub) AS BIGINT) AS subword_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS chars,
-           CAST(CAST(SUM(sub) AS DOUBLE) / SUM(ws) AS DECIMAL(20,6))
-               AS fertility,
-           CAST(CAST(SUM(n_chars) AS DOUBLE) / SUM(sub) AS DECIMAL(20,6))
+           {dround('CAST(SUM(sub) AS DOUBLE) / SUM(ws)', 6)} AS fertility,
+           {dround('CAST(SUM(n_chars) AS DOUBLE) / SUM(sub)', 6)}
                AS chars_per_token
     FROM per_doc GROUP BY 1
     """,
@@ -1108,7 +1107,7 @@ def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: both ratios divide exact integer token sums (the
     per-doc counts are exact; sums are exact BIGINTs), then round to a
-    6dp DECIMAL on both engines.
+    6dp DOUBLE on both engines (dround lane).
 
     Scale shape: pure per-row token counting (codegen regex, no UDF)
     into ONE map-side-combined aggregate keyed by source — a
@@ -1124,10 +1123,13 @@ def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ws").cast("bigint").alias("words"),
         F.sum("sub").cast("bigint").alias("subword_tokens"),
         F.sum("n_chars").cast("bigint").alias("chars"),
-        (F.sum("sub").cast("double") / F.sum("ws"))
-        .cast("decimal(20,6)").alias("fertility"),
-        (F.sum("n_chars").cast("double") / F.sum("sub"))
-        .cast("decimal(20,6)").alias("chars_per_token"),
+        # DOUBLE lane via the house dround route, not DECIMAL: DuckDB's
+        # pandas fetch demotes DECIMAL output to lossy float64 while Spark
+        # keeps Decimal objects (round-5 driver hash-miss class).
+        F.round(F.sum("sub").cast("double") / F.sum("ws"), 6)
+        .alias("fertility"),
+        F.round(F.sum("n_chars").cast("double") / F.sum("sub"), 6)
+        .alias("chars_per_token"),
     )
 
 

@@ -3,11 +3,13 @@ type-representation-sensitive (a DuckDB HUGEINT/UHUGEINT leaves the int64
 lane in the Arrow fetch; FLOAT loses the float64 lane), so an oracle whose
 FINAL output schema contains one of those types hash-misses even when every
 value is identical to Spark's. Round 4's only CORRECTNESS failure
-(ext_text_pack) was exactly this class. This test DESCRIBEs every registered
-oracle in DuckDB and pins the class at zero: 128-bit/float32/unsigned widths
-are fine internally, but every output column must land in a
-driver-hashable lane (BIGINT/INT/DOUBLE/DECIMAL/VARCHAR/DATE/TIMESTAMP/
-BOOLEAN/lists thereof).
+(ext_text_pack) was exactly this class; round 5 added DECIMAL to it (DuckDB's
+pandas fetch demotes DECIMAL output to lossy float64 while Spark keeps
+Decimal objects — pipeline_medallion / ext_tokenizer_fertility). This test
+DESCRIBEs every registered oracle in DuckDB and pins the class at zero:
+128-bit/float32/unsigned/decimal widths are fine internally, but every
+output column must land in a driver-hashable lane
+(BIGINT/INT/DOUBLE/VARCHAR/DATE/TIMESTAMP/BOOLEAN/lists thereof).
 """
 
 from __future__ import annotations
@@ -18,9 +20,9 @@ from dbt_pro3_spark.queries import all_oracle
 
 _ORACLE = all_oracle()
 
-# Types that do not survive the driver's exact-hash Arrow fetch.
+# Types that do not survive the driver's exact-hash Arrow/pandas fetch.
 _BANNED = ("HUGEINT", "UHUGEINT", "FLOAT", "UTINYINT", "USMALLINT",
-           "UINTEGER", "UBIGINT")
+           "UINTEGER", "UBIGINT", "DECIMAL")
 
 
 def _banned_cols(desc_rows):

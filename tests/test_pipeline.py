@@ -18,6 +18,11 @@ from dbt_pro3_spark.pipeline import build_registry
 from dbt_pro3_spark.pipeline import fixtures as fx
 from dbt_pro3_spark.pipeline.registry_build import DEFAULT_RUN_TS
 
+# The run DATE injected everywhere the reference uses CURRENT_DATE (see
+# registry_build.build_registry) — keeps this replication and the pinned
+# medallion goldens valid on every calendar day, not just the pin day.
+RUN_DATE = DEFAULT_RUN_TS[:10]
+
 from .parity import compare
 
 EMAIL_RE = r"^[A-Za-z0-9+_.-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"
@@ -56,7 +61,7 @@ customers_silver AS (
              r.created_at, r.updated_at, r.source_file_path, r.source_file_time,
              TIMESTAMP '{DEFAULT_RUN_TS}' AS processed_at,
              CASE WHEN r.date_of_birth IS NOT NULL
-                  THEN year(current_date) - year(r.date_of_birth) END AS age,
+                  THEN year(DATE '{RUN_DATE}') - year(r.date_of_birth) END AS age,
              {ic('TRIM(r.first_name)')} || ' ' || {ic('TRIM(r.last_name)')} AS full_name,
              CASE WHEN r.customer_id IS NULL OR r.customer_id = '' THEN 1 ELSE 0 END AS missing_id_flag,
              CASE WHEN r.email IS NULL OR NOT regexp_matches(r.email, '{EMAIL_RE}')
@@ -216,9 +221,9 @@ SELECT cb.customer_id, cb.full_name, cb.age,
             WHEN CAST(COALESCE(cm.total_claims, 0) AS DOUBLE) / COALESCE(pm.total_policies, 1) < 0.1 THEN 'Low Risk'
             WHEN CAST(COALESCE(cm.total_claims, 0) AS DOUBLE) / COALESCE(pm.total_policies, 1) < 0.3 THEN 'Medium Risk'
             ELSE 'High Risk' END AS risk_tier,
-       CASE WHEN pm.latest_policy_end < current_date THEN 1 ELSE 0 END AS churned_flag,
+       CASE WHEN pm.latest_policy_end < DATE '{RUN_DATE}' THEN 1 ELSE 0 END AS churned_flag,
        CASE WHEN COALESCE(cm.potential_fraud_claims, 0) > 0 THEN 1 ELSE 0 END AS fraud_flag,
-       current_date AS report_date,
+       DATE '{RUN_DATE}' AS report_date,
        cb.processed_at
 FROM customer_base cb
 LEFT JOIN policy_metrics pm ON cb.customer_id = pm.customer_id
@@ -290,7 +295,7 @@ SELECT report_period, new_policies, active_customers, total_claims,
             ELSE 0 END AS policy_growth_rate_yoy,
        CASE WHEN loss_ratio <= 0.6 THEN 'Excellent' WHEN loss_ratio <= 0.8 THEN 'Good'
             WHEN loss_ratio <= 1.0 THEN 'Acceptable' ELSE 'Concerning' END AS performance_category,
-       current_date AS report_date,
+       DATE '{RUN_DATE}' AS report_date,
        CAST('{DEFAULT_RUN_TS}' AS TIMESTAMP) AS created_at
 FROM kpis
 """
@@ -348,7 +353,7 @@ SELECT pb.policy_type, pb.status, pb.payment_frequency, pb.policy_month,
             WHEN COALESCE(cp.total_settled_amount, 0) / NULLIF(pb.total_premium_revenue, 0) <= 0.8 THEN 'Good'
             WHEN COALESCE(cp.total_settled_amount, 0) / NULLIF(pb.total_premium_revenue, 0) <= 1.0 THEN 'Average'
             ELSE 'Poor' END AS performance_tier,
-       current_date AS report_date
+       DATE '{RUN_DATE}' AS report_date
 FROM policy_base pb
 LEFT JOIN claims_by_policy_type cp
   ON pb.policy_type = cp.policy_type AND pb.policy_month = cp.claim_month
@@ -406,7 +411,7 @@ SELECT cb.claim_type, cb.severity, cb.status, cb.adjuster_id, cb.claim_month,
        CASE WHEN cb.customer_age < 25 THEN 'Young Driver'
             WHEN cb.customer_age BETWEEN 25 AND 65 THEN 'Mature Driver'
             ELSE 'Senior Driver' END AS customer_age_category,
-       current_date AS report_date
+       DATE '{RUN_DATE}' AS report_date
 FROM claims_base cb
 LEFT JOIN adjuster_performance ap ON cb.adjuster_id = ap.adjuster_id
 """
@@ -543,3 +548,52 @@ def test_premiums_silver_clamps_and_dedups(pipeline_run, duck_raw):
     ).fetchall()
     mismatches = [pid for pid, mx in raw_max if kept.get(pid) != mx]
     assert not mismatches, mismatches[:5]
+
+
+def test_injected_run_date_no_wall_clock(spark):
+    """Spoofed-date guard (round-5 date bomb): a registry built with a fixed
+    run_ts must produce date-derived columns from THAT date, never the wall
+    clock — otherwise pinned goldens (pipeline_medallion's checksums) go red
+    at the next UTC midnight. Runs the DAG with a far-future run_ts and
+    asserts every report_date / age / churned_flag input reflects it."""
+    from pyspark.sql import functions as F
+
+    raw = fx.raw_tables(spark, seed=7, scale=0.05)
+    reg = build_registry(raw, run_ts="2031-03-01 00:00:00")
+    result = reg.run(spark, run_ts="2031-03-01 00:00:00")
+    assert not result.test_failures
+
+    for name in ("gold_customer_360", "gold_policy_performance",
+                 "gold_claims_operations", "gold_executive_summary"):
+        dates = (
+            result.outputs[name]
+            .select(F.min("report_date").alias("lo"), F.max("report_date").alias("hi"))
+            .collect()[0]
+        )
+        assert str(dates["lo"]) == "2031-03-01" == str(dates["hi"]), name
+
+    # age must be computed against the injected year (2031), not this year's
+    cs = result.outputs["customers_silver"].filter(F.col("date_of_birth").isNotNull())
+    bad = cs.filter(
+        F.col("age") != (F.lit(2031) - F.year("date_of_birth"))
+    ).count()
+    assert bad == 0
+
+
+def test_pipeline_source_has_no_wall_clock_dates():
+    """Structural lint: the pipeline modules may call F.current_date()/
+    current_timestamp() ONLY inside the documented run_date/run_ts fallbacks
+    (the reference-semantics path when nothing is injected). Any new
+    unconditional wall-clock column would re-arm the date bomb."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "dbt_pro3_spark" / "pipeline"
+    offenders = []
+    for p in sorted(root.glob("*.py")):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if "current_date()" in line or "current_timestamp()" in line:
+                # allowed only on a guarded fallback line (ternary on the
+                # injected value) — the pattern used by _rdate/age/created_at
+                if "else" not in line and "if" not in line:
+                    offenders.append(f"{p.name}:{i}: {line.strip()}")
+    assert not offenders, offenders
