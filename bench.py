@@ -29,7 +29,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
+# The round-1 stable set: the 23 keys whose per-key times go in the summary
+# line's "queries" map for round-over-round comparison. An EXPLICIT tuple —
+# never a positional slice of HEADLINE — so inserting/reordering HEADLINE
+# keys cannot silently change the summary contract
+# (tests/test_bench_contract.py pins these keys to have baselines).
+STABLE23 = (
     "flagship_exec_summary",
     "join_three_way_chain",
     "join_full_outer",
@@ -53,6 +58,10 @@ HEADLINE = [
     "join_range_interval",
     "agg_rollup",
     "win_rank_dense_ntile",
+)
+
+HEADLINE = [
+    *STABLE23,
     # round-2 additions (keep the 23 keys above stable for r/r comparison)
     "scan_partition_pruned",
     "ext_dedup_embedding",
@@ -404,7 +413,7 @@ def main() -> None:
     with open(os.path.join(here, "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(detail))
-    stable23 = HEADLINE[:23]
+    stable23 = STABLE23
     print(
         json.dumps(
             {

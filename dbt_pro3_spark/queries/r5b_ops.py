@@ -45,7 +45,7 @@ FDR_EPOCH = "2024-01-01"  # a Monday; dow = days-since-epoch mod 7
     f"""
     WITH ev AS (
         SELECT event_type,
-               datediff('day', DATE '{FDR_EPOCH}', CAST(ts AS DATE)) % 7 AS dow,
+               ((datediff('day', DATE '{FDR_EPOCH}', CAST(ts AS DATE)) % 7) + 7) % 7 AS dow,
                value
         FROM events
     ), g AS (
@@ -121,7 +121,9 @@ def ext_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     /root/reference/models (beyond-reference surface)."""
     ev = load(spark, sf_dir, "events").select(
         "event_type",
-        (F.datediff(F.col("ts").cast("date"), F.lit(FDR_EPOCH)) % 7).alias("dow"),
+        # pmod, not %: C-style % yields -6..-1 for pre-epoch timestamps,
+        # which would label those cells as distinct negative "days of week"
+        F.pmod(F.datediff(F.col("ts").cast("date"), F.lit(FDR_EPOCH)), F.lit(7)).alias("dow"),
         "value",
     )
     g = ev.agg(F.round(F.avg("value"), 6).alias("mu_all"))

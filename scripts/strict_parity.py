@@ -22,36 +22,19 @@ Usage:
 
 from __future__ import annotations
 
-import datetime as dt
-import math
 import os
-import struct
 import sys
-from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The normalizer/comparator is SHARED with the in-repo suite (tests/parity.py)
+# so the two strict contracts can never drift: _norm_cell tags type lanes,
+# _rows_eq with tol=False is the driver-grade compare (bit-identical floats,
+# NaN == NaN, +0.0 != -0.0, int-vs-Decimal rejected).
+from tests.parity import _norm_cell as norm  # noqa: E402
+from tests.parity import _rows_eq, _sort_key  # noqa: E402
+
 SF_DIR = os.environ.get("STRICT_SF_DIR", "/root/testdata/sf0.01")
-
-
-def norm(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return ("b", v)
-    if isinstance(v, Decimal):
-        return ("dec", str(v))
-    if isinstance(v, float):
-        return ("f", struct.pack("<d", v))
-    if isinstance(v, int):
-        return ("i", v)
-    if isinstance(v, dt.datetime):
-        return ("ts", v.replace(tzinfo=None).isoformat())
-    if isinstance(v, dt.date):
-        return ("d", v.isoformat())
-    if isinstance(v, (list, tuple)):
-        return ("arr", tuple(norm(x) for x in v))
-    return ("s", str(v))
 
 
 def main() -> None:
@@ -99,19 +82,16 @@ def main() -> None:
                 order = sorted(scols)
                 si = {c: i for i, c in enumerate(scols)}
                 di = {c: i for i, c in enumerate(dcols)}
-                def skey(row):
-                    return tuple((x is None, repr(x)) for x in row)
-
                 sn = sorted(
                     (tuple(norm(r[si[c]]) for c in order) for r in srows),
-                    key=skey,
+                    key=_sort_key,
                 )
                 dn = sorted(
                     (tuple(norm(r[di[c]]) for c in order) for r in drows),
-                    key=skey,
+                    key=_sort_key,
                 )
                 for i, (a, b) in enumerate(zip(sn, dn)):
-                    if a != b:
+                    if not _rows_eq(a, b, tol=False):
                         msgs.append(f"row {i} (cols {order}) spark={a} duck={b}")
                         break
             if msgs:

@@ -57,6 +57,6 @@ def test_registry_keys_have_baseline_or_are_new():
     import bench
 
     env = json.loads((ROOT / "baseline_keys.json").read_text())
-    stable23 = bench.HEADLINE[:23]
+    stable23 = bench.STABLE23
     missing = [k for k in stable23 if k not in env]
     assert not missing, f"stable-23 keys missing from baseline_keys.json: {missing}"
