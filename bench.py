@@ -352,6 +352,11 @@ HEADLINE = [
     "ext_eval_qini_uplift",
     "ext_fit_lognormal",
     "ext_causal_poststrat_ate",
+    # round-6 first batch (first stable numbers become their baselines)
+    "ext_pr_average_precision",
+    "ext_good_turing",
+    "ext_pref_bradley_terry",
+    "ext_dpo_pair_build",
 ]
 
 

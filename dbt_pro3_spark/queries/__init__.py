@@ -69,6 +69,15 @@ def register(name: str, oracle: str | None = None):
     """Decorator: register a query callable and (optionally) its oracle SQL."""
 
     def deco(fn):
+        # Hard duplicate guard: dict insertion silently REPLACES, so a new
+        # batch module reusing an existing key name would clobber a
+        # driver-verified key without any test noticing (nearly happened in
+        # round 6 with ext_fd_discovery / ext_graph_triangles).
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query key {name!r}: already registered by an "
+                "earlier module — pick a new name"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
@@ -101,6 +110,7 @@ def _load_all() -> None:
     from . import r5c_ops  # noqa: F401
     from . import r5d_ops  # noqa: F401
     from . import r5e_ops  # noqa: F401
+    from . import r6_ops  # noqa: F401
     _R4_KEYS.update(set(QUERIES) - pre_r4)
     _LOADED = True
 
