@@ -357,6 +357,12 @@ HEADLINE = [
     "ext_good_turing",
     "ext_pref_bradley_terry",
     "ext_dpo_pair_build",
+    # round-6 second batch (first stable numbers become their baselines)
+    "ext_kruskal_wallis",
+    "ext_fleiss_kappa",
+    "ext_conv_sample_build",
+    "ext_pinball_grid_fit",
+    "ext_tail_dependence",
 ]
 
 

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import load
 from . import dround, register
-from .llm_ops import _TOKS_SQL
+from .llm_ops import _TOKS_SQL, _md5_32, _spark_md5_32
 
 _CENTS_SQL = "CAST(ROUND(value * 100) AS BIGINT)"
 
@@ -538,3 +538,722 @@ def ext_dpo_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# ext_kruskal_wallis — k-sample rank test (H with tie correction)
+# ---------------------------------------------------------------------------
+
+KW_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _kw_oracle() -> str:
+    pick_n = ", ".join(
+        f"CAST(MAX(CASE WHEN event_type = '{t}' THEN n_pos END) AS BIGINT) AS n_{t}"
+        for t in KW_TYPES
+    )
+    pick_r = ", ".join(
+        f"CAST(MAX(CASE WHEN event_type = '{t}' THEN r2 END) AS BIGINT) AS r2_{t}"
+        for t in KW_TYPES
+    )
+    term = " + ".join(
+        f"(CAST(r2_{t} AS DOUBLE) / 2.0) * (CAST(r2_{t} AS DOUBLE) / 2.0) / n_{t}"
+        for t in KW_TYPES
+    )
+    h = f"(12.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * ({term}) - 3.0 * (n + 1.0))"
+    c = "(1.0 - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n))"
+    return f"""
+    WITH ev AS (
+        SELECT event_type, {_CENTS_SQL} AS cents FROM events
+    ), g AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS n_all FROM ev GROUP BY 1
+    ), gc AS (
+        SELECT cents, n_all,
+               CAST(COALESCE(SUM(n_all) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS below_all
+        FROM g
+    ), t AS (
+        SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS n_t
+        FROM ev GROUP BY 1, 2
+    ), pg AS (
+        SELECT t.event_type,
+               CAST(SUM(t.n_t) AS BIGINT) AS n_pos,
+               CAST(SUM(t.n_t * (2 * gc.below_all + gc.n_all + 1)) AS BIGINT)
+                   AS r2
+        FROM t JOIN gc USING (cents) GROUP BY 1
+    ), wide AS (
+        SELECT {pick_n}, {pick_r} FROM pg
+    ), s AS (
+        SELECT CAST(SUM(n_all) AS BIGINT) AS n,
+               CAST(SUM(n_all * n_all * n_all - n_all) AS BIGINT) AS tie3
+        FROM g
+    )
+    SELECT s.n AS n_events, CAST({len(KW_TYPES)} AS BIGINT) AS k_groups,
+           {dround(h, 6)} AS h_stat,
+           {dround(f"{h} / {c}", 6)} AS h_adj,
+           {dround(f"({h} - {len(KW_TYPES)} + 1.0) / (s.n - {len(KW_TYPES)})", 6)}
+               AS epsilon_sq
+    FROM wide, s
+    """
+
+
+@register("ext_kruskal_wallis", _kw_oracle())
+def ext_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: do the k event types draw `value` from the
+    same distribution? The nonparametric k-sample ANOVA (rank-based, no
+    normality assumption) with the standard tie correction and the
+    epsilon-squared effect size — the gate before trusting any per-type
+    mean comparison on skewed metrics. Completes the rank-test family
+    (two_sample_ks, rank_effect_stats, jonckheere_trend, friedman_test)
+    with the unordered-k-sample case.
+
+    Exactness: rank sums use the doubled-midrank identity on the exact
+    cents grid (2*midrank = 2*below + ties + 1), so every R_g is an exact
+    BIGINT; H folds the five per-group terms in sorted type order on both
+    engines (identical float op sequence), and the tie term sum(t^3 - t) is
+    an exact integer.
+
+    Scale shape: the same two grid aggregates as ext_eval_auc (corpus
+    scanned once, projected to 2 columns); the H arithmetic runs on ONE
+    wide row."""
+    ev = load(spark, sf_dir, "events").select("event_type", _cents().alias("cents"))
+    g = ev.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    wg = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    gc = g.withColumn(
+        "below_all", F.coalesce(F.sum("n_all").over(wg), F.lit(0)).cast("bigint")
+    )
+    t = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t")
+    )
+    pg = (
+        t.join(gc, "cents")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_t").cast("bigint").alias("n_pos"),
+            F.sum(
+                F.col("n_t") * (2 * F.col("below_all") + F.col("n_all") + 1)
+            )
+            .cast("bigint")
+            .alias("r2"),
+        )
+    )
+    wide = pg.agg(
+        *[
+            F.max(F.when(F.col("event_type") == t_, F.col("n_pos")))
+            .cast("bigint")
+            .alias(f"n_{t_}")
+            for t_ in KW_TYPES
+        ],
+        *[
+            F.max(F.when(F.col("event_type") == t_, F.col("r2")))
+            .cast("bigint")
+            .alias(f"r2_{t_}")
+            for t_ in KW_TYPES
+        ],
+    )
+    s = g.agg(
+        F.sum("n_all").cast("bigint").alias("n"),
+        F.sum(F.col("n_all") * F.col("n_all") * F.col("n_all") - F.col("n_all"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    row = wide.crossJoin(F.broadcast(s))
+    nd = F.col("n").cast("double")
+    term = None
+    for t_ in KW_TYPES:
+        r2d = F.col(f"r2_{t_}").cast("double")
+        piece = (r2d / 2.0) * (r2d / 2.0) / F.col(f"n_{t_}")
+        term = piece if term is None else term + piece
+    h = 12.0 / (nd * (nd + 1.0)) * term - 3.0 * (nd + 1.0)
+    c = 1.0 - F.col("tie3").cast("double") / (nd * nd * nd - nd)
+    k = len(KW_TYPES)
+    return row.select(
+        F.col("n").alias("n_events"),
+        F.lit(k).cast("bigint").alias("k_groups"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / c, 6).alias("h_adj"),
+        F.round((h - k + 1.0) / (F.col("n") - k), 6).alias("epsilon_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_fleiss_kappa — multi-rater agreement over median-split ratings
+# ---------------------------------------------------------------------------
+
+FK_TYPES = ["click", "error", "purchase", "signup", "view"]
+FK_M = len(FK_TYPES)
+
+
+@register(
+    "ext_fleiss_kappa",
+    f"""
+    WITH ev AS (
+        SELECT user_id, event_type, {_CENTS_SQL} AS cents FROM events
+    ), tot AS (
+        SELECT user_id, event_type, CAST(SUM(cents) AS BIGINT) AS t
+        FROM ev GROUP BY 1, 2
+    ), users AS (
+        SELECT DISTINCT user_id FROM ev
+    ), grid AS (
+        SELECT u.user_id, ty.event_type, COALESCE(tot.t, 0) AS t
+        FROM users u
+        CROSS JOIN (VALUES {", ".join(f"('{t}')" for t in FK_TYPES)})
+            AS ty(event_type)
+        LEFT JOIN tot ON tot.user_id = u.user_id
+                     AND tot.event_type = ty.event_type
+    ), r1 AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY t, user_id) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM grid
+    ), med AS (
+        SELECT event_type, CAST(MIN(t) + MAX(t) AS BIGINT) AS med_x2
+        FROM r1 WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+        GROUP BY 1
+    ), rate AS (
+        SELECT g.user_id,
+               CASE WHEN 2 * g.t > m.med_x2 THEN 1 ELSE 0 END AS r
+        FROM grid g JOIN med m USING (event_type)
+    ), item AS (
+        SELECT user_id, CAST(SUM(r) AS BIGINT) AS c1 FROM rate GROUP BY 1
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c1) AS BIGINT) AS s1,
+               CAST(SUM(c1 * (c1 - 1)
+                        + ({FK_M} - c1) * ({FK_M - 1} - c1)) AS BIGINT) AS q
+        FROM item
+    )
+    SELECT n AS n_items, CAST({FK_M} AS BIGINT) AS n_raters,
+           {dround(f'CAST(q AS DOUBLE) / (CAST(n AS DOUBLE) * {FK_M * (FK_M - 1)}.0)', 6)}
+               AS p_bar,
+           {dround(f'(CAST(s1 AS DOUBLE) / ({FK_M}.0 * n)) * (CAST(s1 AS DOUBLE) / ({FK_M}.0 * n))'
+                   f' + (1.0 - CAST(s1 AS DOUBLE) / ({FK_M}.0 * n))'
+                   f' * (1.0 - CAST(s1 AS DOUBLE) / ({FK_M}.0 * n))', 6)}
+               AS p_e,
+           {dround(f'(CAST(q AS DOUBLE) / (CAST(n AS DOUBLE) * {FK_M * (FK_M - 1)}.0)'
+                   f' - ((CAST(s1 AS DOUBLE) / ({FK_M}.0 * n)) * (CAST(s1 AS DOUBLE) / ({FK_M}.0 * n))'
+                   f'    + (1.0 - CAST(s1 AS DOUBLE) / ({FK_M}.0 * n))'
+                   f'    * (1.0 - CAST(s1 AS DOUBLE) / ({FK_M}.0 * n))))'
+                   f' / (1.0 - ((CAST(s1 AS DOUBLE) / ({FK_M}.0 * n)) * (CAST(s1 AS DOUBLE) / ({FK_M}.0 * n))'
+                   f'    + (1.0 - CAST(s1 AS DOUBLE) / ({FK_M}.0 * n))'
+                   f'    * (1.0 - CAST(s1 AS DOUBLE) / ({FK_M}.0 * n))))', 6)}
+               AS fleiss_kappa
+    FROM s
+    """,
+)
+def ext_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa: chance-corrected agreement among m > 2 raters — the
+    annotation-QA statistic for preference/label datasets (Cohen's kappa,
+    already covered by ext_cohens_kappa, only handles 2 raters). Each event
+    type acts as a rater scoring every user with a binary rating (above /
+    not-above that type's median per-user spend), and kappa asks whether
+    the five raters agree more than chance.
+
+    Exactness: ratings derive from exact integer spend totals compared
+    against exact middle-element medians (strict >, ties rate 0); the
+    agreement numerator sum c1(c1-1) + c0(c0-1) and the category total are
+    exact integers; p_bar, p_e and kappa are fixed double expressions over
+    those integers (identical op order both engines), then dround.
+
+    Scale shape: one (user, type)-keyed aggregate, a users x m broadcast
+    grid (absence = 0 total, so every item has all m ratings), per-type
+    partition-parallel median windows, one item aggregate, one scalar."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", _cents().alias("cents")
+    )
+    tot = ev.groupBy("user_id", "event_type").agg(
+        F.sum("cents").cast("bigint").alias("t")
+    )
+    users = ev.select("user_id").distinct()
+    types = spark.createDataFrame([(t,) for t in FK_TYPES], ["event_type"])
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(tot, ["user_id", "event_type"], "left")
+        .select("user_id", "event_type", F.coalesce("t", F.lit(0)).alias("t"))
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "user_id")
+    wn = Window.partitionBy("event_type")
+    r1 = grid.select(
+        "event_type",
+        "t",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor((F.col("n") + 2) / 2)
+    med = (
+        r1.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        .groupBy("event_type")
+        .agg((F.min("t") + F.max("t")).cast("bigint").alias("med_x2"))
+    )
+    rate = grid.join(F.broadcast(med), "event_type").select(
+        "user_id",
+        F.when(2 * F.col("t") > F.col("med_x2"), 1).otherwise(0).alias("r"),
+    )
+    item = rate.groupBy("user_id").agg(F.sum("r").cast("bigint").alias("c1"))
+    s = item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c1").cast("bigint").alias("s1"),
+        F.sum(
+            F.col("c1") * (F.col("c1") - 1)
+            + (FK_M - F.col("c1")) * ((FK_M - 1) - F.col("c1"))
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    p1 = F.col("s1").cast("double") / (float(FK_M) * F.col("n"))
+    pe = p1 * p1 + (1.0 - p1) * (1.0 - p1)
+    pbar = F.col("q").cast("double") / (nd * float(FK_M * (FK_M - 1)))
+    return s.select(
+        F.col("n").alias("n_items"),
+        F.lit(FK_M).cast("bigint").alias("n_raters"),
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(pe, 6).alias("p_e"),
+        F.round((pbar - pe) / (1.0 - pe), 6).alias("fleiss_kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_conv_sample_build — session -> conversation training-sample assembly
+# ---------------------------------------------------------------------------
+
+CONV_GAP_MIN = 30  # session gap, minutes (matches ext_session_window)
+CONV_MAX_TURNS = 8  # context-window turn cap
+CONV_USER_MOD = 4  # hash gate: 1/4 of users (bounds output deterministically)
+
+
+@register(
+    "ext_conv_sample_build",
+    f"""
+    WITH gated AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM events
+        WHERE {_md5_32("CAST(user_id AS VARCHAR)")} % {CONV_USER_MOD} = 0
+    ), marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL {CONV_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS is_start
+        FROM gated
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(SUM(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM marked
+    ), turns AS (
+        SELECT user_id, session_seq, ts, event_id, event_type,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                   ORDER BY ts, event_id) AS BIGINT) AS turn_no,
+               CAST(COUNT(*) OVER (PARTITION BY user_id, session_seq)
+                   AS BIGINT) AS sess_len,
+               epoch_us(ts) - MIN(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, session_seq) AS off_us
+        FROM sess
+    )
+    SELECT {_md5_32("CAST(user_id AS VARCHAR) || ':' || CAST(session_seq AS VARCHAR)")}
+               AS sample_id,
+           user_id, session_seq,
+           CAST(LEAST(MAX(sess_len), {CONV_MAX_TURNS}) AS BIGINT) AS n_turns,
+           CAST(CASE WHEN MAX(sess_len) > {CONV_MAX_TURNS} THEN 1 ELSE 0 END
+               AS BIGINT) AS truncated,
+           string_agg(event_type || '@' || CAST(off_us AS VARCHAR), '|'
+               ORDER BY ts, event_id) AS turns,
+           CAST(length(string_agg(event_type || '@' || CAST(off_us AS VARCHAR),
+               '|' ORDER BY ts, event_id)) AS BIGINT) AS n_chars,
+           CASE WHEN {_md5_32("CAST(user_id AS VARCHAR) || ':' || CAST(session_seq AS VARCHAR)")} % 10 < 8
+                THEN 'train'
+                WHEN {_md5_32("CAST(user_id AS VARCHAR) || ':' || CAST(session_seq AS VARCHAR)")} % 10 = 8
+                THEN 'val' ELSE 'test' END AS split
+    FROM turns WHERE turn_no <= {CONV_MAX_TURNS}
+    GROUP BY user_id, session_seq
+    """,
+)
+def ext_conv_sample_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation training-sample assembly: gap-sessionized event streams
+    become one sample row per session — turns serialized in order with
+    microsecond offsets, truncated to the context-window turn cap with an
+    explicit `truncated` flag, a content-addressed sample_id, and a
+    deterministic 80/10/10 train/val/test split — the multi-turn analogue
+    of ext_text_pack that turns raw interaction logs into SFT-ready rows
+    (ext_session_path_topk COUNTS paths for analytics; this key EMITS the
+    samples).
+
+    Determinism: sessionization order is the (ts, event_id) total order;
+    offsets are exact integer microseconds (epoch_us == unix_micros); the
+    serialization is an ORDERED string_agg on both engines; ids and the
+    split are md5-derived (rand-free). The user hash-gate bounds output
+    deterministically at any SF.
+
+    Scale shape: everything is partitioned by user (the natural
+    conversation shuffle key) — two window passes and one grouped
+    serialization, no global ordering, no joins."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    gated = ev.filter(
+        F.pmod(_spark_md5_32(F.col("user_id").cast("string")), F.lit(CONV_USER_MOD))
+        == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = gated.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long")
+                - F.lag("ts").over(w).cast("long")
+                > CONV_GAP_MIN * 60
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    wsa = Window.partitionBy("user_id", "session_seq")
+    turns = sess.select(
+        "user_id",
+        "session_seq",
+        "ts",
+        "event_id",
+        "event_type",
+        F.row_number().over(ws).cast("bigint").alias("turn_no"),
+        F.count(F.lit(1)).over(wsa).cast("bigint").alias("sess_len"),
+        (F.unix_micros("ts") - F.min(F.unix_micros("ts")).over(wsa)).alias(
+            "off_us"
+        ),
+    )
+    sid = _spark_md5_32(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.col("session_seq").cast("string"),
+        )
+    )
+    txt = F.concat(
+        F.col("event_type"), F.lit("@"), F.col("off_us").cast("string")
+    )
+    kept = turns.filter(F.col("turn_no") <= CONV_MAX_TURNS)
+    agged = kept.groupBy("user_id", "session_seq").agg(
+        F.least(F.max("sess_len"), F.lit(CONV_MAX_TURNS))
+        .cast("bigint")
+        .alias("n_turns"),
+        F.when(F.max("sess_len") > CONV_MAX_TURNS, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("truncated"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", txt.alias("txt")))
+                ),
+                lambda s: s["txt"],
+            ),
+            "|",
+        ).alias("turns"),
+    )
+    return agged.select(
+        sid.alias("sample_id"),
+        "user_id",
+        "session_seq",
+        "n_turns",
+        "truncated",
+        "turns",
+        F.length("turns").cast("bigint").alias("n_chars"),
+        F.when(F.pmod(sid, F.lit(10)) < 8, "train")
+        .when(F.pmod(sid, F.lit(10)) == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_pinball_grid_fit — quantile regression by exact-integer grid search
+# ---------------------------------------------------------------------------
+
+PIN_TAU_NUM = 9  # tau = 0.9 (scaled-by-10 integer pinball loss)
+PIN_K = 10  # slope grid: k in [-PIN_K, PIN_K]
+
+
+@register(
+    "ext_pinball_grid_fit",
+    f"""
+    WITH mrev AS (
+        SELECT date_trunc('month', o_orderdate) AS mth,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders GROUP BY 1
+    ), m AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY mth) AS BIGINT) AS x, y
+        FROM mrev
+    ), st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(GREATEST((MAX(y) - MIN(y)) // (COUNT(*) * {PIN_K}), 1)
+                   AS BIGINT) AS step
+        FROM m
+    ), cand AS (
+        SELECT m.x, m.y, k.k, st.n, k.k * st.step AS slope,
+               m.y - k.k * st.step * m.x AS resid
+        FROM m, st, (SELECT unnest(generate_series(-{PIN_K}, {PIN_K})) AS k) k
+    ), b AS (
+        SELECT k, slope, n, resid AS intercept FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY k
+                ORDER BY resid, x) AS BIGINT) AS rn
+            FROM cand
+        ) WHERE rn = ({PIN_TAU_NUM} * n + 9) // 10
+    ), loss AS (
+        SELECT c.k, b.slope, b.intercept,
+               CAST(SUM(CASE WHEN c.y >= b.slope * c.x + b.intercept
+                    THEN {PIN_TAU_NUM} * (c.y - (b.slope * c.x + b.intercept))
+                    ELSE {10 - PIN_TAU_NUM} * ((b.slope * c.x + b.intercept) - c.y)
+                    END) AS BIGINT) AS loss10
+        FROM cand c JOIN b USING (k)
+        GROUP BY 1, 2, 3
+    ), best AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY loss10, ABS(k), k) AS rb
+            FROM loss
+        ) WHERE rb = 1
+    )
+    SELECT st.n AS n_months, CAST(0.9 AS DOUBLE) AS tau,
+           {dround('CAST(best.slope AS DOUBLE) / 100.0', 6)} AS slope_per_month,
+           {dround('CAST(best.intercept AS DOUBLE) / 100.0', 6)} AS intercept,
+           best.loss10 AS pinball_loss_x10_cents
+    FROM best, st
+    """,
+)
+def ext_pinball_grid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile regression (tau = 0.9) of monthly revenue on month index by
+    EXACT grid search: 21 slope candidates spanning the data's slope range,
+    each paired with its pinball-optimal intercept (the tau-th order
+    statistic of that slope's residuals), scored by the integer pinball
+    loss, argmin with deterministic tie-breaks — the upper-quantile trend
+    line that answers "what does a strong month look like" where OLS
+    (ext_trend_ols) fits the mean and Theil-Sen (ext_theilsen_trend) the
+    median. Grid-bounded by contract: the fit is exact over the documented
+    candidate set.
+
+    Exactness: everything — slopes, residuals, the intercept order
+    statistic, the x10-scaled pinball loss, the argmin — is INTEGER
+    arithmetic on exact cents; the only doubles are the two terminal
+    reporting divisions, dround.
+
+    Scale shape: the corpus collapses to the month grid in one aggregate;
+    the grid x 21 candidates (~1.7k rows) fans out via broadcast; per-k
+    windows and the final argmin run on candidate-grid-sized data."""
+    mrev = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mth"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    m = mrev.select(
+        F.row_number().over(Window.orderBy("mth")).cast("bigint").alias("x"), "y"
+    )
+    st = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.greatest(
+            F.floor((F.max("y") - F.min("y")) / (F.count(F.lit(1)) * PIN_K)),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("step"),
+    )
+    ks = st.select(
+        "n", "step", F.explode(F.sequence(F.lit(-PIN_K), F.lit(PIN_K))).alias("k")
+    )
+    cand = m.crossJoin(F.broadcast(ks)).select(
+        "x",
+        "y",
+        "k",
+        "n",
+        (F.col("k") * F.col("step")).alias("slope"),
+        (F.col("y") - F.col("k") * F.col("step") * F.col("x")).alias("resid"),
+    )
+    wk = Window.partitionBy("k").orderBy("resid", "x")
+    b = (
+        cand.withColumn("rn", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rn") == F.floor((PIN_TAU_NUM * F.col("n") + 9) / 10))
+        .select("k", "slope", F.col("resid").alias("intercept"))
+    )
+    yhat = F.col("slope") * F.col("x") + F.col("intercept")
+    loss = (
+        cand.drop("slope")
+        .join(F.broadcast(b), "k")
+        .groupBy("k", "slope", "intercept")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("y") >= yhat, PIN_TAU_NUM * (F.col("y") - yhat)
+                ).otherwise((10 - PIN_TAU_NUM) * (yhat - F.col("y")))
+            )
+            .cast("bigint")
+            .alias("loss10")
+        )
+    )
+    best = (
+        loss.withColumn(
+            "rb",
+            F.row_number().over(
+                Window.orderBy("loss10", F.abs(F.col("k")), F.col("k"))
+            ),
+        )
+        .filter(F.col("rb") == 1)
+        .select("slope", "intercept", "loss10")
+    )
+    n_months = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    return best.crossJoin(F.broadcast(n_months)).select(
+        "n_months",
+        F.lit(0.9).alias("tau"),
+        F.round(F.col("slope").cast("double") / 100.0, 6).alias("slope_per_month"),
+        F.round(F.col("intercept").cast("double") / 100.0, 6).alias("intercept"),
+        F.col("loss10").alias("pinball_loss_x10_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_tail_dependence — upper-tail dependence between event-type day series
+# ---------------------------------------------------------------------------
+
+TDEP_Q_NUM = 8  # q = 0.8 threshold quantile (scaled by 10)
+
+
+@register(
+    "ext_tail_dependence",
+    f"""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS d, event_type, {_CENTS_SQL} AS cents
+        FROM events
+    ), daily0 AS (
+        SELECT d, event_type, CAST(SUM(cents) AS BIGINT) AS t
+        FROM ev GROUP BY 1, 2
+    ), days AS (SELECT DISTINCT d FROM ev),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    daily AS (
+        SELECT days.d, types.event_type, COALESCE(daily0.t, 0) AS t
+        FROM days CROSS JOIN types
+        LEFT JOIN daily0 ON daily0.d = days.d
+                        AND daily0.event_type = types.event_type
+    ), r AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY t, d) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM daily
+    ), thr AS (
+        SELECT event_type, n, CAST(MAX(t) AS BIGINT) AS thr
+        FROM r WHERE rn = ({TDEP_Q_NUM} * n + 9) // 10
+        GROUP BY 1, 2
+    ), ex AS (
+        SELECT daily.d, daily.event_type, thr.n, thr.thr,
+               CASE WHEN daily.t > thr.thr THEN 1 ELSE 0 END AS exceed
+        FROM daily JOIN thr USING (event_type)
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(MAX(a.n) AS BIGINT) AS n_days,
+           {dround('CAST(MAX(a.thr) AS DOUBLE) / 100.0', 6)} AS thr_a,
+           {dround('CAST(MAX(b.thr) AS DOUBLE) / 100.0', 6)} AS thr_b,
+           CAST(SUM(a.exceed) AS BIGINT) AS n_exceed_a,
+           CAST(SUM(b.exceed) AS BIGINT) AS n_exceed_b,
+           CAST(SUM(a.exceed * b.exceed) AS BIGINT) AS n_joint,
+           {dround(f'CAST(SUM(a.exceed * b.exceed) AS DOUBLE)'
+                   f' / (MAX(a.n) * (1.0 - {TDEP_Q_NUM}.0 / 10.0))', 6)}
+               AS lambda_u
+    FROM ex a JOIN ex b ON a.d = b.d AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def ext_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical upper-tail dependence between event-type daily revenue
+    series: lambda_U = P(both series exceed their own 0.8-quantile) /
+    (1 - 0.8) — the copula-tail diagnostic that answers "do these metrics
+    spike TOGETHER" (correlation, ext_ts_rolling_corr, measures the body;
+    tail dependence measures exactly the co-extreme behavior that breaks
+    capacity plans and alert budgets; ext_tail_index_hill measures one
+    series' tail weight, not co-movement).
+
+    Exactness: daily totals are exact cents integers (absent days
+    materialized as 0 on the full day x type grid); thresholds are exact
+    order statistics (element at ceil(q*n)); exceedance flags and joint
+    counts are pure integer arithmetic; lambda is one terminal division,
+    dround.
+
+    Scale shape: one (day, type) aggregate collapses the corpus to the
+    calendar grid; everything after — per-type threshold windows, the
+    day-keyed pair join — is grid-sized."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+        _cents().alias("cents"),
+    )
+    daily0 = ev.groupBy("d", "event_type").agg(
+        F.sum("cents").cast("bigint").alias("t")
+    )
+    days = ev.select("d").distinct()
+    types = ev.select("event_type").distinct()
+    daily = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily0, ["d", "event_type"], "left")
+        .select("d", "event_type", F.coalesce("t", F.lit(0)).alias("t"))
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "d")
+    wn = Window.partitionBy("event_type")
+    r = daily.select(
+        "event_type",
+        "t",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    thr = (
+        r.filter(F.col("rn") == F.floor((TDEP_Q_NUM * F.col("n") + 9) / 10))
+        .groupBy("event_type", "n")
+        .agg(F.max("t").cast("bigint").alias("thr"))
+    )
+    ex = daily.join(F.broadcast(thr), "event_type").select(
+        "d",
+        "event_type",
+        "n",
+        "thr",
+        F.when(F.col("t") > F.col("thr"), 1).otherwise(0).alias("exceed"),
+    )
+    a = ex.select(
+        "d",
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("thr").alias("thr_a_c"),
+        F.col("exceed").alias("ex_a"),
+    )
+    b = ex.select(
+        "d",
+        F.col("event_type").alias("type_b"),
+        F.col("thr").alias("thr_b_c"),
+        F.col("exceed").alias("ex_b"),
+    )
+    return (
+        a.join(b, "d")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_days"),
+            F.round(F.max("thr_a_c").cast("double") / 100.0, 6).alias("thr_a"),
+            F.round(F.max("thr_b_c").cast("double") / 100.0, 6).alias("thr_b"),
+            F.sum("ex_a").cast("bigint").alias("n_exceed_a"),
+            F.sum("ex_b").cast("bigint").alias("n_exceed_b"),
+            F.sum(F.col("ex_a") * F.col("ex_b")).cast("bigint").alias("n_joint"),
+            F.round(
+                F.sum(F.col("ex_a") * F.col("ex_b")).cast("double")
+                / (F.max("n_a") * (1.0 - TDEP_Q_NUM / 10.0)),
+                6,
+            ).alias("lambda_u"),
+        )
+    )
