@@ -363,6 +363,12 @@ HEADLINE = [
     "ext_conv_sample_build",
     "ext_pinball_grid_fit",
     "ext_tail_dependence",
+    # round-6 third batch (first stable numbers become their baselines)
+    "src_python_datasource",
+    "src_binary_files",
+    "ext_embed_cka_views",
+    "ext_cochran_q",
+    "ext_partial_corr",
 ]
 
 

@@ -1257,3 +1257,549 @@ def ext_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lambda_u"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# src_python_datasource — Spark 4 Python DataSource API (custom source)
+# ---------------------------------------------------------------------------
+
+PYDS_ROWS = 10_000
+PYDS_PARTS = 8
+PYDS_MULT = 2654435761  # Knuth multiplicative hash constant
+PYDS_MOD = 4294967296  # 2^32
+
+
+@register(
+    "src_python_datasource",
+    f"""
+    WITH src AS (
+        SELECT i, (i * {PYDS_MULT}) % {PYDS_MOD} AS h
+        FROM (SELECT unnest(generate_series(0, {PYDS_ROWS - 1})) AS i)
+    )
+    SELECT CAST(h % 16 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(h) AS BIGINT) AS sum_h,
+           CAST(MIN(i) AS BIGINT) AS min_i,
+           CAST(MAX(i) AS BIGINT) AS max_i
+    FROM src GROUP BY 1
+    """,
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    """Custom PYTHON DATA SOURCE (the Spark 4 pyspark.sql.datasource API):
+    a registered DataSource class whose reader fans out over
+    {PYDS_PARTS} InputPartitions, each generating a deterministic slice of
+    a Knuth-hash series — the engine surface a connector author uses to
+    expose ANY external system (queue, REST API, proprietary format) as a
+    parallel DataFrame scan. The aggregate on top proves rows from every
+    partition arrived exactly once.
+
+    Determinism: the source yields pure integer arithmetic
+    (h = i * 2654435761 mod 2^32) — no wall clock, no randomness; the
+    oracle regenerates the identical series with generate_series.
+
+    Scale shape: partitions() is the parallelism contract — the driver
+    plans one task per InputPartition, so a real connector scales by
+    returning one partition per shard/file/offset-range; the aggregate is
+    map-side-combined into 16 buckets."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    rows, parts, mult, mod = PYDS_ROWS, PYDS_PARTS, PYDS_MULT, PYDS_MOD
+
+    class SyntheticSeriesSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_series"
+
+        def schema(self) -> str:
+            return "i BIGINT, h BIGINT"
+
+        def reader(self, schema):  # noqa: ARG002
+            return SyntheticSeriesReader()
+
+    class SyntheticSeriesReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(p) for p in range(parts)]
+
+        def read(self, partition):
+            chunk = rows // parts
+            start = partition.value * chunk
+            for i in range(start, start + chunk):
+                yield (i, (i * mult) % mod)
+
+    spark.dataSource.register(SyntheticSeriesSource)
+    src = spark.read.format("synthetic_series").load()
+    return src.groupBy(F.pmod("h", F.lit(16)).cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("h").cast("bigint").alias("sum_h"),
+        F.min("i").cast("bigint").alias("min_i"),
+        F.max("i").cast("bigint").alias("max_i"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# src_binary_files — binaryFile ingestion audit (multimodal source surface)
+# ---------------------------------------------------------------------------
+
+_BIN_TABLES = [
+    "customer", "documents", "embeddings", "events", "lineitem",
+    "nation", "orders", "part", "region", "supplier",
+]
+
+
+@register(
+    "src_binary_files",
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{t}.parquet', TRUE, TRUE)" for t in _BIN_TABLES)
+    + ") AS t(file_name, content_nonempty, length_matches_content)",
+)
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion through Spark's binaryFile source — the
+    entry point of every multimodal pipeline (images/audio/video land as
+    whole-file binary rows BEFORE any decode UDF; the mm_* keys consume
+    exactly this shape). Reads the scale-factor directory's parquet files
+    as raw bytes and emits the SF-invariant contract: each expected file
+    present, non-empty, and with the `length` metadata column equal to the
+    actual content byte count (the consistency a downstream decode stage
+    relies on for batch sizing).
+
+    DuckDB cannot hash Spark-identical raw bytes (BLOB->VARCHAR escapes),
+    so like src_file_metadata the oracle pins basename + invariant flags
+    rather than content digests.
+
+    Scale shape: binaryFile is a real FileFormat scan — partition planning,
+    pathGlobFilter pushdown, and (in production) maxBytesPerTrigger
+    batching all apply; one row per file, no shuffle until the tiny audit
+    projection."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        (F.col("content").isNotNull() & (F.length("content") > 0)).alias(
+            "content_nonempty"
+        ),
+        (F.length("content") == F.col("length")).alias("length_matches_content"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_embed_cka_views — linear CKA between embedding dimension halves
+# ---------------------------------------------------------------------------
+
+CKA_UNITS = 1000  # same quantization as the PCA family (r4_ops.PCA_UNITS)
+
+
+@register(
+    "ext_embed_cka_views",
+    f"""
+    WITH xq AS MATERIALIZED (
+        SELECT vec_id, i - 1 AS j,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {CKA_UNITS}) AS BIGINT)
+                   AS x
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ), gram AS (
+        SELECT a.j AS j, b.j AS k, CAST(SUM(a.x * b.x) AS BIGINT) AS g
+        FROM xq a JOIN xq b USING (vec_id)
+        GROUP BY 1, 2
+    ), sums AS (
+        SELECT j, CAST(SUM(x) AS BIGINT) AS s FROM xq GROUP BY 1
+    ), nrow AS (
+        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM xq
+    ), cells AS (
+        SELECT gram.j, gram.k,
+               CAST(nrow.n * gram.g - sj.s * sk.s AS DOUBLE) AS c
+        FROM gram, nrow
+        JOIN sums sj ON sj.j = gram.j
+        JOIN sums sk ON sk.j = gram.k
+    ), dsz AS (
+        SELECT CAST(MAX(j) + 1 AS BIGINT) AS d FROM cells
+    ), folded AS (
+        SELECT
+            list_reduce(list(CASE WHEN cells.j <  dsz.d // 2 AND cells.k <  dsz.d // 2
+                                  THEN cells.c * cells.c ELSE 0.0 END
+                             ORDER BY cells.j, cells.k), (a, x) -> a + x) AS fxx,
+            list_reduce(list(CASE WHEN cells.j >= dsz.d // 2 AND cells.k >= dsz.d // 2
+                                  THEN cells.c * cells.c ELSE 0.0 END
+                             ORDER BY cells.j, cells.k), (a, x) -> a + x) AS fyy,
+            list_reduce(list(CASE WHEN cells.j <  dsz.d // 2 AND cells.k >= dsz.d // 2
+                                  THEN cells.c * cells.c ELSE 0.0 END
+                             ORDER BY cells.j, cells.k), (a, x) -> a + x) AS fxy
+        FROM cells, dsz
+    )
+    SELECT nrow.n AS n_vecs, CAST(dsz.d // 2 AS BIGINT) AS d_view,
+           {dround('folded.fxy / (sqrt(folded.fxx) * sqrt(folded.fyy))', 6)}
+               AS linear_cka
+    FROM folded, nrow, dsz
+    """,
+)
+def ext_embed_cka_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA (centered-kernel alignment) between the first and second
+    halves of the embedding dimensions: do the two 32-dim views carry the
+    same pairwise-similarity geometry? CKA is THE representation-similarity
+    metric for comparing embedding spaces; a high half-vs-half CKA says the
+    space is redundant enough that truncation is cheap — the geometry-level
+    companion to ext_embed_matryoshka_audit (which measures the same
+    question at the retrieval-metric level).
+
+    Exactness: embeddings quantize to integer units (the PCA-family
+    discipline), so the full Gram and column sums are exact BIGINTs and
+    every centered cell n*G_jk - S_j*S_k is an exact integer below 2^53
+    (exactly representable as the double it converts to); the three
+    Frobenius sums fold over the 4096-cell grid IN (j,k) ORDER on both
+    engines; CKA is a fixed expression of the three folds (sqrt is
+    IEEE-correctly-rounded on both).
+
+    Scale shape: ONE corpus pass builds the d^2 Gram via double-posexplode
+    into a map-side-combined aggregate (no self-join shuffle — the
+    _pca_eigvec plan); everything after is d^2 = 4096-row arithmetic."""
+    from ..ext import similarity as sim  # noqa: F401  (family cohesion)
+
+    emb = load(spark, sf_dir, "embeddings")
+    arrq = emb.select(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * CKA_UNITS, 0).cast("bigint"),
+        ).alias("aq")
+    )
+    pairs = arrq.select(F.posexplode("aq").alias("j", "xj"), "aq").select(
+        "j", "xj", F.posexplode("aq").alias("k", "xk")
+    )
+    gram = pairs.groupBy("j", "k").agg(
+        F.sum(F.col("xj") * F.col("xk")).cast("bigint").alias("g")
+    )
+    sums = (
+        arrq.select(F.posexplode("aq").alias("j", "x"))
+        .groupBy("j")
+        .agg(F.sum("x").cast("bigint").alias("s"))
+    )
+    nrow = arrq.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cells = (
+        gram.crossJoin(F.broadcast(nrow))
+        .join(F.broadcast(sums.select(F.col("j").alias("j_"), F.col("s").alias("sj"))), F.col("j") == F.col("j_"))
+        .join(F.broadcast(sums.select(F.col("j").alias("k_"), F.col("s").alias("sk"))), F.col("k") == F.col("k_"))
+        .select(
+            "j",
+            "k",
+            (F.col("n") * F.col("g") - F.col("sj") * F.col("sk"))
+            .cast("double")
+            .alias("c"),
+        )
+    )
+    dsz = cells.agg((F.max("j") + 1).cast("bigint").alias("d"))
+    cd = cells.crossJoin(F.broadcast(dsz))
+    half = F.floor(F.col("d") / 2)
+
+    def fold(cond):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "j",
+                            "k",
+                            F.when(cond, F.col("c") * F.col("c"))
+                            .otherwise(F.lit(0.0))
+                            .alias("sq"),
+                        )
+                    )
+                ),
+                lambda s: s["sq"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    folded = cd.agg(
+        fold((F.col("j") < half) & (F.col("k") < half)).alias("fxx"),
+        fold((F.col("j") >= half) & (F.col("k") >= half)).alias("fyy"),
+        fold((F.col("j") < half) & (F.col("k") >= half)).alias("fxy"),
+    )
+    return (
+        folded.crossJoin(F.broadcast(nrow))
+        .crossJoin(F.broadcast(dsz))
+        .select(
+            F.col("n").alias("n_vecs"),
+            F.floor(F.col("d") / 2).cast("bigint").alias("d_view"),
+            F.round(
+                F.col("fxy") / (F.sqrt(F.col("fxx")) * F.sqrt(F.col("fyy"))), 6
+            ).alias("linear_cka"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_cochran_q — m-condition binary repeated-measures test
+# ---------------------------------------------------------------------------
+
+CQ_TYPES = ["click", "error", "purchase", "signup", "view"]
+CQ_M = len(CQ_TYPES)
+
+
+def _cq_oracle() -> str:
+    g_sq = " + ".join(
+        f"CAST(g_{t} AS DOUBLE) * g_{t}" for t in CQ_TYPES
+    )
+    picks = ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN r ELSE 0 END) AS BIGINT)"
+        f" AS g_{t}"
+        for t in CQ_TYPES
+    )
+    q = (
+        f"(({CQ_M}.0 - 1.0) * ({CQ_M}.0 * ({g_sq}) - CAST(tt AS DOUBLE) * tt)"
+        f" / ({CQ_M}.0 * tt - l2))"
+    )
+    return f"""
+    WITH ev AS (
+        SELECT user_id, event_type, {_CENTS_SQL} AS cents FROM events
+    ), tot AS (
+        SELECT user_id, event_type, CAST(SUM(cents) AS BIGINT) AS t
+        FROM ev GROUP BY 1, 2
+    ), users AS (SELECT DISTINCT user_id FROM ev),
+    grid AS (
+        SELECT u.user_id, ty.event_type, COALESCE(tot.t, 0) AS t
+        FROM users u
+        CROSS JOIN (VALUES {", ".join(f"('{t}')" for t in CQ_TYPES)})
+            AS ty(event_type)
+        LEFT JOIN tot ON tot.user_id = u.user_id
+                     AND tot.event_type = ty.event_type
+    ), r1 AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY t, user_id) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM grid
+    ), med AS (
+        SELECT event_type, CAST(MIN(t) + MAX(t) AS BIGINT) AS med_x2
+        FROM r1 WHERE rn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY 1
+    ), rate AS (
+        SELECT g.user_id, g.event_type,
+               CASE WHEN 2 * g.t > m.med_x2 THEN 1 ELSE 0 END AS r
+        FROM grid g JOIN med m USING (event_type)
+    ), cols AS (
+        SELECT {picks} FROM rate
+    ), rows_ AS (
+        SELECT user_id, CAST(SUM(r) AS BIGINT) AS l FROM rate GROUP BY 1
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(l) AS BIGINT) AS tt,
+               CAST(SUM(l * l) AS BIGINT) AS l2
+        FROM rows_
+    )
+    SELECT s.n_items, CAST({CQ_M} AS BIGINT) AS n_conditions,
+           CAST({CQ_M - 1} AS BIGINT) AS df,
+           {dround(q, 6)} AS q_stat
+    FROM cols, s
+    """
+
+
+@register("ext_cochran_q", _cq_oracle())
+def ext_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test: do the m conditions (event types) have equal
+    'success' proportions across matched subjects (users)? The m-condition
+    generalization of McNemar (ext_mcnemar_test covers m = 2) on the same
+    median-split binary ratings ext_fleiss_kappa scores for AGREEMENT —
+    Q answers the hypothesis-test question (are the marginal rates equal),
+    kappa the reliability question; both belong in an annotation-QA suite.
+
+    Exactness: Q = (m-1)(m*sum G_j^2 - T^2) / (m*T - sum L_i^2) is a fixed
+    double expression over four exact integer aggregates (column totals in
+    sorted type order, grand total, row-total sum of squares), then dround.
+
+    Scale shape: same (user, type) aggregate + broadcast grid + per-type
+    median windows as the kappa key; the Q arithmetic is scalar."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", _cents().alias("cents")
+    )
+    tot = ev.groupBy("user_id", "event_type").agg(
+        F.sum("cents").cast("bigint").alias("t")
+    )
+    users = ev.select("user_id").distinct()
+    types = spark.createDataFrame([(t,) for t in CQ_TYPES], ["event_type"])
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(tot, ["user_id", "event_type"], "left")
+        .select("user_id", "event_type", F.coalesce("t", F.lit(0)).alias("t"))
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "user_id")
+    wn = Window.partitionBy("event_type")
+    r1 = grid.select(
+        "user_id",
+        "event_type",
+        "t",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor((F.col("n") + 2) / 2)
+    med = (
+        r1.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        .groupBy("event_type")
+        .agg((F.min("t") + F.max("t")).cast("bigint").alias("med_x2"))
+    )
+    rate = grid.join(F.broadcast(med), "event_type").select(
+        "user_id",
+        "event_type",
+        F.when(2 * F.col("t") > F.col("med_x2"), 1).otherwise(0).alias("r"),
+    )
+    cols = rate.agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t_, F.col("r")).otherwise(0))
+            .cast("bigint")
+            .alias(f"g_{t_}")
+            for t_ in CQ_TYPES
+        ]
+    )
+    rows_ = rate.groupBy("user_id").agg(F.sum("r").cast("bigint").alias("l"))
+    s = rows_.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("l").cast("bigint").alias("tt"),
+        F.sum(F.col("l") * F.col("l")).cast("bigint").alias("l2"),
+    )
+    row = cols.crossJoin(F.broadcast(s))
+    g_sq = None
+    for t_ in CQ_TYPES:
+        piece = F.col(f"g_{t_}").cast("double") * F.col(f"g_{t_}")
+        g_sq = piece if g_sq is None else g_sq + piece
+    ttd = F.col("tt").cast("double")
+    q = (
+        (float(CQ_M) - 1.0)
+        * (float(CQ_M) * g_sq - ttd * F.col("tt"))
+        / (float(CQ_M) * F.col("tt") - F.col("l2"))
+    )
+    return row.select(
+        "n_items",
+        F.lit(CQ_M).cast("bigint").alias("n_conditions"),
+        F.lit(CQ_M - 1).cast("bigint").alias("df"),
+        F.round(q, 6).alias("q_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_partial_corr — detrended (partial) correlation on the month grid
+# ---------------------------------------------------------------------------
+
+PC_KUNITS = 100_000  # revenue in kilodollar integer units (cents // 1e5)
+
+
+@register(
+    "ext_partial_corr",
+    f"""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mth,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    // {PC_KUNITS} AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), g AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY mth) AS BIGINT) AS z, x, y
+        FROM m
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(z) AS BIGINT) AS sz,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(z * z) AS BIGINT) AS szz,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * z) AS BIGINT) AS sxz,
+               CAST(SUM(y * z) AS BIGINT) AS syz
+        FROM g
+    ), r AS (
+        SELECT n,
+            (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                AS rxy,
+            (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+              / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * sqrt(CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+                AS rxz,
+            (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+              / (sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                 * sqrt(CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+                AS ryz
+        FROM s
+    )
+    SELECT n AS n_months,
+           {dround('rxy', 6)} AS r_xy,
+           {dround('rxz', 6)} AS r_x_trend,
+           {dround('ryz', 6)} AS r_y_trend,
+           {dround('(rxy - rxz * ryz) / (sqrt(1.0 - rxz * rxz) * sqrt(1.0 - ryz * ryz))', 6)}
+               AS partial_r_xy
+    FROM r
+    """,
+)
+def ext_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of monthly revenue and monthly order count
+    CONTROLLING FOR the time trend: r_xy.z = (r_xy - r_xz*r_yz) /
+    sqrt((1-r_xz^2)(1-r_yz^2)) with z = month index. Two series that both
+    grow look correlated (ext_spearman_corr / agg_corr_regression measure
+    exactly that raw association); the partial coefficient asks whether
+    they co-move AFTER the shared trend is removed — the difference between
+    'both went up this year' and 'they actually track each other'.
+
+    Exactness: revenue is floored to kilodollar integer units (cents
+    // 1e5 — raw cents squares overflow int64 at this SF) so all nine
+    moments are exact BIGINTs; the three Pearson r's and the partial
+    coefficient are fixed double expressions over those integers (sqrt is
+    IEEE-correctly-rounded on both engines), then dround.
+
+    Scale shape: one month-grid aggregate collapses the corpus; everything
+    after is a single scalar row."""
+    mrev = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mth"))
+        .agg(
+            F.floor(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                / PC_KUNITS
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("y"),
+        )
+    )
+    g = mrev.select(
+        F.row_number().over(Window.orderBy("mth")).cast("bigint").alias("z"),
+        "x",
+        "y",
+    )
+    s = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("bigint").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("bigint").alias("syz"),
+    )
+    nd = F.col("n").cast("double")
+
+    def pearson(sab, sa, sb, saa, sbb):
+        return (nd * F.col(sab) - F.col(sa).cast("double") * F.col(sb)) / (
+            F.sqrt(nd * F.col(saa) - F.col(sa).cast("double") * F.col(sa))
+            * F.sqrt(nd * F.col(sbb) - F.col(sb).cast("double") * F.col(sb))
+        )
+
+    rxy = pearson("sxy", "sx", "sy", "sxx", "syy")
+    rxz = pearson("sxz", "sx", "sz", "sxx", "szz")
+    ryz = pearson("syz", "sy", "sz", "syy", "szz")
+    return s.select(
+        F.col("n").alias("n_months"),
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_x_trend"),
+        F.round(ryz, 6).alias("r_y_trend"),
+        F.round(
+            (rxy - rxz * ryz)
+            / (F.sqrt(1.0 - rxz * rxz) * F.sqrt(1.0 - ryz * ryz)),
+            6,
+        ).alias("partial_r_xy"),
+    )
