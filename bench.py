@@ -369,6 +369,10 @@ HEADLINE = [
     "ext_embed_cka_views",
     "ext_cochran_q",
     "ext_partial_corr",
+    # round-6 fourth batch (first stable numbers become their baselines)
+    "ext_isotonic_calibration",
+    "ext_embed_mmd",
+    "ext_neyman_allocation",
 ]
 
 

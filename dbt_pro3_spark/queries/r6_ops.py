@@ -1803,3 +1803,388 @@ def ext_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("partial_r_xy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_isotonic_calibration — PAV isotonic fit via the exact minimax formula
+# ---------------------------------------------------------------------------
+
+ISO_BIN_W = 5600  # cents per score bin (spans the fixture's 0..56021 range)
+ISO_BINS = 10
+
+
+@register(
+    "ext_isotonic_calibration",
+    f"""
+    WITH ev AS (
+        SELECT LEAST({_CENTS_SQL} // {ISO_BIN_W}, {ISO_BINS - 1}) AS bin,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), b AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        FROM ev GROUP BY 1
+    ), c AS (
+        SELECT bin, n, pos,
+               CAST(SUM(n) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cn,
+               CAST(SUM(pos) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cp
+        FROM b
+    ), iv AS (
+        SELECT lo.bin AS j, hi.bin AS k,
+               CAST(hi.cp - lo.cp + lo.pos AS DOUBLE)
+                   / (hi.cn - lo.cn + lo.n) AS a
+        FROM c lo JOIN c hi ON lo.bin <= hi.bin
+    ), mn AS (
+        SELECT i.bin AS i, iv.j, MIN(iv.a) AS mn_a
+        FROM b i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin
+        GROUP BY 1, 2
+    ), iso AS (
+        SELECT i, MAX(mn_a) AS iso_rate FROM mn GROUP BY 1
+    )
+    SELECT b.bin, b.n, b.pos,
+           {dround('CAST(b.pos AS DOUBLE) / b.n', 6)} AS rate_raw,
+           {dround('iso.iso_rate', 6)} AS rate_iso
+    FROM b JOIN iso ON iso.i = b.bin
+    """,
+)
+def ext_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the purchase rate against the value
+    score: the nonparametric monotone calibrator — THE standard companion
+    to temperature scaling (ext_calibration_temperature fits one
+    parameter; isotonic fits a free nondecreasing step function, the
+    right tool when the reliability curve is monotone but not logistic).
+    Computed EXACTLY via the minimax identity iso_i = max_(j<=i)
+    min_(k>=i) mean(y[j..k]) — no iterative pooling, so no convergence
+    state to reason about.
+
+    Exactness: bin counts and interval means' numerators/denominators are
+    exact integers from one cumulative pass; each interval mean is ONE
+    division (bit-identical cross-engine), and min/max over identical
+    doubles agree; terminal dround.
+
+    Scale shape: one map-side-combined 10-bin aggregate collapses the
+    corpus; the interval lattice (55 rows) and the minimax joins are
+    bin-grid-sized."""
+    ev = load(spark, sf_dir, "events").select(
+        F.least(F.floor(_cents() / ISO_BIN_W), F.lit(ISO_BINS - 1))
+        .cast("bigint")
+        .alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = ev.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = b.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(wc).cast("bigint").alias("cn"),
+        F.sum("pos").over(wc).cast("bigint").alias("cp"),
+    )
+    lo = c.select(
+        F.col("bin").alias("j"),
+        F.col("n").alias("n_j"),
+        F.col("pos").alias("pos_j"),
+        F.col("cn").alias("cn_j"),
+        F.col("cp").alias("cp_j"),
+    )
+    hi = c.select(
+        F.col("bin").alias("k"),
+        F.col("cn").alias("cn_k"),
+        F.col("cp").alias("cp_k"),
+    )
+    iv = (
+        lo.crossJoin(F.broadcast(hi))
+        .filter(F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("cp_k") - F.col("cp_j") + F.col("pos_j")).cast("double")
+                / (F.col("cn_k") - F.col("cn_j") + F.col("n_j"))
+            ).alias("a"),
+        )
+    )
+    mn = (
+        b.select(F.col("bin").alias("i"))
+        .crossJoin(F.broadcast(iv))
+        .filter((F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("a").alias("mn_a"))
+    )
+    iso = mn.groupBy("i").agg(F.max("mn_a").alias("iso_rate"))
+    return b.join(F.broadcast(iso), b["bin"] == iso["i"]).select(
+        "bin",
+        "n",
+        "pos",
+        F.round(F.col("pos").cast("double") / F.col("n"), 6).alias("rate_raw"),
+        F.round("iso_rate", 6).alias("rate_iso"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_embed_mmd — linear-kernel MMD^2 between embedding label groups
+# ---------------------------------------------------------------------------
+
+MMD_UNITS = 1000  # same quantization as the PCA/CKA family
+
+
+@register(
+    "ext_embed_mmd",
+    f"""
+    WITH xq AS (
+        SELECT vec_id, label, i - 1 AS j,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {MMD_UNITS}) AS BIGINT)
+                   AS x
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ), g AS (
+        SELECT label, j, CAST(SUM(x) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM xq GROUP BY 1, 2
+    ), pair AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(MAX(a.n) AS BIGINT) AS n_a, CAST(MAX(b.n) AS BIGINT) AS n_b,
+               CAST(SUM((a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n))
+                   AS BIGINT) AS num
+        FROM g a JOIN g b ON a.j = b.j AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT label_a, label_b, n_a, n_b,
+           {dround(f'CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_a * n_b * n_b'
+                   f' * {MMD_UNITS}.0 * {MMD_UNITS}.0)', 6)} AS mmd_sq
+    FROM pair
+    """,
+)
+def ext_embed_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel maximum mean discrepancy between every pair of
+    embedding label groups: MMD^2 = ||mean_a - mean_b||^2 — the two-sample
+    test for EMBEDDING distributions (ext_stat_wasserstein_1d and
+    ext_two_sample_ks test scalar columns; this tests the vector space
+    itself), the drift gate run before mixing a new embedding batch into a
+    retrieval corpus.
+
+    Exactness: with quantized integer embeddings, each per-dimension
+    difference of means scales to the exact integer S_a*n_b - S_b*n_a
+    (|.| <= 4.4e7 here), its square (<= 2e15) and the 64-dim sum (<= 1.3e17)
+    stay in int64 — the numerator is EXACT; one terminal division
+    normalizes by (n_a*n_b*units)^2, then dround.
+
+    Scale shape: one (label, dim) aggregate collapses the corpus
+    (map-side-combined, d rows per label); the pair join runs on the
+    labels x d grid (640 rows), emitting 45 pair rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "label", F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * MMD_UNITS, 0).cast("bigint"),
+            )
+        ).alias("j", "x"),
+    )
+    g = xq.groupBy("label", "j").agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a = g.select(
+        F.col("label").alias("label_a"), "j",
+        F.col("s").alias("sa"), F.col("n").alias("na"),
+    )
+    bb = g.select(
+        F.col("label").alias("label_b"), F.col("j").alias("jb"),
+        F.col("s").alias("sb"), F.col("n").alias("nb"),
+    )
+    diff = F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")
+    pair = (
+        a.join(F.broadcast(bb), (F.col("j") == F.col("jb")) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+            F.sum(diff * diff).cast("bigint").alias("num"),
+        )
+    )
+    return pair.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("num").cast("double")
+            / (
+                F.col("n_a").cast("double")
+                * F.col("n_a")
+                * F.col("n_b")
+                * F.col("n_b")
+                * float(MMD_UNITS)
+                * float(MMD_UNITS)
+            ),
+            6,
+        ).alias("mmd_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_neyman_allocation — optimal stratified-sample allocation
+# ---------------------------------------------------------------------------
+
+NEY_BUDGET = 10_000
+NEY_STRATA = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _ney_oracle() -> str:
+    # share_h = B * N_h*S_h / sum(N*S): the fold over strata is emitted in
+    # sorted stratum order on both engines so the denominator double is
+    # bit-identical.
+    w = lambda t: (  # noqa: E731
+        f"(CAST(n_{t} AS DOUBLE) * sqrt((CAST(n_{t} AS DOUBLE) * sxx_{t}"
+        f" - CAST(sx_{t} AS DOUBLE) * sx_{t}) / (CAST(n_{t} AS DOUBLE) * n_{t})))"
+    )
+    tags = [t.split("-")[0] for t in NEY_STRATA]
+    picks = ", ".join(
+        f"CAST(MAX(CASE WHEN stratum = '{s}' THEN n END) AS BIGINT) AS n_{t}, "
+        f"CAST(MAX(CASE WHEN stratum = '{s}' THEN sx END) AS BIGINT) AS sx_{t}, "
+        f"CAST(MAX(CASE WHEN stratum = '{s}' THEN sxx END) AS BIGINT) AS sxx_{t}"
+        for s, t in zip(NEY_STRATA, tags)
+    )
+    tot = " + ".join(w(t) for t in tags)
+    rows = " UNION ALL ".join(
+        f"SELECT '{s}' AS stratum, n_{t} AS n_h, "
+        f"{w(t)} AS wgt, ({tot}) AS wtot FROM wide"
+        for s, t in zip(NEY_STRATA, tags)
+    )
+    return f"""
+    WITH o AS (
+        -- dollar units: cents-squared sums overflow int64 at sf0.1
+        SELECT o_orderpriority AS stratum,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100 AS c
+        FROM orders
+    ), st AS (
+        SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS sx,
+               CAST(SUM(c * c) AS BIGINT) AS sxx
+        FROM o GROUP BY 1
+    ), wide AS (
+        SELECT {picks} FROM st
+    ), shares AS (
+        SELECT stratum, n_h, {NEY_BUDGET}.0 * wgt / wtot AS share FROM ({rows})
+    ), fl AS (
+        SELECT stratum, n_h, share,
+               CAST(FLOOR(share) AS BIGINT) AS base,
+               share - FLOOR(share) AS frac
+        FROM shares
+    ), rem AS (
+        SELECT CAST({NEY_BUDGET} - SUM(base) AS BIGINT) AS r FROM fl
+    ), ranked AS (
+        SELECT fl.*, CAST(ROW_NUMBER() OVER (ORDER BY frac DESC, stratum)
+                     AS BIGINT) AS rk, rem.r
+        FROM fl, rem
+    )
+    SELECT stratum, n_h,
+           {dround('share', 6)} AS share_exact,
+           CAST(base + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
+               AS n_alloc
+    FROM ranked
+    """
+
+
+@register("ext_neyman_allocation", _ney_oracle())
+def ext_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: given a total budget of
+    {NEY_BUDGET} sampled orders, allocate n_h proportional to N_h * S_h
+    (stratum size times stratum standard deviation) — the survey-sampling
+    design that minimizes estimator variance for a fixed budget, with
+    largest-remainder rounding so the integer allocations sum exactly to
+    the budget. The design-side companion to ext_design_effect /
+    ext_ipf_raking (which audit and re-weight AFTER sampling); the
+    downstream executor is ext_sample_stratified's hash sampler.
+
+    Exactness: per-stratum count/sum/sum-of-squares are exact integer
+    dollars (cents // 100 — cents-squared sums overflow int64 at sf0.1;
+    Neyman weights are scale-invariant so the allocation is unchanged); each weight N_h*S_h and the shared denominator fold (in
+    sorted stratum order) are fixed double expressions; floors, remainders
+    and the largest-remainder ranking operate on identical doubles with a
+    total-order tie-break — integer allocations match exactly.
+
+    Scale shape: one stratum-keyed aggregate collapses the corpus;
+    everything after is 5-row arithmetic."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        # dollar units: cents-squared sums overflow int64 at sf0.1
+        F.floor(F.round(F.col("o_totalprice") * 100, 0).cast("bigint") / 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    st = o.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sxx"),
+    )
+    tags = [t.split("-")[0] for t in NEY_STRATA]
+    wide = st.agg(
+        *[
+            agg
+            for s, t in zip(NEY_STRATA, tags)
+            for agg in (
+                F.max(F.when(F.col("stratum") == s, F.col("n")))
+                .cast("bigint")
+                .alias(f"n_{t}"),
+                F.max(F.when(F.col("stratum") == s, F.col("sx")))
+                .cast("bigint")
+                .alias(f"sx_{t}"),
+                F.max(F.when(F.col("stratum") == s, F.col("sxx")))
+                .cast("bigint")
+                .alias(f"sxx_{t}"),
+            )
+        ]
+    # localCheckpoint: the 5 per-stratum share rows below each reference
+    # this one-row aggregate; without it the union re-scans orders 5x.
+    ).localCheckpoint(eager=False)
+
+    def wgt(t: str):
+        nd = F.col(f"n_{t}").cast("double")
+        return nd * F.sqrt(
+            (nd * F.col(f"sxx_{t}") - F.col(f"sx_{t}").cast("double") * F.col(f"sx_{t}"))
+            / (nd * F.col(f"n_{t}"))
+        )
+
+    wtot = None
+    for t in tags:
+        wtot = wgt(t) if wtot is None else wtot + wgt(t)
+    rows = [
+        wide.select(
+            F.lit(s).alias("stratum"),
+            F.col(f"n_{t}").alias("n_h"),
+            (float(NEY_BUDGET) * wgt(t) / wtot).alias("share"),
+        )
+        for s, t in zip(NEY_STRATA, tags)
+    ]
+    shares = rows[0]
+    for r_ in rows[1:]:
+        shares = shares.unionByName(r_)
+    fl = shares.select(
+        "stratum",
+        "n_h",
+        "share",
+        F.floor("share").cast("bigint").alias("base"),
+        (F.col("share") - F.floor("share")).alias("frac"),
+    )
+    rem = fl.agg((F.lit(NEY_BUDGET) - F.sum("base")).cast("bigint").alias("r"))
+    ranked = fl.crossJoin(F.broadcast(rem)).withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("frac"), F.asc("stratum")))
+        .cast("bigint"),
+    )
+    return ranked.select(
+        "stratum",
+        "n_h",
+        F.round("share", 6).alias("share_exact"),
+        (F.col("base") + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_alloc"),
+    )
