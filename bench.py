@@ -373,6 +373,10 @@ HEADLINE = [
     "ext_isotonic_calibration",
     "ext_embed_mmd",
     "ext_neyman_allocation",
+    # round-6 fifth batch (first stable numbers become their baselines)
+    "ext_recursive_hierarchy",
+    "ext_granger_causality",
+    "ext_pandas_trimmed_mean",
 ]
 
 

@@ -2188,3 +2188,360 @@ def ext_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_recursive_hierarchy — WITH RECURSIVE walk-to-root (Spark 4 surface)
+# ---------------------------------------------------------------------------
+
+RH_MAX_KEY = 500  # start nodes: part keys 1..500; parent(k) = (k-1)//3
+
+
+@register(
+    "ext_recursive_hierarchy",
+    f"""
+    WITH RECURSIVE nodes AS (
+        SELECT DISTINCT p_partkey AS k FROM part
+        WHERE p_partkey BETWEEN 1 AND {RH_MAX_KEY}
+    ), walk (start_k, cur, depth, path) AS (
+        SELECT k, k, CAST(0 AS BIGINT), CAST(k AS VARCHAR) FROM nodes
+        UNION ALL
+        SELECT start_k, (cur - 1) // 3, depth + 1,
+               path || '>' || CAST((cur - 1) // 3 AS VARCHAR)
+        FROM walk WHERE cur > 0
+    )
+    SELECT start_k, CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+           CAST(0 AS BIGINT) AS root,
+           MAX(CASE WHEN cur = 0 THEN path END) AS path
+    FROM walk GROUP BY 1
+    """,
+)
+def ext_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE hierarchy walk (the recursive-CTE surface Spark
+    gained in 4.x): every part key up to {RH_MAX_KEY} climbs its ternary
+    parent chain parent(k) = (k-1)//3 to the root, emitting depth and the
+    full materialized path — the BOM/org-chart/category-tree traversal
+    pattern that previously required driver-side iteration (the
+    ext_graph_bfs_reach family iterates in Python; this one runs INSIDE
+    the engine on both sides).
+
+    Determinism: the recursion is pure integer arithmetic on keys with a
+    strictly decreasing variant (cur > 0 terminates in ceil(log3 k)
+    steps); paths are canonical strings.
+
+    Scale shape: each recursion step is a narrow projection + filter over
+    the frontier (no joins, no shuffle growth); the frontier shrinks
+    geometrically. For data-driven edges the same template joins the
+    frontier to a broadcast edge table per step."""
+    return spark.sql(
+        f"""
+        WITH RECURSIVE nodes AS (
+            SELECT DISTINCT p_partkey AS k FROM {{part}}
+            WHERE p_partkey BETWEEN 1 AND {RH_MAX_KEY}
+        ), walk (start_k, cur, depth, path) AS (
+            SELECT k, k, CAST(0 AS BIGINT), CAST(k AS STRING) FROM nodes
+            UNION ALL
+            SELECT start_k, CAST(FLOOR((cur - 1) / 3) AS BIGINT), depth + 1,
+                   CONCAT(path, '>', CAST(CAST(FLOOR((cur - 1) / 3) AS BIGINT) AS STRING))
+            FROM walk WHERE cur > 0
+        )
+        SELECT start_k, CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+               CAST(0 AS BIGINT) AS root,
+               MAX(CASE WHEN cur = 0 THEN path END) AS path
+        FROM walk GROUP BY start_k
+        """,
+        part=load(spark, sf_dir, "part"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_granger_causality — does revenue Granger-cause order count?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_granger_causality",
+    f"""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mth,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    // {100_000} AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), g AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY mth) AS BIGINT) AS t, x, y
+        FROM m
+    ), lagd AS (
+        SELECT t, y AS yt,
+               LAG(y) OVER (ORDER BY t) AS yl,
+               LAG(x) OVER (ORDER BY t) AS xl
+        FROM g
+    ), d AS (
+        SELECT t, yt, yl, xl FROM lagd WHERE yl IS NOT NULL
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(yt) AS BIGINT) AS sy,
+               CAST(SUM(yl) AS BIGINT) AS sa,
+               CAST(SUM(xl) AS BIGINT) AS sb,
+               CAST(SUM(yl * yl) AS BIGINT) AS saa,
+               CAST(SUM(xl * xl) AS BIGINT) AS sbb,
+               CAST(SUM(yl * xl) AS BIGINT) AS sab,
+               CAST(SUM(yt * yl) AS BIGINT) AS sya,
+               CAST(SUM(yt * xl) AS BIGINT) AS syb
+        FROM d
+    ), coef AS (
+        SELECT n,
+            (CAST(n AS DOUBLE) * sya - CAST(sy AS DOUBLE) * sa)
+              / (CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa) AS b_r,
+            (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sya - CAST(sy AS DOUBLE) * sa)
+              / (CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)) * sa) / n AS a_r,
+            ((CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)
+               * (CAST(n AS DOUBLE) * sya - CAST(sy AS DOUBLE) * sa)
+             - (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+               * (CAST(n AS DOUBLE) * syb - CAST(sy AS DOUBLE) * sb))
+            / ((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+               * (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)
+             - (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+               * (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)) AS b_u,
+            ((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+               * (CAST(n AS DOUBLE) * syb - CAST(sy AS DOUBLE) * sb)
+             - (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+               * (CAST(n AS DOUBLE) * sya - CAST(sy AS DOUBLE) * sa))
+            / ((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+               * (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)
+             - (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+               * (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)) AS c_u
+        FROM s
+    ), cu AS (
+        SELECT n, a_r, b_r, b_u, c_u,
+               (CAST((SELECT sy FROM s) AS DOUBLE)
+                - b_u * (SELECT sa FROM s) - c_u * (SELECT sb FROM s)) / n AS a_u
+        FROM coef
+    ), rss AS (
+        SELECT
+            list_reduce(list(
+                (d.yt - cu.a_r - cu.b_r * d.yl) * (d.yt - cu.a_r - cu.b_r * d.yl)
+                ORDER BY d.t), (p, q) -> p + q) AS rss_r,
+            list_reduce(list(
+                (d.yt - cu.a_u - cu.b_u * d.yl - cu.c_u * d.xl)
+                * (d.yt - cu.a_u - cu.b_u * d.yl - cu.c_u * d.xl)
+                ORDER BY d.t), (p, q) -> p + q) AS rss_u
+        FROM d, cu
+    )
+    SELECT cu.n AS n_used,
+           {dround('cu.b_u', 6)} AS coef_y_lag,
+           {dround('cu.c_u', 6)} AS coef_x_lag,
+           {dround('rss.rss_r', 4)} AS rss_restricted,
+           {dround('rss.rss_u', 4)} AS rss_unrestricted,
+           {dround('(rss.rss_r - rss.rss_u) / (rss.rss_u / (cu.n - 3.0))', 6)}
+               AS f_stat
+    FROM cu, rss
+    """,
+)
+def ext_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality (one lag): does last month's REVENUE improve the
+    forecast of this month's ORDER COUNT beyond the count's own history?
+    Fits the restricted AR(1) model y_t ~ y_(t-1) and the unrestricted
+    y_t ~ y_(t-1) + x_(t-1) by exact normal equations (Cramer's rule) and
+    reports the incremental-RSS F statistic — the time-series causality
+    screen none of the correlation keys (ext_partial_corr,
+    ext_ts_rolling_corr, agg_corr_regression) answer, because correlation
+    has no direction or lag.
+
+    Exactness: the nine moments are exact integers (kilodollar revenue
+    units); coefficients are fixed Cramer expressions over them; both RSS
+    values fold the per-month squared residuals IN TIME ORDER on both
+    engines (identical doubles in, identical fold out), then dround.
+
+    Scale shape: the corpus collapses to the month grid in one aggregate;
+    lags, moments, coefficients and the folds are grid-sized."""
+    mrev = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mth"))
+        .agg(
+            F.floor(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                / 100_000
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("y"),
+        )
+    )
+    g = mrev.select(
+        F.row_number().over(Window.orderBy("mth")).cast("bigint").alias("t"),
+        "x",
+        "y",
+    )
+    wlag = Window.orderBy("t")
+    d = (
+        g.select(
+            "t",
+            F.col("y").alias("yt"),
+            F.lag("y").over(wlag).alias("yl"),
+            F.lag("x").over(wlag).alias("xl"),
+        )
+        .filter(F.col("yl").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("yt").cast("bigint").alias("sy"),
+        F.sum("yl").cast("bigint").alias("sa"),
+        F.sum("xl").cast("bigint").alias("sb"),
+        F.sum(F.col("yl") * F.col("yl")).cast("bigint").alias("saa"),
+        F.sum(F.col("xl") * F.col("xl")).cast("bigint").alias("sbb"),
+        F.sum(F.col("yl") * F.col("xl")).cast("bigint").alias("sab"),
+        F.sum(F.col("yt") * F.col("yl")).cast("bigint").alias("sya"),
+        F.sum(F.col("yt") * F.col("xl")).cast("bigint").alias("syb"),
+    )
+    nd = F.col("n").cast("double")
+    caa = nd * F.col("saa") - F.col("sa").cast("double") * F.col("sa")
+    cbb = nd * F.col("sbb") - F.col("sb").cast("double") * F.col("sb")
+    cab = nd * F.col("sab") - F.col("sa").cast("double") * F.col("sb")
+    cya = nd * F.col("sya") - F.col("sy").cast("double") * F.col("sa")
+    cyb = nd * F.col("syb") - F.col("sy").cast("double") * F.col("sb")
+    b_r = cya / caa
+    a_r = (F.col("sy").cast("double") - b_r * F.col("sa")) / F.col("n")
+    det = caa * cbb - cab * cab
+    b_u = (cbb * cya - cab * cyb) / det
+    c_u = (caa * cyb - cab * cya) / det
+    a_u = (
+        F.col("sy").cast("double") - b_u * F.col("sa") - c_u * F.col("sb")
+    ) / F.col("n")
+    cu = s.select(
+        "n",
+        a_r.alias("a_r"),
+        b_r.alias("b_r"),
+        a_u.alias("a_u"),
+        b_u.alias("b_u"),
+        c_u.alias("c_u"),
+    )
+    dd = d.crossJoin(F.broadcast(cu))
+    res_r = F.col("yt") - F.col("a_r") - F.col("b_r") * F.col("yl")
+    res_u = (
+        F.col("yt")
+        - F.col("a_u")
+        - F.col("b_u") * F.col("yl")
+        - F.col("c_u") * F.col("xl")
+    )
+
+    def fold(expr):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("t", (expr * expr).alias("sq")))),
+                lambda st: st["sq"],
+            ),
+            F.lit(0.0),
+            lambda p, q: p + q,
+        )
+
+    rss = dd.agg(
+        fold(res_r).alias("rss_r"),
+        fold(res_u).alias("rss_u"),
+        F.first("n").alias("n"),
+        F.first("b_u").alias("b_u"),
+        F.first("c_u").alias("c_u"),
+    )
+    return rss.select(
+        F.col("n").alias("n_used"),
+        F.round("b_u", 6).alias("coef_y_lag"),
+        F.round("c_u", 6).alias("coef_x_lag"),
+        F.round("rss_r", 4).alias("rss_restricted"),
+        F.round("rss_u", 4).alias("rss_unrestricted"),
+        F.round(
+            (F.col("rss_r") - F.col("rss_u")) / (F.col("rss_u") / (F.col("n") - 3.0)),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_pandas_trimmed_mean — GROUPED_AGG pandas UDF surface (exact trim)
+# ---------------------------------------------------------------------------
+
+TRIM_PCT = 10  # drop the lowest and highest 10% (by count floor) per group
+
+
+@register(
+    "ext_pandas_trimmed_mean",
+    f"""
+    WITH ev AS (
+        SELECT event_type, {_CENTS_SQL} AS c FROM events
+    ), r AS (
+        SELECT event_type, c,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY c) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM ev
+    ), kept AS (
+        SELECT event_type, c, n, n - 2 * (n * {TRIM_PCT} // 100) AS n_kept
+        FROM r
+        WHERE rn > n * {TRIM_PCT} // 100 AND rn <= n - n * {TRIM_PCT} // 100
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MAX(n_kept) AS BIGINT) AS n_kept,
+           {dround('CAST(SUM(c) AS DOUBLE) / MAX(n_kept) / 100.0', 6)}
+               AS trimmed_mean
+    FROM kept GROUP BY 1
+    """,
+)
+def ext_pandas_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interdecile trimmed mean per event type, computed through a
+    GROUPED_AGG pandas UDF — the vectorized per-group Python-aggregate
+    surface the registry's other escapes don't cover (scalar pandas_udf:
+    ext_topk_cosine_pandas; mapInArrow: ext_arrow_length_hist;
+    applyInPandas/cogroup elsewhere). The estimator DROPS each tail
+    (ext_winsorize CLAMPS it, ext_outlier_mad REMOVES by a robust cut) —
+    the classic robust-location alternative.
+
+    Exactness: the UDF receives exact integer cents, sorts, slices the
+    middle by integer counts (floor(n*10%) per side), and returns the
+    exact int sum + kept count; the mean is ONE terminal division done
+    JVM-side, so no float ever crosses the Python boundary. The oracle
+    replicates the same slice with rank windows.
+
+    Scale shape: GROUPED_AGG ships each group's column to Python as Arrow
+    batches — per-type groups partition-parallel; at wider cardinality the
+    same trim is expressible with the oracle's rank-window plan (kept as
+    the scale path), making the UDF the API-surface demonstration."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # GROUPED_AGG pandas UDFs return one scalar per group — sum and
+    # kept-count ship as two exact-integer aggregates over the same Arrow
+    # batches (the type-hint inference path has no Series->int form, so
+    # the functionType is explicit).
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def trim_sum(c):
+        v = c.sort_values().to_numpy()
+        cut = len(v) * TRIM_PCT // 100
+        return int(v[cut : len(v) - cut].sum())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def trim_count(c):
+        n = len(c)
+        return int(n - 2 * (n * TRIM_PCT // 100))
+
+    # group-agg pandas UDFs cannot mix with JVM aggregates in one agg():
+    # the row count is a third UDF over the same batches.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def grp_count(c):
+        return int(len(c))
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", _cents().alias("c")
+    )
+    agg = ev.groupBy("event_type").agg(
+        grp_count("c").alias("n_events"),
+        trim_sum("c").alias("s"),
+        trim_count("c").alias("k"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("k").cast("bigint").alias("n_kept"),
+        F.round(
+            F.col("s").cast("double") / F.col("k") / 100.0, 6
+        ).alias("trimmed_mean"),
+    )
