@@ -377,6 +377,10 @@ HEADLINE = [
     "ext_recursive_hierarchy",
     "ext_granger_causality",
     "ext_pandas_trimmed_mean",
+    # round-6 sixth batch (first stable numbers become their baselines)
+    "ext_markov_absorption",
+    "ext_mediation_sobel",
+    "ext_jackknife_ratio",
 ]
 
 

@@ -2545,3 +2545,409 @@ def ext_pandas_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("double") / F.col("k") / 100.0, 6
         ).alias("trimmed_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_markov_absorption — expected steps to absorption in the session chain
+# ---------------------------------------------------------------------------
+
+MA_ABSORB = "purchase"
+MA_TRANSIENT = ["click", "error", "signup", "view"]  # sorted
+
+
+def _det3(m, mul, sub, add):
+    """3x3 determinant with a FIXED expansion order; m is a 3x3 of engine
+    expressions, combined with the caller's mul/sub/add ops."""
+    return sub(
+        add(
+            sub(
+                mul(m[0][0], sub(mul(m[1][1], m[2][2]), mul(m[1][2], m[2][1]))),
+                mul(m[0][1], sub(mul(m[1][0], m[2][2]), mul(m[1][2], m[2][0]))),
+            ),
+            mul(m[0][2], sub(mul(m[1][0], m[2][1]), mul(m[1][1], m[2][0]))),
+        ),
+        None,
+    )
+
+
+def _det4(m, mul, sub, add):
+    """4x4 determinant by first-row cofactor expansion, fixed order."""
+    def minor(col):
+        return [[m[r][c] for c in range(4) if c != col] for r in range(1, 4)]
+
+    t0 = mul(m[0][0], _det3(minor(0), mul, sub, add))
+    t1 = mul(m[0][1], _det3(minor(1), mul, sub, add))
+    t2 = mul(m[0][2], _det3(minor(2), mul, sub, add))
+    t3 = mul(m[0][3], _det3(minor(3), mul, sub, add))
+    return sub(add(sub(t0, t1), t2), t3)
+
+
+def _ma_sql_ops():
+    mul = lambda a, b: f"({a} * {b})"  # noqa: E731
+    sub = lambda a, b: f"({a} - {b})" if b is not None else a  # noqa: E731
+    add = lambda a, b: f"({a} + {b})"  # noqa: E731
+    return mul, sub, add
+
+
+def _ma_oracle() -> str:
+    ts = MA_TRANSIENT
+    counts = ", ".join(
+        f"CAST(SUM(CASE WHEN src = '{i}' AND dst = '{j}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c_{i}_{j}"
+        for i in ts
+        for j in ts + [MA_ABSORB]
+    )
+    drow = ", ".join(
+        "CAST(" + " + ".join(f"c_{i}_{j}" for j in ts + [MA_ABSORB]) + f" AS BIGINT) AS d_{i}"
+        for i in ts
+    )
+    # M[i][j] = d_i*delta_ij - c_ij as DOUBLE expressions
+    m = [
+        [
+            (f"(CAST(d_{i} AS DOUBLE) - c_{i}_{j})" if i == j else f"(0.0 - c_{i}_{j})")
+            for j in ts
+        ]
+        for i in ts
+    ]
+    rhs = [f"CAST(d_{i} AS DOUBLE)" for i in ts]
+    mul, sub, add = _ma_sql_ops()
+    det = _det4(m, mul, sub, add)
+    rows = []
+    for jidx, jname in enumerate(ts):
+        mj = [[rhs[r] if c == jidx else m[r][c] for c in range(4)] for r in range(4)]
+        detj = _det4(mj, mul, sub, add)
+        rows.append(
+            f"SELECT '{jname}' AS state, d_{jname} AS n_out, "
+            f"{dround(f'CAST(c_{jname}_{MA_ABSORB} AS DOUBLE) / d_{jname}', 6)}"
+            f" AS p_direct, "
+            f"{dround(f'({detj}) / ({det})', 6)} AS expected_steps FROM wide"
+        )
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS dst
+        FROM events
+    ), tr AS (
+        SELECT src, dst FROM seq WHERE dst IS NOT NULL
+    ), wide AS (
+        SELECT {counts} FROM tr
+    ), wide2 AS (SELECT *, {drow} FROM wide)
+    {" UNION ALL ".join(rows).replace("FROM wide", "FROM wide2")}
+    """
+
+
+@register("ext_markov_absorption", _ma_oracle())
+def ext_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-Markov-chain analysis of the session event chain: treating
+    '{MA_ABSORB}' as the absorbing state, the expected number of steps from
+    each transient event type until a purchase, t = (I - Q)^-1 * 1 — the
+    closed-form 'how far is each state from conversion' number that
+    ext_event_transition's one-step matrix and ext_window_funnel's fixed
+    sequences cannot give (it sums over ALL paths of ALL lengths).
+
+    Exactness: transition counts and row totals are exact integers; the
+    linear system is solved by CRAMER'S RULE with the 4x4 determinants
+    expanded in a FIXED cofactor order over (d_i*delta - c_ij) doubles —
+    both engines evaluate the identical expression tree (generated from
+    one Python template), then dround.
+
+    Scale shape: one user-partitioned LEAD window + one pair-count
+    aggregate collapse the corpus to a 4x5 count matrix; the solve is a
+    scalar expression on one wide row."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    ts_ = MA_TRANSIENT
+    wide = tr.agg(
+        *[
+            F.sum(
+                F.when((F.col("src") == i) & (F.col("dst") == j), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"c_{i}_{j}")
+            for i in ts_
+            for j in ts_ + [MA_ABSORB]
+        ]
+    )
+    for i in ts_:
+        tot = None
+        for j in ts_ + [MA_ABSORB]:
+            c = F.col(f"c_{i}_{j}")
+            tot = c if tot is None else tot + c
+        wide = wide.withColumn(f"d_{i}", tot.cast("bigint"))
+    wide = wide.localCheckpoint(eager=False)
+
+    mulc = lambda a, b: a * b  # noqa: E731
+    subc = lambda a, b: (a - b) if b is not None else a  # noqa: E731
+    addc = lambda a, b: a + b  # noqa: E731
+    m = [
+        [
+            (F.col(f"d_{i}").cast("double") - F.col(f"c_{i}_{j}"))
+            if i == j
+            else (F.lit(0.0) - F.col(f"c_{i}_{j}"))
+            for j in ts_
+        ]
+        for i in ts_
+    ]
+    rhs = [F.col(f"d_{i}").cast("double") for i in ts_]
+    det = _det4(m, mulc, subc, addc)
+    rows = []
+    for jidx, jname in enumerate(ts_):
+        mj = [[rhs[r] if c == jidx else m[r][c] for c in range(4)] for r in range(4)]
+        detj = _det4(mj, mulc, subc, addc)
+        rows.append(
+            wide.select(
+                F.lit(jname).alias("state"),
+                F.col(f"d_{jname}").alias("n_out"),
+                F.round(
+                    F.col(f"c_{jname}_{MA_ABSORB}").cast("double")
+                    / F.col(f"d_{jname}"),
+                    6,
+                ).alias("p_direct"),
+                F.round(detj / det, 6).alias("expected_steps"),
+            )
+        )
+    out = rows[0]
+    for r_ in rows[1:]:
+        out = out.unionByName(r_)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ext_mediation_sobel — Baron-Kenny mediation with the Sobel test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_mediation_sobel",
+    f"""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mth,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    // {100_000} AS BIGINT) AS yv,
+               CAST(COUNT(*) AS BIGINT) AS mv
+        FROM orders GROUP BY 1
+    ), g AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY mth) AS BIGINT) AS xv, yv, mv
+        FROM m
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xv) AS BIGINT) AS sx, CAST(SUM(mv) AS BIGINT) AS sm,
+               CAST(SUM(yv) AS BIGINT) AS sy,
+               CAST(SUM(xv * xv) AS BIGINT) AS sxx,
+               CAST(SUM(mv * mv) AS BIGINT) AS smm,
+               CAST(SUM(xv * mv) AS BIGINT) AS sxm,
+               CAST(SUM(xv * yv) AS BIGINT) AS sxy,
+               CAST(SUM(mv * yv) AS BIGINT) AS smy
+        FROM g
+    ), c AS (
+        SELECT n,
+            CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS cxx,
+            CAST(n AS DOUBLE) * smm - CAST(sm AS DOUBLE) * sm AS cmm,
+            CAST(n AS DOUBLE) * sxm - CAST(sx AS DOUBLE) * sm AS cxm,
+            CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cxy,
+            CAST(n AS DOUBLE) * smy - CAST(sm AS DOUBLE) * sy AS cmy
+        FROM s
+    ), coef AS (
+        SELECT n, cxx, cmm, cxm,
+               cxm / cxx AS a,
+               (cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm) AS b,
+               cxy / cxx AS c_total,
+               (cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm) AS c_direct
+        FROM c
+    )
+    SELECT n AS n_months,
+           {dround('a', 6)} AS a_x_to_m,
+           {dround('b', 6)} AS b_m_to_y,
+           {dround('c_total', 6)} AS c_total,
+           {dround('c_direct', 6)} AS c_direct,
+           {dround('a * b', 6)} AS indirect_effect,
+           {dround('a * b / c_total', 6)} AS prop_mediated
+    FROM coef
+    """,
+)
+def ext_mediation_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baron-Kenny mediation decomposition on the month grid: how much of
+    the time trend in revenue (X = month index -> Y = revenue) flows
+    THROUGH order volume (M)? Reports the path coefficients a (X->M),
+    b (M->Y | X), the total and direct effects, the indirect effect a*b
+    and the proportion mediated — the causal-DECOMPOSITION question none
+    of the effect-estimate keys (IPW/post-strat/DID/RDD) address: they say
+    WHETHER X moves Y, this says through WHICH channel.
+
+    Exactness: closed-form OLS from nine exact integer moments (kilodollar
+    revenue units); every coefficient is a fixed centered-moment
+    expression (identical op order both engines), then dround. Note
+    a*b == c_total - c_direct (the classic identity) — a free internal
+    consistency check on the algebra.
+
+    Scale shape: one month-grid aggregate collapses the corpus; the
+    decomposition is one scalar row."""
+    mrev = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mth"))
+        .agg(
+            F.floor(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                / 100_000
+            )
+            .cast("bigint")
+            .alias("yv"),
+            F.count(F.lit(1)).cast("bigint").alias("mv"),
+        )
+    )
+    g = mrev.select(
+        F.row_number().over(Window.orderBy("mth")).cast("bigint").alias("xv"),
+        "yv",
+        "mv",
+    )
+    s = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xv").cast("bigint").alias("sx"),
+        F.sum("mv").cast("bigint").alias("sm"),
+        F.sum("yv").cast("bigint").alias("sy"),
+        F.sum(F.col("xv") * F.col("xv")).cast("bigint").alias("sxx"),
+        F.sum(F.col("mv") * F.col("mv")).cast("bigint").alias("smm"),
+        F.sum(F.col("xv") * F.col("mv")).cast("bigint").alias("sxm"),
+        F.sum(F.col("xv") * F.col("yv")).cast("bigint").alias("sxy"),
+        F.sum(F.col("mv") * F.col("yv")).cast("bigint").alias("smy"),
+    )
+    nd = F.col("n").cast("double")
+    cxx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    cmm = nd * F.col("smm") - F.col("sm").cast("double") * F.col("sm")
+    cxm = nd * F.col("sxm") - F.col("sx").cast("double") * F.col("sm")
+    cxy = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    cmy = nd * F.col("smy") - F.col("sm").cast("double") * F.col("sy")
+    a = cxm / cxx
+    b = (cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm)
+    c_total = cxy / cxx
+    c_direct = (cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm)
+    return s.select(
+        F.col("n").alias("n_months"),
+        F.round(a, 6).alias("a_x_to_m"),
+        F.round(b, 6).alias("b_m_to_y"),
+        F.round(c_total, 6).alias("c_total"),
+        F.round(c_direct, 6).alias("c_direct"),
+        F.round(a * b, 6).alias("indirect_effect"),
+        F.round(a * b / c_total, 6).alias("prop_mediated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_jackknife_ratio — delete-one-group jackknife SE for a ratio metric
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_jackknife_ratio",
+    f"""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mth,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS s_i,
+               CAST(COUNT(*) AS BIGINT) AS n_i
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS grp,
+               CAST(SUM(s_i) AS BIGINT) AS s,
+               CAST(SUM(n_i) AS BIGINT) AS n
+        FROM m
+    ), loo AS (
+        SELECT m.mth,
+               CAST(tot.s - m.s_i AS DOUBLE) / (tot.n - m.n_i) AS r_i,
+               tot.grp, tot.s, tot.n
+        FROM m, tot
+    ), folds AS (
+        SELECT MAX(grp) AS grp, MAX(s) AS s, MAX(n) AS n,
+               list_reduce(list(r_i ORDER BY mth), (p, q) -> p + q) AS sr,
+               list_reduce(list(r_i * r_i ORDER BY mth), (p, q) -> p + q)
+                   AS srr
+        FROM loo
+    )
+    SELECT CAST(grp AS BIGINT) AS n_groups,
+           {dround('CAST(s AS DOUBLE) / n / 100.0', 6)} AS ratio_full,
+           {dround('sqrt((CAST(grp AS DOUBLE) - 1.0) / grp'
+                   ' * (srr - sr * sr / grp)) / 100.0', 6)} AS jk_se
+    FROM folds
+    """,
+)
+def ext_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error for the revenue-per-order
+    ratio, deleting one month at a time: the classical resampling SE for
+    RATIO metrics, whose naive per-row variance is biased because
+    numerator and denominator co-vary (ext_bootstrap_ci resamples with
+    multiplier weights; the jackknife is its deterministic, closed-form
+    sibling — every leave-one-out replicate is computed ALGEBRAICALLY from
+    group totals, no resampling at all).
+
+    Exactness: month totals are exact cents/count integers; each replicate
+    ratio (S - s_i)/(N - n_i) is ONE division of exact integers; the sum
+    and sum-of-squares of replicates fold IN MONTH ORDER on both engines;
+    the SE is a fixed expression of the folds, then dround.
+
+    Scale shape: one month-grid aggregate collapses the corpus; the
+    replicates are grid-sized algebra — the delete-one-group construction
+    is exactly how jackknife scales (delete-one-ROW would be n replicates;
+    delete-one-group is #groups)."""
+    m = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mth"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("s_i"),
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        )
+    )
+    tot = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp"),
+        F.sum("s_i").cast("bigint").alias("s"),
+        F.sum("n_i").cast("bigint").alias("n"),
+    )
+    loo = m.crossJoin(F.broadcast(tot)).select(
+        "mth",
+        ((F.col("s") - F.col("s_i")).cast("double") / (F.col("n") - F.col("n_i"))).alias("r_i"),
+        "grp",
+        "s",
+        "n",
+    )
+
+    def fold(expr):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("mth", expr.alias("v")))),
+                lambda st: st["v"],
+            ),
+            F.lit(0.0),
+            lambda p, q: p + q,
+        )
+
+    folds = loo.agg(
+        F.max("grp").alias("grp"),
+        F.max("s").alias("s"),
+        F.max("n").alias("n"),
+        fold(F.col("r_i")).alias("sr"),
+        fold(F.col("r_i") * F.col("r_i")).alias("srr"),
+    )
+    gd = F.col("grp").cast("double")
+    return folds.select(
+        F.col("grp").cast("bigint").alias("n_groups"),
+        F.round(F.col("s").cast("double") / F.col("n") / 100.0, 6).alias(
+            "ratio_full"
+        ),
+        F.round(
+            F.sqrt(
+                (gd - 1.0) / F.col("grp")
+                * (F.col("srr") - F.col("sr") * F.col("sr") / F.col("grp"))
+            )
+            / 100.0,
+            6,
+        ).alias("jk_se"),
+    )
