@@ -381,6 +381,10 @@ HEADLINE = [
     "ext_markov_absorption",
     "ext_mediation_sobel",
     "ext_jackknife_ratio",
+    # round-6 seventh batch (first stable numbers become their baselines)
+    "ext_hmm_viterbi",
+    "ext_attr_markov_removal",
+    "ext_knee_elbow",
 ]
 
 

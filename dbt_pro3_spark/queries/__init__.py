@@ -111,6 +111,7 @@ def _load_all() -> None:
     from . import r5d_ops  # noqa: F401
     from . import r5e_ops  # noqa: F401
     from . import r6_ops  # noqa: F401
+    from . import r6b_ops  # noqa: F401
     _R4_KEYS.update(set(QUERIES) - pre_r4)
     _LOADED = True
 

@@ -1,0 +1,571 @@
+"""Round-6 second module: sequential-decode and attribution operators.
+
+- ext_hmm_viterbi: 2-state HMM Viterbi decode as an ORDERED FOLD — the
+  'custom stateful operator without a UDF' demonstration (both engines
+  fold the identical expression tree over the day-ordered observation
+  list; DuckDB's list_reduce takes no initial accumulator, so the init
+  state rides as the list's first element).
+- ext_attr_markov_removal: Markov removal-effect attribution (the
+  data-driven multi-touch model) via Cramer solves generated from one
+  template for both engines (machinery shared with r6_ops'
+  ext_markov_absorption).
+- ext_knee_elbow: maximum-chord-distance knee detection on the part
+  revenue Pareto curve with exact integer cross products.
+
+House rules as in r6_ops (exact-integer cores, fixed-order float
+expressions, dround terminals, grid-confined quadratics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load
+from . import dround, register
+from .r6_ops import _CENTS_SQL, _cents, _det3, _det4
+
+# ---------------------------------------------------------------------------
+# ext_hmm_viterbi — 2-state HMM Viterbi decode over the daily revenue regime
+# ---------------------------------------------------------------------------
+
+# Fixed literal HMM parameters (a two-regime market model): state 0 = high
+# regime, state 1 = low regime.
+HMM = {
+    "a00": 0.8, "a01": 0.2, "a10": 0.3, "a11": 0.7,
+    "b0h": 0.75, "b0l": 0.25, "b1h": 0.3, "b1l": 0.7,
+    "pi0": 0.5, "pi1": 0.5,
+}
+
+
+def _hmm_sql() -> str:
+    h = {k: f"CAST({v} AS DOUBLE)" for k, v in HMM.items()}
+    # The fold state is ONE VARCHAR 'v0|v1|p0|p1': DuckDB v1.0.0's
+    # list_reduce mutates struct-accumulator fields IN PLACE sequentially
+    # (later field expressions read already-overwritten values — found by a
+    # minimal repro during this key's build), so a multi-field struct state
+    # is unsafe; a single string field cannot alias, and DuckDB's
+    # double->VARCHAR (shortest repr) -> DOUBLE round-trip is bit-exact.
+    v0 = "CAST(string_split(acc, '|')[1] AS DOUBLE)"
+    v1 = "CAST(string_split(acc, '|')[2] AS DOUBLE)"
+    p0 = "string_split(acc, '|')[3]"
+    p1 = "string_split(acc, '|')[4]"
+    b0 = f"(CASE WHEN x = '1' THEN {h['b0h']} ELSE {h['b0l']} END)"
+    b1 = f"(CASE WHEN x = '1' THEN {h['b1h']} ELSE {h['b1l']} END)"
+    c0 = f"(GREATEST({v0} * {h['a00']}, {v1} * {h['a10']}) * {b0})"
+    c1 = f"(GREATEST({v0} * {h['a01']}, {v1} * {h['a11']}) * {b1})"
+    step = (
+        f"CAST({c0} / ({c0} + {c1}) AS VARCHAR) || '|' || "
+        f"CAST({c1} / ({c0} + {c1}) AS VARCHAR) || '|' || "
+        f"(CASE WHEN {v0} * {h['a00']} >= {v1} * {h['a10']} "
+        f"THEN {p0} ELSE {p1} END) || '0' || '|' || "
+        f"(CASE WHEN {v0} * {h['a01']} >= {v1} * {h['a11']} "
+        f"THEN {p0} ELSE {p1} END) || '1'"
+    )
+    fv0 = "CAST(string_split(st, '|')[1] AS DOUBLE)"
+    fv1 = "CAST(string_split(st, '|')[2] AS DOUBLE)"
+    return f"""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS d, {_CENTS_SQL} AS cents FROM events
+    ), daily AS (
+        SELECT d, CAST(SUM(cents) AS BIGINT) AS t FROM ev GROUP BY 1
+    ), r AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY t, d) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ), med AS (
+        SELECT CAST(MIN(t) + MAX(t) AS BIGINT) AS med_x2
+        FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    ), obs AS (
+        SELECT daily.d,
+               CASE WHEN 2 * daily.t > med.med_x2 THEN 1 ELSE 0 END AS o
+        FROM daily, med
+    ), seq AS (
+        SELECT list_prepend('0.5|0.5||',
+                   list(CAST(o AS VARCHAR) ORDER BY d)) AS l,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM obs
+    ), fin AS (
+        SELECT n_days, list_reduce(l, (acc, x) -> {step}) AS st FROM seq
+    )
+    SELECT n_days,
+           CAST(CASE WHEN {fv0} >= {fv1} THEN 0 ELSE 1 END AS BIGINT)
+               AS ml_final_state,
+           {dround(f'GREATEST({fv0}, {fv1})', 6)} AS ml_prob_norm,
+           CASE WHEN {fv0} >= {fv1}
+                THEN string_split(st, '|')[3]
+                ELSE string_split(st, '|')[4] END AS viterbi_path
+    FROM fin
+    """
+
+
+@register("ext_hmm_viterbi", _hmm_sql())
+def ext_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decode of a fixed 2-state HMM over the daily revenue regime
+    (observation = day total above/below the exact median): the most-likely
+    hidden state path under literal transition/emission parameters — the
+    canonical SEQUENTIAL-DP operator, here expressed as an ordered fold
+    with a struct accumulator instead of a UDF or driver loop (the pattern
+    for any per-key sequential decode: CRDT replays, sessionization with
+    carry-over state, regime labeling).
+
+    Determinism: observations derive from exact integer day totals vs an
+    exact middle-element median; each Viterbi step is a fixed arithmetic
+    expression over doubles with literal parameters, per-step normalized
+    (so no underflow at any series length), argmax ties prefer state 0;
+    both engines fold the identical expression tree in day order (DuckDB's
+    list_reduce seeds from the list head, so the init state is prepended
+    as a sentinel element — the same fold Spark's F.aggregate does with an
+    explicit init).
+
+    Scale shape: the corpus collapses to the day grid in one aggregate;
+    the fold runs over the 30-element observation list. Per-entity decodes
+    would partition the fold by key (collect_list per group) —
+    embarrassingly parallel."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), _cents().alias("cents")
+    )
+    daily = ev.groupBy("d").agg(F.sum("cents").cast("bigint").alias("t"))
+    w = Window.orderBy("t", "d")
+    wn = Window.partitionBy(F.lit(1))
+    r = daily.select(
+        "d",
+        "t",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    med = (
+        r.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .agg((F.min("t") + F.max("t")).cast("bigint").alias("med_x2"))
+    )
+    obs = daily.crossJoin(F.broadcast(med)).select(
+        "d", F.when(2 * F.col("t") > F.col("med_x2"), 1).otherwise(0).alias("o")
+    )
+    h = HMM
+
+    def step(acc, x):
+        o = x["o"]
+        b0 = F.when(o == 1, F.lit(h["b0h"])).otherwise(F.lit(h["b0l"]))
+        b1 = F.when(o == 1, F.lit(h["b1h"])).otherwise(F.lit(h["b1l"]))
+        c0 = F.greatest(acc["v0"] * h["a00"], acc["v1"] * h["a10"]) * b0
+        c1 = F.greatest(acc["v0"] * h["a01"], acc["v1"] * h["a11"]) * b1
+        tot = c0 + c1
+        return F.struct(
+            (c0 / tot).alias("v0"),
+            (c1 / tot).alias("v1"),
+            F.concat(
+                F.when(
+                    acc["v0"] * h["a00"] >= acc["v1"] * h["a10"],
+                    acc["p0"],
+                ).otherwise(acc["p1"]),
+                F.lit("0"),
+            ).alias("p0"),
+            F.concat(
+                F.when(
+                    acc["v0"] * h["a01"] >= acc["v1"] * h["a11"],
+                    acc["p0"],
+                ).otherwise(acc["p1"]),
+                F.lit("1"),
+            ).alias("p1"),
+        )
+
+    seq = obs.agg(
+        F.sort_array(F.collect_list(F.struct("d", "o"))).alias("l"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    init = F.struct(
+        F.lit(float(h["pi0"])).alias("v0"),
+        F.lit(float(h["pi1"])).alias("v1"),
+        F.lit("").alias("p0"),
+        F.lit("").alias("p1"),
+    )
+    fin = seq.select(
+        "n_days",
+        F.aggregate(F.col("l"), init, step).alias("st"),
+    )
+    return fin.select(
+        "n_days",
+        F.when(F.col("st.v0") >= F.col("st.v1"), 0)
+        .otherwise(1)
+        .cast("bigint")
+        .alias("ml_final_state"),
+        F.round(F.greatest(F.col("st.v0"), F.col("st.v1")), 6).alias(
+            "ml_prob_norm"
+        ),
+        F.when(F.col("st.v0") >= F.col("st.v1"), F.col("st.p0"))
+        .otherwise(F.col("st.p1"))
+        .alias("viterbi_path"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_attr_markov_removal — Markov removal-effect channel attribution
+# ---------------------------------------------------------------------------
+
+AR_CONV = "purchase"
+AR_CH = ["click", "error", "signup", "view"]  # sorted transient channels
+
+
+def _ar_counts_sql() -> str:
+    dsts = AR_CH + [AR_CONV, "end"]
+    counts = ", ".join(
+        f"CAST(SUM(CASE WHEN src = '{i}' AND dst = '{j}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c_{i}_{j.replace('-', '_')}"
+        for i in AR_CH
+        for j in dsts
+    )
+    starts = ", ".join(
+        f"CAST(SUM(CASE WHEN first_type = '{s}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS st_{s}"
+        for s in AR_CH + [AR_CONV]
+    )
+    return counts, starts
+
+
+def _ar_oracle() -> str:
+    mul = lambda a, b: f"({a} * {b})"  # noqa: E731
+    sub = lambda a, b: f"({a} - {b})" if b is not None else a  # noqa: E731
+    add = lambda a, b: f"({a} + {b})"  # noqa: E731
+    dsts = AR_CH + [AR_CONV, "end"]
+    counts, starts = _ar_counts_sql()
+    drow = ", ".join(
+        "CAST(" + " + ".join(f"c_{i}_{j}" for j in dsts) + f" AS BIGINT) AS d_{i}"
+        for i in AR_CH
+    )
+
+    def msub(chs):
+        return [
+            [
+                (f"(CAST(d_{i} AS DOUBLE) - c_{i}_{j})" if i == j else f"(0.0 - c_{i}_{j})")
+                for j in chs
+            ]
+            for i in chs
+        ]
+
+    def solve(chs, det_fn):
+        """h_s expressions (absorption prob into CONV) for states chs."""
+        m = msub(chs)
+        rhs = [f"CAST(c_{i}_{AR_CONV} AS DOUBLE)" for i in chs]
+        det = det_fn(m, mul, sub, add)
+        hs = {}
+        for jidx, jname in enumerate(chs):
+            mj = [
+                [rhs[r] if c == jidx else m[r][c] for c in range(len(chs))]
+                for r in range(len(chs))
+            ]
+            hs[jname] = f"(({det_fn(mj, mul, sub, add)}) / ({det}))"
+        return hs
+
+    h4 = solve(AR_CH, _det4)
+    nu = "CAST(" + " + ".join(f"st_{s}" for s in AR_CH + [AR_CONV]) + " AS DOUBLE)"
+    base_p = (
+        "("
+        + " + ".join(f"(st_{s} / {nu}) * {h4[s]}" for s in AR_CH)
+        + f" + st_{AR_CONV} / {nu})"
+    )
+    rows = []
+    re_exprs = {}
+    for c in AR_CH:
+        rest = [s for s in AR_CH if s != c]
+        h3 = solve(rest, _det3)
+        p_rm = (
+            "("
+            + " + ".join(f"(st_{s} / {nu}) * {h3[s]}" for s in rest)
+            + f" + st_{AR_CONV} / {nu})"
+        )
+        re_exprs[c] = f"(({base_p} - {p_rm}) / {base_p})"
+    re_tot = "(" + " + ".join(re_exprs[c] for c in AR_CH) + ")"
+    for c in AR_CH:
+        rest = [s for s in AR_CH if s != c]
+        h3 = solve(rest, _det3)
+        p_rm = (
+            "("
+            + " + ".join(f"(st_{s} / {nu}) * {h3[s]}" for s in rest)
+            + f" + st_{AR_CONV} / {nu})"
+        )
+        rows.append(
+            f"SELECT '{c}' AS channel, "
+            f"{dround(f'st_{c} / {nu}', 6)} AS start_share, "
+            f"{dround(base_p, 6)} AS p_conv_base, "
+            f"{dround(p_rm, 6)} AS p_conv_removed, "
+            f"{dround(re_exprs[c], 6)} AS removal_effect, "
+            f"{dround(f'{re_exprs[c]} / {re_tot}', 6)} AS attribution_share "
+            f"FROM wide2"
+        )
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type AS src,
+               COALESCE(LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id), 'end') AS dst,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS pos
+        FROM events
+    ), tr AS (
+        SELECT src, dst FROM seq WHERE src <> '{AR_CONV}'
+    ), firsts AS (
+        SELECT src AS first_type FROM seq WHERE pos = 1
+    ), widef AS (
+        SELECT w.*, f.* FROM (SELECT {counts} FROM tr) w,
+             (SELECT {starts} FROM firsts) f
+    ), wide2 AS (SELECT *, {drow} FROM widef)
+    {" UNION ALL ".join(rows)}
+    """
+
+
+@register("ext_attr_markov_removal", _ar_oracle())
+def ext_attr_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution: the data-driven multi-touch model.
+    The session chain (4 channels, absorbing states '{AR_CONV}' and 'end')
+    gives a base conversion probability P = sum_s pi_s * h_s via the
+    absorption equations M h = r; removing channel c (its visits become
+    non-converting) re-solves the 3x3 system, and the channel's credit is
+    its removal effect (P - P_removed)/P, normalized into attribution
+    shares — the principled alternative to first/last-touch
+    (ext_session_attribution) that credits mid-path channels, built on the
+    same Cramer machinery as ext_markov_absorption (which reports expected
+    STEPS; this reports conversion CREDIT).
+
+    Exactness: transition/start counts are exact integers; every h is a
+    ratio of fixed-order cofactor-expansion determinants over
+    (d_i*delta - c_ij) doubles generated from ONE template for both
+    engines; terminal dround.
+
+    Scale shape: one user-partitioned LEAD window and two tiny aggregates
+    (4x6 transition counts, 5 start counts) collapse the corpus; the five
+    Cramer solves are scalar expressions on one wide row."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("end")).alias("dst"),
+        F.row_number().over(w).alias("pos"),
+    )
+    tr = seq.filter(F.col("src") != AR_CONV)
+    dsts = AR_CH + [AR_CONV, "end"]
+    cnt = tr.agg(
+        *[
+            F.sum(
+                F.when((F.col("src") == i) & (F.col("dst") == j), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"c_{i}_{j}")
+            for i in AR_CH
+            for j in dsts
+        ]
+    )
+    firsts = seq.filter(F.col("pos") == 1).agg(
+        *[
+            F.sum(F.when(F.col("src") == s, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"st_{s}")
+            for s in AR_CH + [AR_CONV]
+        ]
+    )
+    wide = cnt.crossJoin(F.broadcast(firsts))
+    for i in AR_CH:
+        tot = None
+        for j in dsts:
+            c = F.col(f"c_{i}_{j}")
+            tot = c if tot is None else tot + c
+        wide = wide.withColumn(f"d_{i}", tot.cast("bigint"))
+    wide = wide.localCheckpoint(eager=False)
+
+    mulc = lambda a, b: a * b  # noqa: E731
+    subc = lambda a, b: (a - b) if b is not None else a  # noqa: E731
+    addc = lambda a, b: a + b  # noqa: E731
+
+    def msub(chs):
+        return [
+            [
+                (F.col(f"d_{i}").cast("double") - F.col(f"c_{i}_{j}"))
+                if i == j
+                else (F.lit(0.0) - F.col(f"c_{i}_{j}"))
+                for j in chs
+            ]
+            for i in chs
+        ]
+
+    def solve(chs, det_fn):
+        m = msub(chs)
+        rhs = [F.col(f"c_{i}_{AR_CONV}").cast("double") for i in chs]
+        det = det_fn(m, mulc, subc, addc)
+        hs = {}
+        for jidx, jname in enumerate(chs):
+            mj = [
+                [rhs[r] if c == jidx else m[r][c] for c in range(len(chs))]
+                for r in range(len(chs))
+            ]
+            hs[jname] = det_fn(mj, mulc, subc, addc) / det
+        return hs
+
+    h4 = solve(AR_CH, _det4)
+    nu = None
+    for s in AR_CH + [AR_CONV]:
+        c = F.col(f"st_{s}")
+        nu = c if nu is None else nu + c
+    nu = nu.cast("double")
+    base_p = None
+    for s in AR_CH:
+        term = (F.col(f"st_{s}") / nu) * h4[s]
+        base_p = term if base_p is None else base_p + term
+    base_p = base_p + F.col(f"st_{AR_CONV}") / nu
+
+    p_rm_cols = {}
+    for c in AR_CH:
+        rest = [s for s in AR_CH if s != c]
+        h3 = solve(rest, _det3)
+        p_rm = None
+        for s in rest:
+            term = (F.col(f"st_{s}") / nu) * h3[s]
+            p_rm = term if p_rm is None else p_rm + term
+        p_rm_cols[c] = p_rm + F.col(f"st_{AR_CONV}") / nu
+
+    # Stage the five Cramer scalars into ONE materialized row before the
+    # per-channel union: inlining them into every output column of every
+    # union branch multiplies the (already deep) determinant expression
+    # trees ~24x and puts Catalyst analysis, not data, on the critical
+    # path (measured 10.7s -> ~1s with this checkpoint).
+    mid = wide.select(
+        *[F.col(f"st_{s}") for s in AR_CH],
+        nu.alias("nu"),
+        base_p.alias("base_p"),
+        *[p_rm_cols[c].alias(f"prm_{c}") for c in AR_CH],
+    ).localCheckpoint(eager=False)
+
+    re_exprs = {
+        c: (F.col("base_p") - F.col(f"prm_{c}")) / F.col("base_p")
+        for c in AR_CH
+    }
+    re_tot = None
+    for c in AR_CH:
+        re_tot = re_exprs[c] if re_tot is None else re_tot + re_exprs[c]
+
+    rows = [
+        mid.select(
+            F.lit(c).alias("channel"),
+            F.round(F.col(f"st_{c}") / F.col("nu"), 6).alias("start_share"),
+            F.round(F.col("base_p"), 6).alias("p_conv_base"),
+            F.round(F.col(f"prm_{c}"), 6).alias("p_conv_removed"),
+            F.round(re_exprs[c], 6).alias("removal_effect"),
+            F.round(re_exprs[c] / re_tot, 6).alias("attribution_share"),
+        )
+        for c in AR_CH
+    ]
+    out = rows[0]
+    for r_ in rows[1:]:
+        out = out.unionByName(r_)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ext_knee_elbow — maximum-chord-distance knee on the part Pareto curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_knee_elbow",
+    f"""
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1
+    ), ranked AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, l_partkey)
+                   AS BIGINT) AS r,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM pr
+    ), tot AS (
+        SELECT CAST(MAX(r) AS BIGINT) AS np, CAST(MAX(cum) AS BIGINT) AS c
+        FROM ranked
+    ), dist AS (
+        SELECT ranked.r, ranked.cum, tot.np, tot.c,
+               CAST(ranked.cum * tot.np - ranked.r * tot.c AS BIGINT)
+                   AS cross_x
+        FROM ranked, tot
+    ), best AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(cross_x) DESC, r)
+                   AS rk
+            FROM dist
+        ) WHERE rk = 1
+    )
+    SELECT np AS n_parts, r AS knee_rank,
+           {dround('CAST(r AS DOUBLE) / np', 6)} AS knee_rank_share,
+           {dround('CAST(cum AS DOUBLE) / c', 6)} AS knee_cum_share
+    FROM best
+    """,
+)
+def ext_knee_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knee/elbow detection on the part revenue Pareto curve by the
+    maximum-chord-distance method (Kneedle's geometric core): the rank
+    whose cumulative-revenue point lies farthest from the straight line
+    between (0,0) and (n_parts, total) — the principled 'where does
+    diminishing returns start' cutoff behind catalog-trimming, cluster-k
+    and threshold choices (ext_part_pareto reports fixed ABC bands; this
+    finds the DATA-CHOSEN cutoff).
+
+    Exactness: the perpendicular distance ordering is the integer cross
+    product |cum_r * N - r * C| — exact BIGINTs end to end (fits: cum ~
+    2e12 x N ~ 2e4 = 4e16 < 2^63); argmax tie-breaks on the smaller rank;
+    only the two reported shares divide, then dround.
+
+    Scale shape: one part-keyed aggregate, then rank/cumsum windows over
+    the part grid (post-aggregation); at larger part cardinality the same
+    curve is computed on a top-K + sampled-tail sketch."""
+    pr = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wr = Window.orderBy(F.desc("cents"), F.asc("l_partkey"))
+    ranked = pr.select(
+        F.row_number().over(wr).cast("bigint").alias("r"),
+        F.sum("cents")
+        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    tot = ranked.agg(
+        F.max("r").cast("bigint").alias("np"),
+        F.max("cum").cast("bigint").alias("c"),
+    )
+    dist = ranked.crossJoin(F.broadcast(tot)).select(
+        "r",
+        "cum",
+        "np",
+        "c",
+        (F.col("cum") * F.col("np") - F.col("r") * F.col("c"))
+        .cast("bigint")
+        .alias("cross_x"),
+    )
+    best = (
+        dist.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc(F.abs(F.col("cross_x"))), F.asc("r"))),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return best.select(
+        F.col("np").alias("n_parts"),
+        F.col("r").alias("knee_rank"),
+        F.round(F.col("r").cast("double") / F.col("np"), 6).alias(
+            "knee_rank_share"
+        ),
+        F.round(F.col("cum").cast("double") / F.col("c"), 6).alias(
+            "knee_cum_share"
+        ),
+    )
