@@ -385,6 +385,9 @@ HEADLINE = [
     "ext_hmm_viterbi",
     "ext_attr_markov_removal",
     "ext_knee_elbow",
+    # round-6 eighth batch (first stable numbers become their baselines)
+    "ext_fit_negbinom",
+    "ext_hclust_single_link",
 ]
 
 

@@ -569,3 +569,356 @@ def ext_knee_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "knee_cum_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_fit_negbinom — negative-binomial MoM fit of per-user daily counts
+# ---------------------------------------------------------------------------
+
+NB_MAX_K = 5  # pmf audit rows k = 0..5
+
+
+@register(
+    "ext_fit_negbinom",
+    f"""
+    WITH perday AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS k
+        FROM events GROUP BY 1, 2
+    ), users AS (SELECT DISTINCT user_id FROM events),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    grid AS (
+        SELECT u.user_id, days.d, COALESCE(p.k, 0) AS k
+        FROM users u CROSS JOIN days
+        LEFT JOIN perday p ON p.user_id = u.user_id AND p.d = days.d
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS sk,
+               CAST(SUM(k * k) AS BIGINT) AS skk
+        FROM grid
+    ), fit AS (
+        SELECT n, sk, skk,
+               CAST(sk AS DOUBLE) / n AS m,
+               (CAST(n AS DOUBLE) * skk - CAST(sk AS DOUBLE) * sk)
+                   / (CAST(n AS DOUBLE) * n) AS v
+        FROM s
+    ), obs AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM grid
+        WHERE k <= {NB_MAX_K} GROUP BY 1
+    ), ks AS (
+        SELECT unnest(generate_series(0, {NB_MAX_K})) AS k
+    ), pmf AS (
+        SELECT ks.k,
+               COALESCE(obs.n_k, 0) AS n_k,
+               fit.n, fit.m, fit.v,
+               m * m / (v - m) AS r,
+               m / v AS p
+        FROM ks CROSS JOIN fit LEFT JOIN obs ON obs.k = ks.k
+    ), rec AS (
+        SELECT k, n_k, n, m, r, p,
+               CASE k {" ".join(
+                   f"WHEN {kk} THEN " + (
+                       "power(p, r)" if kk == 0 else
+                       "power(p, r)" + "".join(
+                           f" * ((r + {j}) / {j + 1}.0) * (1.0 - p)"
+                           for j in range(kk)
+                       )
+                   )
+                   for kk in range(NB_MAX_K + 1)
+               )} END AS nb_pmf,
+               CASE k {" ".join(
+                   f"WHEN {kk} THEN " + (
+                       "exp(0.0 - m)" if kk == 0 else
+                       "exp(0.0 - m)" + "".join(
+                           f" * (m / {j + 1}.0)" for j in range(kk)
+                       )
+                   )
+                   for kk in range(NB_MAX_K + 1)
+               )} END AS pois_pmf
+        FROM pmf
+    )
+    SELECT CAST(k AS BIGINT) AS k, n_k,
+           {dround('CAST(n_k AS DOUBLE) / n', 6)} AS obs_share,
+           {dround('nb_pmf', 6)} AS nb_pmf,
+           {dround('pois_pmf', 6)} AS poisson_pmf,
+           {dround('r', 6)} AS nb_r,
+           {dround('p', 6)} AS nb_p
+    FROM rec
+    """,
+)
+def ext_fit_negbinom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit of per-user DAILY event
+    counts (zeros materialized on the full user x day grid), with a pmf
+    audit for k = 0..{NB_MAX_K}: observed share vs the fitted NB pmf vs the
+    equal-mean Poisson pmf — the count-data distribution fit
+    (ext_fit_lognormal covers continuous, ext_evt_gumbel extremes;
+    ext_overdispersion_check DETECTS non-Poisson dispersion, this key FITS
+    the distribution that accommodates it: r = m^2/(v-m), p = m/v).
+
+    Exactness: the count moments are exact integers on the materialized
+    grid; m, v, r, p are fixed double expressions; the pmfs are evaluated
+    by the CLOSED RECURRENCE unrolled per k (pmf(k+1) = pmf(k) *
+    (r+k)/(k+1) * (1-p)), so both engines run the identical op sequence —
+    power/exp appear once per row (the ext_fdr_bh precedent), inside a
+    6dp dround.
+
+    Scale shape: one (user, day) aggregate + broadcast grid collapse the
+    corpus; the fit and audit are grid-row arithmetic."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    perday = ev.groupBy("user_id", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    users = ev.select("user_id").distinct()
+    days = ev.select("d").distinct()
+    grid = (
+        users.crossJoin(F.broadcast(days))
+        .join(perday, ["user_id", "d"], "left")
+        .select(F.coalesce("k", F.lit(0)).alias("k"))
+    )
+    s = grid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+    )
+    obs = (
+        grid.filter(F.col("k") <= NB_MAX_K)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
+    )
+    ks = s.select(
+        "n", "sk", "skk", F.explode(F.sequence(F.lit(0), F.lit(NB_MAX_K))).alias("k")
+    )
+    pmf = ks.join(F.broadcast(obs), "k", "left").select(
+        "k",
+        F.coalesce("n_k", F.lit(0)).cast("bigint").alias("n_k"),
+        "n",
+        (F.col("sk").cast("double") / F.col("n")).alias("m"),
+        (
+            (F.col("n").cast("double") * F.col("skk")
+             - F.col("sk").cast("double") * F.col("sk"))
+            / (F.col("n").cast("double") * F.col("n"))
+        ).alias("v"),
+    )
+    r = F.col("m") * F.col("m") / (F.col("v") - F.col("m"))
+    p = F.col("m") / F.col("v")
+
+    def nb_pmf_k(kk: int):
+        e = F.pow(p, r)
+        for j in range(kk):
+            e = e * ((r + j) / float(j + 1)) * (1.0 - p)
+        return e
+
+    def pois_pmf_k(kk: int):
+        e = F.exp(F.lit(0.0) - F.col("m"))
+        for j in range(kk):
+            e = e * (F.col("m") / float(j + 1))
+        return e
+
+    nb_expr = None
+    po_expr = None
+    for kk in range(NB_MAX_K + 1):
+        nb_expr = (
+            F.when(F.col("k") == kk, nb_pmf_k(kk))
+            if nb_expr is None
+            else nb_expr.when(F.col("k") == kk, nb_pmf_k(kk))
+        )
+        po_expr = (
+            F.when(F.col("k") == kk, pois_pmf_k(kk))
+            if po_expr is None
+            else po_expr.when(F.col("k") == kk, pois_pmf_k(kk))
+        )
+    return pmf.select(
+        F.col("k").cast("bigint").alias("k"),
+        "n_k",
+        F.round(F.col("n_k").cast("double") / F.col("n"), 6).alias("obs_share"),
+        F.round(nb_expr, 6).alias("nb_pmf"),
+        F.round(po_expr, 6).alias("poisson_pmf"),
+        F.round(r, 6).alias("nb_r"),
+        F.round(p, 6).alias("nb_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_hclust_single_link — single-linkage dendrogram of label centroids
+# ---------------------------------------------------------------------------
+
+HC_UNITS = 1000  # embedding quantization (the PCA/CKA/MMD discipline)
+HC_K = 10  # number of labels (fixture: 0..9)
+
+
+def _hc_oracle() -> str:
+    # fold state: 'c0|c1|...|c9#log' — a SINGLE VARCHAR (the
+    # ext_hmm_viterbi discipline: DuckDB v1.0.0 list_reduce mutates struct
+    # accumulator fields in place, so multi-field states are unsafe).
+    assign = "string_split(acc, '#')[1]"
+    logp = "string_split(acc, '#')[2]"
+    arr = f"string_split({assign}, '|')"
+    ca = f"{arr}[CAST(string_split(x, ',')[1] AS INT) + 1]"
+    cb = f"{arr}[CAST(string_split(x, ',')[2] AS INT) + 1]"
+    merged = (
+        f"array_to_string(list_transform({arr}, "
+        f"c -> CASE WHEN c = {ca} THEN {cb} ELSE c END), '|')"
+        f" || '#' || {logp} || x || ';'"
+    )
+    step = f"CASE WHEN {ca} = {cb} THEN acc ELSE {merged} END"
+    init = "|".join(str(i) for i in range(HC_K)) + "#"
+    return f"""
+    WITH xq AS (
+        SELECT vec_id, label, i - 1 AS j,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {HC_UNITS}) AS BIGINT)
+                   AS x
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ), g AS (
+        SELECT label, j, CAST(SUM(x) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM xq GROUP BY 1, 2
+    ), pair AS (
+        SELECT a.label AS la, b.label AS lb,
+               CAST(MAX(a.n) AS BIGINT) AS na, CAST(MAX(b.n) AS BIGINT) AS nb,
+               CAST(SUM((a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n))
+                   AS BIGINT) AS num
+        FROM g a JOIN g b ON a.j = b.j AND a.label < b.label
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT la, lb,
+               CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * na * nb * nb
+                   * {HC_UNITS}.0 * {HC_UNITS}.0) AS dist
+        FROM pair
+    ), seq AS (
+        SELECT list_prepend('{init}',
+                   list(CAST(la AS VARCHAR) || ',' || CAST(lb AS VARCHAR)
+                        || ',' || CAST(dist AS VARCHAR)
+                        ORDER BY dist, la, lb)) AS l
+        FROM edges
+    ), folded AS (
+        SELECT list_reduce(l, (acc, x) -> {step}) AS st FROM seq
+    ), mlist AS (
+        SELECT list_filter(string_split(string_split(st, '#')[2], ';'),
+                           m -> m <> '') AS lst
+        FROM folded
+    ), merges AS (
+        SELECT lst[i] AS rec, CAST(i AS BIGINT) AS step
+        FROM mlist, unnest(generate_series(1, len(lst))) AS t(i)
+    )
+    SELECT step,
+           CAST(string_split(rec, ',')[1] AS BIGINT) AS label_a,
+           CAST(string_split(rec, ',')[2] AS BIGINT) AS label_b,
+           {dround("CAST(string_split(rec, ',')[3] AS DOUBLE)", 6)}
+               AS merge_dist,
+           CAST({HC_K} - step AS BIGINT) AS n_clusters
+    FROM merges
+    """
+
+
+@register("ext_hclust_single_link", _hc_oracle())
+def ext_hclust_single_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage hierarchical clustering of the embedding label
+    centroids: Kruskal's MST construction over the 45 centroid-pair
+    distances — each output row is one dendrogram merge (which two
+    clusters fused, at what distance, leaving how many clusters) — the
+    taxonomy-building companion to ext_kmeans_lloyd (flat k-means needs k
+    up front; the dendrogram exposes EVERY k at once, and its largest
+    merge-distance gap is the natural cut). Distances are the exact
+    ext_embed_mmd numerators (||mean_a - mean_b||^2 on quantized integer
+    sums).
+
+    Determinism: the edge list sorts by (distance, a, b) on identical
+    doubles; the union-find fold keeps cluster assignments in a single
+    VARCHAR state (the ext_hmm_viterbi discipline — DuckDB list_reduce
+    struct states mutate in place) and merging is an order-fixed
+    list_transform; a complete graph always yields exactly k-1 merges.
+
+    Scale shape: one (label, dim) aggregate collapses the corpus; the
+    45-edge Kruskal fold is sketch-sized (hierarchies are built over
+    CENTROIDS/sketches at scale, never raw rows)."""
+    emb = load(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * HC_UNITS, 0).cast("bigint"),
+            )
+        ).alias("j", "x"),
+    )
+    g = xq.groupBy("label", "j").agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a = g.select(
+        F.col("label").alias("la"), "j", F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    b = g.select(
+        F.col("label").alias("lb"), F.col("j").alias("jb"),
+        F.col("s").alias("sb"), F.col("n").alias("nb"),
+    )
+    diff = F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")
+    pair = (
+        a.join(F.broadcast(b), (F.col("j") == F.col("jb")) & (F.col("la") < F.col("lb")))
+        .groupBy("la", "lb")
+        .agg(
+            F.max("na").cast("bigint").alias("na"),
+            F.max("nb").cast("bigint").alias("nb"),
+            F.sum(diff * diff).cast("bigint").alias("num"),
+        )
+    )
+    edges = pair.select(
+        "la",
+        "lb",
+        (
+            F.col("num").cast("double")
+            / (
+                F.col("na").cast("double") * F.col("na") * F.col("nb") * F.col("nb")
+                * float(HC_UNITS) * float(HC_UNITS)
+            )
+        ).alias("dist"),
+    )
+    estr = F.concat(
+        F.col("la").cast("string"), F.lit(","),
+        F.col("lb").cast("string"), F.lit(","),
+        F.col("dist").cast("string"),
+    )
+    seq = edges.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dist", "la", "lb", estr.alias("e")))),
+            lambda st: st["e"],
+        ).alias("l")
+    )
+    init = F.lit("|".join(str(i) for i in range(HC_K)) + "#")
+
+    def step(acc, x):
+        assign = F.split(acc, "#")[0]
+        logp = F.split(acc, "#")[1]
+        arr = F.split(assign, r"\|")
+        ia = F.split(x, ",")[0].cast("int") + 1
+        ib = F.split(x, ",")[1].cast("int") + 1
+        ca = F.element_at(arr, ia)
+        cb = F.element_at(arr, ib)
+        merged = F.concat(
+            F.array_join(
+                F.transform(arr, lambda c: F.when(c == ca, cb).otherwise(c)), "|"
+            ),
+            F.lit("#"),
+            logp,
+            x,
+            F.lit(";"),
+        )
+        return F.when(ca == cb, acc).otherwise(merged)
+
+    folded = seq.select(F.aggregate(F.col("l"), init, step).alias("st"))
+    merges = folded.select(
+        F.posexplode(
+            F.filter(
+                F.split(F.split(F.col("st"), "#")[1], ";"),
+                lambda m: m != "",
+            )
+        ).alias("i", "rec")
+    )
+    return merges.select(
+        (F.col("i") + 1).cast("bigint").alias("step"),
+        F.split("rec", ",")[0].cast("bigint").alias("label_a"),
+        F.split("rec", ",")[1].cast("bigint").alias("label_b"),
+        F.round(F.split("rec", ",")[2].cast("double"), 6).alias("merge_dist"),
+        (F.lit(HC_K) - (F.col("i") + 1)).cast("bigint").alias("n_clusters"),
+    )
