@@ -388,6 +388,10 @@ HEADLINE = [
     # round-6 eighth batch (first stable numbers become their baselines)
     "ext_fit_negbinom",
     "ext_hclust_single_link",
+    # round-6 ninth batch (first stable numbers become their baselines)
+    "sink_codec_roundtrip",
+    "ext_eval_cv_auc",
+    "ext_seq_alignment",
 ]
 
 

@@ -922,3 +922,444 @@ def ext_hclust_single_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.split("rec", ",")[2].cast("double"), 6).alias("merge_dist"),
         (F.lit(HC_K) - (F.col("i") + 1)).cast("bigint").alias("n_clusters"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_codec_roundtrip — parquet compression-codec selection audit
+# ---------------------------------------------------------------------------
+
+CODECS = ["none", "snappy", "zstd", "gzip"]
+
+
+@register(
+    "sink_codec_roundtrip",
+    """
+    SELECT codec,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+           TRUE AS content_ok,
+           TRUE AS size_positive,
+           codec <> 'none' AS smaller_than_uncompressed
+    FROM (VALUES ('gzip'), ('none'), ('snappy'), ('zstd')) AS t(codec)
+    """,
+)
+def sink_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec selection audit — the sink-side knob that
+    matters most at 100 TB (zstd vs snappy is routinely a 30-50% storage
+    and scan-IO delta): writes the lineitem projection under each codec,
+    reads it back, and emits the SF-invariant contract per codec: row
+    count preserved, content checksum preserved (sum of exact price
+    cents), on-disk size positive, and every real codec strictly smaller
+    than the uncompressed write. Exact on-disk byte counts are
+    layout/version-dependent (same reason src_binary_files pins
+    invariants, not digests), so the driver-checkable contract is the
+    invariant set — the size ORDERING is the decision the audit exists
+    to inform.
+
+    Scale shape: one narrow projection written four ways (each write is
+    the normal parallel parquet path; codec choice is metadata), four
+    footer-only reads for counts + one columnar aggregate each."""
+    import os
+
+    from .core_scan import SCRATCH
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    base = os.path.join(
+        SCRATCH, os.path.basename(sf_dir.rstrip("/")), "codec_roundtrip"
+    )
+    src_sum = li.agg(F.sum("cents").cast("bigint").alias("s")).collect()[0]["s"]
+    src_n = None
+    sizes = {}
+    stats = {}
+    for codec in CODECS:
+        path = os.path.join(base, codec)
+        (
+            li.write.mode("overwrite")
+            .option("compression", "uncompressed" if codec == "none" else codec)
+            .parquet(path)
+        )
+        size = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        back = spark.read.parquet(path)
+        row = back.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s"),
+        ).collect()[0]
+        sizes[codec] = size
+        stats[codec] = (row["n"], row["s"])
+        if src_n is None:
+            src_n = row["n"]
+    rows = [
+        (
+            codec,
+            stats[codec][0],
+            bool(stats[codec][1] == src_sum),
+            bool(sizes[codec] > 0),
+            bool(codec != "none" and sizes[codec] < sizes["none"])
+            if codec != "none"
+            else False,
+        )
+        for codec in sorted(CODECS)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "codec string, n_rows long, content_ok boolean, "
+        "size_positive boolean, smaller_than_uncompressed boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_eval_cv_auc — k-fold cross-validated AUC (eval protocol)
+# ---------------------------------------------------------------------------
+
+CV_FOLDS = 5
+
+
+def _cv_oracle() -> str:
+    from .llm_ops import _md5_32
+
+    fold = f"{_md5_32('CAST(event_id AS VARCHAR)')} % {CV_FOLDS}"
+    aucs = ", ".join(
+        f"MAX(CASE WHEN fold = {k} THEN auc END) AS auc_{k}"
+        for k in range(CV_FOLDS)
+    )
+    mean = "(" + " + ".join(f"auc_{k}" for k in range(CV_FOLDS)) + f") / {CV_FOLDS}.0"
+    var = (
+        "("
+        + " + ".join(
+            f"(auc_{k} - ({mean})) * (auc_{k} - ({mean}))" for k in range(CV_FOLDS)
+        )
+        + f") / {CV_FOLDS - 1}.0"
+    )
+    return f"""
+    WITH ev AS (
+        SELECT {fold} AS fold, event_type, {_CENTS_SQL} AS cents FROM events
+    ), g AS (
+        SELECT fold, cents, CAST(COUNT(*) AS BIGINT) AS n_all
+        FROM ev GROUP BY 1, 2
+    ), gc AS (
+        SELECT fold, cents, n_all,
+               CAST(COALESCE(SUM(n_all) OVER (PARTITION BY fold ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS below_all
+        FROM g
+    ), t AS (
+        SELECT fold, cents, CAST(COUNT(*) AS BIGINT) AS n_t
+        FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), tc AS (
+        SELECT fold, cents, n_t,
+               CAST(COALESCE(SUM(n_t) OVER (PARTITION BY fold ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS below_t
+        FROM t
+    ), u AS (
+        SELECT tc.fold,
+               CAST(SUM(tc.n_t) AS BIGINT) AS n_pos,
+               CAST(SUM(tc.n_t * (2 * (gc.below_all - tc.below_t)
+                                  + (gc.n_all - tc.n_t))) AS BIGINT) AS u2
+        FROM tc JOIN gc ON gc.fold = tc.fold AND gc.cents = tc.cents
+        GROUP BY 1
+    ), tot AS (
+        SELECT fold, CAST(SUM(n_all) AS BIGINT) AS n FROM g GROUP BY 1
+    ), per_fold AS (
+        SELECT u.fold, tot.n, u.n_pos,
+               CAST(u.u2 AS DOUBLE) / (2.0 * u.n_pos * (tot.n - u.n_pos))
+                   AS auc
+        FROM u JOIN tot USING (fold)
+    ), wide AS (
+        SELECT {aucs} FROM per_fold
+    )
+    SELECT p.fold, p.n AS n_events, p.n_pos,
+           {dround('p.auc', 6)} AS auc,
+           {dround(mean, 6)} AS mean_auc,
+           {dround(f'sqrt({var})', 6)} AS sd_auc
+    FROM per_fold p, wide
+    """
+
+
+@register("ext_eval_cv_auc", _cv_oracle())
+def ext_eval_cv_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validated AUC: the evaluation PROTOCOL layered on the
+    exact Mann-Whitney machinery — events hash-split into {CV_FOLDS} folds
+    (md5, rand-free), the purchase-vs-rest AUC computed exactly within
+    each fold, plus the across-fold mean and sample SD that turn a point
+    metric into an uncertainty-aware one (the question a single-number
+    ext_eval_auc cannot answer: is the metric stable across resamples?).
+
+    Exactness: fold assignment is the house md5 hash; per-fold U
+    statistics are exact integers on per-fold cents grids
+    (partition-parallel cumulative windows); mean/SD across the 5 fold
+    AUCs are fixed expressions in fold order; dround terminals.
+
+    Scale shape: ONE corpus pass builds the (fold, score) grids; the fold
+    dimension rides the same shuffle key, so k-fold costs the same
+    shuffle as 1-fold."""
+    from .llm_ops import _spark_md5_32
+
+    ev = load(spark, sf_dir, "events").select(
+        F.pmod(_spark_md5_32(F.col("event_id").cast("string")), F.lit(CV_FOLDS)).alias("fold"),
+        "event_type",
+        _cents().alias("cents"),
+    )
+    g = ev.groupBy("fold", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all")
+    )
+    wg = (
+        Window.partitionBy("fold")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gc = g.withColumn(
+        "below_all", F.coalesce(F.sum("n_all").over(wg), F.lit(0)).cast("bigint")
+    )
+    t = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("fold", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    )
+    tc = t.withColumn(
+        "below_t", F.coalesce(F.sum("n_t").over(wg), F.lit(0)).cast("bigint")
+    )
+    u = (
+        tc.join(gc, ["fold", "cents"])
+        .groupBy("fold")
+        .agg(
+            F.sum("n_t").cast("bigint").alias("n_pos"),
+            F.sum(
+                F.col("n_t")
+                * (
+                    2 * (F.col("below_all") - F.col("below_t"))
+                    + (F.col("n_all") - F.col("n_t"))
+                )
+            )
+            .cast("bigint")
+            .alias("u2"),
+        )
+    )
+    tot = g.groupBy("fold").agg(F.sum("n_all").cast("bigint").alias("n"))
+    per_fold = (
+        u.join(tot, "fold")
+        .select(
+            "fold",
+            "n",
+            "n_pos",
+            (
+                F.col("u2").cast("double")
+                / (F.lit(2.0) * F.col("n_pos") * (F.col("n") - F.col("n_pos")))
+            ).alias("auc"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wide = per_fold.agg(
+        *[
+            F.max(F.when(F.col("fold") == k, F.col("auc"))).alias(f"auc_{k}")
+            for k in range(CV_FOLDS)
+        ]
+    )
+    mean = None
+    for k in range(CV_FOLDS):
+        c = F.col(f"auc_{k}")
+        mean = c if mean is None else mean + c
+    mean = mean / float(CV_FOLDS)
+    var = None
+    for k in range(CV_FOLDS):
+        d = F.col(f"auc_{k}") - mean
+        var = d * d if var is None else var + d * d
+    var = var / float(CV_FOLDS - 1)
+    return per_fold.crossJoin(F.broadcast(wide)).select(
+        "fold",
+        F.col("n").alias("n_events"),
+        "n_pos",
+        F.round("auc", 6).alias("auc"),
+        F.round(mean, 6).alias("mean_auc"),
+        F.round(F.sqrt(var), 6).alias("sd_auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_seq_alignment — Needleman-Wunsch alignment of two session sequences
+# ---------------------------------------------------------------------------
+
+NW_LEN = 12  # sequence length: first N events per selected user
+NW_MATCH, NW_MISMATCH, NW_GAP = 2, -1, -1
+
+
+def _nw_oracle() -> str:
+    # DP state: 'i#row' (row = '|'-joined ints) — single-VARCHAR fold
+    # (ext_hmm_viterbi discipline); the inner fold builds each row
+    # left-to-right, seeded by prepending the -i boundary cell.
+    prev = "string_split(acc, '#')[2]"
+    i_next = "CAST(CAST(string_split(acc, '#')[1] AS INT) + 1 AS VARCHAR)"
+    jlen = "len(string_split(iacc, '|'))"
+    step_inner = f"""iacc || '|' || CAST(
+        GREATEST(
+            CAST(string_split({prev}, '|')[{jlen}] AS INT)
+                + (CASE WHEN a = bj THEN {NW_MATCH} ELSE {NW_MISMATCH} END),
+            CAST(string_split({prev}, '|')[{jlen} + 1] AS INT) + {NW_GAP},
+            CAST(string_split(iacc, '|')[{jlen}] AS INT) + {NW_GAP}
+        ) AS VARCHAR)"""
+    outer = f"""{i_next} || '#' || list_reduce(
+        list_prepend(CAST(0 - (CAST(string_split(acc, '#')[1] AS INT) + 1)
+                          AS VARCHAR), l_b),
+        (iacc, bj) -> {step_inner})"""
+    return f"""
+    WITH ranked_users AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk
+        FROM events GROUP BY 1
+    ), chosen AS (
+        SELECT user_id, rk FROM ranked_users WHERE rk <= 2
+    ), seqs AS (
+        SELECT c.rk, list(substr(e.event_type, 1, 1)
+                          ORDER BY e.ts, e.event_id)[1:{NW_LEN}] AS l,
+               MAX(c.user_id) AS user_id
+        FROM chosen c JOIN events e USING (user_id)
+        GROUP BY c.rk
+    ), wide AS (
+        SELECT MAX(CASE WHEN rk = 1 THEN user_id END) AS user_a,
+               MAX(CASE WHEN rk = 2 THEN user_id END) AS user_b,
+               MAX(CASE WHEN rk = 1 THEN l END) AS l_a,
+               MAX(CASE WHEN rk = 2 THEN l END) AS l_b
+        FROM seqs
+    ), init AS (
+        SELECT user_a, user_b, l_a, l_b,
+               '0#' || array_to_string(list_transform(
+                   generate_series(0, len(l_b)),
+                   x -> CAST(0 - x AS VARCHAR)), '|') AS st0
+        FROM wide
+    ), fin AS (
+        SELECT user_a, user_b, l_a, l_b,
+               list_reduce(list_prepend(st0, l_a), (acc, a) -> {outer}) AS st
+        FROM init
+    )
+    SELECT CAST(user_a AS BIGINT) AS user_a, CAST(user_b AS BIGINT) AS user_b,
+           CAST(len(l_a) AS BIGINT) AS len_a, CAST(len(l_b) AS BIGINT) AS len_b,
+           CAST(string_split(string_split(st, '#')[2], '|')[len(l_b) + 1]
+               AS BIGINT) AS nw_score,
+           {dround("CAST(string_split(string_split(st, '#')[2], '|')[len(l_b) + 1]"
+                   " AS DOUBLE) / (2.0 * GREATEST(len(l_a), len(l_b)))", 6)}
+               AS similarity
+    FROM fin
+    """
+
+
+@register("ext_seq_alignment", _nw_oracle())
+def ext_seq_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needleman-Wunsch global alignment of the two most-active users'
+    session sequences (first {NW_LEN} event-type codes; match +{NW_MATCH},
+    mismatch {NW_MISMATCH}, gap {NW_GAP}): the edit-style similarity that
+    respects ORDER and GAPS — ext_text_edit_distance scores character
+    strings, ext_seq_pattern_v counts fixed motifs; alignment is the
+    general tool behind session-similarity, funnel-conformance and
+    clickstream-clustering work.
+
+    Determinism: the full DP table is computed by a NESTED ordered fold
+    (outer over sequence A, inner building each row left-to-right) in
+    pure integer arithmetic carried through a single VARCHAR state — the
+    ext_hmm_viterbi discipline; user/sequence selection is a total order
+    (count desc, user_id).
+
+    Scale shape: sequence extraction is two partition-parallel windows;
+    the O(n*m) DP runs on one {NW_LEN}x{NW_LEN} pair — at scale the same
+    fold runs per candidate pair AFTER a blocking stage (the
+    ext_text_edit_distance_blocked pattern), never all-pairs."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    chosen = (
+        counts.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("user_id")))
+        )
+        .filter(F.col("rk") <= 2)
+        .select("user_id", "rk")
+    )
+    seqs = (
+        chosen.join(ev, "user_id")
+        .groupBy("rk")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                "ts",
+                                "event_id",
+                                F.substring("event_type", 1, 1).alias("ch"),
+                            )
+                        )
+                    ),
+                    lambda s: s["ch"],
+                ),
+                1,
+                NW_LEN,
+            ).alias("l"),
+            F.max("user_id").alias("user_id"),
+        )
+    )
+    wide = seqs.agg(
+        F.max(F.when(F.col("rk") == 1, F.col("user_id"))).alias("user_a"),
+        F.max(F.when(F.col("rk") == 2, F.col("user_id"))).alias("user_b"),
+        F.max(F.when(F.col("rk") == 1, F.col("l"))).alias("l_a"),
+        F.max(F.when(F.col("rk") == 2, F.col("l"))).alias("l_b"),
+    )
+    st0 = F.concat(
+        F.lit("0#"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.size("l_b")),
+                lambda x: (F.lit(0) - x).cast("string"),
+            ),
+            "|",
+        ),
+    )
+
+    def inner_step(lb_col):
+        def fn(iacc, bj, acc, a):
+            prev = F.split(acc, "#")[1]
+            jl = F.size(F.split(iacc, r"\|"))
+            diag = F.element_at(F.split(prev, r"\|"), jl).cast("int") + F.when(
+                a == bj, F.lit(NW_MATCH)
+            ).otherwise(F.lit(NW_MISMATCH))
+            up = F.element_at(F.split(prev, r"\|"), jl + 1).cast("int") + NW_GAP
+            left = F.element_at(F.split(iacc, r"\|"), jl).cast("int") + NW_GAP
+            return F.concat(
+                iacc, F.lit("|"), F.greatest(diag, up, left).cast("string")
+            )
+
+        return fn
+
+    def outer_step(acc, a):
+        i_next = (F.split(acc, "#")[0].cast("int") + 1).cast("string")
+        row0 = (F.lit(0) - (F.split(acc, "#")[0].cast("int") + 1)).cast("string")
+        inner = F.aggregate(
+            F.col("l_b"),
+            row0,
+            lambda iacc, bj: inner_step(None)(iacc, bj, acc, a),
+        )
+        return F.concat(i_next, F.lit("#"), inner)
+
+    fin = wide.select(
+        "user_a",
+        "user_b",
+        F.size("l_a").cast("bigint").alias("len_a"),
+        F.size("l_b").cast("bigint").alias("len_b"),
+        F.aggregate(F.col("l_a"), st0, outer_step).alias("st"),
+    )
+    score = F.element_at(
+        F.split(F.split(F.col("st"), "#")[1], r"\|"), F.col("len_b").cast("int") + 1
+    ).cast("bigint")
+    return fin.select(
+        F.col("user_a").cast("bigint").alias("user_a"),
+        F.col("user_b").cast("bigint").alias("user_b"),
+        "len_a",
+        "len_b",
+        score.alias("nw_score"),
+        F.round(
+            score.cast("double") / (F.lit(2.0) * F.greatest("len_a", "len_b")), 6
+        ).alias("similarity"),
+    )
