@@ -392,6 +392,9 @@ HEADLINE = [
     "sink_codec_roundtrip",
     "ext_eval_cv_auc",
     "ext_seq_alignment",
+    # round-6 tenth batch (first stable numbers become their baselines)
+    "ext_dtw_distance",
+    "ext_kalman_filter",
 ]
 
 

@@ -1363,3 +1363,324 @@ def ext_seq_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             score.cast("double") / (F.lit(2.0) * F.greatest("len_a", "len_b")), 6
         ).alias("similarity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_dtw_distance — dynamic time warping between two event-type day series
+# ---------------------------------------------------------------------------
+
+DTW_A, DTW_B = "click", "purchase"
+
+
+def _dtw_oracle() -> str:
+    prev = "string_split(acc, '#')[2]"
+    # outer acc: 'i#row'; i indexes series A (clicks); row is the DP row.
+    # Inner boundary cell: new[1] = prev[1] + |a - b_1| handled by seeding
+    # the inner fold with a sentinel '@' and treating it as the boundary.
+    jlen = "len(string_split(iacc, '|'))"
+    cost = "ABS(CAST(a AS BIGINT) - CAST(bj AS BIGINT))"
+    inner = f"""CASE WHEN iacc = '@'
+        THEN CAST(CAST(string_split({prev}, '|')[1] AS BIGINT) + {cost} AS VARCHAR)
+        ELSE iacc || '|' || CAST(
+            {cost} + LEAST(
+                CAST(string_split({prev}, '|')[{jlen}] AS BIGINT),
+                CAST(string_split({prev}, '|')[{jlen} + 1] AS BIGINT),
+                CAST(string_split(iacc, '|')[{jlen}] AS BIGINT)
+            ) AS VARCHAR) END"""
+    outer = f"""CAST(CAST(string_split(acc, '#')[1] AS INT) + 1 AS VARCHAR)
+        || '#' || list_reduce(list_prepend('@', l_b), (iacc, bj) -> {inner})"""
+    return f"""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS d, event_type, {_CENTS_SQL} AS cents
+        FROM events WHERE event_type IN ('{DTW_A}', '{DTW_B}')
+    ), days AS (SELECT DISTINCT d FROM ev),
+    daily AS (
+        SELECT days.d,
+               CAST(COALESCE(SUM(CASE WHEN event_type = '{DTW_A}'
+                   THEN cents END), 0) AS BIGINT) AS a,
+               CAST(COALESCE(SUM(CASE WHEN event_type = '{DTW_B}'
+                   THEN cents END), 0) AS BIGINT) AS b
+        FROM days LEFT JOIN ev ON ev.d = days.d
+        GROUP BY 1
+    ), seqs AS (
+        SELECT list(CAST(a AS VARCHAR) ORDER BY d) AS l_a,
+               list(CAST(b AS VARCHAR) ORDER BY d) AS l_b,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(ABS(a - b)) AS BIGINT) AS lockstep
+        FROM daily
+    ), boot AS (
+        -- row 0 of the DP: cumulative |a_1? no — DTW boundary row is the
+        -- cumulative cost of aligning b_1..b_j to a_1; built by seeding
+        -- the fold with row(i=1) computed from the first A element, so
+        -- the outer fold runs over A elements 2..n.
+        SELECT seqs.*,
+               '1#' || list_reduce(list_prepend('@', l_b), (iacc, bj) ->
+                   CASE WHEN iacc = '@'
+                        THEN CAST(ABS(CAST(l_a[1] AS BIGINT)
+                                      - CAST(bj AS BIGINT)) AS VARCHAR)
+                        ELSE iacc || '|' || CAST(
+                            ABS(CAST(l_a[1] AS BIGINT) - CAST(bj AS BIGINT))
+                            + CAST(string_split(iacc, '|')[
+                                len(string_split(iacc, '|'))] AS BIGINT)
+                            AS VARCHAR) END) AS st0
+        FROM seqs
+    ), fin AS (
+        SELECT n_days, lockstep, l_b,
+               list_reduce(list_prepend(st0, l_a[2:]), (acc, a) -> {outer})
+                   AS st
+        FROM boot
+    )
+    SELECT n_days,
+           CAST(string_split(string_split(st, '#')[2], '|')[len(l_b)]
+               AS BIGINT) AS dtw_cents,
+           {dround("CAST(string_split(string_split(st, '#')[2], '|')[len(l_b)]"
+                   " AS DOUBLE) / 100.0 / n_days", 6)} AS dtw_per_day,
+           lockstep AS lockstep_cents,
+           {dround("CAST(string_split(string_split(st, '#')[2], '|')[len(l_b)]"
+                   " AS DOUBLE) / lockstep", 6)} AS warp_gain
+    FROM fin
+    """
+
+
+@register("ext_dtw_distance", _dtw_oracle())
+def ext_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic time warping between the '{DTW_A}' and '{DTW_B}' daily
+    revenue series: the alignment-based series distance that tolerates
+    phase shifts (a promo spike answered by purchases a day later scores
+    CLOSE under DTW, far under lockstep comparison) — the time-series
+    sibling of ext_seq_alignment, reported next to the lockstep L1
+    distance so warp_gain shows exactly how much the warping explains.
+
+    Determinism: day totals are exact cents integers (zeros materialized);
+    the full O(n*m) DP is the same nested ordered single-VARCHAR fold as
+    ext_seq_alignment, entirely in BIGINT arithmetic — no floats until the
+    two reported ratios, dround.
+
+    Scale shape: the corpus collapses to the day grid in one aggregate;
+    the 30x30 DP is sketch-sized (at scale DTW runs per blocked candidate
+    pair, often with a Sakoe-Chiba band that caps each row's width)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(DTW_A, DTW_B)
+    ).select(
+        F.col("ts").cast("date").alias("d"), "event_type", _cents().alias("cents")
+    )
+    daily = ev.groupBy("d").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == DTW_A, F.col("cents"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("a"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == DTW_B, F.col("cents"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+    )
+    seqs = daily.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", F.col("a").cast("string").alias("v")))),
+            lambda s: s["v"],
+        ).alias("l_a"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", F.col("b").cast("string").alias("v")))),
+            lambda s: s["v"],
+        ).alias("l_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.abs(F.col("a") - F.col("b"))).cast("bigint").alias("lockstep"),
+    )
+
+    def boot_step(iacc, bj):
+        a1 = F.element_at(F.col("l_a"), 1).cast("bigint")
+        cost = F.abs(a1 - bj.cast("bigint"))
+        last = F.element_at(
+            F.split(iacc, r"\|"), F.size(F.split(iacc, r"\|"))
+        ).cast("bigint")
+        return F.when(iacc == "@", cost.cast("string")).otherwise(
+            F.concat(iacc, F.lit("|"), (cost + last).cast("string"))
+        )
+
+    boot = seqs.withColumn(
+        "st0",
+        F.concat(
+            F.lit("1#"),
+            F.aggregate(F.col("l_b"), F.lit("@"), boot_step),
+        ),
+    )
+
+    def outer_step(acc, a):
+        prev = F.split(acc, "#")[1]
+
+        def inner(iacc, bj):
+            cost = F.abs(a.cast("bigint") - bj.cast("bigint"))
+            jl = F.size(F.split(iacc, r"\|"))
+            diag = F.element_at(F.split(prev, r"\|"), jl).cast("bigint")
+            up = F.element_at(F.split(prev, r"\|"), jl + 1).cast("bigint")
+            left = F.element_at(F.split(iacc, r"\|"), jl).cast("bigint")
+            first = F.element_at(F.split(prev, r"\|"), 1).cast("bigint")
+            return F.when(
+                iacc == "@", (first + cost).cast("string")
+            ).otherwise(
+                F.concat(
+                    iacc,
+                    F.lit("|"),
+                    (cost + F.least(diag, up, left)).cast("string"),
+                )
+            )
+
+        i_next = (F.split(acc, "#")[0].cast("int") + 1).cast("string")
+        return F.concat(
+            i_next, F.lit("#"), F.aggregate(F.col("l_b"), F.lit("@"), inner)
+        )
+
+    fin = boot.select(
+        "n_days",
+        "lockstep",
+        F.size("l_b").alias("m"),
+        F.aggregate(F.slice(F.col("l_a"), 2, 10000), F.col("st0"), outer_step).alias("st"),
+    )
+    dtw = F.element_at(
+        F.split(F.split(F.col("st"), "#")[1], r"\|"), F.col("m")
+    ).cast("bigint")
+    return fin.select(
+        "n_days",
+        dtw.alias("dtw_cents"),
+        F.round(dtw.cast("double") / 100.0 / F.col("n_days"), 6).alias(
+            "dtw_per_day"
+        ),
+        F.col("lockstep").alias("lockstep_cents"),
+        F.round(dtw.cast("double") / F.col("lockstep"), 6).alias("warp_gain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_kalman_filter — 1-D local-level Kalman filter over monthly revenue
+# ---------------------------------------------------------------------------
+
+KF_Q = 1.0e6  # process variance (kilodollar^2)
+KF_R = 1.0e8  # observation variance (kilodollar^2)
+KF_P0 = 1.0e8  # initial state variance
+
+
+def _kf_oracle() -> str:
+    # state: 'x|P|sse|k' (level, variance, sum of squared innovations,
+    # step count) — single-VARCHAR fold, doubles round-trip bit-exact.
+    x = "CAST(string_split(acc, '|')[1] AS DOUBLE)"
+    pv = "CAST(string_split(acc, '|')[2] AS DOUBLE)"
+    sse = "CAST(string_split(acc, '|')[3] AS DOUBLE)"
+    k = "CAST(string_split(acc, '|')[4] AS INT)"
+    pp = f"({pv} + {KF_Q})"
+    kg = f"({pp} / ({pp} + {KF_R}))"
+    innov = f"(CAST(y AS DOUBLE) - {x})"
+    step = (
+        f"CAST({x} + {kg} * {innov} AS VARCHAR) || '|' || "
+        f"CAST((1.0 - {kg}) * {pp} AS VARCHAR) || '|' || "
+        f"CAST({sse} + {innov} * {innov} AS VARCHAR) || '|' || "
+        f"CAST({k} + 1 AS VARCHAR)"
+    )
+    fx = "CAST(string_split(st, '|')[1] AS DOUBLE)"
+    fp = "CAST(string_split(st, '|')[2] AS DOUBLE)"
+    fs = "CAST(string_split(st, '|')[3] AS DOUBLE)"
+    return f"""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mth,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    // {100_000} AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), seq AS (
+        SELECT list(CAST(y AS VARCHAR) ORDER BY mth) AS l,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN mth = (SELECT MIN(mth) FROM m)
+                             THEN y END) AS BIGINT) AS y1
+        FROM m
+    ), fin AS (
+        SELECT n,
+               list_reduce(
+                   list_prepend(CAST(y1 AS VARCHAR) || '|{KF_P0}|0.0|0',
+                                l[2:]),
+                   (acc, y) -> {step}) AS st
+        FROM seq
+    )
+    SELECT n AS n_months,
+           {dround(f'{fx}', 4)} AS level_final,
+           {dround(f'{fp}', 4)} AS variance_final,
+           {dround(f'({fp} + {KF_Q}) / (({fp} + {KF_Q}) + {KF_R})', 6)}
+               AS gain_steady,
+           {dround(f'sqrt({fs} / (n - 1.0))', 4)} AS rmse_innovation
+    FROM fin
+    """
+
+
+@register("ext_kalman_filter", _kf_oracle())
+def ext_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D local-level Kalman filter over monthly revenue (fixed literal
+    process/observation variances, state seeded at the first observation):
+    the recursive Bayesian smoother behind online level tracking and
+    anomaly gating — unlike the fixed-alpha EWMA (ext_win_ewma) its gain
+    ADAPTS as the state variance converges, and the innovation RMSE it
+    reports is the model-fit diagnostic. The recursion is the same
+    single-VARCHAR ordered fold as ext_hmm_viterbi (state = level,
+    variance, innovation SSE, step).
+
+    Determinism: observations are exact kilodollar integers; every filter
+    step is a fixed double expression; strings round-trip doubles
+    bit-exactly; terminal dround.
+
+    Scale shape: the corpus collapses to the month grid in one aggregate;
+    the fold is grid-length. Per-entity filters partition the fold by key
+    (collect_list per group) — embarrassingly parallel."""
+    mrev = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mth"))
+        .agg(
+            F.floor(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                / 100_000
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    seq = mrev.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("mth", F.col("y").alias("v")))),
+            lambda s: s["v"],
+        ).alias("l"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    init = F.concat(
+        F.element_at(F.col("l"), 1).cast("string"),
+        F.lit(f"|{KF_P0}|0.0|0"),
+    )
+
+    def step(acc, y):
+        x = F.split(acc, r"\|")[0].cast("double")
+        pv = F.split(acc, r"\|")[1].cast("double")
+        sse = F.split(acc, r"\|")[2].cast("double")
+        k = F.split(acc, r"\|")[3].cast("int")
+        pp = pv + KF_Q
+        kg = pp / (pp + KF_R)
+        innov = y.cast("double") - x
+        return F.concat(
+            (x + kg * innov).cast("string"),
+            F.lit("|"),
+            ((1.0 - kg) * pp).cast("string"),
+            F.lit("|"),
+            (sse + innov * innov).cast("string"),
+            F.lit("|"),
+            (k + 1).cast("string"),
+        )
+
+    fin = seq.select(
+        "n",
+        F.aggregate(F.slice(F.col("l"), 2, 100000), init, step).alias("st"),
+    )
+    fx = F.split(F.col("st"), r"\|")[0].cast("double")
+    fp = F.split(F.col("st"), r"\|")[1].cast("double")
+    fs = F.split(F.col("st"), r"\|")[2].cast("double")
+    return fin.select(
+        F.col("n").alias("n_months"),
+        F.round(fx, 4).alias("level_final"),
+        F.round(fp, 4).alias("variance_final"),
+        F.round((fp + KF_Q) / ((fp + KF_Q) + KF_R), 6).alias("gain_steady"),
+        F.round(F.sqrt(fs / (F.col("n") - 1.0)), 4).alias("rmse_innovation"),
+    )
