@@ -395,6 +395,9 @@ HEADLINE = [
     # round-6 tenth batch (first stable numbers become their baselines)
     "ext_dtw_distance",
     "ext_kalman_filter",
+    # round-6 eleventh batch (first stable numbers become their baselines)
+    "ext_max_drawdown",
+    "ext_holt_winters",
 ]
 
 

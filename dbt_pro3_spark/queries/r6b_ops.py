@@ -1684,3 +1684,289 @@ def ext_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((fp + KF_Q) / ((fp + KF_Q) + KF_R), 6).alias("gain_steady"),
         F.round(F.sqrt(fs / (F.col("n") - 1.0)), 4).alias("rmse_innovation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_max_drawdown — peak-to-trough drawdown per event-type revenue series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_max_drawdown",
+    f"""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS d, event_type, {_CENTS_SQL} AS cents
+        FROM events
+    ), days AS (SELECT DISTINCT d FROM ev),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    daily AS (
+        SELECT days.d, types.event_type, COALESCE(x.t, 0) AS t
+        FROM days CROSS JOIN types
+        LEFT JOIN (SELECT d, event_type, CAST(SUM(cents) AS BIGINT) AS t
+                   FROM ev GROUP BY 1, 2) x
+               ON x.d = days.d AND x.event_type = types.event_type
+    ), run AS (
+        SELECT event_type, d, t,
+               CAST(MAX(t) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS runmax
+        FROM daily
+    ), dd AS (
+        SELECT event_type, d, t, runmax,
+               CAST(runmax - t AS BIGINT) AS draw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY runmax - t DESC, d) AS BIGINT) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_days
+        FROM run
+    )
+    SELECT event_type, n_days,
+           {dround('CAST(runmax AS DOUBLE) / 100.0', 6)} AS peak_at_trough,
+           {dround('CAST(draw AS DOUBLE) / 100.0', 6)} AS max_drawdown,
+           {dround('CAST(draw AS DOUBLE) / runmax', 6)} AS drawdown_pct
+    FROM dd WHERE rk = 1
+    """,
+)
+def ext_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each event type's daily revenue series: the
+    largest peak-to-trough fall (absolute and as a share of the running
+    peak, with the peak value at the trough) — the downside-risk summary
+    finance applies to any KPI series; ext_anomaly_rolling_z flags single
+    bad days, drawdown measures the cumulative worst SLUMP, which is what
+    capacity/commitment decisions actually care about.
+
+    Exactness: daily totals are exact cents integers (absent days
+    materialized as 0); the running maximum and the drawdown are integer
+    window arithmetic; argmax tie-breaks on the earlier day; the three
+    reported ratios divide once, dround.
+
+    Scale shape: one (day, type) aggregate collapses the corpus; running
+    max and argmax are partition-parallel windows over the calendar
+    grid."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "event_type", _cents().alias("cents")
+    )
+    agg = ev.groupBy("d", "event_type").agg(
+        F.sum("cents").cast("bigint").alias("t")
+    )
+    days = ev.select("d").distinct()
+    types = ev.select("event_type").distinct()
+    daily = (
+        days.crossJoin(F.broadcast(types))
+        .join(agg, ["d", "event_type"], "left")
+        .select("d", "event_type", F.coalesce("t", F.lit(0)).alias("t"))
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = daily.withColumn("runmax", F.max("t").over(wrun).cast("bigint"))
+    wn = Window.partitionBy("event_type")
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.desc(F.col("runmax") - F.col("t")), F.asc("d")
+    )
+    dd = run.select(
+        "event_type",
+        "t",
+        "runmax",
+        (F.col("runmax") - F.col("t")).cast("bigint").alias("draw"),
+        F.row_number().over(wrk).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n_days"),
+    )
+    return dd.filter(F.col("rk") == 1).select(
+        "event_type",
+        "n_days",
+        F.round(F.col("runmax").cast("double") / 100.0, 6).alias("peak_at_trough"),
+        F.round(F.col("draw").cast("double") / 100.0, 6).alias("max_drawdown"),
+        F.round(F.col("draw").cast("double") / F.col("runmax"), 6).alias(
+            "drawdown_pct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_holt_winters — additive Holt-Winters (level/trend/season) fold
+# ---------------------------------------------------------------------------
+
+HW_ALPHA, HW_BETA, HW_GAMMA = 0.3, 0.1, 0.2
+HW_M = 7  # weekly season over the daily series
+
+
+def _hw_sql() -> str:
+    # state: 'l|b|s1|..|s7|sse|k' — single-VARCHAR fold (fields: 1=l, 2=b,
+    # 3..9 = seasonals, 10 = sse, 11 = k). Seasonal slot for step k+1 is
+    # ((k) % 7) + 3 in field coordinates.
+    def fld(i):
+        return f"CAST(string_split(acc, '|')[{i}] AS DOUBLE)"
+
+    l, b = fld(1), fld(2)
+    sse, k = fld(10), "CAST(string_split(acc, '|')[11] AS INT)"
+    slot = f"(({k}) % {HW_M} + 3)"
+    s_old = f"CAST(string_split(acc, '|')[{slot}] AS DOUBLE)"
+    yv = "CAST(y AS DOUBLE)"
+    l_new = f"({HW_ALPHA} * ({yv} - {s_old}) + (1.0 - {HW_ALPHA}) * ({l} + {b}))"
+    b_new = f"({HW_BETA} * ({l_new} - {l}) + (1.0 - {HW_BETA}) * {b})"
+    s_new = f"({HW_GAMMA} * ({yv} - {l_new}) + (1.0 - {HW_GAMMA}) * {s_old})"
+    innov = f"({yv} - ({l} + {b} + {s_old}))"
+    season_fields = " || '|' || ".join(
+        f"(CASE WHEN {slot} = {i} THEN CAST({s_new} AS VARCHAR)"
+        f" ELSE string_split(acc, '|')[{i}] END)"
+        for i in range(3, 3 + HW_M)
+    )
+    return (
+        f"CAST({l_new} AS VARCHAR) || '|' || CAST({b_new} AS VARCHAR) || '|' || "
+        f"{season_fields} || '|' || "
+        f"CAST({sse} + {innov} * {innov} AS VARCHAR) || '|' || "
+        f"CAST({k} + 1 AS VARCHAR)"
+    )
+
+
+def _hw_oracle() -> str:
+    fx = lambda i: f"CAST(string_split(st, '|')[{i}] AS DOUBLE)"  # noqa: E731
+    seas_min = "LEAST(" + ", ".join(fx(i) for i in range(3, 3 + HW_M)) + ")"
+    seas_max = "GREATEST(" + ", ".join(fx(i) for i in range(3, 3 + HW_M)) + ")"
+    init_seas = " || '|' || ".join(
+        f"CAST(CAST(l[{i}] AS DOUBLE) - lvl0 AS VARCHAR)" for i in range(1, HW_M + 1)
+    )
+    return f"""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS d, {_CENTS_SQL} AS cents FROM events
+    ), daily AS (
+        SELECT d, CAST(SUM(cents) AS BIGINT) // 100 AS y FROM ev GROUP BY 1
+    ), seq AS (
+        SELECT list(CAST(y AS VARCHAR) ORDER BY d) AS l,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily
+    ), init AS (
+        SELECT l, n,
+               ({" + ".join(f"CAST(l[{i}] AS DOUBLE)" for i in range(1, HW_M + 1))})
+                   / {HW_M}.0 AS lvl0,
+               (({" + ".join(f"CAST(l[{i}] AS DOUBLE)" for i in range(HW_M + 1, 2 * HW_M + 1))})
+                   / {HW_M}.0
+                - ({" + ".join(f"CAST(l[{i}] AS DOUBLE)" for i in range(1, HW_M + 1))})
+                   / {HW_M}.0) / {HW_M}.0 AS tr0
+        FROM seq
+    ), st0 AS (
+        SELECT l, n,
+               CAST(lvl0 AS VARCHAR) || '|' || CAST(tr0 AS VARCHAR) || '|' ||
+               {init_seas} || '|0.0|{HW_M}' AS s0
+        FROM init
+    ), fin AS (
+        SELECT n, list_reduce(list_prepend(s0, l[{HW_M + 1}:]),
+                              (acc, y) -> {_hw_sql()}) AS st
+        FROM st0
+    )
+    SELECT n AS n_days,
+           {dround(fx(1), 4)} AS level_final,
+           {dround(fx(2), 4)} AS trend_final,
+           {dround(seas_min, 4)} AS season_min,
+           {dround(seas_max, 4)} AS season_max,
+           {dround(f"sqrt({fx(10)} / (n - {HW_M}.0))", 4)} AS rmse_innovation
+    FROM fin
+    """
+
+
+@register("ext_holt_winters", _hw_oracle())
+def ext_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekly season) over the
+    daily revenue series: the SEASONAL member completing the exponential-
+    smoothing family (ext_ses_forecast has no trend, ext_holt_linear no
+    season) — the workhorse short-horizon forecaster for weekly-patterned
+    business series, with the one-step-ahead innovation RMSE as its fit
+    diagnostic. Initialization is the textbook recipe (level = mean of
+    week 1, trend = (week-2 mean - week-1 mean)/7, seasonals = week-1
+    deviations), then the recursion folds days 8..n.
+
+    Determinism: day totals are exact integer dollars; the three smoothing
+    recursions are fixed double expressions with literal parameters,
+    carried in a single VARCHAR state (the ext_hmm_viterbi discipline);
+    the updated seasonal slot is selected by integer modulus; terminal
+    dround.
+
+    Scale shape: one day-grid aggregate collapses the corpus; the fold is
+    calendar-length, and per-entity seasonal smoothing partitions the same
+    fold by key."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), _cents().alias("cents")
+    )
+    daily = ev.groupBy("d").agg(
+        F.floor(F.sum("cents") / 100).cast("bigint").alias("y")
+    )
+    seq = daily.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", F.col("y").alias("v")))),
+            lambda s: s["v"],
+        ).alias("l"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+    def el(i):
+        return F.element_at(F.col("l"), i).cast("double")
+
+    week1 = None
+    week2 = None
+    for i in range(1, HW_M + 1):
+        week1 = el(i) if week1 is None else week1 + el(i)
+    for i in range(HW_M + 1, 2 * HW_M + 1):
+        week2 = el(i) if week2 is None else week2 + el(i)
+    lvl0 = week1 / float(HW_M)
+    tr0 = (week2 / float(HW_M) - week1 / float(HW_M)) / float(HW_M)
+    init_parts = [lvl0.cast("string"), F.lit("|"), tr0.cast("string")]
+    for i in range(1, HW_M + 1):
+        init_parts += [F.lit("|"), (el(i) - lvl0).cast("string")]
+    init_parts += [F.lit(f"|0.0|{HW_M}")]
+    st0 = F.concat(*init_parts)
+
+    def step(acc, y):
+        def fld(i):
+            return F.element_at(F.split(acc, r"\|"), i).cast("double")
+
+        l = fld(1)
+        b = fld(2)
+        sse = fld(10)
+        k = F.element_at(F.split(acc, r"\|"), 11).cast("int")
+        slot = F.pmod(k, F.lit(HW_M)) + 3
+        s_old = F.element_at(F.split(acc, r"\|"), slot).cast("double")
+        yv = y.cast("double")
+        l_new = HW_ALPHA * (yv - s_old) + (1.0 - HW_ALPHA) * (l + b)
+        b_new = HW_BETA * (l_new - l) + (1.0 - HW_BETA) * b
+        s_new = HW_GAMMA * (yv - l_new) + (1.0 - HW_GAMMA) * s_old
+        innov = yv - (l + b + s_old)
+        parts = [l_new.cast("string"), F.lit("|"), b_new.cast("string")]
+        for i in range(3, 3 + HW_M):
+            parts += [
+                F.lit("|"),
+                F.when(slot == i, s_new.cast("string")).otherwise(
+                    F.element_at(F.split(acc, r"\|"), i)
+                ),
+            ]
+        parts += [
+            F.lit("|"),
+            (sse + innov * innov).cast("string"),
+            F.lit("|"),
+            (k + 1).cast("string"),
+        ]
+        return F.concat(*parts)
+
+    fin = seq.select(
+        "n",
+        F.aggregate(
+            F.slice(F.col("l"), HW_M + 1, 100000), st0, step
+        ).alias("st"),
+    )
+
+    def fx(i):
+        return F.element_at(F.split(F.col("st"), r"\|"), i).cast("double")
+
+    seas = [fx(i) for i in range(3, 3 + HW_M)]
+    return fin.select(
+        F.col("n").alias("n_days"),
+        F.round(fx(1), 4).alias("level_final"),
+        F.round(fx(2), 4).alias("trend_final"),
+        F.round(F.least(*seas), 4).alias("season_min"),
+        F.round(F.greatest(*seas), 4).alias("season_max"),
+        F.round(F.sqrt(fx(10) / (F.col("n") - float(HW_M))), 4).alias(
+            "rmse_innovation"
+        ),
+    )

@@ -178,3 +178,39 @@ def test_kalman_matches_reference(spark, duck):
     assert row["rmse_innovation"] == pytest.approx(
         math.sqrt(sse / (len(ys) - 1)), abs=1e-3
     )
+
+
+def test_holt_winters_matches_reference(spark, duck):
+    import math
+
+    from dbt_pro3_spark.queries import all_queries
+    from dbt_pro3_spark.queries.r6b_ops import HW_ALPHA, HW_BETA, HW_GAMMA, HW_M
+
+    rows = duck.execute(
+        """
+        SELECT CAST(ts AS DATE) AS dd,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) // 100
+        FROM events GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    ys = [float(r[1]) for r in rows]
+    lvl = sum(ys[:HW_M]) / HW_M
+    tr = (sum(ys[HW_M : 2 * HW_M]) / HW_M - sum(ys[:HW_M]) / HW_M) / HW_M
+    seas = [ys[i] - lvl for i in range(HW_M)]
+    sse = 0.0
+    for k in range(HW_M, len(ys)):
+        idx = k % HW_M
+        y = ys[k]
+        innov = y - (lvl + tr + seas[idx])
+        l_new = HW_ALPHA * (y - seas[idx]) + (1.0 - HW_ALPHA) * (lvl + tr)
+        tr = HW_BETA * (l_new - lvl) + (1.0 - HW_BETA) * tr
+        seas[idx] = HW_GAMMA * (y - l_new) + (1.0 - HW_GAMMA) * seas[idx]
+        lvl = l_new
+        sse += innov * innov
+    row = all_queries()["ext_holt_winters"](spark, SF_DIR).collect()[0]
+    assert row["level_final"] == pytest.approx(lvl, abs=1e-3)
+    assert row["trend_final"] == pytest.approx(tr, abs=1e-3)
+    assert row["season_min"] == pytest.approx(min(seas), abs=1e-3)
+    assert row["rmse_innovation"] == pytest.approx(
+        math.sqrt(sse / (len(ys) - HW_M)), abs=1e-3
+    )
