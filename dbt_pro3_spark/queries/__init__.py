@@ -217,12 +217,9 @@ _CORE_MODULES_LAST_KEY = "audit_rowcount_log"
 # class, cast pre-emptively; pipeline_medallion: upgraded from rows-only to
 # a SQL-expressible per-layer summary oracle.
 _R5_RESAMPLE = [
-    # Round-6 re-sample targets: the two round-5 DECIMAL-lane hash-misses,
-    # fixed this round (fertility -> dround/DOUBLE; medallion checksum ->
-    # VARCHAR + calendar-invariant run_date injection) and must land a
-    # driver-green row before anything else.
-    "pipeline_medallion",
-    "ext_tokenizer_fertility",
+    # Round-7: no re-sample targets — CORRECTNESS_r06 was 50/50 hash-green
+    # (both r05 misses re-sampled green), so the whole window goes to
+    # never-driver-sampled keys.
 ]
 
 # Keys the driver's bounded CORRECTNESS window has already verified green in
@@ -237,6 +234,26 @@ _R5_RESAMPLE = [
 # their best-possible driver check in r03 (rows recorded, no_oracle by
 # design) and rotate out with the rest.
 _DRIVER_VERIFIED = {
+    # r06 window (CORRECTNESS_r06.json — 50/50 hash-green, including the two
+    # r05 re-sample targets pipeline_medallion and ext_tokenizer_fertility)
+    "ext_anova_quantity", "ext_attr_shapley", "ext_backlog_aging",
+    "ext_chi2_gof", "ext_cramers_v", "ext_croston_forecast",
+    "ext_embed_knn_classify", "ext_embed_outlier_knn",
+    "ext_embed_reciprocal_nn", "ext_events_burst_hours", "ext_feature_mi",
+    "ext_forecast_backtest", "ext_gini_feature_importance",
+    "ext_graph_assortativity", "ext_graph_bfs_reach", "ext_graph_kcore",
+    "ext_graph_link_predict", "ext_hist2d_qty_discount", "ext_kmeans_lloyd",
+    "ext_linkage_patterns", "ext_littles_law", "ext_mann_kendall",
+    "ext_moments_profile", "ext_new_vs_returning", "ext_ohlc_weekly",
+    "ext_order_cycle_time", "ext_price_dispersion", "ext_price_elasticity",
+    "ext_price_volume_mix", "ext_privacy_t_closeness", "ext_promo_effect_did",
+    "ext_qq_points", "ext_retrieval_mrr", "ext_runs_test",
+    "ext_seq_error_retry", "ext_seq_pattern_v", "ext_ses_forecast",
+    "ext_spearman_corr", "ext_split_order_screen", "ext_stickiness_dau_mau",
+    "ext_text_collocations", "ext_text_hapax", "ext_text_heaps_law",
+    "ext_text_rake", "ext_theilsen_trend", "ext_tokenizer_fertility",
+    "ext_value_band_migration", "ext_weighted_quantiles", "ext_window_funnel",
+    "pipeline_medallion",
     # r05 window (CORRECTNESS_r05.json — 48 hash-green; the two misses,
     # pipeline_medallion and ext_tokenizer_fertility, deliberately EXCLUDED
     # so the r06 window re-samples them after the DECIMAL-lane fixes)

@@ -330,6 +330,59 @@ _SCORED_SQL = f"""e AS MATERIALIZED (
 PROBE_MAX = 65_536  # loud bound on the collected probe matrix (no silent cap)
 _NN_MARGIN = 4e-6  # raw-score slack covering 6dp rounding + both engines' ulps
 
+# Memoized probe-side broadcasts, keyed by (applicationId, sf_dir). All six
+# _topk_scored consumers (reciprocal_nn, knn_classify, mrr, ndcg, outlier_knn,
+# lof) probe the IDENTICAL (ids, matrix, norms) trio for a given corpus, so
+# re-broadcasting per call both wastes executor memory and — worse — leaks:
+# a long bench session (3 passes x ~6 consumers) accumulated 45+ live
+# embedding-matrix broadcasts, degrading sibling keys 2-4x. The cache keeps
+# AT MOST ONE live trio per Spark application: a lookup miss first unpersists
+# every cached entry (other sf_dirs, dead sessions) before broadcasting anew.
+_PROBE_CACHE: dict = {}
+
+
+def _probe_broadcasts(spark: SparkSession, sf_dir: str):
+    """Return (b_ids, b_mat, b_norms) broadcasts for sf_dir's embeddings,
+    memoized per (applicationId, sf_dir) with single-entry eviction."""
+    import numpy as np
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    clear_probe_cache()
+    emb = load(spark, sf_dir, "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    if len(pdf) > PROBE_MAX:
+        raise ValueError(
+            f"brute-force probe matrix has {len(pdf)} rows > PROBE_MAX="
+            f"{PROBE_MAX}; sample the corpus or use the ext_ann_* keys"
+        )
+    order = np.argsort(pdf["vec_id"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()[order]
+    mat = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    trio = (
+        spark.sparkContext.broadcast(ids),
+        spark.sparkContext.broadcast(mat),
+        spark.sparkContext.broadcast(norms),
+    )
+    _PROBE_CACHE[key] = trio
+    return trio
+
+
+def clear_probe_cache() -> None:
+    """Unpersist and drop every cached probe broadcast. bench.py calls this
+    at pass boundaries; _probe_broadcasts calls it on every cache miss so a
+    session never holds more than one live trio."""
+    for cached in _PROBE_CACHE.values():
+        for b in cached:
+            try:
+                b.unpersist(blocking=False)
+            except Exception:
+                pass  # session already stopped; nothing to free
+    _PROBE_CACHE.clear()
+
 
 def _topk_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """(qid, nid, nlabel, cosine@6dp, rk) for each vector's top-k
@@ -355,19 +408,7 @@ def _topk_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     import numpy as np
 
     emb = load(spark, sf_dir, "embeddings")
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    if len(pdf) > PROBE_MAX:
-        raise ValueError(
-            f"brute-force probe matrix has {len(pdf)} rows > PROBE_MAX="
-            f"{PROBE_MAX}; sample the corpus or use the ext_ann_* keys"
-        )
-    order = np.argsort(pdf["vec_id"].to_numpy())
-    ids = pdf["vec_id"].to_numpy()[order]
-    mat = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
+    b_ids, b_mat, b_norms = _probe_broadcasts(spark, sf_dir)
 
     def gen(batches):
         import pandas as pd
