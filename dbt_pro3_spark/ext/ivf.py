@@ -59,6 +59,33 @@ def train_centroids(
     return cents.tolist()
 
 
+def medoid_seeds(
+    df: DataFrame, k: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic medoid coarse quantizer: the k corpus vectors with the
+    smallest md5(id) (id tiebreak) ARE the centroids. No float training —
+    the centroid set is exact data values selected by a string hash both
+    Spark and DuckDB compute identically, which is what makes ext_ann_ivf's
+    output fully oracle-checkable (a k-means quantizer's iterated float
+    means cannot be reproduced bit-exactly in SQL; a hash-sampled medoid
+    set can). Statistically this is k-means with zero Lloyd iterations over
+    a uniform sample — a standard IVF seeding; recall floors are pinned in
+    tests/test_ann_recall.py. Only k rows cross the driver boundary."""
+    rows = (
+        as_double_df(df, vec_col)
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(k)
+        .select("_v")
+        .collect()
+    )
+    return [list(r["_v"]) for r in rows]
+
+
+def as_double_df(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn("_v", as_double(F.col(vec_col)))
+
+
 def _assign_cells(df: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
     """Nearest-centroid cell id as a pure expression (argmin over k dist2)."""
     dists = F.array(*[_dist2_to(F.col(vec_col), c) for c in centroids])

@@ -7,57 +7,43 @@ distance against the RECONSTRUCTED (decoded) vectors. At 100 TB the win
 is memory traffic: the scan reads 8-byte codes instead of 256-byte
 vectors, and the decode is a literal table lookup baked into the plan.
 
-Training follows the FAISS recipe exactly as ivf.py does: per-subspace
-k-means over a bounded driver-side sample (<= 2048 vectors, ONE collect);
-everything corpus-sized — encoding, decoding, scoring — is a pure Column
-expression over baked centroid literals: no shuffle, no UDF, no second
-driver round-trip.
-
-Rows-only by design (k-means centroids are float-iteration artifacts, the
-round-1 rationale for keeping iterative float keys out of the hash
-contract); tests/test_ann_recall.py-style recall assertions against the
-exact brute-force ground truth are the accuracy contract.
+Codebooks are hash-sampled medoids (the subvectors of the same ks corpus
+rows ivf.py's medoid quantizer selects by md5(id)): exact data values, no
+float training, so the whole PQ pipeline — encode, decode, shortlist,
+rerank — is a deterministic dual-engine computation and ext_ann_pq is
+fully oracle-checkable (k-means codebooks' iterated float means cannot be
+reproduced bit-exactly in SQL; subvector medoids can). Everything
+corpus-sized — encoding, decoding, scoring — is a pure Column expression
+over baked centroid literals: no shuffle, no UDF, and only ks rows ever
+cross the driver boundary. tests/test_pq_recall.py pins the recall floor
+against the exact brute-force ground truth.
 """
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import as_double
 
 
-def train_codebooks(
+def medoid_codebooks(
     df: DataFrame,
     vec_col: str = "embedding",
     m: int = 8,
     ks: int = 16,
-    iters: int = 5,
-    seed: int = 42,
+    id_col: str = "vec_id",
 ) -> list[list[list[float]]]:
-    """Per-subspace k-means codebooks: m codebooks of ks centroids, each
-    over dim/m dims. One bounded collect (the training sample); Lloyd runs
-    driver-side in numpy — the FAISS PQ training recipe."""
-    x = df.select(as_double(F.col(vec_col)).alias("_v"))
-    sample = np.array([r["_v"] for r in x.limit(2048).collect()], dtype=np.float64)
-    dim = sample.shape[1]
+    """Per-subspace medoid codebooks: codebook j holds the j-th subvectors
+    of the ks corpus rows with the smallest md5(id) (ivf.medoid_seeds) —
+    deterministic, SQL-reproducible, one bounded ks-row collect."""
+    from .ivf import medoid_seeds
+
+    seeds = medoid_seeds(df, k=ks, id_col=id_col, vec_col=vec_col)
+    dim = len(seeds[0])
     assert dim % m == 0, f"dim {dim} must divide into {m} subspaces"
     sub = dim // m
-    rng = np.random.RandomState(seed)
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        s = sample[:, j * sub : (j + 1) * sub]
-        cents = s[rng.choice(len(s), size=ks, replace=False)]
-        for _ in range(iters):
-            d2 = ((s[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            cells = d2.argmin(axis=1)
-            for c in range(ks):
-                members = s[cells == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
-        books.append(cents.tolist())
-    return books
+    return [[s[j * sub : (j + 1) * sub] for s in seeds] for j in range(m)]
 
 
 def _sub_dist2(vec: Column, start: int, centroid: list[float]) -> Column:

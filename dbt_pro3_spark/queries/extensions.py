@@ -586,11 +586,57 @@ def ext_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.topk_bruteforce(queries, emb, k=5).select("query_id", "vec_id", "cosine", "rk")
 
 
-@register("ext_ann_lsh")  # rows-only: approximate by construction
+def _sql_double(x: float) -> str:
+    """Shortest-repr double literal that DuckDB types as DOUBLE (not
+    DECIMAL): scientific notation forces the strtod parse, which is
+    correctly rounded, so the literal round-trips bit-exactly."""
+    r = repr(float(x))
+    return r if "e" in r or "E" in r else r + "e0"
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB twin of sim.topk_lsh(bits=4): the seeded hyperplanes are
+    plain float constants, so BOTH engines evaluate the identical
+    literals. Sign safety: the bucket bit compares dot(v, h) against 0;
+    tests/test_ann_oracle_margin.py pins min |dot| >= 1e-5 at every SF,
+    ~1e10 times the worst cross-engine fold-order disagreement, so the
+    bucket ids cannot diverge."""
+    planes = sim.hyperplanes(64, 4)
+
+    def arr(h: list[float]) -> str:
+        return "[" + ", ".join(_sql_double(x) for x in h) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(h)}) > 0 THEN {2 ** j} ELSE 0 END)"
+        for j, h in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS MATERIALIZED (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+    scored AS (
+        SELECT query_id, c.vec_id,
+               {dround('list_cosine_similarity(qv, c.v)', 6)} AS cosine
+        FROM q JOIN b c USING (bucket) WHERE c.vec_id <> query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5
+    """
+
+
+@register("ext_ann_lsh", _lsh_oracle_sql())
 def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via sign-random-projection LSH buckets (deterministic seeded
     hyperplanes): candidates only within the query's bucket — the
-    sub-linear scale path for 100 TB similarity search."""
+    sub-linear scale path for 100 TB similarity search.
+
+    Fully oracle-checkable despite being approximate: the approximation
+    is a deterministic function of the seeded hyperplanes, which the
+    DuckDB oracle bakes in as the same literals (_lsh_oracle_sql)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return sim.topk_lsh(queries, emb, k=5, bits=4).select("query_id", "vec_id", "cosine", "rk")
@@ -990,16 +1036,73 @@ def ext_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
 
 
-@register("ext_ann_ivf")  # rows-only: approximate by construction
+# Shared by _ivf_oracle_sql and _pq_oracle_sql: sequential-fold squared L2
+# between two DuckDB DOUBLE[] expressions (same left-to-right order as the
+# Spark zip_with/aggregate fold in ext/ivf.py:_dist2_to; argmin boundaries
+# are additionally margin-pinned in tests/test_ann_oracle_margin.py so a
+# last-ulp fold disagreement cannot flip an assignment).
+def _d2_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB twin of ext_ann_ivf: the medoid quantizer selects centroids
+    by md5(vec_id) — a string hash both engines compute identically — so
+    the centroid set, cell assignment (argmin d2, seed-order tiebreak),
+    nprobe=2 probing, and cosine rerank are all dual-engine exact."""
+    d2 = _d2_sql("e.v", "s.sv")
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS MATERIALIZED (
+        SELECT v AS sv,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS seed_idx
+        FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    d AS MATERIALIZED (
+        SELECT e.vec_id, e.v, s.seed_idx, {d2} AS d2
+        FROM e CROSS JOIN seeds s
+    ),
+    cells AS MATERIALIZED (
+        SELECT vec_id, v, seed_idx AS cell FROM d
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_idx) = 1
+    ),
+    qcells AS (
+        SELECT vec_id AS query_id, v AS qv, seed_idx AS cell FROM d
+        WHERE vec_id < 10
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_idx) <= 2
+    ),
+    scored AS (
+        SELECT query_id, c.vec_id,
+               {dround('list_cosine_similarity(qv, c.v)', 6)} AS cosine
+        FROM qcells q JOIN cells c USING (cell) WHERE c.vec_id <> query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5
+    """
+
+
+@register("ext_ann_ivf", _ivf_oracle_sql())
 def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic mini-kmeans centroids (only k vectors ever
-    reach the driver), nearest-cell assignment as a pure expression over
-    centroid literals, nprobe-cell candidate search + exact rerank. The
-    cell-partitioned twin of ext_ann_lsh (ext/ivf.py)."""
-    from ..ext.ivf import topk_ivf, train_centroids
+    """IVF ANN: deterministic hash-sampled medoid centroids (only k actual
+    corpus vectors ever reach the driver — k-means-with-zero-iterations
+    seeding, see ext/ivf.py:medoid_seeds), nearest-cell assignment as a
+    pure expression over centroid literals, nprobe=2 candidate search +
+    exact cosine rerank. The cell-partitioned twin of ext_ann_lsh.
+
+    Fully oracle-checkable despite being approximate: medoid centroids
+    are exact data values selected by md5(vec_id), so the DuckDB oracle
+    re-derives the identical quantizer (_ivf_oracle_sql)."""
+    from ..ext.ivf import medoid_seeds, topk_ivf
 
     emb = load(spark, sf_dir, "embeddings")
-    cents = train_centroids(emb, k=16, iters=3, seed=42)
+    cents = medoid_seeds(emb, k=16)
     queries = emb.filter(F.col("vec_id") < 10)
     return topk_ivf(queries, emb, cents, k=5, nprobe=2).select(
         "query_id", "vec_id", "cosine", "rk"

@@ -971,7 +971,6 @@ def sink_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         SCRATCH, os.path.basename(sf_dir.rstrip("/")), "codec_roundtrip"
     )
     src_sum = li.agg(F.sum("cents").cast("bigint").alias("s")).collect()[0]["s"]
-    src_n = None
     sizes = {}
     stats = {}
     for codec in CODECS:
@@ -993,8 +992,10 @@ def sink_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
         sizes[codec] = size
         stats[codec] = (row["n"], row["s"])
-        if src_n is None:
-            src_n = row["n"]
+    # smaller_than_uncompressed is strict (<): true at every swept SF
+    # (0.001/0.01/0.1, where lineitem compresses well). CAVEAT if a smaller
+    # SF is ever added: snappy/gzip framing overhead on a near-empty file
+    # can invert the ordering — relax to <= behind a size threshold then.
     rows = [
         (
             codec,

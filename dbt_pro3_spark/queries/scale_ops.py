@@ -760,33 +760,92 @@ def ext_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_ann_pq")  # rows-only: k-means codebooks are float-iteration artifacts
+def _pq_oracle_sql() -> str:
+    """DuckDB twin of ext_ann_pq: the medoid codebooks are the subvectors
+    of the md5-selected seed rows (same quantizer family as ext_ann_ivf's
+    oracle), so encode (per-subspace argmin d2, code-order tiebreak),
+    decode (ordered subvector reassembly), the decoded-cosine shortlist,
+    and the exact rerank are all dual-engine exact. Assignment-boundary
+    margins are pinned in tests/test_ann_oracle_margin.py."""
+    from .extensions import _d2_sql, dround
+
+    d2 = _d2_sql("list_slice(e.v, s.j * 8 + 1, s.j * 8 + 8)", "s.sv")
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seedrows AS MATERIALIZED (
+        SELECT v,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS seed_idx
+        FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    subcodes AS MATERIALIZED (
+        SELECT j.j, seed_idx, list_slice(v, j.j * 8 + 1, j.j * 8 + 8) AS sv
+        FROM seedrows CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+    ),
+    assign AS MATERIALIZED (
+        SELECT e.vec_id, s.j, s.seed_idx, {d2} AS d2
+        FROM e CROSS JOIN subcodes s
+    ),
+    codes AS MATERIALIZED (
+        SELECT vec_id, j, seed_idx AS code FROM assign
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, seed_idx) = 1
+    ),
+    decoded AS MATERIALIZED (
+        SELECT c.vec_id, flatten(list(s.sv ORDER BY c.j)) AS dv
+        FROM codes c JOIN subcodes s ON s.j = c.j AND s.seed_idx = c.code
+        GROUP BY c.vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    short AS MATERIALIZED (
+        SELECT query_id, d.vec_id, qv FROM q JOIN decoded d ON d.vec_id <> query_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY {dround('list_cosine_similarity(qv, d.dv)', 6)} DESC, d.vec_id
+        ) <= 25
+    ),
+    rescored AS (
+        SELECT query_id, s.vec_id,
+               {dround('list_cosine_similarity(s.qv, e2.v)', 6)} AS cosine
+        FROM short s JOIN e e2 ON e2.vec_id = s.vec_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rk
+        FROM rescored
+    )
+    SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5
+    """
+
+
+@register("ext_ann_pq", _pq_oracle_sql())
 def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via product quantization: 64-dim vectors compressed to 8
     subspace codes (32x), ranked by cosine against the decoded
-    reconstructions, exact re-rank inside the PQ top-3k shortlist — the
+    reconstructions, exact re-rank inside the PQ top-5k shortlist — the
     FAISS IVF-PQ search shape minus the cell routing (compose with
     ext_ann_ivf's assignment for the full index). Completes the ANN triad:
     sign-LSH (bucketing), IVF (cell routing), PQ (compression).
 
-    Rows-only like the other ANN keys (approximate by construction);
+    Fully oracle-checkable despite being approximate: the medoid
+    codebooks are exact data values selected by md5(vec_id)
+    (ext/pq.py:medoid_codebooks), so the DuckDB oracle re-derives the
+    identical encode/decode/shortlist/rerank (_pq_oracle_sql).
     tests/test_pq_recall.py pins recall vs the exact ground truth.
 
-    Scale shape: training is one bounded 2048-row collect (FAISS recipe);
+    Scale shape: codebook selection is one bounded 16-row collect;
     encode/decode/score are Column expressions over baked centroid
     literals — the corpus scan reads codes, never re-shuffles."""
     from ..ext import pq as pqm
 
     emb = load(spark, sf_dir, "embeddings")
-    books = pqm.train_codebooks(emb, "embedding", m=8, ks=16)
+    books = pqm.medoid_codebooks(emb, "embedding", m=8, ks=16)
     coded = pqm.encode(emb, books, "embedding")
     decoded = coded.select(
         "vec_id", pqm.decode_expr(books).alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 10)
-    # PQ shortlist of 15 (3x the final k) by decoded cosine, then exact
+    # PQ shortlist of 25 (5x the final k) by decoded cosine, then exact
     # re-rank of the shortlist against the TRUE vectors
-    shortlist = sim.topk_bruteforce(queries, decoded, k=15).select(
+    shortlist = sim.topk_bruteforce(queries, decoded, k=25).select(
         "query_id", "vec_id"
     )
     true_q = sim.with_norm(queries, "embedding").select(

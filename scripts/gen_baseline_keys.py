@@ -46,8 +46,13 @@ def main() -> None:
                 # best-case the current host can't reproduce was formally
                 # re-measured (BASELINE.md section 10). A bare REPIN (no
                 # round) keeps the legacy override-everything semantics.
+                # If a key accumulates several REPIN rows, the one with the
+                # HIGHEST round wins (not file order): a later re-measurement
+                # supersedes an earlier one by definition.
                 rnd = float(m.group(4)) if m.group(4) else float("inf")
-                repins[m.group(1)] = (float(m.group(2)), rnd)
+                prev = repins.get(m.group(1))
+                if prev is None or rnd >= prev[1]:
+                    repins[m.group(1)] = (float(m.group(2)), rnd)
             else:
                 sight(m.group(1), float(m.group(2)), 0.0)
 
@@ -63,8 +68,12 @@ def main() -> None:
     env: dict[str, float] = {}
     for key, rows in sightings.items():
         if key in repins:
+            # Sightings from the SAME round as the repin count: BENCH_rN.json
+            # is measured at the END of round N, after any REPIN@rN row was
+            # written, so a same-round driver time postdates the repin and a
+            # legitimately faster measurement there lowers the envelope.
             sec, rnd = repins[key]
-            env[key] = min([sec] + [s for s, r in rows if r > rnd])
+            env[key] = min([sec] + [s for s, r in rows if r >= rnd])
         else:
             env[key] = min(s for s, _ in rows)
     for key, (sec, _) in repins.items():

@@ -48,3 +48,31 @@ def test_bench_final_line_compact_and_parseable(spark, monkeypatch):
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "bench_detail.json")) as f:
         assert json.load(f) == detail
+
+
+def test_bench_stable23_within_envelope():
+    """Builder-side regression gate (VERDICT r6 item 6): every stable-23
+    key in the last FULL local bench artifact must sit within 1.5x its
+    recorded envelope — drift like ext_dedup_ngram_jaccard's 2.50->2.90 s
+    is caught here before the driver records a >2x key. Skips when
+    bench_detail.json is not a full sf0.1 run (e.g. right after the
+    compactness test's 2-key scratch run)."""
+    import pytest
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(here, "bench_detail.json")) as f:
+            detail = json.load(f)
+        with open(os.path.join(here, "baseline_keys.json")) as f:
+            env = json.load(f)
+    except OSError:
+        pytest.skip("no local bench artifact")
+    times = detail.get("detail", {})
+    if detail.get("sf") != 0.1 or len(times) < len(bench.STABLE23):
+        pytest.skip("bench_detail.json is not a full sf0.1 artifact")
+    bad = {
+        k: round(times[k] / env[k], 2)
+        for k in bench.STABLE23
+        if k in times and env.get(k, 0) > 0 and times[k] > 1.5 * env[k]
+    }
+    assert not bad, f"stable-23 keys above 1.5x envelope: {bad}"

@@ -587,13 +587,21 @@ def test_pipeline_source_has_no_wall_clock_dates():
     unconditional wall-clock column would re-arm the date bomb."""
     import pathlib
 
+    import re
+
     root = pathlib.Path(__file__).resolve().parents[1] / "dbt_pro3_spark" / "pipeline"
+    # allowed ONLY as the guarded ternary fallback on an injected value —
+    # the pattern used by _rdate/age/created_at. A bare substring check on
+    # 'if'/'else' would whitelist comments and identifiers; require the
+    # actual fallback form.
+    guarded = re.compile(
+        r"(?:if\s+\w+\s+is\s+None\s+)?else\s+F\.current_(date|timestamp)\(\)"
+        r"|F\.current_(date|timestamp)\(\)\s+if\s+\w+\s+is\s+None\s+else"
+    )
     offenders = []
     for p in sorted(root.glob("*.py")):
         for i, line in enumerate(p.read_text().splitlines(), 1):
             if "current_date()" in line or "current_timestamp()" in line:
-                # allowed only on a guarded fallback line (ternary on the
-                # injected value) — the pattern used by _rdate/age/created_at
-                if "else" not in line and "if" not in line:
+                if not guarded.search(line):
                     offenders.append(f"{p.name}:{i}: {line.strip()}")
     assert not offenders, offenders

@@ -1,14 +1,18 @@
-"""PQ recall vs exact brute force — the accuracy contract for the
-rows-only ext_ann_pq key (same pattern as test_ann_recall.py).
+"""PQ recall vs exact brute force — the accuracy contract for ext_ann_pq
+(same pattern as test_ann_recall.py). The key is also fully hash-checked
+against its DuckDB oracle (medoid codebooks are dual-engine exact); this
+test additionally pins that the compressed shortlist retrieves TRUE
+neighbors, which a hash match alone would not prove is above a broken
+encoder's null.
 
 PQ differs from LSH/IVF: it scans the WHOLE corpus but in 32x-compressed
 code space, so its null is not a scanned fraction — reconstruction
 quality governs recall. On the adversarial random corpus (no planted
 neighbors, true top-5 at cosine ≈ 0.4-0.5) the measured recall@5 with
-8x16 codebooks + exact re-rank of a 3k shortlist is 0.46; the bound
-below leaves margin for a regenerated-corpus shift while staying far
-above what a broken encoder (≈ random shortlist, recall ≈ 15/499 ≈ 0.03)
-could produce."""
+8x16 medoid codebooks + exact re-rank of a 5k shortlist is 0.40; the
+bound below leaves margin for a regenerated-corpus shift while staying
+far above what a broken encoder (≈ random shortlist, recall ≈ 25/499 ≈
+0.05) could produce."""
 
 from __future__ import annotations
 
@@ -37,7 +41,7 @@ def test_pq_codes_are_valid_and_deterministic(spark):
     from dbt_pro3_spark.sources.readers import load
 
     emb = load(spark, SF_DIR, "embeddings")
-    books = pqm.train_codebooks(emb, "embedding", m=8, ks=16)
+    books = pqm.medoid_codebooks(emb, "embedding", m=8, ks=16)
     assert len(books) == 8 and all(len(b) == 16 for b in books)
     coded = pqm.encode(emb, books, "embedding")
     stats = coded.select(
@@ -50,6 +54,6 @@ def test_pq_codes_are_valid_and_deterministic(spark):
     ).collect()[0]
     assert stats["m_min"] == stats["m_max"] == 8
     assert 0 <= stats["lo"] and stats["hi"] <= 15
-    # deterministic: re-training yields identical codebooks
-    books2 = pqm.train_codebooks(emb, "embedding", m=8, ks=16)
+    # deterministic: re-deriving yields identical codebooks
+    books2 = pqm.medoid_codebooks(emb, "embedding", m=8, ks=16)
     assert books == books2
