@@ -1,0 +1,97 @@
+"""Doubled-rows sweep for the sequential-fold keys (VERDICT r6 item 7).
+
+The varchar-state fold keys (Viterbi, Kalman, Holt-Winters, DTW,
+Markov-absorption) claim a bounded-grid collapse: the corpus aggregates to
+a ~30-element day grid BEFORE any sequential DP runs, so the fold cost is
+O(grid), never O(rows). This sweep doubles the RAW row count of their
+input tables (every event/order plus an id-shifted clone on the same days)
+and asserts:
+
+1. the day grid is UNCHANGED — the fold input did not grow with rows, and
+2. strict driver-grade parity still holds against the DuckDB oracle on the
+   doubled data (the totals double, the grid doesn't; both engines see the
+   identical new parquet).
+
+Together these pin the collapse claim as raw rows scale past sf0.1 —
+an accidental O(rows) fold (e.g. folding per-event instead of per-day)
+would show up as a grid-cardinality change or a blown-up runtime here.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from dbt_pro3_spark.queries import all_oracle, all_queries
+
+from .parity import compare
+
+SRC = "/root/testdata/sf0.1"
+DOUBLED = ["events", "orders"]
+FOLD_KEYS = [
+    "ext_hmm_viterbi",
+    "ext_kalman_filter",
+    "ext_holt_winters",
+    "ext_dtw_distance",
+    "ext_markov_absorption",
+]
+ID_SHIFT = 100_000_000  # clone ids stay unique and sort after originals
+
+
+@pytest.fixture(scope="module")
+def sf2x_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf0.2x")
+    con = duckdb.connect()
+    for t in DOUBLED:
+        src = f"{SRC}/{t}.parquet"
+        idc = "event_id" if t == "events" else "o_orderkey"
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{src}')"
+        ).fetchall()]
+        clone = ", ".join(
+            f"{c} + {ID_SHIFT} AS {c}" if c == idc else c for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}') "
+            f"UNION ALL SELECT {clone} FROM read_parquet('{src}')) "
+            f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "lineitem", "documents", "embeddings"]:
+        os.symlink(f"{SRC}/{t}.parquet", f"{d}/{t}.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck2x(sf2x_dir):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf2x_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_doubling_preserves_the_day_grid(sf2x_dir):
+    con = duckdb.connect()
+    for t in DOUBLED:
+        n, days = con.execute(
+            f"SELECT COUNT(*), COUNT(DISTINCT CAST({'ts' if t == 'events' else 'o_orderdate'} AS DATE)) "
+            f"FROM read_parquet('{sf2x_dir}/{t}.parquet')"
+        ).fetchone()
+        n0, days0 = con.execute(
+            f"SELECT COUNT(*), COUNT(DISTINCT CAST({'ts' if t == 'events' else 'o_orderdate'} AS DATE)) "
+            f"FROM read_parquet('{SRC}/{t}.parquet')"
+        ).fetchone()
+        assert n == 2 * n0, t
+        assert days == days0, f"{t}: fold-input grid grew with raw rows"
+
+
+@pytest.mark.parametrize("name", FOLD_KEYS)
+def test_fold_parity_at_doubled_rows(spark, sf2x_dir, duck2x, name):
+    df = all_queries()[name](spark, sf2x_dir)
+    errs = compare(df, duck2x, all_oracle()[name], name)
+    assert not errs, "\n".join(errs)
