@@ -217,9 +217,16 @@ _CORE_MODULES_LAST_KEY = "audit_rowcount_log"
 # class, cast pre-emptively; pipeline_medallion: upgraded from rows-only to
 # a SQL-expressible per-layer summary oracle.
 _R5_RESAMPLE = [
-    # Round-7: no re-sample targets — CORRECTNESS_r06 was 50/50 hash-green
-    # (both r05 misses re-sampled green), so the whole window goes to
-    # never-driver-sampled keys.
+    # Round-7 re-sample targets: the ANN triad gained full DuckDB oracles
+    # this round (deterministic dual-engine LSH hyperplanes / medoid
+    # quantizers — see extensions.py:_lsh_oracle_sql, _ivf_oracle_sql,
+    # scale_ops.py:_pq_oracle_sql), upgrading them from their r03
+    # rows-only/no_oracle records to hash-checkable; they must lead the
+    # window to land green CORRECTNESS rows. CORRECTNESS_r06 itself was
+    # 50/50 hash-green, so no defect re-samples.
+    "ext_ann_lsh",
+    "ext_ann_ivf",
+    "ext_ann_pq",
 ]
 
 # Keys the driver's bounded CORRECTNESS window has already verified green in
@@ -230,9 +237,10 @@ _R5_RESAMPLE = [
 # driver row. The previously-verified core stays pinned green by the in-repo
 # oracle suite (tests/test_oracle_parity.py runs every oracled key through
 # the identical DuckDB compare).
-# The three rows-only keys (ext_dedup_fuzzy, ext_ann_lsh, ext_ann_ivf) got
-# their best-possible driver check in r03 (rows recorded, no_oracle by
-# design) and rotate out with the rest.
+# ext_dedup_fuzzy (rows-only by design: pyspark.ml MinHashLSH banding has
+# no SQL twin) got its best-possible driver check in r03 and rotates out
+# with the rest; the ANN triad re-entered the window in round 7 when it
+# gained real oracles (_R5_RESAMPLE).
 _DRIVER_VERIFIED = {
     # r06 window (CORRECTNESS_r06.json — 50/50 hash-green, including the two
     # r05 re-sample targets pipeline_medallion and ext_tokenizer_fertility)
@@ -303,8 +311,10 @@ _DRIVER_VERIFIED = {
     "ext_dedup_fuzzy", "ext_topk_cosine", "ext_text_tokenize",
     "ext_dedup_simhash", "ext_dedup_minhash_banded",
     "ext_dedup_ngram_jaccard", "ext_dedup_embedding",
-    "ext_dedup_embedding_exact", "ext_dedup_clusters", "ext_ann_lsh",
-    "ext_ann_ivf", "ext_topk_cosine_pandas", "ext_text_langid",
+    "ext_dedup_embedding_exact", "ext_dedup_clusters",
+    # (ext_ann_lsh / ext_ann_ivf got only rows-only r03 records; they left
+    # this set in round 7 when they gained real oracles — see _R5_RESAMPLE)
+    "ext_topk_cosine_pandas", "ext_text_langid",
     "ext_text_quality", "ext_text_token_count", "ext_text_fingerprint",
     "ext_text_edit_distance", "ext_text_edit_distance_blocked",
     "ext_privacy_pseudonymize", "ext_mm_decode", "ext_mm_frame_sample",
