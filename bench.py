@@ -398,6 +398,12 @@ HEADLINE = [
     # round-6 eleventh batch (first stable numbers become their baselines)
     "ext_max_drawdown",
     "ext_holt_winters",
+    # round-7 batch: the ANN triad (re-implemented dual-engine this round)
+    # and the merge_delete materialization lane
+    "ext_ann_lsh",
+    "ext_ann_ivf",
+    "ext_ann_pq",
+    "ext_incremental_delete",
 ]
 
 

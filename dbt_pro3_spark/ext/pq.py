@@ -46,17 +46,14 @@ def medoid_codebooks(
     return [[s[j * sub : (j + 1) * sub] for s in seeds] for j in range(m)]
 
 
-def _sub_dist2(vec: Column, start: int, centroid: list[float]) -> Column:
-    """Squared distance between vec[start:start+len(centroid)] and a
-    centroid literal — aggregate/zip_with fold (see similarity.dot for why
-    not an unrolled element_at sum)."""
-    lit = F.array(*[F.lit(float(v)) for v in centroid])
-    piece = F.slice(vec, start + 1, len(centroid))
-    return F.aggregate(
-        F.zip_with(piece, lit, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+def _bind(value: Column, fn) -> Column:
+    """Evaluate ``value`` ONCE and pass it to ``fn`` as a lambda variable —
+    the transform-over-singleton trick. Codegen inlines a computed-array
+    column into every expression that references it (the element_at blowup
+    documented in similarity.dot: 128 distance folds each re-running the
+    64-element cast transform measured 6-9 s for a 2000-row encode); a
+    lambda variable is a materialized value, so the folds read it."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
 
 
 def encode(
@@ -68,13 +65,36 @@ def encode(
     """Attach the PQ code array (one int per subspace): per subspace the
     argmin-distance centroid index, ties to the lowest index (array_position
     finds the FIRST minimum — deterministic)."""
-    vec = as_double(F.col(vec_col))
     sub = len(books[0][0])
-    codes = []
-    for j, book in enumerate(books):
-        d = F.array(*[_sub_dist2(vec, j * sub, c) for c in book])
-        codes.append((F.array_position(d, F.array_min(d)) - 1).cast("int"))
-    return df.withColumn(code_col, F.array(*codes))
+
+    def codes_for(v: Column) -> Column:
+        out = []
+        for j, book in enumerate(books):
+            table = F.array(
+                *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+            )
+            piece = F.slice(v, j * sub + 1, sub)
+            d = F.transform(
+                table,
+                lambda c: F.aggregate(
+                    F.zip_with(piece, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+            )
+            out.append(
+                _bind(
+                    d,
+                    lambda dd: (
+                        F.array_position(dd, F.array_min(dd)) - 1
+                    ).cast("int"),
+                )
+            )
+        return F.array(*out)
+
+    return df.withColumn(
+        code_col, _bind(as_double(F.col(vec_col)), codes_for)
+    )
 
 
 def decode_expr(books: list[list[list[float]]], code_col: str = "pq_codes") -> Column:

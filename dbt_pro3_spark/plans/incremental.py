@@ -13,6 +13,13 @@ semantics on parquet:
                      written to a new version directory, then an atomic
                      pointer swap (no reader ever sees a half-written
                      table; old versions are pruned).
+- merge_delete     : merge_latest plus the hard-delete lane (Delta's
+                     MERGE ... WHEN MATCHED AND s.tombstone THEN DELETE):
+                     after latest-wins, keys whose WINNING record carries
+                     the tombstone flag leave the table entirely. An older
+                     live record never resurrects a key its newer tombstone
+                     removed, and a re-insert AFTER a delete (newer
+                     order_col, flag off) wins back in — CDC semantics.
 
 At cluster scale the same API maps onto Delta/Iceberg MERGE INTO; the
 version-directory scheme here is the dependency-free equivalent with the
@@ -76,12 +83,18 @@ def write_incremental(
     mode: str = "merge_latest",
     unique_key: str | None = None,
     order_col: str | None = None,
+    delete_col: str | None = None,
 ) -> DataFrame:
     """Apply one incremental batch; returns the new table state.
 
     merge_latest: rows in ``batch`` replace existing rows with the same
     ``unique_key`` when their ``order_col`` is newer (ties broken toward the
     incoming batch, matching MERGE semantics).
+
+    merge_delete: merge_latest, then drop keys whose winning record has
+    ``delete_col`` true (MERGE WHEN MATCHED AND tombstone THEN DELETE).
+    The tombstone column stays in the stored schema (always false for
+    surviving rows) so later batches union cleanly.
     """
     os.makedirs(base, exist_ok=True)
     existing = read_incremental(spark, base)
@@ -89,12 +102,20 @@ def write_incremental(
     next_v = f"v_{(int(cur[2:]) + 1) if cur else 0}"
 
     if existing is None:
-        merged = batch
+        if mode == "merge_delete":
+            if not delete_col:
+                raise ValueError("merge_delete requires delete_col")
+            # a tombstone in the very first batch deletes on arrival too
+            merged = batch.filter(~F.col(delete_col))
+        else:
+            merged = batch
     elif mode == "append":
         merged = existing.unionByName(batch)
-    elif mode == "merge_latest":
+    elif mode in ("merge_latest", "merge_delete"):
         if not unique_key or not order_col:
-            raise ValueError("merge_latest requires unique_key and order_col")
+            raise ValueError(f"{mode} requires unique_key and order_col")
+        if mode == "merge_delete" and not delete_col:
+            raise ValueError("merge_delete requires delete_col")
         # __src=1 for incoming so equal order_col prefers the new batch
         u = existing.withColumn("__src", F.lit(0)).unionByName(
             batch.withColumn("__src", F.lit(1))
@@ -107,6 +128,10 @@ def write_incremental(
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__src")
         )
+        if mode == "merge_delete":
+            # tombstoned WINNERS leave the table; an older live row never
+            # resurrects the key (it already lost the window above)
+            merged = merged.filter(~F.col(delete_col))
     else:
         raise ValueError(f"unknown incremental mode {mode!r}")
 

