@@ -29,13 +29,25 @@ from dbt_pro3_spark.queries import all_oracle, all_queries
 from .parity import compare
 
 SRC = "/root/testdata/sf0.1"
-DOUBLED = ["events", "orders"]
+DOUBLED = ["events", "orders", "documents"]
 FOLD_KEYS = [
     "ext_hmm_viterbi",
     "ext_kalman_filter",
     "ext_holt_winters",
     "ext_dtw_distance",
     "ext_markov_absorption",
+]
+# The dedup family on the doubled documents table: every document gains an
+# id-shifted EXACT clone, so the corpus becomes maximally duplicate-dense —
+# the regime where banding bugs square inside hot buckets and keep-lowest-id
+# tie logic is exercised on every row. Parity against the oracle on the
+# doubled corpus pins that the blocking/banding stages stay correct there.
+DEDUP_KEYS = [
+    "ext_dedup_exact",
+    "ext_dedup_minhash_banded",
+    "ext_dedup_simhash",
+    "ext_dedup_ngram_jaccard",
+    "ext_dedup_prefix_filter",
 ]
 ID_SHIFT = 100_000_000  # clone ids stay unique and sort after originals
 
@@ -44,9 +56,10 @@ ID_SHIFT = 100_000_000  # clone ids stay unique and sort after originals
 def sf2x_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("sf0.2x")
     con = duckdb.connect()
+    id_cols = {"events": "event_id", "orders": "o_orderkey", "documents": "doc_id"}
     for t in DOUBLED:
         src = f"{SRC}/{t}.parquet"
-        idc = "event_id" if t == "events" else "o_orderkey"
+        idc = id_cols[t]
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{src}')"
         ).fetchall()]
@@ -59,7 +72,7 @@ def sf2x_dir(tmp_path_factory):
             f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
         )
     for t in ["region", "nation", "customer", "supplier", "part",
-              "lineitem", "documents", "embeddings"]:
+              "lineitem", "embeddings"]:
         os.symlink(f"{SRC}/{t}.parquet", f"{d}/{t}.parquet")
     return str(d)
 
@@ -77,7 +90,7 @@ def duck2x(sf2x_dir):
 
 def test_doubling_preserves_the_day_grid(sf2x_dir):
     con = duckdb.connect()
-    for t in DOUBLED:
+    for t in ["events", "orders"]:
         n, days = con.execute(
             f"SELECT COUNT(*), COUNT(DISTINCT CAST({'ts' if t == 'events' else 'o_orderdate'} AS DATE)) "
             f"FROM read_parquet('{sf2x_dir}/{t}.parquet')"
@@ -95,3 +108,36 @@ def test_fold_parity_at_doubled_rows(spark, sf2x_dir, duck2x, name):
     df = all_queries()[name](spark, sf2x_dir)
     errs = compare(df, duck2x, all_oracle()[name], name)
     assert not errs, "\n".join(errs)
+
+
+@pytest.mark.parametrize("name", DEDUP_KEYS)
+def test_dedup_parity_on_duplicate_dense_corpus(spark, sf2x_dir, duck2x, name):
+    df = all_queries()[name](spark, sf2x_dir)
+    errs = compare(df, duck2x, all_oracle()[name], name)
+    assert not errs, "\n".join(errs)
+
+
+def test_exact_dedup_sees_every_clone(spark, sf2x_dir):
+    """Sanity anchor for the doubled corpus: every content group now has
+    >= 2 members (each document gained an exact clone), every kept_id is
+    an ORIGINAL id (MIN picks the un-shifted one), and the group count
+    equals the original corpus's distinct-content count."""
+    from pyspark.sql import functions as F
+
+    df = all_queries()["ext_dedup_exact"](spark, sf2x_dir)
+    row = df.agg(
+        F.min("dup_count").alias("min_copies"),
+        F.max("kept_id").alias("max_kept"),
+        F.count(F.lit(1)).alias("n_groups"),
+    ).collect()[0]
+    assert row["min_copies"] >= 2
+    assert row["max_kept"] < ID_SHIFT, "a clone id won a keep decision"
+    n_orig_groups = (
+        duckdb.connect()
+        .execute(
+            f"SELECT COUNT(DISTINCT md5(lower(trim(text)))) "
+            f"FROM read_parquet('{SRC}/documents.parquet')"
+        )
+        .fetchone()[0]
+    )
+    assert row["n_groups"] == n_orig_groups
