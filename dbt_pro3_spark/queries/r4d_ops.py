@@ -372,9 +372,11 @@ def _probe_broadcasts(spark: SparkSession, sf_dir: str):
 
 
 def clear_probe_cache() -> None:
-    """Unpersist and drop every cached probe broadcast. bench.py calls this
-    at pass boundaries; _probe_broadcasts calls it on every cache miss so a
-    session never holds more than one live trio."""
+    """Unpersist and drop every cached probe broadcast. _probe_broadcasts
+    calls this on every cache miss, so a session never holds more than one
+    live trio; long-lived sessions done with the embedding family can call
+    it directly to release the executor memory (bench.py deliberately does
+    NOT — the warm trio is session-index state, see its protocol note)."""
     for cached in _PROBE_CACHE.values():
         for b in cached:
             try:
