@@ -227,6 +227,11 @@ _R5_RESAMPLE = [
     "ext_ann_lsh",
     "ext_ann_ivf",
     "ext_ann_pq",
+    # ext_dedup_semantic upgraded rows-only -> oracled the same way (shares
+    # the md5-medoid quantizer); never driver-sampled, lead it too.
+    "ext_dedup_semantic",
+    # ext_incremental_delete: new this round (merge_delete lane).
+    "ext_incremental_delete",
 ]
 
 # Keys the driver's bounded CORRECTNESS window has already verified green in

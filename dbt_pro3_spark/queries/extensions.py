@@ -1048,14 +1048,16 @@ def _d2_sql(a: str, b: str) -> str:
     )
 
 
-def _ivf_oracle_sql() -> str:
-    """DuckDB twin of ext_ann_ivf: the medoid quantizer selects centroids
-    by md5(vec_id) — a string hash both engines compute identically — so
-    the centroid set, cell assignment (argmin d2, seed-order tiebreak),
-    nprobe=2 probing, and cosine rerank are all dual-engine exact."""
+def _medoid_cells_cte() -> str:
+    """Shared CTE prefix: md5-medoid seed selection + per-row nearest-cell
+    assignment (argmin d2, seed-order tiebreak). ONE source for every
+    oracle that mirrors ext/ivf.py:medoid_seeds + _assign_cells
+    (ext_ann_ivf's probing and ext_dedup_semantic's blocking), so the two
+    oracles' quantizers can never drift — exactly as their Spark sides
+    share medoid_seeds. Assignment-boundary margins are pinned per SF in
+    tests/test_ann_oracle_margin.py."""
     d2 = _d2_sql("e.v", "s.sv")
-    return f"""
-    WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     seeds AS MATERIALIZED (
         SELECT v AS sv,
                ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS seed_idx
@@ -1068,7 +1070,16 @@ def _ivf_oracle_sql() -> str:
     cells AS MATERIALIZED (
         SELECT vec_id, v, seed_idx AS cell FROM d
         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_idx) = 1
-    ),
+    )"""
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB twin of ext_ann_ivf: the medoid quantizer selects centroids
+    by md5(vec_id) — a string hash both engines compute identically — so
+    the centroid set, cell assignment (argmin d2, seed-order tiebreak),
+    nprobe=2 probing, and cosine rerank are all dual-engine exact."""
+    return f"""
+    WITH {_medoid_cells_cte()},
     qcells AS (
         SELECT vec_id AS query_id, v AS qv, seed_idx AS cell FROM d
         WHERE vec_id < 10
@@ -2160,9 +2171,25 @@ def ext_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_dedup_semantic")  # rows-only: sample-kmeans centroids not SQL
+def _semantic_dedup_oracle_sql() -> str:
+    """DuckDB twin of ext_dedup_semantic: the shared medoid-cell CTE plus
+    the within-cell smaller-id-witness drop rule on the rounded cosine."""
+    return f"""
+    WITH {_medoid_cells_cte()},
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {dround('list_cosine_similarity(a.v, b.v)', 6)} >= 0.4
+    )
+    SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+           CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept
+    FROM cells c LEFT JOIN dropped dr ON dr.vec_id = c.vec_id
+    """
+
+
+@register("ext_dedup_semantic", _semantic_dedup_oracle_sql())
 def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): quantize
     the embedding space into cells, then WITHIN each cell drop every vector
     that has a higher-priority (lower vec_id) neighbor at cosine >= 0.4 —
     near-duplicate meaning, not just near-duplicate text. Returns
@@ -2172,9 +2199,10 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is sum over cells of |cell|^2, not corpus^2 — the cell fan-out
     replaces LSH banding as the blocking structure (this is exactly how
     SemDeDup runs at web scale: cluster with FAISS, dedup inside clusters).
-    Centroids come from the bounded-sample k-means (ext/ivf.py, the one
-    documented .collect()); assignment is a distributed argmin expression.
-    Rows-only by construction (sampled centroids aren't SQL-expressible).
+    Centroids are the md5-medoid seed set shared with ext_ann_ivf
+    (ext/ivf.py:medoid_seeds — exact data values both engines derive, which
+    is what upgraded this key from rows-only to fully oracle-checked in
+    round 7); assignment is a distributed argmin expression.
 
     Keep rule semantics (deliberate): a vector is dropped when ANY
     smaller-id same-cell neighbor sits at cosine >= threshold — the
@@ -2185,11 +2213,11 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sequential greedy MIS and buys little for dedup. The guarantee
     tests/test_semantic_dedup.py asserts exactly: every dropped vector
     has SOME smaller-id neighbor at >= threshold (kept or dropped)."""
-    from ..ext.ivf import _assign_cells, train_centroids
+    from ..ext.ivf import _assign_cells, medoid_seeds
     from ..ext.similarity import cosine, with_norm
 
     emb = load(spark, sf_dir, "embeddings")
-    cents = train_centroids(emb, k=16, iters=3, seed=42)
+    cents = medoid_seeds(emb, k=16)
     e = _assign_cells(with_norm(emb), cents, "embedding").select(
         "vec_id", "cell", "_v", "_norm"
     )
