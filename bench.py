@@ -404,6 +404,7 @@ HEADLINE = [
     "ext_ann_ivf",
     "ext_ann_pq",
     "ext_incremental_delete",
+    "ext_dedup_semantic",
 ]
 
 
