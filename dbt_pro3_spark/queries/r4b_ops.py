@@ -1571,57 +1571,74 @@ def ext_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: word scores are frozen to integer nano-units (ratio of
     exact integers) so phrase scores are integer sums; the top-k order
-    is (score, phrase) total order; phrase strings are rebuilt
-    position-sorted (array_sort over (pos, tok) structs — collect_list
-    alone is order-nondeterministic).
+    is (score, phrase) total order; phrases are built in token order by
+    construction (sentinel split preserves the array order — no
+    collect_list nondeterminism anywhere).
 
-    Scale shape: per-doc phrase numbering is a doc-partitioned
-    prefix-sum window (doc-keyed shuffle, the sessionize precedent);
-    word stats are a vocabulary-sized aggregate broadcast back; the
-    global top-k over the distinct-phrase grid is two-level
-    ({RAKE_SALTS} hash groups keep local top-{RAKE_TOPK}, then one
-    bounded final sort — the vocab_coverage discipline)."""
+    Scale shape: phrases are built INSIDE the row — stop tokens become
+    a \\x00 sentinel, the token array re-joins, and one split yields
+    the maximal stopword-free runs — so the token stream is never
+    exploded into a doc-partitioned window shuffle (the pre-r7 shape
+    paid a full-corpus doc-keyed shuffle plus a collect_list rebuild).
+    The first shuffle is already the distinct-PHRASE grid (map-side
+    combined count); word stats aggregate over that bounded grid
+    weighted by occurrence counts and broadcast back; the global top-k
+    is two-level ({RAKE_SALTS} hash groups keep local top-{RAKE_TOPK},
+    then one bounded final sort — the vocab_coverage discipline)."""
     from ..ext import text as tx
 
     docs = load(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id", F.posexplode(tx.tokens(F.col("text"))).alias("pos", "tok")
-    ).withColumn(
-        "st", F.when(F.col("tok").isin(*RAKE_STOPS), 1).otherwise(0)
+    # stop tokens -> sentinel, re-join, split on sentinel: each segment is
+    # a maximal stopword-free run; trim strips the join spaces around the
+    # sentinel and empty segments (adjacent stops / leading / trailing)
+    # are filtered out. Pure array/string expressions — whole-stage
+    # codegen, zero shuffle until the phrase-keyed count below.
+    marked = F.transform(
+        tx.tokens(F.col("text")),
+        lambda t: F.when(t.isin(*RAKE_STOPS), F.lit("\x00")).otherwise(t),
     )
-    w_doc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, 0
+    phrases = F.filter(
+        # explicit lambda: bare F.trim is binary (col, trimstr) and
+        # transform would feed the element INDEX as trimstr
+        F.transform(F.split(F.array_join(marked, " "), "\x00"), lambda p: F.trim(p)),
+        lambda p: p != "",
     )
-    pid = tk.withColumn("pid", F.sum("st").over(w_doc))
-    words = pid.filter(F.col("st") == 0).withColumn(
-        "plen", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "pid")).cast("bigint")
+    pg0 = (
+        docs.select(F.explode(phrases).alias("phrase"))
+        .groupBy("phrase")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .withColumn("toks", F.split(F.col("phrase"), " "))
+        .withColumn("plen", F.size("toks").cast("bigint"))
+        .localCheckpoint(eager=False)  # feeds ws AND the rescore join
     )
-    ws = words.groupBy("tok").agg(
-        F.round(F.sum("plen") * 1000000000.0 / F.count(F.lit(1)))
-        .cast("bigint")
-        .alias("units")
-    )
-    ph = (
-        words.join(F.broadcast(ws), "tok")
-        .groupBy("doc_id", "pid")
+    # word score = degree/frequency over word INSTANCES; a distinct phrase
+    # seen c times contributes (plen*c, c) per token instance it contains —
+    # exactly the instance-level ratio, computed on the bounded phrase grid.
+    ws = (
+        pg0.select("plen", "n_occurrences", F.explode("toks").alias("tok"))
+        .groupBy("tok")
         .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
-                    ),
-                    lambda x: x.tok,
-                ),
-            ).alias("phrase"),
-            F.count(F.lit(1)).cast("bigint").alias("plen"),
-            F.sum("units").cast("bigint").alias("units"),
+            F.round(
+                F.sum(F.col("plen") * F.col("n_occurrences")) * 1000000000.0
+                / F.sum("n_occurrences")
+            )
+            .cast("bigint")
+            .alias("units")
         )
     )
-    pg = ph.groupBy("phrase").agg(
-        F.max("plen").alias("phrase_len"),
-        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
-        F.max("units").alias("units"),
+    pg = (
+        pg0.select(
+            "phrase", "n_occurrences",
+            F.col("plen").alias("phrase_len"),
+            F.explode("toks").alias("tok"),
+        )
+        .join(F.broadcast(ws), "tok")
+        .groupBy("phrase")
+        .agg(
+            F.max("phrase_len").alias("phrase_len"),
+            F.max("n_occurrences").alias("n_occurrences"),
+            F.sum("units").cast("bigint").alias("units"),
+        )
     )
     # Two-level top-k: any global top-k row is in its hash group's local top-k.
     w_grp = Window.partitionBy("grp").orderBy(F.desc("units"), "phrase")

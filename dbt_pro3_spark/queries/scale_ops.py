@@ -3377,12 +3377,16 @@ def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded into pairs — the candidate explosion is bounded by
     #sources^2 per gram, never by corpus size.
 
-    Scale shape: one distinct aggregate keyed by (source, gram) — the only
-    corpus-sized shuffle; then a gram-keyed fold to sorted source sets and
-    a bounded pair explode; sizes are a tiny broadcast joined onto the
-    S^2-row result. At 100 TB swap the gram string for an xxhash64 of it
-    (64-bit join keys; collision rate ~ n^2/2^64 is negligible for counts)
-    — kept as the raw string here so the DuckDB oracle is bit-exact."""
+    Scale shape: ONE corpus-sized shuffle — the raw (source, gram) stream
+    folds straight into per-gram source sets (collect_set partial-
+    aggregates map-side, so within-partition duplicates never hit the
+    wire; the pre-r7 shape paid a distinct THEN a regroup = two corpus
+    shuffles); per-source sizes are recovered from the bounded gram-set
+    grid (explode of S-element arrays, map-side combined to S rows), and
+    the pair explode is bounded by #sources^2 per gram. At 100 TB swap
+    the gram string for an xxhash64 of it (64-bit join keys; collision
+    rate ~ n^2/2^64 is negligible for counts) — kept as the raw string
+    here so the DuckDB oracle is bit-exact."""
     docs = load(spark, sf_dir, "documents")
     toks = tx.tokens(F.col("text"))
     sized = docs.select(
@@ -3392,19 +3396,19 @@ def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ",
         *[F.element_at("l", F.col("i") + k) for k in range(OVERLAP_GRAM)],
     )
-    grams = (
+    sets = (
         sized.withColumn(
             "i", F.explode(F.sequence(F.lit(1), F.col("n") - (OVERLAP_GRAM - 1)))
         )
         .select("source", gram.alias("gram"))
-        .distinct()
-        .localCheckpoint(eager=False)  # 2 consumers: sizes + per-gram sets
+        .groupBy("gram")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .localCheckpoint(eager=False)  # 2 consumers: sizes + pair explode
     )
-    sizes = grams.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_grams")
-    )
-    sets = grams.groupBy("gram").agg(
-        F.sort_array(F.collect_set("source")).alias("ss")
+    sizes = (
+        sets.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
     )
     pairs = (
         sets.filter(F.size("ss") >= 2)
