@@ -671,11 +671,15 @@ def prefix_filter_pairs(
     and, unlike the stop-shingle cap (ngram_jaccard_pairs), recall at the
     threshold is exactly 1 by construction, not empirically.
 
-    Scale shape: df table is a shingle-keyed aggregate (shuffle 1); rarity
-    rank is a per-doc window (shuffle 2, keyed by doc); the candidate join
-    keys on rare-by-definition prefix shingles (bounded fan-out); exact
-    verify joins candidates back to the two shingle sets (output-sized).
-    The per-doc shingle table is checkpointed once and feeds all stages.
+    Scale shape: the shingle incidence shuffles by doc exactly ONCE
+    (repartition; the per-doc dedup, the rarity window, and the per-doc
+    sorted-hash-array fold all run inside that partitioning — subset
+    clustering); the df table is a shingle-keyed aggregate over it; the
+    candidate join keys on rare-by-definition prefix shingles (bounded
+    fan-out); exact verify joins the (small) candidate pairs to the
+    per-doc hash arrays — the pair list broadcasts, so the incidence
+    never re-shuffles for verification — and counts the overlap with an
+    in-row array_intersect, no pair-keyed reduce at all.
     All equality joins key on xxhash64(shingle) — 8 bytes instead of the
     shingle string (the ngram_jaccard trick; 2^-64 collision odds, and the
     oracle joining on the string gets the same equalities). Rarity ORDER
@@ -701,12 +705,21 @@ def prefix_filter_pairs(
             F.col(id_col).alias("doc"),
             F.explode(shingles(F.col(text_col), n)).alias("shingle"),
         )
-        .distinct()
+        .repartition("doc")  # the ONE doc-keyed shuffle of the incidence:
+        .dropDuplicates(["doc", "shingle"])  # dedup, window and set fold
         .select("doc", "shingle", F.xxhash64("shingle").alias("sh_h"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)  # all run inside this partitioning
     )
     dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
-    sized = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # per-doc sorted hash arrays: verify becomes an in-row intersection
+    docsets = (
+        sh.groupBy("doc")
+        .agg(
+            F.sort_array(F.collect_list("sh_h")).alias("hs"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .localCheckpoint(eager=False)  # both sides of the verify join
+    )
     # set size comes from a count window over the same doc partitioning the
     # rank window needs anyway — one shuffle serves both, no sized join here.
     # dfreq is vocabulary-sized (distinct shingles), far smaller than the
@@ -762,16 +775,27 @@ def prefix_filter_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    sh_a = sh.select(F.col("doc").alias("doc_a"), "sh_h")
-    sh_b = sh.select(F.col("doc").alias("doc_b"), "sh_h")
-    common = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "sh_h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    # verify: the surviving pair list is tiny next to the incidence, so
+    # broadcast IT onto the per-doc set arrays (twice) and compute the
+    # overlap in-row — no incidence re-shuffle, no pair-keyed reduce
+    da = docsets.select(
+        F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"),
+        F.col("sz").alias("sz_a"),
     )
-    za = sized.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
-    zb = sized.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    db = docsets.select(
+        F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    common = (
+        da.join(F.broadcast(cand), "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a", "doc_b", "sz_a", "sz_b",
+            F.size(F.array_intersect("hs_a", "hs_b"))
+            .cast("bigint")
+            .alias("common_shingles"),
+        )
+    )
     jac = F.round(
         F.col("common_shingles").cast("double")
         / (F.col("sz_a") + F.col("sz_b") - F.col("common_shingles")).cast("double"),
@@ -780,9 +804,7 @@ def prefix_filter_pairs(
     # threshold cut in exact integers too: J >= num/den <=>
     # common*(num+den) >= num*(szA+szB)
     return (
-        common.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .filter(
+        common.filter(
             F.col("common_shingles") * (num + den)
             >= num * (F.col("sz_a") + F.col("sz_b"))
         )

@@ -2225,36 +2225,42 @@ def ext_seq_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: distinct-set algebra and exact counts; the top-N
     order (support DESC, part_from, part_to) is a total order.
 
-    Scale shape: the (cust, part, date) distinct collapse bounds the
-    self-join input; the sequence join is keyed on the customer
-    (per-customer fan-out ~ (orders x parts-per-order)^2, bounded by
-    purchase history, not corpus); one (from, to)-keyed count reduce
-    then TakeOrdered. Cited parity anchor: /root/reference/models
-    (beyond-reference surface)."""
+    Scale shape: "customer bought A on SOME date strictly before SOME
+    purchase of B" is exactly min_date(A) < max_date(B), so the
+    sequence join runs on the (cust, part) grid with per-part min/max
+    dates — the date multiplicity never enters the join, and each
+    surviving (cust, from, to) row is unique BY CONSTRUCTION, so the
+    corpus-sized post-join DISTINCT the naive shape pays (every
+    d1<d2 date combination materialized, then deduped) disappears.
+    One cust-keyed repartition feeds both the grid aggregate and the
+    self-join (subset-clustering satisfies both), then one (from, to)
+    map-side-combined count and TakeOrdered. Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
-    cpd = (
+    cp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.col("o_custkey").alias("cust"),
             F.col("l_partkey").alias("part"),
             F.col("o_orderdate").alias("d"),
         )
-        .distinct()
+        .repartition("cust")  # one shuffle serves the agg AND the join
+        .groupBy("cust", "part")
+        .agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
         .localCheckpoint(eager=False)  # both sides of the sequence join
     )
-    a = cpd.select("cust", F.col("part").alias("part_from"), F.col("d").alias("d1"))
-    b = cpd.select("cust", F.col("part").alias("part_to"), F.col("d").alias("d2"))
-    pairs = (
-        a.join(b, "cust")
-        .filter((F.col("d1") < F.col("d2")) & (F.col("part_from") != F.col("part_to")))
-        .select("cust", "part_from", "part_to")
-        .distinct()
-    )
+    a = cp.select("cust", F.col("part").alias("part_from"), "dmin")
+    b = cp.select("cust", F.col("part").alias("part_to"), "dmax")
     return (
-        pairs.groupBy("part_from", "part_to")
+        a.join(b, "cust")
+        .filter(
+            (F.col("dmin") < F.col("dmax"))
+            & (F.col("part_from") != F.col("part_to"))
+        )
+        .groupBy("part_from", "part_to")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
         .orderBy(F.desc("n_customers"), "part_from", "part_to")
         .limit(SEQ_PAIR_TOPN)
