@@ -44,3 +44,33 @@ def order_part_pairs(li: DataFrame, count: bool = False) -> DataFrame:
             F.count(F.lit(1)).alias("support")
         )
     return pairs.distinct()
+
+
+def adjacency_sets(li: DataFrame) -> DataFrame:
+    """Undirected adjacency as per-node sorted neighbor ARRAYS:
+    (node, nbrs) with nbrs = sorted distinct co-purchase neighbors.
+
+    Built straight from the basket pair stream exploded in BOTH
+    directions into one node-keyed collect_set — the pair-level
+    DISTINCT and the edge-list union doubling the naive shape pays
+    (distinct pairs, then u->v UNION v->u re-materialized) never
+    happen: collect_set partial-aggregates map-side and dedups, and
+    each undirected edge is stored once per endpoint, not twice per
+    direction in a flat list. Co-purchase degree is bounded by parts
+    sharing an order (dozens), so the arrays stay small at any corpus
+    size. Iterative consumers (BFS, k-core) join a small frontier
+    against this, explode nbrs, and never re-shuffle the edge set."""
+    bas = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    both = bas.select(F.explode(F.expr(_PAIR_EXPR)).alias("p")).select(
+        F.explode(
+            F.array(
+                F.struct(F.col("p.u").alias("node"), F.col("p.v").alias("nbr")),
+                F.struct(F.col("p.v").alias("node"), F.col("p.u").alias("nbr")),
+            )
+        ).alias("e")
+    )
+    return both.select("e.node", "e.nbr").groupBy("node").agg(
+        F.sort_array(F.collect_set("nbr")).alias("nbrs")
+    )

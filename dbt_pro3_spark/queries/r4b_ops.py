@@ -2430,27 +2430,23 @@ def ext_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     128-bit integers through the correctly-rounded VARCHAR->double
     path. avg_degree is a ratio of identical integers.
 
-    Scale shape: the pair join is basket-bounded (per-order self-join,
-    the ext_basket_pairs bound); degrees are one hash aggregate; the
-    edge-degree join shuffles on node keys. No windows; output is one
-    row."""
-    from ..ext.graph import order_part_pairs
+    Scale shape: the adjacency is per-node sorted neighbor arrays
+    (ext/graph.py:adjacency_sets — one node-keyed fold, no edge
+    distinct, no directional union), so a node's degree is just
+    size(nbrs) and the source-side degree rides the explode for free;
+    the single remaining join attaches the destination degree from the
+    node-count-sized degree table (AQE broadcasts it at any SF where it
+    fits, shuffle join beyond). No windows; output is one row."""
+    from ..ext.graph import adjacency_sets
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # basket-array pair enumeration (ext/graph.py); oracle keeps the join
-    pairs = (
-        order_part_pairs(li)
-        .select(F.col("u").alias("pa"), F.col("v").alias("pb"))
-        .localCheckpoint(eager=False)  # feeds both directions
+    adj = adjacency_sets(li).localCheckpoint(eager=False)  # deg + edges
+    deg = adj.select(
+        F.col("node").alias("nb"), F.size("nbrs").cast("bigint").alias("dy")
     )
-    und = pairs.unionAll(pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
-    und = und.localCheckpoint(eager=False)  # feeds degrees AND edge join
-    deg = und.groupBy(F.col("pa").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    )
-    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("dx"))
-    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("dy"))
-    e = und.join(da, "pa").join(db, "pb")
+    e = adj.select(
+        F.size("nbrs").cast("bigint").alias("dx"), F.explode("nbrs").alias("nb")
+    ).join(deg, "nb")
     d38 = "decimal(38,0)"
     s = e.agg(
         F.count(F.lit(1)).cast("bigint").alias("ne"),
@@ -2458,7 +2454,7 @@ def ext_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("dx").cast(d38) * F.col("dx")).alias("sxx"),
         F.sum(F.col("dx").cast(d38) * F.col("dy")).alias("sxy"),
     )
-    nd = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    nd = adj.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     num = (
         F.col("ne").cast(d38) * F.col("sxy") - F.col("sx").cast(d38) * F.col("sx")
     ).cast("double")

@@ -251,39 +251,37 @@ def ext_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical int64s (IEEE-identical both engines), dround(6); the
     top-{LP_TOPN} order (cn DESC, a, b) is a total order.
 
-    Scale shape: edge dedup (one shuffle), the cap as a node-keyed
-    window over <= deg rows, the wedge self-join keyed on the middle
-    node (bounded fan-out), a (a,b)-keyed count reduce, an anti join
-    against the edge list, then TakeOrdered — no driver-side state.
-    Cited parity anchor: /root/reference/models (no graph ops in the
-    reference; beyond-reference surface)."""
-    from ..ext.graph import order_part_pairs
+    Scale shape: the adjacency is per-node sorted neighbor arrays
+    (ext/graph.py:adjacency_sets — one node-keyed fold, no edge
+    distinct, no directional union); the degree cap is an array slice
+    (the lowest-id neighbors ARE the sorted prefix — the node-keyed
+    row_number window disappears), and the wedge "self-join" is in-row
+    pair enumeration inside each capped array (every (a < b) wedge
+    through a middle node is a pair within its sorted capped
+    neighborhood — no join at all), into one (a,b)-keyed count reduce,
+    an anti join against the edge list (re-derived from the same arrays
+    map-side), then TakeOrdered — no driver-side state. Cited parity
+    anchor: /root/reference/models (no graph ops in the reference;
+    beyond-reference surface)."""
+    from ..ext.graph import _PAIR_EXPR, adjacency_sets
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # basket-array pair enumeration (ext/graph.py) — one shuffle, no
-    # self-join; oracle keeps the self-join twin
-    e0 = order_part_pairs(li).localCheckpoint(eager=False)
-    adj = (
-        e0.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-        .unionByName(e0.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("node").orderBy("nbr")),
-        )
-        .filter(F.col("rk") <= LP_MAXDEG)
-        .select("node", "nbr")
-        .localCheckpoint(eager=False)  # feeds both wedge sides + degrees
+    adj = adjacency_sets(li).localCheckpoint(eager=False)  # 3 consumers
+    cap = adj.select("node", F.slice("nbrs", 1, LP_MAXDEG).alias("ps"))
+    deg = (
+        cap.select(F.explode("ps").alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     )
-    deg = adj.groupBy(F.col("nbr").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg")
-    )
-    x = adj.select("node", F.col("nbr").alias("a"))
-    y = adj.select("node", F.col("nbr").alias("b"))
     cand = (
-        x.join(y, "node")
-        .filter(F.col("a") < F.col("b"))
+        cap.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .select(F.col("p.u").alias("a"), F.col("p.v").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    e0 = adj.select(
+        F.col("node").alias("u"),
+        F.explode(F.filter("nbrs", lambda n: n > F.col("node"))).alias("v"),
     )
     nonedge = cand.join(
         e0, (cand.a == e0.u) & (cand.b == e0.v), "left_anti"
@@ -793,27 +791,24 @@ def ext_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: pure exact set algebra on integer node ids — distinct,
     anti join, union — no floats anywhere.
 
-    Scale shape: each hop is one hash join of the (small) frontier
-    against the node-keyed adjacency, a distinct, and an anti join
-    against the visited set; frontier and visited are lazily
-    localCheckpointed so lineage stays linear in hops. Frontier joins
-    broadcast while small and shuffle-join once they grow — AQE picks
-    per hop. Cited parity anchor: /root/reference/models (no graph ops
-    in the reference; beyond-reference surface)."""
-    from ..ext.graph import order_part_pairs
+    Scale shape: the adjacency is per-node neighbor ARRAYS built with
+    one node-keyed collect_set (ext/graph.py:adjacency_sets — no
+    pair-level distinct, no directional union doubling); each hop is
+    one hash join of the (small) frontier against it, an explode, a
+    distinct, and an anti join against the visited set; frontier and
+    visited are lazily localCheckpointed so lineage stays linear in
+    hops. Frontier joins broadcast while small and shuffle-join once
+    they grow — AQE picks per hop. Cited parity anchor:
+    /root/reference/models (no graph ops in the reference;
+    beyond-reference surface)."""
+    from ..ext.graph import adjacency_sets
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    e0 = order_part_pairs(li)  # basket-array pair build (ext/graph.py)
-    adj = (
-        e0.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-        .unionByName(e0.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-        .localCheckpoint(eager=False)  # reused every hop
-    )
+    adj = adjacency_sets(li).localCheckpoint(eager=False)  # reused every hop
     frontier = (
         adj.filter(F.col("node") <= BFS_SEED_MAX)
         .select("node")
-        .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)  # adjacency keys are already distinct
     )
     visited = frontier
     stats = [
@@ -826,7 +821,7 @@ def ext_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in range(1, BFS_HOPS + 1):
         frontier = (
             frontier.join(adj, "node")
-            .select(F.col("nbr").alias("node"))
+            .select(F.explode("nbrs").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
             .localCheckpoint(eager=False)
