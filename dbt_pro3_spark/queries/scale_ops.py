@@ -4392,11 +4392,15 @@ def ext_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)  # 2 consumers: detected join + truth count
     )
+    # banding candidacy is PAIRWISE (per-doc signatures, shared band
+    # buckets), so banding the sample directly equals banding the corpus
+    # and filtering both endpoints to the sample — same audit, without
+    # the full-corpus signature build
     cand = (
-        ded.minhash_banded_pairs(docs, "doc_id", "text", n=3, num_perm=16, bands=4)
+        ded.minhash_banded_pairs(
+            sample, "doc_id", "text", n=3, num_perm=16, bands=4
+        )
         .filter(F.col("jaccard") >= RECALL_J)
-        .join(F.broadcast(samp_ids.select(F.col("doc_id").alias("doc_a"))), "doc_a", "left_semi")
-        .join(F.broadcast(samp_ids.select(F.col("doc_id").alias("doc_b"))), "doc_b", "left_semi")
         .select("doc_a", "doc_b")
     )
     det = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
@@ -4638,14 +4642,13 @@ def ext_dedup_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("decile"),
         )
     )
-    cand = (
-        ded.minhash_banded_pairs(docs, "doc_id", "text", n=3, num_perm=16, bands=4)
-        .join(F.broadcast(samp_ids.select(F.col("doc_id").alias("doc_a"))),
-              "doc_a", "left_semi")
-        .join(F.broadcast(samp_ids.select(F.col("doc_id").alias("doc_b"))),
-              "doc_b", "left_semi")
-        .select("doc_a", "doc_b", F.lit(1).alias("hit_"))
-    )
+    # banding candidacy is PAIRWISE (per-doc signatures, shared band
+    # buckets), so banding the sample directly equals banding the corpus
+    # and filtering both endpoints to the sample — the full-corpus
+    # signature build the pre-r7 shape paid never runs
+    cand = ded.minhash_banded_pairs(
+        sample, "doc_id", "text", n=3, num_perm=16, bands=4
+    ).select("doc_a", "doc_b", F.lit(1).alias("hit_"))
     marked = truth.join(cand, ["doc_a", "doc_b"], "left").select(
         F.least(F.col("decile"), F.lit(9)).alias("decile"),
         F.coalesce("hit_", F.lit(0)).alias("hit"),
