@@ -13,11 +13,15 @@ from contextlib import redirect_stdout
 import bench
 
 
-def test_bench_final_line_compact_and_parseable(spark, monkeypatch):
+def test_bench_final_line_compact_and_parseable(spark, monkeypatch, tmp_path):
     monkeypatch.setattr(
         bench, "HEADLINE", ["agg_count_star", "sort_limit_topk"]
     )
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    # divert the detail artifact: this scratch run must not clobber the
+    # last full sf0.1 bench_detail.json the regression gate reads
+    detail_path = tmp_path / "bench_detail.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", str(detail_path))
     # bench.main() calls spark.stop() — give it a throwaway-safe wrapper so
     # the session fixture survives for the rest of the suite.
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
@@ -44,9 +48,8 @@ def test_bench_final_line_compact_and_parseable(spark, monkeypatch):
     # summary line length is independent of HEADLINE size beyond 23 keys.
     assert len(lines[-1]) < 4096
     assert len(summary["queries"]) <= 23
-    # bench_detail.json mirrors the detail line
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "bench_detail.json")) as f:
+    # the (diverted) detail artifact mirrors the detail line
+    with open(detail_path) as f:
         assert json.load(f) == detail
 
 
