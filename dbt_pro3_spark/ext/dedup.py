@@ -577,29 +577,44 @@ def embedding_near_pairs_lsh(
     eb = e.select(F.col(id_col), F.col("_v"), F.col("_norm"), *bcols).localCheckpoint(
         eager=False
     )
-    cand = None
+    # verify INSIDE each band join: the vectors ride the (tiny, pre-join)
+    # bucket rows and the exact rounded cosine + threshold run on the
+    # streamed join output, so the candidate pair stream is never
+    # materialized into a dedup shuffle nor re-joined twice to fetch
+    # vectors (the pre-r7 shape shuffled millions of candidate id-pairs
+    # three times; survivors above any useful threshold are a trickle).
+    # A pair colliding in k bands computes its cosine k <= bands times —
+    # cheap codegen arithmetic traded for three pair-stream shuffles.
+    out = None
     for t in range(bands):
-        a = eb.select(F.col(id_col).alias("vec_a"), F.col(f"band{t}").alias("bk"))
-        bb = eb.select(F.col(id_col).alias("vec_b"), F.col(f"band{t}").alias("bk"))
+        a = eb.select(
+            F.col(id_col).alias("vec_a"), F.col("_v").alias("va"),
+            F.col("_norm").alias("na"), F.col(f"band{t}").alias("bk"),
+        )
+        bb = eb.select(
+            F.col(id_col).alias("vec_b"), F.col("_v").alias("vb"),
+            F.col("_norm").alias("nb"), F.col(f"band{t}").alias("bk"),
+        )
         c = (
             a.join(bb, "bk")
             .filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b")
+            .select(
+                "vec_a", "vec_b",
+                # the zip_with/aggregate fold, NOT the unrolled element_at
+                # sum: measured 2x FASTER here — the 64-term unrolled
+                # projection blows the generated method past the codegen
+                # size limit and the whole join stage falls back to
+                # interpreted eval, which costs more than the fold's
+                # per-element lambda dispatch ever did
+                F.round(
+                    cosine(F.col("va"), F.col("na"), F.col("vb"), F.col("nb")), 6
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
         )
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates(["vec_a", "vec_b"])
-    ea = eb.select(F.col(id_col).alias("vec_a"), F.col("_v").alias("va"), F.col("_norm").alias("na"))
-    ebd = eb.select(F.col(id_col).alias("vec_b"), F.col("_v").alias("vb"), F.col("_norm").alias("nb"))
-    return (
-        cand.join(ea, "vec_a")
-        .join(ebd, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("va"), F.col("na"), F.col("vb"), F.col("nb")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+        out = c if out is None else out.unionByName(c)
+    # identical (pair -> cosine) rows from multi-band collisions: keep one
+    return out.dropDuplicates(["vec_a", "vec_b"])
 
 
 #: Hard ceiling for the exact all-pairs path. 64k rows -> ~2.1e9 candidate

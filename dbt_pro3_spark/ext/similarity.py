@@ -35,7 +35,12 @@ def dot(a: Column, b: Column) -> Column:
     the operand is a computed array (e.g. the _v cast column), codegen
     inlines the array-producing expression into EVERY element_at — 64
     terms re-evaluating a 64-element transform is a 64x blowup (measured
-    6x slower end-to-end). The lambda fold evaluates the array once."""
+    6x slower end-to-end). The lambda fold evaluates the array once.
+    Re-measured in round 7 for BOUND attributes too (vectors out of a
+    checkpoint, inside the LSH band-join verify): the 64-term unrolled
+    projection pushed the generated method past the codegen size limit,
+    the join stage fell back to interpreted eval, and the key ran 2x
+    SLOWER than this fold. The fold is the right form in both regimes."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
