@@ -876,22 +876,26 @@ def ext_text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", F.slice(F.col("l"), F.col("i"), n)).cast("binary")).alias("g"),
         )
     )
+    # "appears in >= 2 distinct docs" is exactly min(doc_id) != max(doc_id):
+    # two plain min/max aggregates (fully map-side combined) instead of a
+    # per-gram countDistinct, which plans an Expand over the gram stream
     dupg = (
         grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
         .select("g")
     )
     dup_pos = grams.join(dupg, "g").select("doc_id", "i")
     # ONE pass over dup_pos for both stats (position count + span coverage):
-    # positions i are already distinct per doc, so countDistinct(i) is the
-    # dup-ngram count — fusing the two aggregates stops Spark recomputing
-    # the whole gram pipeline twice (one subtree per aggregate otherwise).
+    # positions i are already distinct per doc, so each contributes exactly
+    # one span row with p == i — counting those IS the dup-ngram count,
+    # leaving a single distinct column (p) so the aggregate plans as a
+    # two-phase partial on (doc_id, p) with no Expand duplication.
     spans = dup_pos.select(
         "doc_id", "i", F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("p")
     )
     stats = spans.groupBy("doc_id").agg(
-        F.countDistinct("i").alias("n_dup_ngrams"),
+        F.sum((F.col("p") == F.col("i")).cast("int")).alias("n_dup_ngrams"),
         F.countDistinct("p").alias("covered_tokens"),
     )
     return (
