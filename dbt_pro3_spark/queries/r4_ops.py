@@ -2037,15 +2037,19 @@ def ext_sketch_hll_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescaled once — no float summation at all; the correction's ln
     applies to a ratio of identical integers.
 
-    Scale shape: distinct-collapse, then a (group, 64)-register
-    aggregate (map-side combined), then math on register rows."""
+    Scale shape: the raw event stream folds STRAIGHT into the
+    (group, {HLL_M})-register max aggregate — no distinct-collapse
+    first: idx and rho are functions of user_id, so repeated events of
+    one user hit the same register with the same rho and MAX absorbs
+    them (that insensitivity to duplication is the whole point of HLL);
+    partials are bounded by groups x registers, map-side combined."""
     ev = load(spark, sf_dir, "events")
     u = _spark_md5_32(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
     hashed = ev.select(
-        "event_type", "user_id",
+        "event_type",
         F.pmod(u, F.lit(HLL_M)).alias("idx"),
         _rho_case_spark(F.floor(u / HLL_M)).alias("rho"),
-    ).distinct()
+    )
     regs = hashed.groupBy("event_type", "idx").agg(F.max("rho").alias("m"))
     sums = regs.groupBy("event_type").agg(
         F.sum(F.expr(f"shiftleft(1L, {HLL_WBITS + 1} - m)").cast("bigint"))
