@@ -141,3 +141,46 @@ def test_exact_dedup_sees_every_clone(spark, sf2x_dir):
         .fetchone()[0]
     )
     assert row["n_groups"] == n_orig_groups
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-row invariance for the graph family (round-7 adjacency rewrites)
+# ---------------------------------------------------------------------------
+
+# Keys whose first stage is a distinct/set collapse over lineitem: cloning
+# every lineitem ROW VERBATIM (same orderkey — a duplicated fact feed, the
+# classic at-least-once ingestion artifact) must leave the result
+# IDENTICAL, because baskets collect to distinct part sets before any pair
+# or hop math. An accidental count-sensitive stage (e.g. swapping
+# collect_set for collect_list, or counting support off raw rows) breaks
+# equality here immediately.
+GRAPH_INVARIANT_KEYS = [
+    "ext_graph_bfs_reach",
+    "ext_graph_assortativity",
+    "ext_graph_link_predict",
+    "ext_seq_basket_pairs",
+]
+
+
+@pytest.fixture(scope="module")
+def li2x_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("li2x")
+    con = duckdb.connect()
+    src = f"{SRC}/lineitem.parquet"
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}') "
+        f"UNION ALL SELECT * FROM read_parquet('{src}')) "
+        f"TO '{d}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "events", "documents", "embeddings"]:
+        os.symlink(f"{SRC}/{t}.parquet", f"{d}/{t}.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", GRAPH_INVARIANT_KEYS)
+def test_graph_keys_invariant_under_duplicated_lineitem(spark, li2x_dir, name):
+    q = all_queries()[name]
+    base = {tuple(r) for r in q(spark, SRC).collect()}
+    doubled = {tuple(r) for r in q(spark, li2x_dir).collect()}
+    assert base == doubled, f"{name} is sensitive to duplicated fact rows"
