@@ -1500,8 +1500,13 @@ def ext_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     detector that catches REORDERED boilerplate MinHash's global
     signature dilutes away.
 
-    Scale shape: the winnowing window is per-document ROWS frame (state
-    O(w)); the fingerprint table is ~2/(w+1) of the gram table; the pair
+    Scale shape: gram hashing, the sliding window minima AND the
+    per-document fingerprint dedup all run IN-ROW (transform over the
+    token array, array_min over each W-slice of the bound hash array,
+    array_distinct), so the token stream is never exploded into a
+    doc-partitioned window shuffle and the (doc, fingerprint) distinct
+    never happens — the first shuffle in the plan is already the
+    fingerprint df aggregate at the ~2/(w+1) sampling rate; the pair
     join is an equi-join on the 8-byte fingerprint with the same
     stop-fingerprint df-cap as the Jaccard key (df > {WINNOW_MAXDF}
     excluded), bounding candidates at sum(min(df,cap)^2) — no all-pairs,
@@ -1512,34 +1517,34 @@ def ext_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     toks = tx.tokens(F.col("text"))
-    sized = spread(docs.select("doc_id", toks.alias("l"), F.size(toks).alias("n"))).filter(
-        F.col("n") >= WINNOW_K
+    # only docs with at least one FULL window of W k-gram hashes survive
+    # (the row-frame formulation dropped partial windows via wn == W)
+    sized = spread(
+        docs.select("doc_id", toks.alias("l"), F.size(toks).alias("n"))
+    ).filter(F.col("n") >= WINNOW_K + WINNOW_W - 1)
+    hvs = F.transform(
+        F.sequence(F.lit(1), F.col("n") - (WINNOW_K - 1)),
+        lambda pos: _spark_md5_32(
+            F.array_join(F.slice(F.col("l"), pos, WINNOW_K), " ")
+        ),
     )
-    grams = sized.withColumn(
-        "pos", F.explode(F.sequence(F.lit(1), F.col("n") - (WINNOW_K - 1)))
-    ).select(
-        "doc_id",
-        "pos",
-        _spark_md5_32(
-            F.array_join(F.slice(F.col("l"), F.col("pos"), WINNOW_K), " ")
-        ).alias("hv"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
-    )
-    wmin = grams.select(
-        "doc_id",
-        F.min("hv").over(w).alias("sel"),
-        F.count(F.lit(1)).over(w).alias("wn"),
+    # TWO projections on purpose: "hvs" must be a bound column before the
+    # window transform references it W times per element — CollapseProject
+    # keeps the boundary for non-cheap multiply-referenced expressions, so
+    # the gram-hash array evaluates once per document, not once per window
+    hashed = sized.select("doc_id", F.col("n"), hvs.alias("hvs"))
+    sels = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.col("n") - (WINNOW_K - 1) - (WINNOW_W - 1)
+            ),
+            lambda i: F.array_min(F.slice(F.col("hvs"), i, WINNOW_W)),
+        )
     )
     # fp feeds the df aggregate and BOTH self-join sides — checkpoint so
-    # the gram+window pipeline runs once, not per branch
+    # the in-row fingerprint pipeline runs once, not per branch
     fp = (
-        wmin.filter(F.col("wn") == WINNOW_W)
-        .select("doc_id", "sel")
-        .distinct()
+        hashed.select("doc_id", F.explode(sels).alias("sel"))
         .localCheckpoint(eager=False)
     )
     hot = (
