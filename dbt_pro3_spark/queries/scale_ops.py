@@ -3141,12 +3141,16 @@ def ext_text_dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the occurrence ranking is ONE window keyed by the
     16-byte gram hash (rank + count in the same pass); span coverage is a
-    bounded explode ({REMOVE_N} positions per removed occurrence) with a
-    distinct; the rewrite is a left-anti join on (doc, position) followed
-    by a per-doc re-assembly — everything O(corpus tokens), no all-pairs
-    step. A boilerplate gram shared by millions of docs makes one hot
-    window partition: AQE skew handling splits it, and the sort within is
-    by (doc_id, i) — bounded work per occurrence."""
+    bounded explode ({REMOVE_N} positions per removed occurrence) folded
+    straight into a per-doc removed-position SET (collect_set dedups —
+    no separate distinct); the rewrite then runs IN-ROW — one doc-keyed
+    join attaches the removed set and a filter-with-index lambda drops
+    those positions from the original token array — so the corpus token
+    stream is never posexploded through an anti join nor re-assembled
+    with a collect_list regroup. A boilerplate gram shared by millions
+    of docs makes one hot window partition: AQE skew handling splits it,
+    and the sort within is by (doc_id, i) — bounded work per
+    occurrence."""
     n = REMOVE_N
     docs = load(spark, sf_dir, "documents")
     toks = tx.tokens(F.col("text"))
@@ -3174,38 +3178,26 @@ def ext_text_dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wg.orderBy("doc_id", "i")).alias("rk"),
         F.count(F.lit(1)).over(wg).alias("c"),
     )
-    cover = (
+    rm = (
         occ.filter((F.col("c") >= 2) & (F.col("rk") >= 2))
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("p"),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("rm"))
     )
-    pos = sized.select(
-        "doc_id", F.posexplode("l").alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
-    kept = pos.join(cover, ["doc_id", "p"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
+    rme = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    return sized.join(rm, "doc_id", "left").select(
+        "doc_id", "n_tokens",
+        F.size(rme).cast("bigint").alias("n_removed"),
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                lambda s: s.tok,
+            F.filter(
+                F.col("l"),
+                lambda tok, idx: ~F.array_contains(rme, (idx + 1).cast("int")),
             ),
             " ",
         ).alias("clean_text"),
-        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-    )
-    return (
-        sized.drop("l")
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id", "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_removed"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        )
     )
 
 
