@@ -687,14 +687,17 @@ def prefix_filter_pairs(
     threshold is exactly 1 by construction, not empirically.
 
     Scale shape: the shingle incidence shuffles by doc exactly ONCE
-    (repartition; the per-doc dedup, the rarity window, and the per-doc
-    sorted-hash-array fold all run inside that partitioning — subset
-    clustering); the df table is a shingle-keyed aggregate over it; the
-    candidate join keys on rare-by-definition prefix shingles (bounded
-    fan-out); exact verify joins the (small) candidate pairs to the
-    per-doc hash arrays — the pair list broadcasts, so the incidence
-    never re-shuffles for verification — and counts the overlap with an
-    in-row array_intersect, no pair-keyed reduce at all.
+    (repartition; the per-doc dedup and ONE per-doc fold to a
+    rarity-sorted (df, shingle, hash) struct array run inside that
+    partitioning — subset clustering); the prefix selection is then an
+    in-row slice of that array (no per-doc row_number window at all)
+    and the verify-side sorted hash sets re-derive from the same array
+    in-row; the df table is a shingle-keyed aggregate broadcast back;
+    the candidate join keys on rare-by-definition prefix shingles
+    (bounded fan-out); exact verify joins the (small) candidate pairs
+    to the per-doc hash arrays — the pair list broadcasts, so the
+    incidence never re-shuffles for verification — and counts the
+    overlap with an in-row array_intersect, no pair-keyed reduce at all.
     All equality joins key on xxhash64(shingle) — 8 bytes instead of the
     shingle string (the ngram_jaccard trick; 2^-64 collision odds, and the
     oracle joining on the string gets the same equalities). Rarity ORDER
@@ -725,49 +728,43 @@ def prefix_filter_pairs(
         .select("doc", "shingle", F.xxhash64("shingle").alias("sh_h"))
         .localCheckpoint(eager=False)  # all run inside this partitioning
     )
-    dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
-    # per-doc sorted hash arrays: verify becomes an in-row intersection
-    docsets = (
-        sh.groupBy("doc")
-        .agg(
-            F.sort_array(F.collect_list("sh_h")).alias("hs"),
-            F.count(F.lit(1)).alias("sz"),
-        )
-        .localCheckpoint(eager=False)  # both sides of the verify join
-    )
-    # set size comes from a count window over the same doc partitioning the
-    # rank window needs anyway — one shuffle serves both, no sized join here.
     # dfreq is vocabulary-sized (distinct shingles), far smaller than the
-    # incidence table — broadcast it so the incidence rows shuffle only
-    # once (for the per-doc window), not twice. At a web-scale vocab that
-    # outgrows broadcast, this reverts to a shuffle join — same plan the
-    # unigram-xent key documents for its LM table.
-    ranked = (
+    # incidence table — broadcast it back onto the incidence. At a
+    # web-scale vocab that outgrows broadcast, this reverts to a shuffle
+    # join — same plan the unigram-xent key documents for its LM table.
+    dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+    # ONE per-doc fold to the rarity-sorted struct array: array_sort on
+    # struct(df, shingle, sh_h) compares fields in declaration order —
+    # exactly the window's ORDER BY df, shingle (hash never tiebreaks;
+    # (df, shingle) is already unique per doc). Rarity rank, set size,
+    # the prefix slice AND the verify-side sorted hash set all derive
+    # from this array in-row — the per-doc row_number/count windows and
+    # their full partition sort disappear.
+    packed = (
         sh.join(F.broadcast(dfreq), "sh_h")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc").orderBy("df", "shingle")
-            ),
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df", "shingle", "sh_h"))
+            ).alias("ss")
         )
-        .withColumn(
-            "sz",
-            F.count(F.lit(1)).over(
-                Window.partitionBy("doc").rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ),
-        )
+        .localCheckpoint(eager=False)  # feeds pref + both verify sides
     )
-    # pref feeds BOTH sides of the candidate self-join — checkpoint so the
-    # rarity window doesn't run twice
-    pref = (
-        ranked.filter(
-            F.col("rn") <= F.col("sz") - ceildiv(num * F.col("sz"), den) + 1
-        )
-        .select("doc", "sh_h", "rn", "sz")
-        .localCheckpoint(eager=False)
+    sz = F.size("ss").cast("bigint")
+    docsets = packed.select(
+        "doc",
+        F.array_sort(F.transform("ss", lambda s: s.sh_h)).alias("hs"),
+        sz.alias("sz"),
     )
+    # pref: posexplode of the in-row prefix slice (rn = position + 1)
+    plen = (sz - ceildiv(num * sz, den) + 1).cast("int")
+    pref = packed.select(
+        "doc",
+        sz.alias("sz"),
+        F.posexplode(
+            F.slice(F.transform("ss", lambda s: s.sh_h), 1, plen)
+        ).alias("rn0", "sh_h"),
+    ).select("doc", "sh_h", (F.col("rn0") + 1).cast("bigint").alias("rn"), "sz")
     # PPJoin's two extra candidate filters (both exact, recall-preserving):
     # - length: J >= t needs den*min(szA,szB) >= num*max(szA,szB);
     # - positional: J >= t needs common >= ceil(num*(szA+szB)/(num+den)),
