@@ -116,27 +116,30 @@ def _minhash_stages(
     r = num_perm // bands
     assert bands * r == num_perm, "num_perm must divide evenly into bands"
     coeffs = minhash_coeffs(num_perm)
-    # md5 + conv run post-explode in whole-stage codegen; the incidence
-    # table and the tiny signature table are each materialized once
-    # (persisted tables at warehouse scale)
-    sh = (
-        spread(df.select(F.col(id_col), F.col(text_col)))
-        .select(
-            F.col(id_col).alias("doc_id_"),
-            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-        )
-        .dropDuplicates(["doc_id_", "shingle"])
-        .select(
-            "doc_id_",
-            "shingle",
-            F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
-            .cast("bigint")
-            .alias("v"),
-        )
-        .localCheckpoint(eager=False)
+    # per-doc shingle DEDUP happens in-row (array_distinct on the shingle
+    # array before the explode), so the incidence never pays a
+    # (doc, shingle) distinct shuffle; md5 + conv still run post-explode
+    # in whole-stage codegen, and the ONE remaining corpus shuffle is the
+    # doc-keyed signature aggregate below
+    sh = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("doc_id_"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle"),
+    ).select(
+        "doc_id_",
+        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("v"),
+        # 8-byte equality surrogate for the exact verify (the
+        # prefix_filter trick: 2^-64 collision odds; the oracle joining
+        # on the string sees the same equalities)
+        F.xxhash64("shingle").alias("h64"),
     )
+    # the signature aggregate ALSO folds the per-doc sorted hash set, so
+    # the exact verify downstream is an in-row intersection instead of
+    # two incidence-sized joins plus a pair-keyed reduce
     sigs = sh.groupBy("doc_id_").agg(
         F.count(F.lit(1)).alias("n_sh"),
+        F.sort_array(F.collect_list("h64")).alias("hs"),
         *[
             F.min((F.col("v") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig{i}")
             for i, (a, b) in enumerate(coeffs)
@@ -166,13 +169,19 @@ def _minhash_stages(
         c = a.join(b, "bk").filter(cond).select("doc_a", "doc_b")
         cand = c if cand is None else cand.unionByName(c)
     cand = cand.dropDuplicates(["doc_a", "doc_b"])
-    sa = sh.select(F.col("doc_id_").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id_").alias("doc_b"), "shingle")
+    # exact verify: broadcast the (small) candidate pair list onto the
+    # per-doc sorted hash sets and intersect in-row
+    da = sigs.select(F.col("doc_id_").alias("doc_a"), F.col("hs").alias("hs_a"))
+    db = sigs.select(F.col("doc_id_").alias("doc_b"), F.col("hs").alias("hs_b"))
     common = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common_shingles"))
+        da.join(F.broadcast(cand), "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("hs_a", "hs_b"))
+            .cast("bigint")
+            .alias("common_shingles"),
+        )
     )
     return sigs, common
 
