@@ -476,9 +476,17 @@ def ngram_jaccard_pairs(
     # fingerprint table, written once per corpus snapshot.
     sh = (
         spread(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col).alias("doc_id_"), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .select(
+            F.col(id_col).alias("doc_id_"),
+            # per-doc dedup in-row (array_distinct on the shingle strings
+            # BEFORE the explode) — the (doc, hash) distinct shuffle the
+            # pre-r7 shape paid never happens; xxhash still runs after
+            # the explode so it stays in whole-stage codegen
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias(
+                "shingle"
+            ),
+        )
         .select("doc_id_", F.xxhash64("shingle").alias("sh_h"))
-        .dropDuplicates(["doc_id_", "sh_h"])
         .localCheckpoint(eager=False)
     )
     counts = sh.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -695,10 +703,10 @@ def prefix_filter_pairs(
     and, unlike the stop-shingle cap (ngram_jaccard_pairs), recall at the
     threshold is exactly 1 by construction, not empirically.
 
-    Scale shape: the shingle incidence shuffles by doc exactly ONCE
-    (repartition; the per-doc dedup and ONE per-doc fold to a
-    rarity-sorted (df, shingle, hash) struct array run inside that
-    partitioning — subset clustering); the prefix selection is then an
+    Scale shape: per-doc shingle dedup runs IN-ROW (array_distinct
+    before the explode), so the incidence shuffles by doc exactly ONCE —
+    the fold to a rarity-sorted (df, shingle, hash) struct array per
+    document; the prefix selection is then an
     in-row slice of that array (no per-doc row_number window at all)
     and the verify-side sorted hash sets re-derive from the same array
     in-row; the df table is a shingle-keyed aggregate broadcast back;
@@ -730,12 +738,14 @@ def prefix_filter_pairs(
     sh = (
         df.select(
             F.col(id_col).alias("doc"),
-            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+            # per-doc dedup in-row — no (doc, shingle) distinct shuffle;
+            # the packed fold below is the ONE doc-keyed shuffle
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias(
+                "shingle"
+            ),
         )
-        .repartition("doc")  # the ONE doc-keyed shuffle of the incidence:
-        .dropDuplicates(["doc", "shingle"])  # dedup, window and set fold
         .select("doc", "shingle", F.xxhash64("shingle").alias("sh_h"))
-        .localCheckpoint(eager=False)  # all run inside this partitioning
+        .localCheckpoint(eager=False)  # feeds dfreq AND the packed fold
     )
     # dfreq is vocabulary-sized (distinct shingles), far smaller than the
     # incidence table — broadcast it back onto the incidence. At a
