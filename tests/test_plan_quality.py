@@ -242,3 +242,37 @@ def test_session_attribution_single_user_sort(spark):
     exactly one shuffle of the events table (plus the final grid agg)."""
     p = plan_str(_QUERIES["ext_session_attribution"](spark, SF_DIR))
     assert p.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_prefix_filter_has_no_window(spark):
+    """Round-7 rewrite guard: PPJoin's rarity rank/prefix selection runs
+    in-row over the packed per-doc struct array — a Window node
+    re-appearing means the per-doc row_number sort crept back in."""
+    p = plan_str(_QUERIES["ext_dedup_prefix_filter"](spark, SF_DIR))
+    assert "Window" not in p, f"rank window back in PPJoin plan:\n{p[:2000]}"
+
+
+def test_winnowing_has_no_window(spark):
+    """Round-7 rewrite guard: winnowing's sliding minima are in-row
+    array ops; the doc-partitioned window shuffle must stay gone."""
+    p = plan_str(_QUERIES["ext_text_winnowing"](spark, SF_DIR))
+    assert "Window" not in p, f"window back in winnowing plan:\n{p[:2000]}"
+
+
+def test_dup_ngram_spans_has_no_expand(spark):
+    """Round-7 rewrite guard: both aggregates plan WITHOUT Expand — the
+    df>=2 test is min!=max and only one distinct column remains."""
+    p = plan_str(_QUERIES["ext_text_dup_ngram_spans"](spark, SF_DIR))
+    assert "Expand" not in p, f"Expand back in dup-span plan:\n{p[:2000]}"
+
+
+def test_rake_has_no_window_before_topk(spark):
+    """Round-7 rewrite guard: RAKE builds phrases in-row; the only
+    windows allowed are the two bounded top-k ranking windows."""
+    p = plan_str(_QUERIES["ext_text_rake"](spark, SF_DIR))
+    # formatted explain names each node once in the tree and once in the
+    # detail section — count detail headers "(id) Window"
+    import re
+
+    n_windows = len(re.findall(r"\(\d+\) Window(?!\w)", p))
+    assert n_windows <= 2, f"{n_windows} windows in RAKE plan:\n{p[:2000]}"
