@@ -27,15 +27,20 @@ _PAIR_EXPR = (
 )
 
 
-def order_part_pairs(li: DataFrame, count: bool = False) -> DataFrame:
-    """Per-order co-purchase pairs (u < v) from a lineitem frame.
+def basket_arrays(li: DataFrame) -> DataFrame:
+    """(l_orderkey, ps) with ps = sorted distinct part array per order —
+    the single upstream shuffle every graph-family primitive shares."""
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+
+
+def pairs_from_baskets(bas: DataFrame, count: bool = False) -> DataFrame:
+    """Co-purchase pairs (u < v) enumerated in-row from basket arrays.
 
     count=False -> DISTINCT edge list (u, v).
     count=True  -> (u, v, support) where support = number of orders
     containing both parts (the self-join + GROUP BY count twin)."""
-    bas = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
     pairs = bas.select(F.explode(F.expr(_PAIR_EXPR)).alias("p")).select(
         "p.u", "p.v"
     )
@@ -44,6 +49,15 @@ def order_part_pairs(li: DataFrame, count: bool = False) -> DataFrame:
             F.count(F.lit(1)).alias("support")
         )
     return pairs.distinct()
+
+
+def order_part_pairs(li: DataFrame, count: bool = False) -> DataFrame:
+    """Per-order co-purchase pairs (u < v) from a lineitem frame.
+
+    count=False -> DISTINCT edge list (u, v).
+    count=True  -> (u, v, support) where support = number of orders
+    containing both parts (the self-join + GROUP BY count twin)."""
+    return pairs_from_baskets(basket_arrays(li), count=count)
 
 
 def adjacency_sets(li: DataFrame) -> DataFrame:
@@ -60,9 +74,14 @@ def adjacency_sets(li: DataFrame) -> DataFrame:
     sharing an order (dozens), so the arrays stay small at any corpus
     size. Iterative consumers (BFS, k-core) join a small frontier
     against this, explode nbrs, and never re-shuffle the edge set."""
-    bas = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
+    return adjacency_from_baskets(basket_arrays(li))
+
+
+def adjacency_from_baskets(bas: DataFrame) -> DataFrame:
+    """adjacency_sets starting from an already-built basket-array frame
+    (same contract — see adjacency_sets) so a shared/persisted basket
+    build can feed the node-keyed collect without re-paying the
+    orderkey shuffle."""
     both = bas.select(F.explode(F.expr(_PAIR_EXPR)).alias("p")).select(
         F.explode(
             F.array(
@@ -74,3 +93,61 @@ def adjacency_sets(li: DataFrame) -> DataFrame:
     return both.select("e.node", "e.nbr").groupBy("node").agg(
         F.sort_array(F.collect_set("nbr")).alias("nbrs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared graph index — memoized per (applicationId, sf_dir)
+# ---------------------------------------------------------------------------
+# Nine registry keys (label_prop, item_cooccur_cosine, assoc_rules,
+# assortativity, kcore, link_predict, bfs_reach, modularity, basket_pairs)
+# derive from the IDENTICAL basket-array frame for a given corpus, and three
+# of them from the identical adjacency frame one reduce further downstream.
+# Re-paying the lineitem scan + orderkey shuffle per key is exactly the
+# pattern the embedding probe cache (queries/r4d_ops._probe_broadcasts)
+# already fixed for the ANN family: in production the co-purchase graph is a
+# materialized index built once per session/warehouse refresh and queried
+# many times, so the steady-state cost of a graph query starts AT the index,
+# not at the fact scan. Lifecycle mirrors the probe cache: at most ONE live
+# (bas, adj) pair per Spark application — a lookup miss first unpersists
+# every cached entry (other sf_dirs, dead sessions) before building anew, so
+# a long bench session never accumulates storage blocks.
+_GRAPH_CACHE: dict = {}
+
+
+def shared_baskets(spark, sf_dir: str, li_fn) -> DataFrame:
+    """Persisted basket-array frame for sf_dir's lineitem, memoized per
+    (applicationId, sf_dir). li_fn() must return the (l_orderkey,
+    l_partkey) projection; it is only called on a cache miss."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _GRAPH_CACHE.get(key)
+    if hit is None:
+        clear_graph_cache()
+        hit = {"bas": basket_arrays(li_fn()).persist()}
+        _GRAPH_CACHE[key] = hit
+    return hit["bas"]
+
+
+def shared_adjacency(spark, sf_dir: str, li_fn) -> DataFrame:
+    """Persisted adjacency frame derived from shared_baskets, memoized in
+    the same single-entry cache (building it never duplicates the basket
+    build)."""
+    bas = shared_baskets(spark, sf_dir, li_fn)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _GRAPH_CACHE[key]
+    if "adj" not in hit:
+        hit["adj"] = adjacency_from_baskets(bas).persist()
+    return hit["adj"]
+
+
+def clear_graph_cache() -> None:
+    """Unpersist and drop every cached graph frame. shared_baskets calls
+    this on every cache miss (single-entry eviction); long-lived sessions
+    done with the graph family can call it directly to release the
+    executor storage."""
+    for cached in _GRAPH_CACHE.values():
+        for df in cached.values():
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass  # session already stopped; nothing to free
+    _GRAPH_CACHE.clear()

@@ -469,13 +469,20 @@ def ext_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     round is ONE join keyed by node + one aggregate — Pregel's
     message-combine pattern expressed as DataFrame ops. Label state
     never leaves the cluster."""
-    from ..ext.graph import order_part_pairs
+    from ..ext.graph import pairs_from_baskets, shared_baskets
 
-    li = load(spark, sf_dir, "lineitem")
-    # basket-array pair enumeration (ext/graph.py) — one shuffle, no
-    # self-join; oracle keeps the self-join twin
+    # session-shared basket index (ext/graph.py:_GRAPH_CACHE); in-row
+    # pair enumeration — one shuffle, no self-join; oracle keeps the
+    # self-join twin
+    bas = shared_baskets(
+        spark,
+        sf_dir,
+        lambda: load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ),
+    )
     edges = (
-        order_part_pairs(li.select("l_orderkey", "l_partkey"), count=True)
+        pairs_from_baskets(bas, count=True)
         .filter(F.col("support") >= LP_MIN_SUPPORT)
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
     )
@@ -562,16 +569,25 @@ def ext_item_cooccur_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the ext_basket_pairs bound); degree join is two broadcast-sized
     lookups at test scale and stays an equi-join at any scale; top-k is a
     per-item window over >= {COS_MIN_PAIR}-support pairs only."""
-    from ..ext.graph import order_part_pairs
+    from ..ext.graph import pairs_from_baskets, shared_baskets
 
-    li = load(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    deg = op.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # session-shared basket index (ext/graph.py:_GRAPH_CACHE); the
+    # per-order part sets ARE distinct, so degrees explode straight off it
+    bas = shared_baskets(
+        spark,
+        sf_dir,
+        lambda: load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ),
+    )
+    deg = (
+        bas.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
     # basket-array pair enumeration (ext/graph.py); oracle keeps the join
     pairs = (
-        order_part_pairs(li.select("l_orderkey", "l_partkey"), count=True)
+        pairs_from_baskets(bas, count=True)
         .select(
             F.col("u").alias("pa"), F.col("v").alias("pb"),
             F.col("support").cast("bigint").alias("cab"),
@@ -935,17 +951,29 @@ def ext_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical bounds to ext_item_cooccur_cosine (per-basket
     pair explosion, {RULE_MIN_SUPPORT}+-support filter inside the
     aggregate); the basket count is a 1-row broadcast."""
-    from ..ext.graph import order_part_pairs
+    from ..ext.graph import pairs_from_baskets, shared_baskets
 
-    li = load(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct().localCheckpoint(eager=False)  # degrees + basket count
-    nb = op.agg(F.countDistinct("ok").cast("bigint").alias("n_baskets"))
-    deg = op.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # session-shared basket index (ext/graph.py:_GRAPH_CACHE); per-order
+    # part sets are distinct, so degrees and the basket count read
+    # straight off the persisted arrays — no separate distinct pass
+    bas = shared_baskets(
+        spark,
+        sf_dir,
+        lambda: load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ),
+    )
+    nb = bas.filter(F.size("ps") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets")
+    )
+    deg = (
+        bas.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
     # basket-array pair enumeration (ext/graph.py); oracle keeps the join
     pairs = (
-        order_part_pairs(li.select("l_orderkey", "l_partkey"), count=True)
+        pairs_from_baskets(bas, count=True)
         .select(
             F.col("u").alias("pa"), F.col("v").alias("pb"),
             F.col("support").cast("bigint").alias("cab"),

@@ -2437,10 +2437,16 @@ def ext_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single remaining join attaches the destination degree from the
     node-count-sized degree table (AQE broadcasts it at any SF where it
     fits, shuffle join beyond). No windows; output is one row."""
-    from ..ext.graph import adjacency_sets
+    from ..ext.graph import shared_adjacency
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    adj = adjacency_sets(li).localCheckpoint(eager=False)  # deg + edges
+    # session-shared persisted adjacency (ext/graph.py:_GRAPH_CACHE)
+    adj = shared_adjacency(
+        spark,
+        sf_dir,
+        lambda: load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ),
+    )  # deg + edges
     deg = adj.select(
         F.col("node").alias("nb"), F.size("nbrs").cast("bigint").alias("dy")
     )

@@ -1759,12 +1759,23 @@ def ext_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed so the plan stays linear in rounds, not
     exponential. Cited parity anchor: /root/reference/models (no
     graph ops in the reference; beyond-reference surface)."""
-    from ..ext.graph import order_part_pairs
+    from ..ext.graph import shared_adjacency
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # basket-array pair enumeration (ext/graph.py) — one shuffle, no
-    # self-join, ~3x faster edge build; oracle keeps the self-join twin
-    edges = order_part_pairs(li).localCheckpoint(eager=False)
+    # session-shared persisted adjacency (ext/graph.py:_GRAPH_CACHE);
+    # the (u < v) edge list is a NARROW explode of the sorted neighbor
+    # arrays — no basket shuffle, no pair distinct; oracle keeps the
+    # self-join twin
+    adj = shared_adjacency(
+        spark,
+        sf_dir,
+        lambda: load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ),
+    )
+    edges = adj.select(
+        F.col("node").alias("u"),
+        F.explode(F.filter("nbrs", lambda n: n > F.col("node"))).alias("v"),
+    ).localCheckpoint(eager=False)
     stats = []
     for r in range(1, KCORE_ROUNDS + 1):
         deg = (

@@ -263,10 +263,16 @@ def ext_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side), then TakeOrdered — no driver-side state. Cited parity
     anchor: /root/reference/models (no graph ops in the reference;
     beyond-reference surface)."""
-    from ..ext.graph import _PAIR_EXPR, adjacency_sets
+    from ..ext.graph import _PAIR_EXPR, shared_adjacency
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    adj = adjacency_sets(li).localCheckpoint(eager=False)  # 3 consumers
+    # session-shared persisted adjacency (ext/graph.py:_GRAPH_CACHE)
+    adj = shared_adjacency(
+        spark,
+        sf_dir,
+        lambda: load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ),
+    )  # 3 consumers
     cap = adj.select("node", F.slice("nbrs", 1, LP_MAXDEG).alias("ps"))
     deg = (
         cap.select(F.explode("ps").alias("node"))
@@ -801,10 +807,16 @@ def ext_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     they grow — AQE picks per hop. Cited parity anchor:
     /root/reference/models (no graph ops in the reference;
     beyond-reference surface)."""
-    from ..ext.graph import adjacency_sets
+    from ..ext.graph import shared_adjacency
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    adj = adjacency_sets(li).localCheckpoint(eager=False)  # reused every hop
+    # session-shared persisted adjacency (ext/graph.py:_GRAPH_CACHE)
+    adj = shared_adjacency(
+        spark,
+        sf_dir,
+        lambda: load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ),
+    )  # reused every hop
     frontier = (
         adj.filter(F.col("node") <= BFS_SEED_MAX)
         .select("node")
@@ -2479,11 +2491,18 @@ def ext_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and community-grid algebra; the global window runs over community
     rows, never the corpus. Cited parity anchor:
     /root/reference/models (beyond-reference surface)."""
-    from ..ext.graph import order_part_pairs
+    from ..ext.graph import pairs_from_baskets, shared_baskets
 
-    li = load(spark, sf_dir, "lineitem")
+    # session-shared basket index (ext/graph.py:_GRAPH_CACHE)
+    bas = shared_baskets(
+        spark,
+        sf_dir,
+        lambda: load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ),
+    )
     edges = (
-        order_part_pairs(li.select("l_orderkey", "l_partkey"), count=True)
+        pairs_from_baskets(bas, count=True)
         .filter(F.col("support") >= MOD_MIN_SUPPORT)
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .localCheckpoint(eager=False)  # feeds sym, m, internal-edge count

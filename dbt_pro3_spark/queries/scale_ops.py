@@ -3745,22 +3745,29 @@ def ext_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Item counts join back by part key (dimension-sized; AQE broadcasts
     when small); the order total rides a 1-row scalar broadcast. Support
     and lift divide identical exact integers in double on both engines."""
-    li = load(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct().localCheckpoint(eager=False)  # 4 consumers: n, cnt, both join sides
-    from ..ext.graph import order_part_pairs
+    from ..ext.graph import pairs_from_baskets, shared_baskets
 
-    n = items.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
-    cnt = items.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    # session-shared basket index (ext/graph.py:_GRAPH_CACHE); per-order
+    # part sets are distinct, so n_orders and per-item counts read
+    # straight off the persisted arrays
+    bas = shared_baskets(
+        spark,
+        sf_dir,
+        lambda: load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ),
+    )
+    n = bas.filter(F.size("ps") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    cnt = (
+        bas.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    )
     # basket-array pair enumeration (ext/graph.py); oracle keeps the join
     pairs = (
-        order_part_pairs(
-            items.select(
-                F.col("ok").alias("l_orderkey"), F.col("pk").alias("l_partkey")
-            ),
-            count=True,
-        )
+        pairs_from_baskets(bas, count=True)
         .select(
             F.col("u").alias("part_a"), F.col("v").alias("part_b"),
             F.col("support").cast("bigint").alias("n_ab"),
