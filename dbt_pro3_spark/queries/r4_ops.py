@@ -154,10 +154,38 @@ def _quantize_mat(m: DataFrame, units: int) -> DataFrame:
     )
 
 
+# Memoized (gram, v) per (applicationId, sf_dir) — ext_embed_pca_power,
+# ext_embed_pca_project and ext_embed_isotropy all start from the IDENTICAL
+# Gram matrix and dominant eigenvector for a given corpus, and the Gram
+# aggregate is the one corpus-sized stage in each. Same single-entry
+# lifecycle as the embedding probe cache (r4d_ops._PROBE_CACHE) and the
+# graph index (ext/graph.py:_GRAPH_CACHE): a miss evicts every cached
+# entry before building, so a session holds at most one live pair (the
+# frames are d^2=4096 and d=64 rows — negligible storage).
+_PCA_CACHE: dict = {}
+
+
+def clear_pca_cache() -> None:
+    """Unpersist and drop every cached (gram, v) pair."""
+    for cached in _PCA_CACHE.values():
+        for df in cached:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass  # session already stopped; nothing to free
+    _PCA_CACHE.clear()
+
+
 def _pca_eigvec(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(gram, v): the exact-integer Gram matrix (j, k, g) and the dominant
     eigenvector (dim, eigvec_unit) via quantized repeated squaring —
-    shared by ext_embed_pca_power and ext_embed_pca_project."""
+    shared by ext_embed_pca_power, ext_embed_pca_project and
+    ext_embed_isotropy, memoized per (applicationId, sf_dir)."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PCA_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    clear_pca_cache()
     emb = load(spark, sf_dir, "embeddings")
     # Outer product WITHOUT a self-join: quantize the array once, then a
     # double posexplode streams the n x d^2 product rows straight into the
@@ -176,7 +204,7 @@ def _pca_eigvec(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     gram = (
         pairs.groupBy("j", "k")
         .agg(F.sum(F.col("xj") * F.col("xk")).cast("bigint").alias("g"))
-        .localCheckpoint(eager=False)  # feeds m0 AND the caller's reuse
+        .persist()  # feeds m0, the callers' reuse, and the session cache
     )
     # The squaring chain operates on d^2 = 4096-row frames: coalesce to ONE
     # partition so each of the PCA_SQUARINGS joins+aggregates is a single
@@ -199,10 +227,13 @@ def _pca_eigvec(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         .select(F.col("j").alias("jstar"))
     )
     col = m.join(F.broadcast(jstar), m.k == F.col("jstar")).select("j", "g")
-    v = _quantize_mat(
-        col.withColumn("k", F.lit(0)), PCA_UNITS
-    ).select(F.col("j").alias("dim"), F.col("g").alias("eigvec_unit"))
-    return gram, v
+    v = (
+        _quantize_mat(col.withColumn("k", F.lit(0)), PCA_UNITS)
+        .select(F.col("j").alias("dim"), F.col("g").alias("eigvec_unit"))
+        .persist()
+    )
+    _PCA_CACHE[cache_key] = (gram, v)
+    return _PCA_CACHE[cache_key]
 
 
 @register("ext_embed_pca_power", _pca_oracle())
