@@ -93,6 +93,66 @@ def _assign_cells(df: DataFrame, centroids: list[list[float]], vec_col: str) -> 
     return df.withColumn("cell", cell)
 
 
+# ---------------------------------------------------------------------------
+# Shared IVF index — memoized per (applicationId, sf_dir)
+# ---------------------------------------------------------------------------
+# ext_ann_ivf, ext_ann_pq and ext_dedup_semantic all start from the SAME
+# md5-medoid seed set for a given corpus, and the first and last also from
+# the same cell-assigned corpus. An IVF index is built once and stored in
+# production (FAISS trains + assigns, then every query searches the stored
+# index), so the steady-state cost of a search starts AT the index. Same
+# single-entry lifecycle as the probe / graph / PCA caches: at most one
+# live (sf_dir) entry per application, miss evicts all.
+_IVF_CACHE: dict = {}
+
+
+def clear_ivf_cache() -> None:
+    """Unpersist cached cell-index frames and drop every cache entry."""
+    for cached in _IVF_CACHE.values():
+        cells = cached.get("cells")
+        if cells is not None:
+            try:
+                cells.unpersist(blocking=False)
+            except Exception:
+                pass  # session already stopped; nothing to free
+    _IVF_CACHE.clear()
+
+
+def _cache_slot(spark, sf_dir: str) -> dict:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    slot = _IVF_CACHE.get(key)
+    if slot is None:
+        clear_ivf_cache()
+        slot = {}
+        _IVF_CACHE[key] = slot
+    return slot
+
+
+def shared_medoid_seeds(spark, sf_dir: str, emb_fn, k: int = 16) -> list[list[float]]:
+    """medoid_seeds for sf_dir's embeddings, memoized per (applicationId,
+    sf_dir): one bounded k-row collect per session instead of per key.
+    emb_fn() must return the embeddings frame; only called on a miss."""
+    slot = _cache_slot(spark, sf_dir)
+    if "seeds" not in slot:
+        slot["seeds"] = medoid_seeds(emb_fn(), k=k)
+    return slot["seeds"]
+
+
+def shared_cell_index(spark, sf_dir: str, emb_fn, k: int = 16):
+    """(centroids, cells): the shared medoid centroids plus the PERSISTED
+    cell-assigned corpus (vec_id, _v, _norm, cell) — the materialized IVF
+    index both ext_ann_ivf and ext_dedup_semantic search."""
+    slot = _cache_slot(spark, sf_dir)
+    cents = shared_medoid_seeds(spark, sf_dir, emb_fn, k=k)
+    if "cells" not in slot:
+        slot["cells"] = (
+            _assign_cells(with_norm(emb_fn()), cents, "_v")
+            .select("vec_id", "_v", "_norm", "cell")
+            .persist()
+        )
+    return cents, slot["cells"]
+
+
 def topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -102,13 +162,20 @@ def topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Search only the ``nprobe`` nearest cells per query.
 
     Output matches topk_bruteforce's shape: (query_id, vec_id, cosine, rk).
-    """
-    c = _assign_cells(with_norm(corpus, vec_col), centroids, "_v").select(
-        id_col, "_v", "_norm", "cell"
+    Pass ``corpus_cells`` (an (id, _v, _norm, cell) frame, e.g. from
+    shared_cell_index) to search a pre-built index instead of assigning
+    the corpus in-plan."""
+    c = (
+        corpus_cells
+        if corpus_cells is not None
+        else _assign_cells(with_norm(corpus, vec_col), centroids, "_v").select(
+            id_col, "_v", "_norm", "cell"
+        )
     )
     qn = with_norm(queries, vec_col)
     dists = F.array(*[_dist2_to(F.col("_v"), cen) for cen in centroids])

@@ -33,13 +33,17 @@ def medoid_codebooks(
     m: int = 8,
     ks: int = 16,
     id_col: str = "vec_id",
+    seeds: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace medoid codebooks: codebook j holds the j-th subvectors
     of the ks corpus rows with the smallest md5(id) (ivf.medoid_seeds) —
-    deterministic, SQL-reproducible, one bounded ks-row collect."""
+    deterministic, SQL-reproducible, one bounded ks-row collect. Pass
+    ``seeds`` (e.g. ivf.shared_medoid_seeds) to reuse an already-collected
+    seed set."""
     from .ivf import medoid_seeds
 
-    seeds = medoid_seeds(df, k=ks, id_col=id_col, vec_col=vec_col)
+    if seeds is None:
+        seeds = medoid_seeds(df, k=ks, id_col=id_col, vec_col=vec_col)
     dim = len(seeds[0])
     assert dim % m == 0, f"dim {dim} must divide into {m} subspaces"
     sub = dim // m

@@ -1110,14 +1110,15 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully oracle-checkable despite being approximate: medoid centroids
     are exact data values selected by md5(vec_id), so the DuckDB oracle
     re-derives the identical quantizer (_ivf_oracle_sql)."""
-    from ..ext.ivf import medoid_seeds, topk_ivf
+    from ..ext.ivf import shared_cell_index, topk_ivf
 
     emb = load(spark, sf_dir, "embeddings")
-    cents = medoid_seeds(emb, k=16)
+    # session-shared materialized IVF index (ext/ivf.py:_IVF_CACHE)
+    cents, cells = shared_cell_index(spark, sf_dir, lambda: load(spark, sf_dir, "embeddings"), k=16)
     queries = emb.filter(F.col("vec_id") < 10)
-    return topk_ivf(queries, emb, cents, k=5, nprobe=2).select(
-        "query_id", "vec_id", "cosine", "rk"
-    )
+    return topk_ivf(
+        queries, emb, cents, k=5, nprobe=2, corpus_cells=cells
+    ).select("query_id", "vec_id", "cosine", "rk")
 
 
 @register(
@@ -2213,13 +2214,12 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sequential greedy MIS and buys little for dedup. The guarantee
     tests/test_semantic_dedup.py asserts exactly: every dropped vector
     has SOME smaller-id neighbor at >= threshold (kept or dropped)."""
-    from ..ext.ivf import _assign_cells, medoid_seeds
-    from ..ext.similarity import cosine, with_norm
+    from ..ext.ivf import shared_cell_index
+    from ..ext.similarity import cosine
 
-    emb = load(spark, sf_dir, "embeddings")
-    cents = medoid_seeds(emb, k=16)
-    e = _assign_cells(with_norm(emb), cents, "embedding").select(
-        "vec_id", "cell", "_v", "_norm"
+    # session-shared materialized IVF index (ext/ivf.py:_IVF_CACHE)
+    _, e = shared_cell_index(
+        spark, sf_dir, lambda: load(spark, sf_dir, "embeddings"), k=16
     )
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("cell"),

@@ -836,8 +836,15 @@ def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals — the corpus scan reads codes, never re-shuffles."""
     from ..ext import pq as pqm
 
+    from ..ext.ivf import shared_medoid_seeds
+
     emb = load(spark, sf_dir, "embeddings")
-    books = pqm.medoid_codebooks(emb, "embedding", m=8, ks=16)
+    # session-shared medoid seed set (ext/ivf.py:_IVF_CACHE) — the same
+    # 16-row collect ext_ann_ivf / ext_dedup_semantic key their cells on
+    seeds = shared_medoid_seeds(
+        spark, sf_dir, lambda: load(spark, sf_dir, "embeddings"), k=16
+    )
+    books = pqm.medoid_codebooks(emb, "embedding", m=8, ks=16, seeds=seeds)
     coded = pqm.encode(emb, books, "embedding")
     # Stage the decoded vectors: without this, Catalyst inlines the whole
     # encode->decode expression tree (128 subspace-distance folds + the
