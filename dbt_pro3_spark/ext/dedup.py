@@ -718,7 +718,11 @@ def prefix_filter_pairs(
     All equality joins key on xxhash64(shingle) — 8 bytes instead of the
     shingle string (the ngram_jaccard trick; 2^-64 collision odds, and the
     oracle joining on the string gets the same equalities). Rarity ORDER
-    ties break on the string itself so prefix selection is reproducible.
+    ties break on the hash too (a total order per doc), so the string
+    never rides a shuffle at all; the oracle tiebreaks on the string —
+    a DIFFERENT but equally consistent global order, and the verified
+    output is provably identical under any consistent order (see the
+    packed-fold comment).
 
     All threshold arithmetic is EXACT integer rationals (threshold ->
     num/den via Fraction): Spark's binary double 0.8 and DuckDB's decimal
@@ -744,7 +748,10 @@ def prefix_filter_pairs(
                 "shingle"
             ),
         )
-        .select("doc", "shingle", F.xxhash64("shingle").alias("sh_h"))
+        # the string itself never leaves this projection: every downstream
+        # equality AND the rarity tiebreak run on the 8-byte hash, so the
+        # checkpoint and both shuffles carry (doc, sh_h) only
+        .select("doc", F.xxhash64("shingle").alias("sh_h"))
         .localCheckpoint(eager=False)  # feeds dfreq AND the packed fold
     )
     # dfreq is vocabulary-sized (distinct shingles), far smaller than the
@@ -753,19 +760,22 @@ def prefix_filter_pairs(
     # join — same plan the unigram-xent key documents for its LM table.
     dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
     # ONE per-doc fold to the rarity-sorted struct array: array_sort on
-    # struct(df, shingle, sh_h) compares fields in declaration order —
-    # exactly the window's ORDER BY df, shingle (hash never tiebreaks;
-    # (df, shingle) is already unique per doc). Rarity rank, set size,
-    # the prefix slice AND the verify-side sorted hash set all derive
-    # from this array in-row — the per-doc row_number/count windows and
-    # their full partition sort disappear.
+    # struct(df, sh_h) compares fields in declaration order — ORDER BY
+    # df with the 64-bit hash as the tiebreak ((df, sh_h) is unique per
+    # doc). The hash order DIFFERS from the oracle's string tiebreak,
+    # which is fine by construction: the pigeonhole recall guarantee
+    # holds for ANY global rarity order applied consistently to both
+    # sides, each engine's candidate set therefore contains every
+    # qualifying pair, and the exact verify makes the FINAL pair set
+    # independent of which consistent order selected the prefixes.
+    # Rarity rank, set size, the prefix slice AND the verify-side sorted
+    # hash set all derive from this array in-row — the per-doc
+    # row_number/count windows and their full partition sort disappear.
     packed = (
         sh.join(F.broadcast(dfreq), "sh_h")
         .groupBy("doc")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct("df", "shingle", "sh_h"))
-            ).alias("ss")
+            F.array_sort(F.collect_list(F.struct("df", "sh_h"))).alias("ss")
         )
         .localCheckpoint(eager=False)  # feeds pref + both verify sides
     )
