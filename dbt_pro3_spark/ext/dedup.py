@@ -188,6 +188,49 @@ def _minhash_stages(
 
 
 
+def exact_common_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, common, n_a, n_b) for every pair sharing >= 1
+    shingle — the sample-confined exact-truth stage shared by the dedup
+    audit keys (recall audit, S-curve). Meant for BOUNDED samples only:
+    the shingle self-join is quadratic in per-shingle document frequency
+    by design (it is the ground truth the banded plans are graded
+    against), so the caller confines it to a hash sample.
+
+    Shape discipline: per-doc shingle dedup runs in-row (array_distinct
+    before the explode — no (doc, shingle) distinct shuffle), and every
+    join keys on xxhash64(shingle), so the strings never leave the first
+    projection (the ngram_jaccard convention; the oracle joins on the
+    string and gets the same equalities)."""
+    sh = (
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col).alias("doc_id_"),
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias(
+                "shingle"
+            ),
+        )
+        .select("doc_id_", F.xxhash64("shingle").alias("sh_h"))
+        .localCheckpoint(eager=False)  # 3 consumers: sizes + both pair sides
+    )
+    sizes = sh.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id_").alias("doc_a"), "sh_h")
+    b = sh.select(F.col("doc_id_").alias("doc_b"), "sh_h")
+    tp = (
+        a.join(b, "sh_h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id_").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id_").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return tp.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+
+
 def minhash_banded_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -4367,26 +4367,10 @@ def ext_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spark_md5_32(F.col("doc_id").cast("string")) % RECALL_MOD < RECALL_KEEP
     )
     sample = docs.join(F.broadcast(samp_ids), "doc_id", "left_semi")
-    sh = (
-        ded.spread(sample.select("doc_id", "text"))
-        .select("doc_id", F.explode(ded.shingles(F.col("text"), 3)).alias("shingle"))
-        .dropDuplicates(["doc_id", "shingle"])
-        .localCheckpoint(eager=False)  # 3 consumers: sizes + both pair sides
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    tp = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # sample-confined exact ground truth (ext/dedup.py:exact_common_pairs —
+    # in-row shingle dedup, hash-keyed joins, strings never shuffled)
     truth = (
-        tp.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        ded.exact_common_pairs(sample, "doc_id", "text", n=3)
         .filter(
             F.round(
                 F.col("common") * 1.0
@@ -4616,37 +4600,18 @@ def ext_dedup_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spark_md5_32(F.col("doc_id").cast("string")) % RECALL_MOD < RECALL_KEEP
     )
     sample = docs.join(F.broadcast(samp_ids), "doc_id", "left_semi")
-    sh = (
-        ded.spread(sample.select("doc_id", "text"))
-        .select("doc_id", F.explode(ded.shingles(F.col("text"), 3)).alias("shingle"))
-        .dropDuplicates(["doc_id", "shingle"])
-        .localCheckpoint(eager=False)  # 3 consumers: sizes + both pair sides
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    tp = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    truth = (
-        tp.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.floor(
-                F.round(
-                    F.col("common") * 1.0
-                    / (F.col("n_a") + F.col("n_b") - F.col("common")),
-                    6,
-                )
-                * 10
-            ).cast("int").alias("decile"),
-        )
+    # sample-confined exact ground truth (ext/dedup.py:exact_common_pairs —
+    # in-row shingle dedup, hash-keyed joins, strings never shuffled)
+    truth = ded.exact_common_pairs(sample, "doc_id", "text", n=3).select(
+        "doc_a", "doc_b",
+        F.floor(
+            F.round(
+                F.col("common") * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                6,
+            )
+            * 10
+        ).cast("int").alias("decile"),
     )
     # banding candidacy is PAIRWISE (per-doc signatures, shared band
     # buckets), so banding the sample directly equals banding the corpus
