@@ -1689,15 +1689,15 @@ def ext_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").isNotNull()
         ).distinct()
         parent = load(spark, sf_dir, pt).select(F.col(pc).alias("v")).distinct()
+        # one left join + one aggregate per candidate: the child distinct
+        # is scanned once, and both counts (total + parent-matched) fold
+        # in the same pass — the semi-join/crossJoin pair this replaced
+        # re-derived the child distinct for each count
         probe = (
-            child.join(parent, "v", "left_semi")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_contained"))
-            .crossJoin(
-                F.broadcast(
-                    child.agg(
-                        F.count(F.lit(1)).cast("bigint").alias("n_child_distinct")
-                    )
-                )
+            child.join(parent.withColumn("_hit", F.lit(1)), "v", "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_child_distinct"),
+                F.count("_hit").cast("bigint").alias("n_contained"),
             )
             .select(
                 F.lit(f"{ct}.{cc}").alias("child"),
