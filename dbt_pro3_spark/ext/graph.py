@@ -18,6 +18,8 @@ the algorithms differ, the edge set is hash-identical.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -111,32 +113,42 @@ def adjacency_from_baskets(bas: DataFrame) -> DataFrame:
 # (bas, adj) pair per Spark application — a lookup miss first unpersists
 # every cached entry (other sf_dirs, dead sessions) before building anew, so
 # a long bench session never accumulates storage blocks.
+#
+# Assumptions (shared with the probe / PCA / IVF caches): (1) the parquet
+# files under sf_dir are IMMUTABLE for the application's lifetime — the key
+# carries no data fingerprint, so an in-place rewrite would serve a stale
+# index; (2) callers are a single driver thread — _GRAPH_LOCK serializes
+# the miss path so two concurrent first calls can't both build and orphan
+# one persisted frame.
 _GRAPH_CACHE: dict = {}
+_GRAPH_LOCK = threading.RLock()
 
 
 def shared_baskets(spark, sf_dir: str, li_fn) -> DataFrame:
     """Persisted basket-array frame for sf_dir's lineitem, memoized per
     (applicationId, sf_dir). li_fn() must return the (l_orderkey,
     l_partkey) projection; it is only called on a cache miss."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _GRAPH_CACHE.get(key)
-    if hit is None:
-        clear_graph_cache()
-        hit = {"bas": basket_arrays(li_fn()).persist()}
-        _GRAPH_CACHE[key] = hit
-    return hit["bas"]
+    with _GRAPH_LOCK:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        hit = _GRAPH_CACHE.get(key)
+        if hit is None:
+            clear_graph_cache()
+            hit = {"bas": basket_arrays(li_fn()).persist()}
+            _GRAPH_CACHE[key] = hit
+        return hit["bas"]
 
 
 def shared_adjacency(spark, sf_dir: str, li_fn) -> DataFrame:
     """Persisted adjacency frame derived from shared_baskets, memoized in
     the same single-entry cache (building it never duplicates the basket
     build)."""
-    bas = shared_baskets(spark, sf_dir, li_fn)
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _GRAPH_CACHE[key]
-    if "adj" not in hit:
-        hit["adj"] = adjacency_from_baskets(bas).persist()
-    return hit["adj"]
+    with _GRAPH_LOCK:
+        bas = shared_baskets(spark, sf_dir, li_fn)
+        key = (spark.sparkContext.applicationId, sf_dir)
+        hit = _GRAPH_CACHE[key]
+        if "adj" not in hit:
+            hit["adj"] = adjacency_from_baskets(bas).persist()
+        return hit["adj"]
 
 
 def clear_graph_cache() -> None:
@@ -144,10 +156,11 @@ def clear_graph_cache() -> None:
     this on every cache miss (single-entry eviction); long-lived sessions
     done with the graph family can call it directly to release the
     executor storage."""
-    for cached in _GRAPH_CACHE.values():
-        for df in cached.values():
-            try:
-                df.unpersist(blocking=False)
-            except Exception:
-                pass  # session already stopped; nothing to free
-    _GRAPH_CACHE.clear()
+    with _GRAPH_LOCK:
+        for cached in _GRAPH_CACHE.values():
+            for df in cached.values():
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass  # session already stopped; nothing to free
+        _GRAPH_CACHE.clear()

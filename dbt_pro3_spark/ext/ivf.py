@@ -17,6 +17,8 @@ nprobe > 1 trades cost for recall by scanning several nearest cells.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -102,24 +104,37 @@ def _assign_cells(df: DataFrame, centroids: list[list[float]], vec_col: str) -> 
 # production (FAISS trains + assigns, then every query searches the stored
 # index), so the steady-state cost of a search starts AT the index. Same
 # single-entry lifecycle as the probe / graph / PCA caches: at most one
-# live (sf_dir) entry per application, miss evicts all.
+# live (sf_dir, k) entry per application, miss evicts all.
+#
+# Assumptions (shared by the probe / graph / PCA caches): (1) the parquet
+# files under sf_dir are IMMUTABLE for the application's lifetime — the key
+# carries no data fingerprint, so an in-place rewrite would serve a stale
+# index; (2) calls come from a single driver thread (the bench/driver
+# shape) — _IVF_LOCK serializes the miss path so concurrent first calls
+# can't double-build and leak a persisted frame, but the coarse
+# build-under-lock is tuned for that single-threaded reality, not for
+# throughput under contention.
 _IVF_CACHE: dict = {}
+_IVF_LOCK = threading.RLock()
 
 
 def clear_ivf_cache() -> None:
     """Unpersist cached cell-index frames and drop every cache entry."""
-    for cached in _IVF_CACHE.values():
-        cells = cached.get("cells")
-        if cells is not None:
-            try:
-                cells.unpersist(blocking=False)
-            except Exception:
-                pass  # session already stopped; nothing to free
-    _IVF_CACHE.clear()
+    with _IVF_LOCK:
+        for cached in _IVF_CACHE.values():
+            cells = cached.get("cells")
+            if cells is not None:
+                try:
+                    cells.unpersist(blocking=False)
+                except Exception:
+                    pass  # session already stopped; nothing to free
+        _IVF_CACHE.clear()
 
 
-def _cache_slot(spark, sf_dir: str) -> dict:
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _cache_slot(spark, sf_dir: str, k: int) -> dict:
+    # k is part of the key: a k=16 build must never answer a k=32 request
+    # with 16 seeds (latent until a second k appears, but silent then).
+    key = (spark.sparkContext.applicationId, sf_dir, k)
     slot = _IVF_CACHE.get(key)
     if slot is None:
         clear_ivf_cache()
@@ -130,27 +145,36 @@ def _cache_slot(spark, sf_dir: str) -> dict:
 
 def shared_medoid_seeds(spark, sf_dir: str, emb_fn, k: int = 16) -> list[list[float]]:
     """medoid_seeds for sf_dir's embeddings, memoized per (applicationId,
-    sf_dir): one bounded k-row collect per session instead of per key.
+    sf_dir, k): one bounded k-row collect per session instead of per key.
     emb_fn() must return the embeddings frame; only called on a miss."""
-    slot = _cache_slot(spark, sf_dir)
-    if "seeds" not in slot:
-        slot["seeds"] = medoid_seeds(emb_fn(), k=k)
-    return slot["seeds"]
+    with _IVF_LOCK:
+        slot = _cache_slot(spark, sf_dir, k)
+        if "seeds" not in slot:
+            slot["seeds"] = medoid_seeds(emb_fn(), k=k)
+        seeds = slot["seeds"]
+        assert len(seeds) <= k, f"cache slot holds {len(seeds)} seeds for k={k}"
+        return seeds
 
 
 def shared_cell_index(spark, sf_dir: str, emb_fn, k: int = 16):
     """(centroids, cells): the shared medoid centroids plus the PERSISTED
     cell-assigned corpus (vec_id, _v, _norm, cell) — the materialized IVF
-    index both ext_ann_ivf and ext_dedup_semantic search."""
-    slot = _cache_slot(spark, sf_dir)
-    cents = shared_medoid_seeds(spark, sf_dir, emb_fn, k=k)
-    if "cells" not in slot:
-        slot["cells"] = (
-            _assign_cells(with_norm(emb_fn()), cents, "_v")
-            .select("vec_id", "_v", "_norm", "cell")
-            .persist()
-        )
-    return cents, slot["cells"]
+    index both ext_ann_ivf and ext_dedup_semantic search. The returned
+    cells frame is stamped with the centroid set that assigned it
+    (_ivf_centroids attribute) so topk_ivf can reject a mismatched
+    (centroids, corpus_cells) pair."""
+    with _IVF_LOCK:
+        slot = _cache_slot(spark, sf_dir, k)
+        cents = shared_medoid_seeds(spark, sf_dir, emb_fn, k=k)
+        if "cells" not in slot:
+            cells = (
+                _assign_cells(with_norm(emb_fn()), cents, "_v")
+                .select("vec_id", "_v", "_norm", "cell")
+                .persist()
+            )
+            cells._ivf_centroids = cents
+            slot["cells"] = cells
+        return cents, slot["cells"]
 
 
 def topk_ivf(
@@ -169,14 +193,25 @@ def topk_ivf(
     Output matches topk_bruteforce's shape: (query_id, vec_id, cosine, rk).
     Pass ``corpus_cells`` (an (id, _v, _norm, cell) frame, e.g. from
     shared_cell_index) to search a pre-built index instead of assigning
-    the corpus in-plan."""
-    c = (
-        corpus_cells
-        if corpus_cells is not None
-        else _assign_cells(with_norm(corpus, vec_col), centroids, "_v").select(
+    the corpus in-plan; ``corpus``/``vec_col`` are then ignored, and the
+    cells MUST have been assigned with the same ``centroids`` — probing
+    cells built from a different quantizer silently returns wrong
+    neighbors. Frames from shared_cell_index carry the assigning centroid
+    set as a stamp, which is verified here; hand-built frames are the
+    caller's contract."""
+    if corpus_cells is not None:
+        stamp = getattr(corpus_cells, "_ivf_centroids", None)
+        if stamp is not None and stamp != centroids:
+            raise ValueError(
+                "topk_ivf: corpus_cells was assigned with a different "
+                f"centroid set ({len(stamp)} centroids) than the one passed "
+                f"({len(centroids)}); probe cells and quantizer must match"
+            )
+        c = corpus_cells
+    else:
+        c = _assign_cells(with_norm(corpus, vec_col), centroids, "_v").select(
             id_col, "_v", "_norm", "cell"
         )
-    )
     qn = with_norm(queries, vec_col)
     dists = F.array(*[_dist2_to(F.col("_v"), cen) for cen in centroids])
     # nprobe nearest cells: sort (dist, idx) pairs structurally

@@ -210,29 +210,13 @@ _PRIORITY_TAIL = [
 # order, followed by _PRIORITY_TAIL, followed by the rest.
 _CORE_MODULES_LAST_KEY = "audit_rowcount_log"
 
-# Round-5 re-sample targets: keys whose round-4 defect was fixed this round
-# and must land a driver-green CORRECTNESS row before anything else.
-# ext_text_pack: oracle's HUGEINT cum_before now cast to BIGINT;
-# q_priority_shipping / ext_jonckheere_trend: same latent HUGEINT-output
-# class, cast pre-emptively; pipeline_medallion: upgraded from rows-only to
-# a SQL-expressible per-layer summary oracle.
-_R5_RESAMPLE = [
-    # Round-7 re-sample targets: the ANN triad gained full DuckDB oracles
-    # this round (deterministic dual-engine LSH hyperplanes / medoid
-    # quantizers — see extensions.py:_lsh_oracle_sql, _ivf_oracle_sql,
-    # scale_ops.py:_pq_oracle_sql), upgrading them from their r03
-    # rows-only/no_oracle records to hash-checkable; they must lead the
-    # window to land green CORRECTNESS rows. CORRECTNESS_r06 itself was
-    # 50/50 hash-green, so no defect re-samples.
-    "ext_ann_lsh",
-    "ext_ann_ivf",
-    "ext_ann_pq",
-    # ext_dedup_semantic upgraded rows-only -> oracled the same way (shares
-    # the md5-medoid quantizer); never driver-sampled, lead it too.
-    "ext_dedup_semantic",
-    # ext_incremental_delete: new this round (merge_delete lane).
-    "ext_incremental_delete",
-]
+# Re-sample targets: keys whose defect was fixed (or whose oracle was
+# upgraded) in the current round and must land a driver-green CORRECTNESS
+# row before anything else. Round 8: CORRECTNESS_r07 was 50/50 hash-green
+# (including the upgraded ANN triad and ext_dedup_semantic), so there are
+# no defect or upgrade re-samples — the whole window goes to the
+# never-sampled tail.
+_R5_RESAMPLE: list[str] = []
 
 # Keys the driver's bounded CORRECTNESS window has already verified green in
 # rounds 1-3 (union of CORRECTNESS_r01/r02/r03 key sets). The driver samples
@@ -247,6 +231,27 @@ _R5_RESAMPLE = [
 # with the rest; the ANN triad re-entered the window in round 7 when it
 # gained real oracles (_R5_RESAMPLE).
 _DRIVER_VERIFIED = {
+    # r07 window (CORRECTNESS_r07.json — 50/50 hash-green, including the
+    # oracle-upgraded ANN triad and ext_dedup_semantic, plus the new
+    # ext_incremental_delete)
+    "ext_ann_lsh", "ext_ann_ivf", "ext_ann_pq", "ext_dedup_semantic",
+    "ext_incremental_delete", "ext_sketch_kmv_setops", "ext_bizday_lag",
+    "ext_nb_langid", "ext_seq_basket_pairs", "ext_simpson_screen",
+    "ext_graph_modularity", "ext_forecast_reconcile", "ext_ab_srm_check",
+    "ext_metric_cuped", "ext_sketch_ams_f2", "ext_eval_auc",
+    "ext_fd_discovery", "ext_ab_power_analysis", "ext_cogroup_reconcile",
+    "ext_lsh_bucket_stats", "ext_table_fingerprint", "ext_dow_quantile_bands",
+    "ext_class_centroid_sim", "ext_ts_durbin_watson",
+    "ext_markov_entropy_rate", "ext_overdispersion_check",
+    "ext_udtf_installments", "ext_safety_stock", "ext_eb_shrinkage",
+    "ext_arrow_length_hist", "ext_recency_weighted_ltv",
+    "ext_tail_index_hill", "ext_conformal_interval", "ext_spectral_period",
+    "ext_spc_rules", "ext_ipf_raking", "ext_join_size_estimate",
+    "ext_part_vintage_revenue", "ext_design_effect", "ext_lof_outliers",
+    "ext_rank_biased_overlap", "ext_bcg_matrix", "ext_price_indices",
+    "ext_hurst_exponent", "ext_adstock_transform", "ext_sprt_sequential",
+    "ext_pacf", "ext_brand_customer_overlap", "ext_cohens_kappa",
+    "ext_mcnemar_test",
     # r06 window (CORRECTNESS_r06.json — 50/50 hash-green, including the two
     # r05 re-sample targets pipeline_medallion and ext_tokenizer_fertility)
     "ext_anova_quantity", "ext_attr_shapley", "ext_backlog_aging",

@@ -48,6 +48,7 @@ New named patterns this module demonstrates:
 from __future__ import annotations
 
 import math
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -162,18 +163,25 @@ def _quantize_mat(m: DataFrame, units: int) -> DataFrame:
 # graph index (ext/graph.py:_GRAPH_CACHE): a miss evicts every cached
 # entry before building, so a session holds at most one live pair (the
 # frames are d^2=4096 and d=64 rows — negligible storage).
+# Assumptions (shared with the probe / graph / IVF caches): sf_dir parquet
+# is immutable for the application's lifetime (no data fingerprint in the
+# key), and callers are a single driver thread (_PCA_LOCK serializes the
+# miss path so concurrent first calls can't double-build and orphan a
+# persisted frame).
 _PCA_CACHE: dict = {}
+_PCA_LOCK = threading.RLock()
 
 
 def clear_pca_cache() -> None:
     """Unpersist and drop every cached (gram, v) pair."""
-    for cached in _PCA_CACHE.values():
-        for df in cached:
-            try:
-                df.unpersist(blocking=False)
-            except Exception:
-                pass  # session already stopped; nothing to free
-    _PCA_CACHE.clear()
+    with _PCA_LOCK:
+        for cached in _PCA_CACHE.values():
+            for df in cached:
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass  # session already stopped; nothing to free
+        _PCA_CACHE.clear()
 
 
 def _pca_eigvec(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -182,10 +190,17 @@ def _pca_eigvec(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     shared by ext_embed_pca_power, ext_embed_pca_project and
     ext_embed_isotropy, memoized per (applicationId, sf_dir)."""
     cache_key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _PCA_CACHE.get(cache_key)
-    if hit is not None:
-        return hit
-    clear_pca_cache()
+    with _PCA_LOCK:
+        hit = _PCA_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
+        clear_pca_cache()
+        return _pca_eigvec_build(spark, sf_dir, cache_key)
+
+
+def _pca_eigvec_build(
+    spark: SparkSession, sf_dir: str, cache_key
+) -> tuple[DataFrame, DataFrame]:
     emb = load(spark, sf_dir, "embeddings")
     # Outer product WITHOUT a self-join: quantize the array once, then a
     # double posexplode streams the n x d^2 product rows straight into the

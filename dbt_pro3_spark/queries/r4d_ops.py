@@ -33,6 +33,8 @@ analytics surface mandated by the build brief.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -342,7 +344,13 @@ _NN_MARGIN = 4e-6  # raw-score slack covering 6dp rounding + both engines' ulps
 # embedding-matrix broadcasts, degrading sibling keys 2-4x. The cache keeps
 # AT MOST ONE live trio per Spark application: a lookup miss first unpersists
 # every cached entry (other sf_dirs, dead sessions) before broadcasting anew.
+# Assumptions (shared with the graph / PCA / IVF caches): sf_dir parquet is
+# immutable for the application's lifetime (the key carries no data
+# fingerprint), and callers are a single driver thread (_PROBE_LOCK
+# serializes the miss path so concurrent first calls can't double-build and
+# orphan a live broadcast trio).
 _PROBE_CACHE: dict = {}
+_PROBE_LOCK = threading.RLock()
 
 
 def _probe_broadcasts(spark: SparkSession, sf_dir: str):
@@ -351,10 +359,19 @@ def _probe_broadcasts(spark: SparkSession, sf_dir: str):
     import numpy as np
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _PROBE_CACHE.get(key)
-    if hit is not None:
-        return hit
-    clear_probe_cache()
+    with _PROBE_LOCK:
+        hit = _PROBE_CACHE.get(key)
+        if hit is not None:
+            return hit
+        clear_probe_cache()
+        trio = _probe_build(spark, sf_dir)
+        _PROBE_CACHE[key] = trio
+        return trio
+
+
+def _probe_build(spark: SparkSession, sf_dir: str):
+    import numpy as np
+
     emb = load(spark, sf_dir, "embeddings")
     pdf = emb.select("vec_id", "embedding").toPandas()
     if len(pdf) > PROBE_MAX:
@@ -366,13 +383,11 @@ def _probe_broadcasts(spark: SparkSession, sf_dir: str):
     ids = pdf["vec_id"].to_numpy()[order]
     mat = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1)
-    trio = (
+    return (
         spark.sparkContext.broadcast(ids),
         spark.sparkContext.broadcast(mat),
         spark.sparkContext.broadcast(norms),
     )
-    _PROBE_CACHE[key] = trio
-    return trio
 
 
 def clear_probe_cache() -> None:
@@ -381,13 +396,14 @@ def clear_probe_cache() -> None:
     live trio; long-lived sessions done with the embedding family can call
     it directly to release the executor memory (bench.py deliberately does
     NOT — the warm trio is session-index state, see its protocol note)."""
-    for cached in _PROBE_CACHE.values():
-        for b in cached:
-            try:
-                b.unpersist(blocking=False)
-            except Exception:
-                pass  # session already stopped; nothing to free
-    _PROBE_CACHE.clear()
+    with _PROBE_LOCK:
+        for cached in _PROBE_CACHE.values():
+            for b in cached:
+                try:
+                    b.unpersist(blocking=False)
+                except Exception:
+                    pass  # session already stopped; nothing to free
+        _PROBE_CACHE.clear()
 
 
 def _topk_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
