@@ -108,6 +108,79 @@ def test_embed_parity_on_doubled_corpus(spark, emb2x_dir, duck2x, name):
     assert not errs, "\n".join(errs)
 
 
+def test_ivf_index_build_linear_and_assignment_id_free(spark, emb2x_dir):
+    """The IVF session-index legs of the sweep (the graph family's result
+    equality applied to the cell index):
+
+    - LINEARITY: the persisted cell index over the doubled corpus has
+      exactly 2n rows — cell assignment is a narrow per-row map, so the
+      index build grows linearly with the corpus, never super-linearly.
+    - ID-FREE ASSIGNMENT: holding the quantizer fixed (the ORIGINAL
+      corpus's medoid centroids), every clone lands in exactly its
+      original's cell — assignment depends on the vector alone, not on
+      ids or row order."""
+    from pyspark.sql import functions as F
+
+    from dbt_pro3_spark.ext.ivf import (
+        _assign_cells,
+        clear_ivf_cache,
+        shared_cell_index,
+    )
+    from dbt_pro3_spark.ext.similarity import with_norm
+
+    clear_ivf_cache()
+    cents, _ = shared_cell_index(
+        spark, SRC, lambda: spark.read.parquet(f"{SRC}/embeddings.parquet"), k=16
+    )
+    emb2 = spark.read.parquet(f"{emb2x_dir}/embeddings.parquet")
+    n = spark.read.parquet(f"{SRC}/embeddings.parquet").count()
+    cells2 = _assign_cells(with_norm(emb2), cents, "_v").select("vec_id", "cell")
+    assert cells2.count() == 2 * n
+    orig = cells2.filter(F.col("vec_id") < ID_SHIFT)
+    clone = cells2.filter(F.col("vec_id") >= ID_SHIFT).select(
+        (F.col("vec_id") - ID_SHIFT).alias("vec_id"), F.col("cell").alias("cell_clone")
+    )
+    mism = orig.join(clone, "vec_id").filter(F.col("cell") != F.col("cell_clone"))
+    assert mism.count() == 0, mism.limit(5).collect()
+    clear_ivf_cache()
+
+
+def test_ivf_probe_finds_exact_clone(spark, emb2x_dir):
+    """Probe exactness on the doubled corpus: searching the doubled index
+    (fixed original-corpus quantizer), every query's exact clone sits in
+    its probed cell, so it MUST surface in the top-k at cosine 1.0 — an
+    IVF probe that misses a same-cell exact duplicate is broken."""
+    from pyspark.sql import functions as F
+
+    from dbt_pro3_spark.ext.ivf import (
+        _assign_cells,
+        clear_ivf_cache,
+        shared_cell_index,
+        topk_ivf,
+    )
+    from dbt_pro3_spark.ext.similarity import with_norm
+
+    clear_ivf_cache()
+    cents, _ = shared_cell_index(
+        spark, SRC, lambda: spark.read.parquet(f"{SRC}/embeddings.parquet"), k=16
+    )
+    emb2 = spark.read.parquet(f"{emb2x_dir}/embeddings.parquet")
+    cells2 = _assign_cells(with_norm(emb2), cents, "_v").select(
+        "vec_id", "_v", "_norm", "cell"
+    )
+    queries = emb2.filter(F.col("vec_id") < 10)
+    top = topk_ivf(queries, emb2, cents, k=5, nprobe=2, corpus_cells=cells2).collect()
+    by_query: dict[int, list] = {}
+    for r in top:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert sorted(by_query) == list(range(10))
+    for qid, rows in by_query.items():
+        clone_hits = [r for r in rows if r["vec_id"] == qid + ID_SHIFT]
+        assert clone_hits, f"query {qid}: exact clone missing from top-5: {rows}"
+        assert clone_hits[0]["cosine"] == 1.0
+    clear_ivf_cache()
+
+
 def test_semantic_dedup_drops_every_clone(spark, emb2x_dir):
     """Sanity anchor: each vector has an exact twin (cosine 1.0 >= the 0.4
     threshold, same cell by construction), so every CLONE id must be
