@@ -375,10 +375,19 @@ def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: 
     even within one engine), as are the two tables' documented
     engine-order-dependent LAG columns. Every published checksum is
     therefore invariant for any correct engine."""
+    return medallion_summary(spark, scale=0.2)
+
+
+def medallion_summary(spark: SparkSession, scale: float) -> DataFrame:
+    """Run the 12-model DAG on the seed-42 fixtures at ``scale`` and return
+    the per-layer (model, n_cols, n_rows, checksum) summary — the key above
+    pins it at scale=0.2; tests/test_pipeline.py pins a second scale so a
+    fixture-generator or lifecycle regression that happens to preserve the
+    0.2 constants still trips."""
     from ..pipeline import build_registry
     from ..pipeline.fixtures import raw_tables
 
-    raw = raw_tables(spark, seed=42, scale=0.2)
+    raw = raw_tables(spark, seed=42, scale=scale)
     result = build_registry(raw).run(spark)
     assert not result.test_failures, result.test_failures
     summaries = []

@@ -550,6 +550,39 @@ def test_premiums_silver_clamps_and_dedups(pipeline_run, duck_raw):
     assert not mismatches, mismatches[:5]
 
 
+# Golden per-layer summary of the DAG at a SECOND fixture scale (seed 42,
+# scale=0.5 vs the registry key's 0.2). pipeline_medallion's oracle pins the
+# 0.2 constants; pinning a second scale guards the lifecycle path against a
+# fixture-generator or dedup-ordering regression that happens to preserve
+# one scale's checksums. Values verified identical across two independent
+# sessions (determinism), with the 0.2 full-output DuckDB replication above
+# as the per-row evidence for the shared logic.
+_GOLDEN_SCALE_05 = [
+    ("claims_bronze", 18, 2549, "30515833987345697533"),
+    ("claims_silver", 26, 2445, "184499484722945492772"),
+    ("customers_bronze", 18, 511, "-163912559336819633509"),
+    ("customers_silver", 22, 493, "-4707649719523073"),
+    ("gold_claims_operations", 26, 2183, "-70162019963539912847"),
+    ("gold_customer_360", 31, 474, "272389330346359693902"),
+    ("gold_executive_summary", 22, 43, "3303146325221067572"),
+    ("gold_policy_performance", 25, 873, "-91545598840488910460"),
+    ("policies_bronze", 17, 1540, "335346002840942517758"),
+    ("policies_silver", 23, 1481, "42718494620876108343"),
+    ("premiums_bronze", 19, 5093, "-201668381242582528472"),
+    ("premiums_silver", 19, 5000, "-447638417253867109138"),
+]
+
+
+def test_medallion_golden_second_scale(spark):
+    from dbt_pro3_spark.queries.core_extra import medallion_summary
+
+    rows = medallion_summary(spark, scale=0.5).collect()
+    got = [(r["model"], r["n_cols"], r["n_rows"], r["checksum"]) for r in rows]
+    assert got == _GOLDEN_SCALE_05, [
+        (a, b) for a, b in zip(got, _GOLDEN_SCALE_05) if a != b
+    ]
+
+
 def test_injected_run_date_no_wall_clock(spark):
     """Spoofed-date guard (round-5 date bomb): a registry built with a fixed
     run_ts must produce date-derived columns from THAT date, never the wall
