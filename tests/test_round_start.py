@@ -88,3 +88,24 @@ def test_documents_text_is_ascii(sf_dir):
         "switch those oracles to a bytes-based replication before the "
         "driver run."
     )
+
+
+def test_driver_window_lands_on_never_sampled_keys():
+    """Rotation guard: the driver samples the FIRST ~50 keys of queries()
+    each round, so as long as never-sampled keys remain, the head of the
+    ordering must contain no already-verified key. A stale _DRIVER_VERIFIED
+    (forgetting to fold in the previous round's greens) or an ordering
+    regression would waste the round's sampling window re-proving known
+    greens — this pins the mechanics, not just the convention."""
+    from dbt_pro3_spark.queries import _DRIVER_VERIFIED, all_queries
+
+    keys = list(all_queries())
+    fresh = [k for k in keys if k not in _DRIVER_VERIFIED]
+    window = keys[: min(50, len(fresh))]
+    stale = [k for k in window if k in _DRIVER_VERIFIED]
+    assert stale == [], (
+        f"driver window contains {len(stale)} already-verified keys "
+        f"({stale[:5]}...) while {len(fresh)} never-sampled keys remain — "
+        "rotate _DRIVER_VERIFIED (queries/__init__.py) with the latest "
+        "CORRECTNESS round's greens"
+    )
