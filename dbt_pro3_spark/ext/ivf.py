@@ -151,9 +151,7 @@ def shared_medoid_seeds(spark, sf_dir: str, emb_fn, k: int = 16) -> list[list[fl
         slot = _cache_slot(spark, sf_dir, k)
         if "seeds" not in slot:
             slot["seeds"] = medoid_seeds(emb_fn(), k=k)
-        seeds = slot["seeds"]
-        assert len(seeds) <= k, f"cache slot holds {len(seeds)} seeds for k={k}"
-        return seeds
+        return slot["seeds"]
 
 
 def shared_cell_index(spark, sf_dir: str, emb_fn, k: int = 16):
@@ -202,10 +200,17 @@ def topk_ivf(
     if corpus_cells is not None:
         stamp = getattr(corpus_cells, "_ivf_centroids", None)
         if stamp is not None and stamp != centroids:
+            # the realistic mismatch has EQUAL lengths (same k, different
+            # corpus/sf_dir rebuild), so name the first diverging centroid
+            diff = next(
+                (i for i, (a, b) in enumerate(zip(stamp, centroids)) if a != b),
+                min(len(stamp), len(centroids)),
+            )
             raise ValueError(
                 "topk_ivf: corpus_cells was assigned with a different "
-                f"centroid set ({len(stamp)} centroids) than the one passed "
-                f"({len(centroids)}); probe cells and quantizer must match"
+                f"centroid set than the one passed (stamp has {len(stamp)} "
+                f"centroids, passed {len(centroids)}; first divergence at "
+                f"index {diff}); probe cells and quantizer must match"
             )
         c = corpus_cells
     else:

@@ -218,14 +218,16 @@ _CORE_MODULES_LAST_KEY = "audit_rowcount_log"
 # never-sampled tail.
 _R5_RESAMPLE: list[str] = []
 
-# Keys the driver's bounded CORRECTNESS window has already verified green in
-# rounds 1-3 (union of CORRECTNESS_r01/r02/r03 key sets). The driver samples
+# Keys the driver's bounded CORRECTNESS window has already verified green —
+# the union of every round's CORRECTNESS_rNN key set to date (r01-r07, 297
+# keys), grouped below by the round that sampled them. The driver samples
 # the first ~50 keys of queries() per round, so verified keys rotate to the
-# tail and the window lands on never-sampled keys: round 4 covers the next
-# tranche of LLM-pipeline / streaming / scale_ops keys that have never had a
-# driver row. The previously-verified core stays pinned green by the in-repo
-# oracle suite (tests/test_oracle_parity.py runs every oracled key through
-# the identical DuckDB compare).
+# tail and each round's window lands on never-sampled keys (enforced by
+# tests/test_round_start.py::test_driver_window_lands_on_never_sampled_keys).
+# Fold each new round's greens in at round start. The previously-verified
+# keys stay pinned green by the in-repo oracle suite
+# (tests/test_oracle_parity.py runs every oracled key through the identical
+# DuckDB compare).
 # ext_dedup_fuzzy (rows-only by design: pyspark.ml MinHashLSH banding has
 # no SQL twin) got its best-possible driver check in r03 and rotates out
 # with the rest; the ANN triad re-entered the window in round 7 when it

@@ -356,8 +356,6 @@ _PROBE_LOCK = threading.RLock()
 def _probe_broadcasts(spark: SparkSession, sf_dir: str):
     """Return (b_ids, b_mat, b_norms) broadcasts for sf_dir's embeddings,
     memoized per (applicationId, sf_dir) with single-entry eviction."""
-    import numpy as np
-
     key = (spark.sparkContext.applicationId, sf_dir)
     with _PROBE_LOCK:
         hit = _PROBE_CACHE.get(key)

@@ -62,8 +62,10 @@ def test_ml_pairs_within_twin_candidates(bridge):
 def test_ml_distance_equals_exact_jaccard(bridge):
     ml_pairs, twin_pairs = bridge
     for p, dist in ml_pairs.items():
-        assert p in twin_pairs
-        assert abs((1.0 - dist) - twin_pairs[p]) <= 1e-6, (
+        assert p in twin_pairs, f"ml pair {p} absent from twin candidates"
+        # both sides independently rounded to 6dp, so two correct values can
+        # land one 1e-6 step apart (plus float representation slack): 2e-6
+        assert abs((1.0 - dist) - twin_pairs[p]) <= 2e-6, (
             f"pair {p}: ml jaccard {1.0 - dist} != twin exact {twin_pairs[p]}"
         )
 
@@ -71,6 +73,7 @@ def test_ml_distance_equals_exact_jaccard(bridge):
 def test_ml_respects_distance_threshold(bridge):
     ml_pairs, twin_pairs = bridge
     for p in ml_pairs:
+        assert p in twin_pairs, f"ml pair {p} absent from twin candidates"
         assert twin_pairs[p] >= 0.2 - 1e-9
 
 

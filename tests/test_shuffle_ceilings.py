@@ -26,6 +26,33 @@ from .test_plan_quality import plan_str
 
 _QUERIES = all_queries()
 
+# Ceilings are measured at the default sf0.01: at a much larger SF the
+# broadcast-threshold heuristics can flip joins to sort-merge and add
+# exchanges, which is a planner policy change, not a regression.
+pytestmark = pytest.mark.skipif(
+    not SF_DIR.endswith("sf0.01"),
+    reason="shuffle ceilings are pinned against the default sf0.01 plans",
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _cold_session_caches(spark):
+    """Plan shape for the session-index families depends on cache warmth
+    (see ext_graph_link_predict below), so start this module from a
+    deterministic cold state: within-file test order is then the only
+    warmth variable, making the pins reproducible standalone and in the
+    full suite alike."""
+    from dbt_pro3_spark.ext.graph import clear_graph_cache
+    from dbt_pro3_spark.ext.ivf import clear_ivf_cache
+    from dbt_pro3_spark.queries.r4_ops import clear_pca_cache
+    from dbt_pro3_spark.queries.r4d_ops import clear_probe_cache
+
+    clear_graph_cache()
+    clear_ivf_cache()
+    clear_pca_cache()
+    clear_probe_cache()
+    yield
+
 # key -> max ") Exchange" occurrences in df.explain("formatted")
 _CEILINGS = {
     "ext_dedup_prefix_filter": 1,
