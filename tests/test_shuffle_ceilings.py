@@ -13,6 +13,9 @@ re-measure and update the pin in the same commit — the point is that the
 change is deliberate, reviewed, and recorded, never silent. Keys covered
 are the top of bench_detail.json (every key >= ~1.9 s at sf0.1) — the
 ones where one extra corpus-sized shuffle costs real wall-clock at 100 TB.
+Counts are measured in this module's exact execution conditions: session
+caches cleared first (the autouse fixture below), keys planned in sorted
+order at sf0.01 — re-measure the same way when updating a pin.
 """
 
 from __future__ import annotations
@@ -53,42 +56,74 @@ def _cold_session_caches(spark):
     clear_probe_cache()
     yield
 
+
 # key -> max ") Exchange" occurrences in df.explain("formatted")
 _CEILINGS = {
-    "ext_dedup_prefix_filter": 1,
-    # 5 when link_predict itself builds the shared graph index, 7 when a
-    # sibling key warmed it first (the wedge enumeration then re-reads the
-    # persisted basket frame on two branches) — pin the order-robust max
-    "ext_graph_link_predict": 7,
-    "ext_graph_kcore": 10,
-    "ext_pref_bradley_terry": 10,
-    "ext_permutation_test": 2,
-    "ext_bootstrap_ci": 3,
-    "ext_ann_pq": 1,
-    "ext_seq_basket_pairs": 3,
-    "ext_graph_hits": 14,
-    "ext_dedup_ngram_jaccard": 10,
-    "ext_lof_outliers": 4,
-    "ext_dedup_scurve": 7,
-    "ext_graph_label_prop": 16,
-    "ext_item_cooccur_cosine": 7,
-    "ext_graph_modularity": 7,
-    "ext_retrieval_ndcg": 5,
-    "ext_dedup_recall_audit": 5,
-    "ext_embed_mmr_select": 1,
-    "ext_dedup_embedding": 1,
-    "ext_dedup_simhash": 1,
-    "ext_assoc_rules": 7,
-    "ext_brand_customer_overlap": 5,
-    "ext_dedup_chunk_fuzzy": 1,
-    "ext_cogroup_reconcile": 3,
-    "ext_dedup_minhash_est": 1,
-    "ext_attr_markov_removal": 0,
-    "ext_basket_pairs": 6,
-    "ext_fk_discovery": 27,
     "agg_groupby_multikey": 1,
+    "ext_abc_xyz_matrix": 10,
+    "ext_ann_pq": 1,
+    "ext_assoc_rules": 6,
+    "ext_attr_markov_removal": 0,
+    "ext_basket_pairs": 5,
+    "ext_bootstrap_ci": 3,
+    "ext_brand_customer_overlap": 5,
+    "ext_cluster_silhouette": 5,
+    "ext_cogroup_reconcile": 3,
+    "ext_conformal_interval": 5,
+    "ext_cramers_v": 4,
+    "ext_croston_forecast": 2,
+    "ext_dedup_chunk_fuzzy": 1,
+    "ext_dedup_embedding": 1,
+    "ext_dedup_incremental_fuzzy": 1,
+    "ext_dedup_minhash_est": 1,
+    "ext_dedup_ngram_jaccard": 10,
+    "ext_dedup_prefix_filter": 1,
+    "ext_dedup_recall_audit": 5,
+    "ext_dedup_scurve": 7,
+    "ext_dedup_simhash": 1,
+    "ext_demand_xyz": 2,
+    "ext_dsir_resample": 7,
+    "ext_embed_centroid_classify": 5,
+    "ext_embed_knn_classify": 3,
+    "ext_embed_mmr_select": 1,
     "ext_embed_reciprocal_nn": 2,
+    "ext_exact_quantiles_twopass": 10,
+    "ext_fk_discovery": 27,
+    "ext_graph_bfs_reach": 9,
+    "ext_graph_hits": 14,
+    "ext_graph_kcore": 10,
+    "ext_graph_label_prop": 16,
+    # 5 when link_predict itself builds the shared graph index; within
+    # this module the alphabetical order warms it first (7 exchanges)
+    "ext_graph_link_predict": 7,
+    "ext_graph_modularity": 7,
     "ext_graph_triangles": 5,
+    "ext_hurst_exponent": 2,
+    "ext_item_cooccur_cosine": 7,
+    "ext_join_size_estimate": 5,
+    "ext_kmeans_lloyd": 4,
+    "ext_lof_outliers": 4,
+    "ext_lsh_bucket_stats": 3,
+    "ext_markov_absorption": 0,
+    "ext_mcnemar_test": 13,
+    "ext_nb_langid": 14,
+    "ext_pacf": 12,
+    "ext_partition_skew_report": 3,
+    "ext_permutation_test": 2,
+    "ext_pref_bradley_terry": 10,
+    "ext_price_dispersion": 1,
+    "ext_price_elasticity": 3,
+    "ext_price_volume_mix": 5,
+    "ext_qte": 4,
+    "ext_retrieval_ndcg": 5,
+    "ext_seq_basket_pairs": 3,
+    "ext_shift_share": 5,
+    "ext_spearman_corr": 6,
+    "ext_text_doc_novelty": 3,
+    "ext_text_dup_ngram_spans": 3,
+    "ext_text_loss_mask": 3,
+    "ext_text_winnowing": 3,
+    "ext_trend_ols": 2,
     "sink_codec_roundtrip": 0,
 }
 
