@@ -212,14 +212,13 @@ _CORE_MODULES_LAST_KEY = "audit_rowcount_log"
 
 # Re-sample targets: keys whose defect was fixed (or whose oracle was
 # upgraded) in the current round and must land a driver-green CORRECTNESS
-# row before anything else. Round 8: CORRECTNESS_r07 was 50/50 hash-green
-# (including the upgraded ANN triad and ext_dedup_semantic), so there are
-# no defect or upgrade re-samples — the whole window goes to the
-# never-sampled tail.
+# row before anything else. Round 9: CORRECTNESS_r08 was 50/50 hash-green,
+# so there are no defect or upgrade re-samples — the whole window goes to
+# the never-sampled tail (167 keys remaining after the r08 fold-in).
 _R5_RESAMPLE: list[str] = []
 
 # Keys the driver's bounded CORRECTNESS window has already verified green —
-# the union of every round's CORRECTNESS_rNN key set to date (r01-r07, 297
+# the union of every round's CORRECTNESS_rNN key set to date (r01-r08, 347
 # keys), grouped below by the round that sampled them. The driver samples
 # the first ~50 keys of queries() per round, so verified keys rotate to the
 # tail and each round's window lands on never-sampled keys (enforced by
@@ -233,6 +232,26 @@ _R5_RESAMPLE: list[str] = []
 # with the rest; the ANN triad re-entered the window in round 7 when it
 # gained real oracles (_R5_RESAMPLE).
 _DRIVER_VERIFIED = {
+    # r08 window (CORRECTNESS_r08.json — 50/50 hash-green, all
+    # previously-never-sampled)
+    "ext_anderson_darling_2s", "ext_asof_nearest", "ext_burrows_delta",
+    "ext_capture_recapture", "ext_changepoint_binseg",
+    "ext_cluster_silhouette", "ext_cluster_validity", "ext_contract_enforce",
+    "ext_corpus_manifest", "ext_cramer_von_mises", "ext_data_epoch_order",
+    "ext_embed_matryoshka_audit", "ext_embed_mmr_select", "ext_eoq",
+    "ext_eval_pass_at_k", "ext_evt_gumbel", "ext_fdr_bh",
+    "ext_feature_woe_iv", "ext_forecast_mase", "ext_friedman_test",
+    "ext_gower_topk", "ext_graph_hits", "ext_grid_density_clusters",
+    "ext_holt_linear", "ext_jl_projection", "ext_kendall_tau",
+    "ext_kfold_assign", "ext_levene_bf", "ext_metric_delta_ratio",
+    "ext_mm_aspect_bucket", "ext_mood_median", "ext_page_trend",
+    "ext_permutation_test", "ext_qte", "ext_rdd_screen", "ext_rerank_rrf",
+    "ext_retrieval_ndcg", "ext_retrieval_recall", "ext_scd2_hard_delete",
+    "ext_shift_share", "ext_sketch_quantile_bottomk", "ext_source_freshness",
+    "ext_stat_wasserstein_1d", "ext_text_char_entropy",
+    "ext_text_curriculum", "ext_text_doc_novelty",
+    "ext_text_greenlist_score", "ext_text_loss_mask",
+    "ext_theil_decomposition", "ext_wilcoxon_signed_rank",
     # r07 window (CORRECTNESS_r07.json — 50/50 hash-green, including the
     # oracle-upgraded ANN triad and ext_dedup_semantic, plus the new
     # ext_incremental_delete)

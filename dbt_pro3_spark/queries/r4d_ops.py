@@ -3394,17 +3394,21 @@ def ext_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # work; the cogroup key is the COARSE bucket (256 Python calls,
         # not one per customer — one-call-per-key cogroup measured 48 s
         # at sf0.1, bucketed runs ~2 s)
+        # the empty fallbacks are typed int64: an object-dtype empty frame
+        # makes the post-join .fillna(0) silently downcast (pandas
+        # FutureWarning — behavior flips in a future pandas and would
+        # change the Arrow-boundary dtypes under the oracle)
         lo = (
             left.groupby("custkey")["cents"].agg(["size", "sum"])
             if len(left)
-            else pd.DataFrame(columns=["size", "sum"])
+            else pd.DataFrame(columns=["size", "sum"]).astype("int64")
         )
         ro = (
             right.assign(p=(right["event_type"] == "purchase").astype("int64"))
             .groupby("custkey")["p"]
             .agg(["size", "sum"])
             if len(right)
-            else pd.DataFrame(columns=["size", "sum"])
+            else pd.DataFrame(columns=["size", "sum"]).astype("int64")
         )
         m = lo.join(ro, how="outer", lsuffix="_o", rsuffix="_e").fillna(0)
         if m.empty:
