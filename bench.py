@@ -405,6 +405,10 @@ HEADLINE = [
     "ext_ann_pq",
     "ext_incremental_delete",
     "ext_dedup_semantic",
+    # round-9: promoted into the bench set after the r8 scaling-probe
+    # false alarm (host-contended min-of-2 read 10.92 s; isolated
+    # steady state is ~1.8 s) so an envelope watches it every round
+    "ext_dedup_minhash_banded",
 ]
 
 

@@ -341,15 +341,24 @@ def minhash_estimate_pairs(
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
-    """32-bit SimHash per document: per-token hash, sign-votes per bit.
+    """SimHash per document: per-token hash, sign-votes per bit.
 
     explode → one groupBy(doc) with `bits` conditional sums — a single
     shuffle keyed by doc id; reassembly is plain integer arithmetic.
 
-    The per-token hash is the first 32 bits of md5 (decoded nibble-by-nibble
-    from the hex string) rather than xxhash64: md5's hex output is
-    bit-identical across engines, which makes the whole fingerprint
-    DuckDB-oracle-checkable. Hash quality is equivalent for sign-voting.
+    bits=32 (the registry/oracle surface): the per-token hash is the
+    first 32 bits of md5 (decoded nibble-by-nibble from the hex string)
+    rather than xxhash64 — md5's hex output is bit-identical across
+    engines, which makes the whole fingerprint DuckDB-oracle-checkable.
+    Hash quality is equivalent for sign-voting.
+
+    bits=64 (the scale path, Manku/Jain/Das Sarma WWW'07): per-token
+    xxhash64 (JVM-side, no oracle needed — this variant exists for
+    candidate-generation scaling, see simhash_near_pairs). The wider
+    signature lets the banding use 16-bit bands (65,536 bucket values
+    per band instead of 256), which is what keeps band-bucket occupancy
+    — and with it the candidate-join cost — sub-quadratic in distinct
+    signatures on large corpora.
     """
     # explode -> hash in whole-stage codegen (hashing inside higher-order
     # array lambdas is interpreted per element — measured meaningfully
@@ -367,15 +376,20 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     # bit b set in the final signature iff 2*count_b > n (strictly more 1s
     # than 0s) — identical to the sign of a ±1 vote sum, and exactly what
     # the oracle's conditional-sum SQL computes.
+    if bits not in (32, 64):
+        raise ValueError(f"simhash supports bits=32 (oracled) or 64 (scale); got {bits}")
     toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.slice(tokens(F.col(text_col)), 1, 65535)).alias("tok"),
     )
     hashed = toks.select(
         F.col(id_col),
-        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
-        .cast("bigint")
-        .alias("v"),
+        (
+            F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint")
+            if bits == 32
+            else F.xxhash64("tok")
+        ).alias("v"),
     )
     n_acc = bits // 4
     packs = []
@@ -391,36 +405,59 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
         F.count(F.lit(1)).alias("n"),
         *[F.sum(f"p{j}").alias(f"p{j}") for j in range(n_acc)],
     )
+    # bitwiseOR of shifted single bits, not a sum of 2**b literals: at
+    # bits=64 the top bit (2**63) overflows a bigint literal; the OR form
+    # is numerically identical at bits=32 (disjoint bit positions)
     sig = F.lit(0).cast("bigint")
     for b in range(bits):
         j, f = b // 4, b % 4
         count_b = F.shiftright(F.col(f"p{j}"), 16 * f).bitwiseAND(F.lit(65535))
-        sig = sig + F.when(count_b * 2 > F.col("n"), F.lit(2**b).cast("bigint")).otherwise(
-            F.lit(0)
+        bit_b = F.when(count_b * 2 > F.col("n"), F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
+        sig = sig.bitwiseOR(F.shiftleft(bit_b, b))
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 32,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 32-bit signature into 4 bytes;
-    pairs sharing ANY byte are candidates; verify with exact bit_count(xor).
+    """Near-dup pairs by SimHash: band the signature into 4 equal bands
+    (bits/4 wide); pairs sharing ANY band are candidates; verify with
+    exact bit_count(xor).
 
     Default max_hamming=3 matches the banding's pigeonhole guarantee: a
-    pair differing in ≤3 bits MUST agree on at least one of the 4 byte
-    bands, so recall is exactly 1 at that radius. Asking for a larger
+    pair differing in ≤3 bits MUST agree on at least one of the 4 bands,
+    so recall is exactly 1 at that radius. Asking for a larger
     max_hamming with this band layout would silently drop pairs whose
     differing bits straddle all four bands — raise the band count (b+1
-    bands guarantee hamming ≤ b) rather than the radius."""
+    bands guarantee hamming ≤ b) rather than the radius.
+
+    bits picks the scaling regime of candidate generation (the output
+    semantics — pairs within hamming radius of a sign-vote fingerprint —
+    are the same family): 32-bit signatures band into 8-bit values (256
+    buckets per band; the oracled registry surface), so band-bucket
+    occupancy grows ~D/256 in distinct signatures D and the per-band
+    join cost ~D²/256 — fine to ~10⁵ distinct signatures, quadratic
+    beyond. 64-bit signatures (Manku/Jain/Das Sarma WWW'07) band into
+    16-bit values (65,536 buckets per band), pushing the same crossover
+    out 256×; that is the 100 TB path, and
+    tests/test_dedup_scaling_contract.py pins the occupancy gap on the
+    driver corpus."""
     if max_hamming > 3:
         raise ValueError(
-            "4-byte banding only guarantees recall for hamming <= 3; "
+            "4-band banding only guarantees recall for hamming <= 3; "
             f"got max_hamming={max_hamming}. Use more bands for a larger radius."
         )
+    width = bits // 4  # 4 bands always; pigeonhole covers hamming <= 3
+    mask = (1 << width) - 1
     # one materialization of the (doc, signature) table — every stage below
     # reads it; recomputing would re-hash every token
-    sigs = simhash(df, id_col, text_col).localCheckpoint(eager=False)
+    sigs = simhash(df, id_col, text_col, bits=bits).localCheckpoint(eager=False)
     # Candidate generation runs on DISTINCT signatures, not documents: a
     # duplicate-dense corpus puts thousands of docs on one signature, and a
     # doc-level band join would square that inside every hot bucket. At the
@@ -437,7 +474,9 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).alias("val"),
+                        F.shiftright(F.col("simhash"), width * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
                     )
                     for i in range(4)
                 ]
