@@ -190,3 +190,59 @@ def test_simhash_64bit_recall_on_exact_duplicates(corpora):
             f"hamming-0 output: {sorted(missing)[:5]} — banding recall "
             "broke at radius 0"
         )
+
+
+def test_prefix_filter_rarity_ordering_bounds_buckets(corpora):
+    """ext_dedup_prefix_filter's candidate join keys on each doc's RAREST
+    shingles (PPJoin prefix). The join cost is sum(df_pref²) over prefix
+    buckets, so the guard that matters is that rarity ordering actually
+    selects low-df shingles: measured max prefix-bucket occupancy is 3 at
+    500 docs and 10 at 5,000 docs (vs the hottest RAW shingle df in the
+    hundreds). If the rarity sort broke (e.g. the (df, hash) struct order
+    regressed), hot shingles would enter prefixes and this count would
+    jump to raw-df scale (hundreds+). Growth on THIS corpus is documented
+    as superlinear-but-far-from-quadratic (SCALE.md §15: Heaps-law vocab
+    growth creeps prefix dfs up — bucket pair bound 1,611 -> 430,449 on
+    10x docs while the hottest RAW shingle df is only 25); the pin is the
+    occupancy ceiling, deliberately NOT linearity."""
+    from fractions import Fraction
+
+    from dbt_pro3_spark.ext.dedup import shingles
+
+    _, big, _, _ = corpora
+    num = Fraction(0.5).limit_denominator(10_000).numerator
+    den = Fraction(0.5).limit_denominator(10_000).denominator
+    sh = big.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("shingle"),
+    ).select("doc", F.xxhash64("shingle").alias("sh_h"))
+    dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+    packed = (
+        sh.join(F.broadcast(dfreq), "sh_h")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "sh_h"))).alias("ss"))
+    )
+    sz = F.size("ss").cast("bigint")
+    t = num * sz + F.lit(den - 1)
+    plen = (sz - (t - t % den) / den + 1).cast("int")
+    pref = packed.select(
+        F.explode(F.slice(F.transform("ss", lambda s: s.sh_h), 1, plen)).alias("sh_h")
+    )
+    stats = (
+        pref.groupBy("sh_h")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()
+    )
+    raw_hot = dfreq.agg(F.max("df")).first()[0]
+    assert stats.mx <= 64, (
+        f"max prefix-bucket occupancy is {stats.mx} (pin-time 10; hottest "
+        f"raw shingle df {raw_hot}) — rarity ordering is letting hot "
+        "shingles into prefixes; the candidate join is no longer bounded "
+        "by rare-by-definition keys"
+    )
+    assert stats.mx <= raw_hot, (
+        f"prefix occupancy ({stats.mx}) exceeds the hottest raw shingle "
+        f"df ({raw_hot}) — impossible under correct rarity ordering; the "
+        "prefix selection is broken"
+    )

@@ -109,3 +109,33 @@ def test_driver_window_lands_on_never_sampled_keys():
         "rotate _DRIVER_VERIFIED (queries/__init__.py) with the latest "
         "CORRECTNESS round's greens"
     )
+
+
+def test_driver_verified_covers_every_correctness_green():
+    """Fold-in completeness guard: _DRIVER_VERIFIED must contain EVERY key
+    any round's driver CORRECTNESS artifact recorded as fully green
+    (rows+schema+hash). test_driver_window_lands_on_never_sampled_keys
+    catches a stale set only when a verified key drifts into the sampling
+    window; this one catches a PARTIAL fold-in anywhere in the set, and
+    reads the artifacts themselves so the check can never disagree with
+    the ground truth the judge reads."""
+    import json
+
+    from dbt_pro3_spark.queries import _DRIVER_VERIFIED
+
+    missing = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rows = json.load(open(path))
+        for key, r in rows.items():
+            if (
+                r.get("rows_match")
+                and r.get("schema_match")
+                and r.get("hash_match")
+                and key not in _DRIVER_VERIFIED
+            ):
+                missing.setdefault(os.path.basename(path), []).append(key)
+    assert not missing, (
+        f"driver-green keys not folded into _DRIVER_VERIFIED "
+        f"(queries/__init__.py): {missing} — fold in the latest round's "
+        "CORRECTNESS greens at round start"
+    )
