@@ -2506,26 +2506,34 @@ def ext_pandas_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches — per-type groups partition-parallel; at wider cardinality the
     same trim is expressible with the oracle's rank-window plan (kept as
     the scale path), making the UDF the API-surface demonstration."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     # GROUPED_AGG pandas UDFs return one scalar per group — sum and
     # kept-count ship as two exact-integer aggregates over the same Arrow
-    # batches (the type-hint inference path has no Series->int form, so
-    # the functionType is explicit).
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    # batches. The Series -> scalar type hint IS the grouped-agg form
+    # (SPARK-28264 inference; the explicit PandasUDFType warns deprecated).
+    # This module runs under `from __future__ import annotations`, which
+    # stringifies inline hints before pyspark's signature inference can
+    # read them — so the real annotation objects are attached explicitly.
+    def _grouped_agg_long(fn):
+        fn.__annotations__ = {"c": pd.Series, "return": int}
+        return pandas_udf(fn, "long")
+
+    @_grouped_agg_long
     def trim_sum(c):
         v = c.sort_values().to_numpy()
         cut = len(v) * TRIM_PCT // 100
         return int(v[cut : len(v) - cut].sum())
 
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    @_grouped_agg_long
     def trim_count(c):
         n = len(c)
         return int(n - 2 * (n * TRIM_PCT // 100))
 
     # group-agg pandas UDFs cannot mix with JVM aggregates in one agg():
     # the row count is a third UDF over the same batches.
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    @_grouped_agg_long
     def grp_count(c):
         return int(len(c))
 
