@@ -23,7 +23,6 @@ the count and forces this file to say why.
 from __future__ import annotations
 
 import os
-import re
 
 import pytest
 
@@ -50,10 +49,6 @@ _ALLOWED_MATERIALIZATION = {
     "queries/r6b_ops.py": 2,
 }
 
-_MAT_PAT = re.compile(r"\.collect\(\)|\.toPandas\(\)")
-_ROW_UDF_PAT = re.compile(r"\bF\.udf\(|\bfunctions\.udf\(|^\s*@udf\b", re.M)
-
-
 def _py_sources():
     for root, _dirs, files in os.walk(SRC_ROOT):
         for f in files:
@@ -62,20 +57,60 @@ def _py_sources():
                 yield os.path.relpath(path, SRC_ROOT), open(path).read()
 
 
-def _strip_comments_and_docstrings(text: str) -> str:
-    # crude but effective for lint purposes: drop full-line comments and
-    # triple-quoted blocks so prose mentioning .collect() doesn't count
-    text = re.sub(r'""".*?"""', "", text, flags=re.S)
-    text = re.sub(r"'''.*?'''", "", text, flags=re.S)
-    return "\n".join(
-        line for line in text.splitlines() if not line.lstrip().startswith("#")
-    )
+def _code_tokens(text: str):
+    """(type, string) pairs for real code only, via the actual tokenizer —
+    a regex pass mispairs triple quotes appearing inside ordinary string
+    literals and miscounts trailing comments, in both the silent-miss and
+    the false-alarm direction. Comments and string literals can't contain
+    a call, so dropping those token types is exact for these lints."""
+    import io
+    import tokenize
+
+    for tok in tokenize.generate_tokens(io.StringIO(text).readline):
+        if tok.type not in (tokenize.COMMENT, tokenize.STRING, tokenize.NL):
+            yield tok.type, tok.string
+
+
+def _count_materializations(text: str) -> int:
+    """Occurrences of `.collect()` / `.toPandas()` in code tokens:
+    OP '.' NAME {collect,toPandas} OP '(' OP ')'."""
+    toks = [t for t in _code_tokens(text)]
+    n = 0
+    for i in range(len(toks) - 3):
+        if (
+            toks[i][1] == "."
+            and toks[i + 1][1] in ("collect", "toPandas")
+            and toks[i + 2][1] == "("
+            and toks[i + 3][1] == ")"
+        ):
+            n += 1
+    return n
+
+
+def _row_udf_sites(text: str) -> list[str]:
+    """Row-at-a-time UDF surfaces in code tokens: `udf(` in any form —
+    bare call after `from pyspark.sql.functions import udf`, qualified
+    `F.udf(` / `functions.udf(`, the `@udf` decorator, and
+    `spark.udf.register(`. `pandas_udf` is a distinct NAME token, so the
+    vectorized surfaces never match."""
+    toks = [t for t in _code_tokens(text)]
+    hits = []
+    for i, (_ty, s) in enumerate(toks):
+        nxt = toks[i + 1][1] if i + 1 < len(toks) else ""
+        prv = toks[i - 1][1] if i > 0 else ""
+        if s == "udf" and nxt == "(":
+            hits.append("udf(")
+        elif s == "udf" and prv == "@":
+            hits.append("@udf")
+        elif s == "register" and prv == "." and i >= 2 and toks[i - 2][1] == "udf":
+            hits.append("udf.register(")
+    return hits
 
 
 def test_every_driver_materialization_is_inventoried():
     found = {}
     for rel, text in _py_sources():
-        n = len(_MAT_PAT.findall(_strip_comments_and_docstrings(text)))
+        n = _count_materializations(text)
         if n:
             found[rel] = n
     unexpected = {
@@ -96,9 +131,9 @@ def test_every_driver_materialization_is_inventoried():
 
 def test_no_row_at_a_time_python_udfs():
     offenders = {
-        rel: _ROW_UDF_PAT.findall(_strip_comments_and_docstrings(text))
+        rel: sites
         for rel, text in _py_sources()
-        if _ROW_UDF_PAT.search(_strip_comments_and_docstrings(text))
+        if (sites := _row_udf_sites(text))
     }
     assert not offenders, (
         f"row-at-a-time Python UDFs found: {offenders} — use a vectorized "

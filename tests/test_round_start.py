@@ -139,3 +139,28 @@ def test_driver_verified_covers_every_correctness_green():
         f"(queries/__init__.py): {missing} — fold in the latest round's "
         "CORRECTNESS greens at round start"
     )
+
+
+def test_driver_verified_contains_no_unverified_key():
+    """Reverse fold-in guard: every key IN _DRIVER_VERIFIED must have a
+    fully-green (rows+schema+hash) row in SOME CORRECTNESS artifact — a
+    key added by mistake (draft list, rows-only row promoted) would
+    otherwise rotate permanently out of the sampling window without ever
+    being driver-verified. ext_dedup_fuzzy is the single documented
+    exception: rows-only by design (pyspark.ml banding has no SQL twin),
+    its r03 row is the strongest check the driver can run for it."""
+    import json
+
+    from dbt_pro3_spark.queries import _DRIVER_VERIFIED
+
+    green = set()
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        for key, r in json.load(open(path)).items():
+            if r.get("rows_match") and r.get("schema_match") and r.get("hash_match"):
+                green.add(key)
+    unverified = _DRIVER_VERIFIED - green - {"ext_dedup_fuzzy"}
+    assert not unverified, (
+        f"keys in _DRIVER_VERIFIED with no fully-green CORRECTNESS row: "
+        f"{sorted(unverified)} — they would never be driver-sampled; "
+        "remove them so the rotation re-samples them"
+    )

@@ -136,7 +136,7 @@ _CEILINGS = {
 # (bench_detail.json ranks 65-128, ~0.97-1.9 s each). Same contract and
 # measurement conditions as _CEILINGS (per-key cold caches, sf0.01).
 # Together the two tables plan-pin the entire >=0.97 s head of the
-# 338-key bench — a silent shuffle regression anywhere in it fails fast.
+# 339-key bench — a silent shuffle regression anywhere in it fails fast.
 _CEILINGS_TIER2 = {
     "ext_ann_ivf": 1,
     "ext_ann_lsh": 1,
