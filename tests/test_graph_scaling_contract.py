@@ -1,0 +1,159 @@
+"""Volume-linearity contract for the co-purchase graph family.
+
+Same idea as tests/test_dedup_scaling_contract.py, applied to the second
+heaviest bench family: wall-clock probes can be fooled by host load, but
+the quantity that decides 100 TB viability — how much work the basket
+pipeline emits as the corpus grows — cannot. ext/graph.py's pitch is that
+pair enumeration is LINEAR in orders (in-row (i < j) expansion of small
+sorted baskets, one orderkey shuffle) and never corpus-squared; this pins
+that directly on a corpus with exactly 2x the DISTINCT orders: lineitem
+unioned with an orderkey-shifted clone of itself — twice the orders, each
+basket's part set unchanged (the "one more year of the same shop" shape).
+
+On that corpus, by construction of a linear pipeline:
+- basket rows are exactly 2x (extensive in orders);
+- the raw pair STREAM — the explode fan-out that is the family's true
+  shuffle/compute volume — is exactly 2x, and per order it is exactly
+  C(|basket|, 2) of the in-row quadratic whose base the max-basket pin
+  below bounds;
+- the DISTINCT edge set is bit-identical (same baskets => same pairs),
+  so adjacency arrays and every downstream hop also are;
+- per-edge support exactly doubles (each order contributes once).
+
+An accidental rewrite through a fact self-join or a pair-level
+re-shuffle breaks the 2x equalities immediately (the self-join twin
+emits duplicate-pair volume that scales with support, not orders).
+
+The max-basket pin is the fan-out base: the synthetic lineitem carries
+at most 13 distinct parts per order at sf0.01 and 17 at sf0.1 (measured;
+slow growth because new orders draw from a wider part pool, not because
+baskets scale with the corpus), so the in-row expansion is bounded by
+C(17,2) = 136 pairs per order — the documented reason pair volume can
+never go corpus-quadratic. A corpus whose baskets blow past 64 would
+need salting before in-row expansion; the ceiling makes that assumption
+loud instead of silent.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_pro3_spark.ext.graph import (
+    adjacency_from_baskets,
+    basket_arrays,
+    pairs_from_baskets,
+)
+
+SRC = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
+ORDER_SHIFT = 1_000_000_000
+
+
+@pytest.fixture(scope="module")
+def li_o2x_dir(tmp_path_factory):
+    """lineitem with 2x the distinct orders: every order cloned under a
+    shifted orderkey, part sets untouched."""
+    d = tmp_path_factory.mktemp("li_o2x")
+    con = duckdb.connect()
+    src = f"{SRC}/lineitem.parquet"
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}') "
+        f"UNION ALL SELECT * REPLACE (l_orderkey + {ORDER_SHIFT} AS l_orderkey) "
+        f"FROM read_parquet('{src}')) "
+        f"TO '{d}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    return str(d)
+
+
+def _li(spark, path):
+    return spark.read.parquet(f"{path}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+
+
+def test_pair_stream_doubles_with_orders_edges_invariant(spark, li_o2x_dir):
+    base_bas = basket_arrays(_li(spark, SRC))
+    big_bas = basket_arrays(_li(spark, li_o2x_dir))
+
+    n_orders = base_bas.count()
+    assert big_bas.count() == 2 * n_orders
+
+    # raw pair stream (the explode fan-out = the family's compute volume):
+    # exactly linear in orders, and exactly sum C(|ps|, 2) — the in-row
+    # expansion emits each (i < j) pair once, no duplicate-pair volume
+    def stream_and_bound(bas):
+        row = bas.agg(
+            F.sum(F.expr("size(ps) * (size(ps) - 1) / 2")).alias("bound"),
+            F.max(F.size("ps")).alias("max_basket"),
+        ).first()
+        n_stream = pairs_from_baskets(bas, count=True).agg(
+            F.sum("support").alias("s")
+        ).first()["s"]
+        return int(n_stream), int(row["bound"]), int(row["max_basket"])
+
+    base_stream, base_bound, base_max = stream_and_bound(base_bas)
+    big_stream, big_bound, big_max = stream_and_bound(big_bas)
+    assert base_stream == base_bound, "fan-out != sum C(|basket|,2)"
+    assert big_stream == big_bound
+    assert big_stream == 2 * base_stream, (
+        f"pair stream not linear in orders: {base_stream} -> {big_stream}"
+    )
+
+    # fan-out base: baskets stay tiny (13 measured at sf0.01, and the
+    # order clones add no new parts); past 64 the in-row expansion would
+    # need salting — fail loud, not silent
+    assert base_max == big_max == 13, (base_max, big_max)
+
+    # distinct edges are a property of the basket CONTENTS — bit-identical
+    base_edges = {tuple(r) for r in pairs_from_baskets(base_bas).collect()}
+    big_edges = {tuple(r) for r in pairs_from_baskets(big_bas).collect()}
+    assert base_edges == big_edges
+
+
+def test_support_doubles_adjacency_invariant(spark, li_o2x_dir):
+    base_bas = basket_arrays(_li(spark, SRC))
+    big_bas = basket_arrays(_li(spark, li_o2x_dir))
+
+    base_sup = {
+        (r["u"], r["v"]): r["support"]
+        for r in pairs_from_baskets(base_bas, count=True).collect()
+    }
+    big_sup = {
+        (r["u"], r["v"]): r["support"]
+        for r in pairs_from_baskets(big_bas, count=True).collect()
+    }
+    assert big_sup == {e: 2 * s for e, s in base_sup.items()}
+
+    base_adj = {
+        r["node"]: r["nbrs"]
+        for r in adjacency_from_baskets(base_bas).collect()
+    }
+    big_adj = {
+        r["node"]: r["nbrs"]
+        for r in adjacency_from_baskets(big_bas).collect()
+    }
+    assert base_adj == big_adj
+
+
+def test_max_basket_bound_holds_at_sf01():
+    """Basket size must stay near-constant as the corpus grows — 17
+    measured on the 10x corpus (vs 13 at sf0.01: a wider part pool, not
+    corpus-proportional baskets), far under the 64 salting ceiling.
+    Checked in DuckDB, no Spark job needed."""
+    if not os.path.exists(f"{SF_BIG}/lineitem.parquet"):
+        pytest.skip("sf0.1 corpus not present")
+    n = (
+        duckdb.connect()
+        .execute(
+            "SELECT max(cnt) FROM (SELECT count(DISTINCT l_partkey) AS cnt "
+            f"FROM read_parquet('{SF_BIG}/lineitem.parquet') "
+            "GROUP BY l_orderkey)"
+        )
+        .fetchone()[0]
+    )
+    assert n == 17, n
+    assert n <= 64

@@ -10,10 +10,14 @@ loudly with the plan diff in hand.
 Ceilings are EXACT current counts (sf0.01 plans; Exchange node count is
 partition-count-independent). If a legitimate rewrite changes a count,
 re-measure and update the pin in the same commit — the point is that the
-change is deliberate, reviewed, and recorded, never silent. Keys covered
-are the top 128 of bench_detail.json (every key >= ~0.97 s at sf0.1:
-_CEILINGS is ranks 1-64, _CEILINGS_TIER2 ranks 65-128) — the ones where
-one extra corpus-sized shuffle costs real wall-clock at 100 TB.
+change is deliberate, reviewed, and recorded, never silent — re-measure
+with scripts/measure_exchange_ceilings.py, which reproduces this module's
+exact protocol. Keys covered are the ENTIRE 339-key bench
+(bench_detail.json: _CEILINGS is ranks 1-64, _CEILINGS_TIER2 ranks
+65-128, _CEILINGS_TIER3 the remaining 211) — the heavy head is where one
+extra corpus-sized shuffle costs real wall-clock at 100 TB; the tail pins
+cost nothing to keep and catch regressions before a key climbs the
+ranks.
 Counts are warmth- and order-independent: the autouse fixture below
 clears every session cache BEFORE EACH KEY, so each key plans from a
 deterministic cold state whether the module runs alphabetically, under
@@ -135,8 +139,8 @@ _CEILINGS = {
 # Second tier (round 9): the NEXT 64 bench keys by sf0.1 cost
 # (bench_detail.json ranks 65-128, ~0.97-1.9 s each). Same contract and
 # measurement conditions as _CEILINGS (per-key cold caches, sf0.01).
-# Together the two tables plan-pin the entire >=0.97 s head of the
-# 339-key bench — a silent shuffle regression anywhere in it fails fast.
+# Tiers 1+2 pin the entire >=0.97 s head of the 339-key bench;
+# _CEILINGS_TIER3 below completes the set.
 _CEILINGS_TIER2 = {
     "ext_ann_ivf": 1,
     "ext_ann_lsh": 1,
@@ -204,7 +208,228 @@ _CEILINGS_TIER2 = {
     "src_python_datasource": 1,
 }
 
-_ALL_CEILINGS = {**_CEILINGS, **_CEILINGS_TIER2}
+
+# Third tier (round 9, completion): EVERY remaining bench key —
+# bench_detail.json ranks 129-339 (sub-~0.97 s at sf0.1). With tiers 1+2
+# this plan-pins the full 339-key bench: no bench key can silently gain a
+# shuffle anywhere. Measured with scripts/measure_exchange_ceilings.py
+# (the same per-key cold-cache, sf0.01 protocol as the tiers above); use
+# that script when a deliberate rewrite needs a pin update.
+_CEILINGS_TIER3 = {
+    "agg_boolean_funcs": 1,
+    "agg_count_distinct": 2,
+    "agg_histogram": 1,
+    "agg_rollup": 1,
+    "agg_sum_avg_min_max": 1,
+    "array_funcs_misc": 0,
+    "cte_pipeline": 1,
+    "ext_ab_power_analysis": 2,
+    "ext_ab_srm_check": 1,
+    "ext_active_users_rolling": 4,
+    "ext_activity_heatmap": 1,
+    "ext_adstock_transform": 2,
+    "ext_agg_skew_twophase": 2,
+    "ext_anderson_darling_2s": 6,
+    "ext_anomaly_rolling_z": 2,
+    "ext_anova_quantity": 2,
+    "ext_arrow_length_hist": 2,
+    "ext_asof_join": 1,
+    "ext_asof_nearest": 2,
+    "ext_backlog_aging": 3,
+    "ext_bcg_matrix": 2,
+    "ext_benford_digits": 2,
+    "ext_bizday_lag": 2,
+    "ext_capture_recapture": 9,
+    "ext_causal_ipw_ate": 2,
+    "ext_causal_poststrat_ate": 3,
+    "ext_ccnet_bucket": 5,
+    "ext_cdc_apply": 1,
+    "ext_changepoint_binseg": 6,
+    "ext_changepoint_cusum": 4,
+    "ext_chi2_gof": 4,
+    "ext_chi2_independence": 3,
+    "ext_class_centroid_sim": 4,
+    "ext_cohens_kappa": 4,
+    "ext_cohort_ltv": 5,
+    "ext_contract_enforce": 5,
+    "ext_conv_sample_build": 1,
+    "ext_corpus_manifest": 1,
+    "ext_cramer_von_mises": 6,
+    "ext_customer_rfm": 4,
+    "ext_data_epoch_order": 1,
+    "ext_data_shard": 1,
+    "ext_date_spine_fill": 2,
+    "ext_dedup_exact": 1,
+    "ext_dedup_minhash_banded": 1,
+    "ext_dow_quantile_bands": 5,
+    "ext_dpo_pair_build": 2,
+    "ext_drift_psi": 4,
+    "ext_dtw_distance": 2,
+    "ext_eb_shrinkage": 3,
+    "ext_embed_isotropy": 7,
+    "ext_embed_mmd": 3,
+    "ext_embed_pca_power": 5,
+    "ext_embed_pca_project": 3,
+    "ext_embed_quantile_norm": 2,
+    "ext_embed_quantize": 2,
+    "ext_embed_whiten": 3,
+    "ext_eoq": 3,
+    "ext_eval_auc": 2,
+    "ext_eval_calibration": 2,
+    "ext_eval_confusion": 8,
+    "ext_eval_pass_at_k": 1,
+    "ext_eval_qini_uplift": 2,
+    "ext_eval_threshold_sweep": 2,
+    "ext_event_transition": 5,
+    "ext_events_burst_hours": 6,
+    "ext_evt_gumbel": 3,
+    "ext_fd_discovery": 15,
+    "ext_fdr_bh": 5,
+    "ext_feature_woe_iv": 2,
+    "ext_fit_lognormal": 3,
+    "ext_forecast_backtest": 3,
+    "ext_forecast_mase": 2,
+    "ext_friedman_test": 6,
+    "ext_funnel_latency": 5,
+    "ext_good_turing": 6,
+    "ext_gower_topk": 1,
+    "ext_graph_assortativity": 4,
+    "ext_grid_density_clusters": 1,
+    "ext_hist2d_qty_discount": 2,
+    "ext_hmm_viterbi": 4,
+    "ext_holt_linear": 4,
+    "ext_holt_winters": 2,
+    "ext_incremental_agg_maintain": 2,
+    "ext_interval_overlap_join": 1,
+    "ext_isotonic_calibration": 6,
+    "ext_jackknife_ratio": 4,
+    "ext_json_extract": 1,
+    "ext_kalman_filter": 2,
+    "ext_kendall_tau": 6,
+    "ext_keyword_pmi": 5,
+    "ext_kfold_assign": 2,
+    "ext_knee_elbow": 4,
+    "ext_label_balance": 4,
+    "ext_length_bucket_batch": 4,
+    "ext_littles_law": 3,
+    "ext_lorenz_points": 4,
+    "ext_markov_entropy_rate": 4,
+    "ext_max_drawdown": 4,
+    "ext_mediation_sobel": 2,
+    "ext_metric_delta_ratio": 2,
+    "ext_mixture_temperature": 1,
+    "ext_mm_aspect_bucket": 3,
+    "ext_mm_video_neardup": 3,
+    "ext_moments_profile": 1,
+    "ext_mood_median": 12,
+    "ext_new_vs_returning": 3,
+    "ext_ohlc_weekly": 3,
+    "ext_order_cycle_time": 3,
+    "ext_outlier_mad": 3,
+    "ext_overdispersion_check": 5,
+    "ext_page_trend": 6,
+    "ext_pandas_trimmed_mean": 1,
+    "ext_part_pareto": 4,
+    "ext_partial_corr": 2,
+    "ext_pinball_grid_fit": 9,
+    "ext_pr_average_precision": 6,
+    "ext_price_indices": 2,
+    "ext_privacy_erasure": 6,
+    "ext_privacy_l_diversity": 2,
+    "ext_promo_effect_did": 1,
+    "ext_quality_filter": 1,
+    "ext_quality_logistic": 0,
+    "ext_rank_biased_overlap": 3,
+    "ext_rdd_screen": 2,
+    "ext_recency_weighted_ltv": 2,
+    "ext_reorder_rate": 2,
+    "ext_return_rate_wilson": 1,
+    "ext_safety_stock": 3,
+    "ext_sample_negatives_plan": 2,
+    "ext_sample_weighted": 1,
+    "ext_scd2_hard_delete": 1,
+    "ext_seasonal_anomaly": 1,
+    "ext_seq_alignment": 3,
+    "ext_seq_error_retry": 3,
+    "ext_seq_pattern_v": 2,
+    "ext_ses_forecast": 2,
+    "ext_session_attribution": 2,
+    "ext_session_bounce": 2,
+    "ext_session_window": 1,
+    "ext_ship_lag_sla": 1,
+    "ext_sketch_bloom": 2,
+    "ext_sketch_countmin": 2,
+    "ext_sketch_hll_custom": 4,
+    "ext_sketch_kmv": 2,
+    "ext_sketch_quantile_bottomk": 2,
+    "ext_skyline_parts": 2,
+    "ext_source_freshness": 4,
+    "ext_source_lang_mix": 2,
+    "ext_spc_rules": 4,
+    "ext_spectral_period": 2,
+    "ext_spend_gini": 2,
+    "ext_split_order_screen": 3,
+    "ext_sprt_sequential": 2,
+    "ext_stat_wasserstein_1d": 6,
+    "ext_stickiness_dau_mau": 6,
+    "ext_supplier_hhi": 5,
+    "ext_survival_km": 5,
+    "ext_table_diff": 3,
+    "ext_table_fingerprint": 2,
+    "ext_tail_index_hill": 1,
+    "ext_target_encode_loo": 2,
+    "ext_text_bigram_kn": 4,
+    "ext_text_bigram_lm": 4,
+    "ext_text_burstiness": 3,
+    "ext_text_canary_scan": 1,
+    "ext_text_char_entropy": 2,
+    "ext_text_chunk": 0,
+    "ext_text_curriculum": 1,
+    "ext_text_edit_distance_blocked": 0,
+    "ext_text_encode_ids": 3,
+    "ext_text_fingerprint": 1,
+    "ext_text_gopher_rules": 0,
+    "ext_text_greenlist_score": 0,
+    "ext_text_hapax": 3,
+    "ext_text_line_dedup": 3,
+    "ext_text_pack": 3,
+    "ext_text_quality": 0,
+    "ext_text_readability": 0,
+    "ext_text_template_mask": 3,
+    "ext_text_ttr": 0,
+    "ext_theilsen_trend": 2,
+    "ext_time_interpolate": 2,
+    "ext_token_budget_plan": 3,
+    "ext_tokenizer_fertility": 1,
+    "ext_topk_cosine": 1,
+    "ext_ts_autocorrelation": 2,
+    "ext_ts_decompose": 4,
+    "ext_ts_durbin_watson": 3,
+    "ext_user_churn_features": 3,
+    "ext_user_streaks": 2,
+    "ext_value_band_migration": 3,
+    "ext_win_rolling_median": 1,
+    "ext_window_funnel": 7,
+    "ext_window_tumbling": 1,
+    "flagship_exec_summary": 4,
+    "join_full_outer": 2,
+    "join_range_interval": 0,
+    "join_three_way_chain": 1,
+    "q_forecast_revenue": 1,
+    "q_local_supplier_volume": 1,
+    "q_product_profit": 1,
+    "q_returned_item_ranking": 1,
+    "q_shipping_priority": 1,
+    "scan_partition_pruned": 1,
+    "src_binary_files": 0,
+    "str_funcs_misc": 0,
+    "win_lag_12_partitioned": 2,
+    "win_nth_ratio": 1,
+    "win_rank_dense_ntile": 1,
+    "win_row_number_dedup": 1,
+}
+
+_ALL_CEILINGS = {**_CEILINGS, **_CEILINGS_TIER2, **_CEILINGS_TIER3}
 
 
 @pytest.mark.parametrize("name", sorted(_ALL_CEILINGS))
