@@ -432,6 +432,21 @@ _CEILINGS_TIER3 = {
 _ALL_CEILINGS = {**_CEILINGS, **_CEILINGS_TIER2, **_CEILINGS_TIER3}
 
 
+def test_every_bench_key_is_pinned():
+    """Completeness guard: the three tiers cover the ENTIRE current bench
+    set, so a key added to the bench without a measured ceiling (or a
+    pinned key whose query was renamed) fails here rather than silently
+    running unpinned. Measure new keys with
+    scripts/measure_exchange_ceilings.py before adding them."""
+    import json
+
+    bench = set(json.load(open("/root/repo/bench_detail.json"))["detail"])
+    unpinned = bench - set(_ALL_CEILINGS)
+    stale = set(_ALL_CEILINGS) - set(_QUERIES)
+    assert not unpinned, f"bench keys without an Exchange ceiling: {sorted(unpinned)}"
+    assert not stale, f"pinned keys not in the registry: {sorted(stale)}"
+
+
 @pytest.mark.parametrize("name", sorted(_ALL_CEILINGS))
 def test_shuffle_count_ceiling(spark, name):
     p = plan_str(_QUERIES[name](spark, SF_DIR))
