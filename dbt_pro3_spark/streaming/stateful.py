@@ -16,6 +16,15 @@ driver-mandated extensions at their most Spark-native:
 All run with the availableNow trigger against the events parquet so batch
 tests can observe results; swap the source for Kafka and nothing else
 changes.
+
+Known cosmetic warning: applyInPandasWithState executors emit a pandas
+FutureWarning from INSIDE pyspark (sql/pandas/serializers.py ~:1696) —
+the state serializer pads the data/state sides to equal length with
+all-NA frames before pd.concat, which pandas 2.x deprecates. No user
+code path avoids it (the padding is unconditional whenever data and
+state counts differ), and it is dtype-safe here: the merged frame is
+immediately cast through the operator's explicit Arrow schema, so the
+future pandas inference change cannot alter what reaches the engine.
 """
 
 from __future__ import annotations
