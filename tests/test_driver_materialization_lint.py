@@ -57,17 +57,76 @@ def _py_sources():
                 yield os.path.relpath(path, SRC_ROOT), open(path).read()
 
 
+def _fstring_exprs(s: str):
+    """The brace-expression bodies of an f-string literal — the one place
+    a STRING token CAN contain running code. A small scanner is enough
+    for lint purposes: split on top-level braces, honor {{ }} escapes,
+    stop each expression at a top-level ':' or '!' (format spec /
+    conversion)."""
+    depth = 0
+    cur: list[str] = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if depth == 0:
+            if c == "{" and s[i + 1 : i + 2] == "{":
+                i += 2
+                continue
+            if c == "{":
+                depth = 1
+                cur = []
+                i += 1
+                continue
+        else:
+            if c == "}" and depth == 1:
+                yield "".join(cur)
+                depth = 0
+                i += 1
+                continue
+            if c in "{([":
+                depth += 1
+            elif c in "})]":
+                depth -= 1
+            elif depth == 1 and c in ":!":
+                yield "".join(cur)
+                # skip to the matching top-level close brace
+                while i < len(s) and not (depth == 1 and s[i] == "}"):
+                    if s[i] in "{([":
+                        depth += 1
+                    elif s[i] in "})]":
+                        depth -= 1
+                    i += 1
+                depth = 0
+                i += 1
+                continue
+            cur.append(c)
+        i += 1
+
+
 def _code_tokens(text: str):
     """(type, string) pairs for real code only, via the actual tokenizer —
     a regex pass mispairs triple quotes appearing inside ordinary string
     literals and miscounts trailing comments, in both the silent-miss and
-    the false-alarm direction. Comments and string literals can't contain
-    a call, so dropping those token types is exact for these lints."""
+    the false-alarm direction. Comments and plain string literals can't
+    contain a call, so dropping those token types is exact for these
+    lints — EXCEPT f-strings, whose brace expressions are running code
+    and arrive as one opaque STRING token on Python <= 3.11: those are
+    re-tokenized recursively so `f"{df.collect()}"` still counts."""
     import io
     import tokenize
 
     for tok in tokenize.generate_tokens(io.StringIO(text).readline):
-        if tok.type not in (tokenize.COMMENT, tokenize.STRING, tokenize.NL):
+        if tok.type == tokenize.STRING:
+            j = 0
+            while tok.string[j] not in "'\"":
+                j += 1
+            if "f" in tok.string[:j].lower():
+                for expr in _fstring_exprs(tok.string):
+                    try:
+                        yield from _code_tokens(expr)
+                    except (tokenize.TokenError, SyntaxError, IndentationError):
+                        pass
+        elif tok.type not in (tokenize.COMMENT, tokenize.NL):
             yield tok.type, tok.string
 
 

@@ -75,9 +75,21 @@ def _li(spark, path):
     )
 
 
-def test_pair_stream_doubles_with_orders_edges_invariant(spark, li_o2x_dir):
-    base_bas = basket_arrays(_li(spark, SRC))
-    big_bas = basket_arrays(_li(spark, li_o2x_dir))
+@pytest.fixture(scope="module")
+def baskets(spark, li_o2x_dir):
+    """(base, doubled) basket frames, persisted once for the module —
+    both tests consume the same two frames several times each, and
+    without the persist every assertion re-pays the parquet scan and
+    the orderkey shuffle."""
+    base = basket_arrays(_li(spark, SRC)).persist()
+    big = basket_arrays(_li(spark, li_o2x_dir)).persist()
+    yield base, big
+    base.unpersist()
+    big.unpersist()
+
+
+def test_pair_stream_doubles_with_orders_edges_invariant(spark, baskets):
+    base_bas, big_bas = baskets
 
     n_orders = base_bas.count()
     assert big_bas.count() == 2 * n_orders
@@ -114,9 +126,8 @@ def test_pair_stream_doubles_with_orders_edges_invariant(spark, li_o2x_dir):
     assert base_edges == big_edges
 
 
-def test_support_doubles_adjacency_invariant(spark, li_o2x_dir):
-    base_bas = basket_arrays(_li(spark, SRC))
-    big_bas = basket_arrays(_li(spark, li_o2x_dir))
+def test_support_doubles_adjacency_invariant(spark, baskets):
+    base_bas, big_bas = baskets
 
     base_sup = {
         (r["u"], r["v"]): r["support"]

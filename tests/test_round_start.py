@@ -111,6 +111,20 @@ def test_driver_window_lands_on_never_sampled_keys():
     )
 
 
+def _correctness_greens():
+    """(artifact_basename, key) for every fully-green row — rows+schema+
+    hash all True — across every driver CORRECTNESS artifact. The single
+    definition of 'driver-green' shared by the forward and reverse
+    fold-in guards below, so the two can never drift apart on what green
+    means."""
+    import json
+
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        for key, r in json.load(open(path)).items():
+            if r.get("rows_match") and r.get("schema_match") and r.get("hash_match"):
+                yield os.path.basename(path), key
+
+
 def test_driver_verified_covers_every_correctness_green():
     """Fold-in completeness guard: _DRIVER_VERIFIED must contain EVERY key
     any round's driver CORRECTNESS artifact recorded as fully green
@@ -119,21 +133,12 @@ def test_driver_verified_covers_every_correctness_green():
     window; this one catches a PARTIAL fold-in anywhere in the set, and
     reads the artifacts themselves so the check can never disagree with
     the ground truth the judge reads."""
-    import json
-
     from dbt_pro3_spark.queries import _DRIVER_VERIFIED
 
     missing = {}
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
-        rows = json.load(open(path))
-        for key, r in rows.items():
-            if (
-                r.get("rows_match")
-                and r.get("schema_match")
-                and r.get("hash_match")
-                and key not in _DRIVER_VERIFIED
-            ):
-                missing.setdefault(os.path.basename(path), []).append(key)
+    for artifact, key in _correctness_greens():
+        if key not in _DRIVER_VERIFIED:
+            missing.setdefault(artifact, []).append(key)
     assert not missing, (
         f"driver-green keys not folded into _DRIVER_VERIFIED "
         f"(queries/__init__.py): {missing} — fold in the latest round's "
@@ -149,15 +154,9 @@ def test_driver_verified_contains_no_unverified_key():
     being driver-verified. ext_dedup_fuzzy is the single documented
     exception: rows-only by design (pyspark.ml banding has no SQL twin),
     its r03 row is the strongest check the driver can run for it."""
-    import json
-
     from dbt_pro3_spark.queries import _DRIVER_VERIFIED
 
-    green = set()
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
-        for key, r in json.load(open(path)).items():
-            if r.get("rows_match") and r.get("schema_match") and r.get("hash_match"):
-                green.add(key)
+    green = {key for _artifact, key in _correctness_greens()}
     unverified = _DRIVER_VERIFIED - green - {"ext_dedup_fuzzy"}
     assert not unverified, (
         f"keys in _DRIVER_VERIFIED with no fully-green CORRECTNESS row: "

@@ -47,14 +47,12 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(autouse=True)
-def _cold_session_caches(spark):
-    """Plan shape for the session-index families depends on cache warmth
-    (a warm shared graph index planned through its persisted lineage adds
-    exchanges vs a cold build), so clear every cache before EACH key: the
-    pinned count is then a property of the key alone, not of which tests
-    ran first — reproducible standalone, under -k selection, and under
-    pytest-xdist alike (ADVICE r8)."""
+def clear_all_session_caches():
+    """Clear every session-index cache (graph / IVF / PCA / probe) — THE
+    canonical cold-measurement step, imported by
+    scripts/measure_exchange_ceilings.py so the script and this module
+    can never measure under different conditions. A new session cache
+    must be added HERE (one place) to join the protocol."""
     from dbt_pro3_spark.ext.graph import clear_graph_cache
     from dbt_pro3_spark.ext.ivf import clear_ivf_cache
     from dbt_pro3_spark.queries.r4_ops import clear_pca_cache
@@ -64,6 +62,17 @@ def _cold_session_caches(spark):
     clear_ivf_cache()
     clear_pca_cache()
     clear_probe_cache()
+
+
+@pytest.fixture(autouse=True)
+def _cold_session_caches(spark):
+    """Plan shape for the session-index families depends on cache warmth
+    (a warm shared graph index planned through its persisted lineage adds
+    exchanges vs a cold build), so clear every cache before EACH key: the
+    pinned count is then a property of the key alone, not of which tests
+    ran first — reproducible standalone, under -k selection, and under
+    pytest-xdist alike (ADVICE r8)."""
+    clear_all_session_caches()
     yield
 
 
@@ -445,6 +454,14 @@ def test_every_bench_key_is_pinned():
     stale = set(_ALL_CEILINGS) - set(_QUERIES)
     assert not unpinned, f"bench keys without an Exchange ceiling: {sorted(unpinned)}"
     assert not stale, f"pinned keys not in the registry: {sorted(stale)}"
+    # tiers must be disjoint: the {**t1, **t2, **t3} merge silently keeps
+    # the LAST value on a duplicate key, so a key pasted into two tiers
+    # could loosen its ceiling without any test noticing
+    n_tiers = len(_CEILINGS) + len(_CEILINGS_TIER2) + len(_CEILINGS_TIER3)
+    assert len(_ALL_CEILINGS) == n_tiers, (
+        "a key is pinned in more than one tier — the merge keeps only the "
+        "last pin; remove the duplicate"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(_ALL_CEILINGS))
