@@ -232,6 +232,25 @@ _R5_RESAMPLE: list[str] = []
 # with the rest; the ANN triad re-entered the window in round 7 when it
 # gained real oracles (_R5_RESAMPLE).
 _DRIVER_VERIFIED = {
+    # r09 window (CORRECTNESS_r09.json — 50/50 hash-green fold-in)
+    "agg_histogram", "agg_string_concat_ordered", "expr_try_arithmetic",
+    "ext_attr_markov_removal", "ext_calibration_temperature",
+    "ext_causal_ipw_ate", "ext_causal_poststrat_ate", "ext_cochran_q",
+    "ext_conv_sample_build", "ext_dpo_pair_build", "ext_dtw_distance",
+    "ext_embed_cka_views", "ext_embed_mmd", "ext_eval_cv_auc",
+    "ext_eval_qini_uplift", "ext_fit_lognormal", "ext_fit_negbinom",
+    "ext_fleiss_kappa", "ext_good_turing", "ext_granger_causality",
+    "ext_hclust_single_link", "ext_hmm_viterbi", "ext_holt_winters",
+    "ext_isotonic_calibration", "ext_jackknife_ratio", "ext_kalman_filter",
+    "ext_knee_elbow", "ext_kruskal_wallis", "ext_markov_absorption",
+    "ext_max_drawdown", "ext_mediation_sobel", "ext_neyman_allocation",
+    "ext_pandas_trimmed_mean", "ext_partial_corr", "ext_pinball_grid_fit",
+    "ext_pr_average_precision", "ext_pref_bradley_terry",
+    "ext_recursive_hierarchy", "ext_sample_negatives_plan",
+    "ext_seq_alignment", "ext_tail_dependence", "ext_text_canary_scan",
+    "join_bloom_prefilter", "q_customer_order_distribution",
+    "q_shipmode_priority", "sink_codec_roundtrip", "src_binary_files",
+    "src_python_datasource", "win_cume_percent_rank", "win_lead_next_gap",
     # r08 window (CORRECTNESS_r08.json — 50/50 hash-green, all
     # previously-never-sampled)
     "ext_anderson_darling_2s", "ext_asof_nearest", "ext_burrows_delta",
