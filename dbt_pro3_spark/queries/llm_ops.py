@@ -876,16 +876,21 @@ def ext_text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", F.slice(F.col("l"), F.col("i"), n)).cast("binary")).alias("g"),
         )
     )
-    # "appears in >= 2 distinct docs" is exactly min(doc_id) != max(doc_id):
-    # two plain min/max aggregates (fully map-side combined) instead of a
-    # per-gram countDistinct, which plans an Expand over the gram stream
-    dupg = (
-        grams.groupBy("g")
-        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    # "appears in >= 2 distinct docs" is exactly min(doc_id) != max(doc_id),
+    # computed as a WINDOW over the gram-partitioned stream (r10): the prior
+    # aggregate-then-self-join shape shuffled the gram stream twice and ran
+    # the tokenize+md5 scan once per side; one gram-keyed window computes the
+    # per-gram min/max in the SAME single shuffle that the join needed, so
+    # the corpus is tokenized and hashed exactly once. (A per-gram
+    # countDistinct would plan an Expand over the gram stream — still
+    # avoided.)
+    w_g = Window.partitionBy("g")
+    dup_pos = (
+        grams.withColumn("lo", F.min("doc_id").over(w_g))
+        .withColumn("hi", F.max("doc_id").over(w_g))
         .filter(F.col("lo") != F.col("hi"))
-        .select("g")
+        .select("doc_id", "i")
     )
-    dup_pos = grams.join(dupg, "g").select("doc_id", "i")
     # ONE pass over dup_pos for both stats (position count + span coverage):
     # positions i are already distinct per doc, so each contributes exactly
     # one span row with p == i — counting those IS the dup-ngram count,
@@ -1366,13 +1371,17 @@ def ext_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     both med and mad are 6-dp-rounded before the cut so membership is
     bit-identical."""
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # r10: med and mad (rows == groups) are each consumed by two fact-side
+    # branches — pinned so each percentile aggregate's fact scan runs once
+    # (plan audit: events scanned 4x -> 3, the algorithmic floor: median
+    # pass, MAD pass, flag pass)
     med = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
-    )
+    ).localCheckpoint(eager=False)
     dev = ev.join(F.broadcast(med), "event_type")
     mad = dev.groupBy("event_type").agg(
         F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad")
-    )
+    ).localCheckpoint(eager=False)
     return (
         dev.join(F.broadcast(mad), "event_type")
         .filter(F.abs(F.col("value") - F.col("med")) > MAD_K * F.col("mad"))

@@ -1612,13 +1612,18 @@ def ext_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.col("o_orderpriority").alias("category"),
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
     )
+    # r10: the global moments collapse out of the category grid (sum of
+    # per-category sums/counts ≡ the global sum/count — exact integers,
+    # order-free), and the 5-row grid is pinned — the prior shape scanned
+    # orders three times (category pass, global pass, encode pass); now
+    # twice, the floor (plan audit: 3 -> 2)
     cat = y.groupBy("category").agg(
         F.sum("cents").cast("bigint").alias("s_cat"),
         F.count(F.lit(1)).cast("bigint").alias("n_cat"),
-    )
-    tot = y.agg(
-        F.sum("cents").cast("bigint").alias("g"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).localCheckpoint(eager=False)
+    tot = cat.agg(
+        F.sum("s_cat").cast("bigint").alias("g"),
+        F.sum("n_cat").cast("bigint").alias("n"),
     )
     dec = lambda c: c.cast("decimal(38,0)")
     num = (
@@ -1973,7 +1978,15 @@ def ext_exact_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = li.select(
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("c")
     ).withColumn("bucket", (F.col("c") / EQ_BUCKET).cast("bigint"))
-    n = cents.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # r10: the tiny reused frames (scalar count, cumulative histogram,
+    # located positions) are pinned with localCheckpoint — each is consumed
+    # by 2+ downstream branches, and unpinned the plan replayed the whole
+    # lineitem scan per consumer (plan audit: 6 lineitem scans; now the
+    # corpus is read exactly twice — histogram pass + target-bucket pass —
+    # plus one column-less count)
+    n = cents.agg(F.count(F.lit(1)).cast("bigint").alias("n")).localCheckpoint(
+        eager=False
+    )
     quart = spark.createDataFrame(EQ_QUARTILES, ["quantile", "num", "den"])
     pos = (
         quart.crossJoin(F.broadcast(n))
@@ -2003,7 +2016,8 @@ def ext_exact_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cum),
         (pos.k > F.col("cum_prev")) & (pos.k <= F.col("cum")),
     ).select("quantile", "den", "frac_num", "side", "k", "bucket",
-             (F.col("k") - F.col("cum_prev")).alias("within_k"))
+             (F.col("k") - F.col("cum_prev")).alias("within_k")
+    ).localCheckpoint(eager=False)  # 6 rows; feeds target_buckets AND vals
     target_buckets = located.select("bucket").distinct()
     w_b = Window.partitionBy("bucket").orderBy("c")
     in_bucket = (
@@ -2506,46 +2520,64 @@ def ext_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-frac)*lo+frac*hi) and a last-ulp difference was observed landing
     exactly on a 6dp rounding tie; order statistics cannot drift.
 
-    Scale shape: the funnel's conditional MIN aggregates all key on
-    user_id (one partitioning reused across stages, shrinking survivor
-    sets); the rank window partitions by transition over per-user rows
-    (at 100 TB swap for the two-pass bucket method of
-    ext_exact_quantiles_twopass — documented)."""
-    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    t1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_view"))
+    Scale shape (r10 single-shuffle rewrite, the ext_window_funnel
+    shape): ONE scan of the three event types and ONE user_id-keyed
+    Exchange; the three first-completion times are stacked
+    conditional-MIN windows over that partitioning (unordered frames —
+    no sort), each conditioned on the previous step's windowed value;
+    the per-user collapse emits both transition rows via explode. The
+    prior shape ran three filtered scans + three user-keyed shuffles +
+    two step joins, and the latency union replayed the t2 subtree (plan
+    audit: 5 events scans -> 1). The rank window partitions by
+    transition over per-user rows (at 100 TB swap for the two-pass
+    bucket method of ext_exact_quantiles_twopass — documented)."""
+    ev3 = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
     )
-    t2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(t1, "user_id")
-        .filter(F.col("ts") > F.col("first_view"))
-        .groupBy("user_id")
-        .agg(F.min("first_view").alias("first_view"), F.min("ts").alias("first_click"))
+    w_u = Window.partitionBy("user_id")
+    staged = ev3.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w_u)
+    ).filter(F.col("t1").isNotNull())
+    staged = staged.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("us") > F.col("t1")),
+                F.col("us"),
+            )
+        ).over(w_u),
     )
-    t3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(t2.select("user_id", "first_click"), "user_id")
-        .filter(F.col("ts") > F.col("first_click"))
-        .groupBy("user_id")
-        .agg(
-            F.min("first_click").alias("first_click"),
-            F.min("ts").alias("first_purchase"),
+    staged = staged.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("us") > F.col("t2")),
+                F.col("us"),
+            )
+        ).over(w_u),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    lat = (
+        per_user.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("view_to_click").alias("transition"),
+                        (F.col("t2") - F.col("t1")).alias("lat_us"),
+                    ),
+                    F.struct(
+                        F.lit("click_to_purchase").alias("transition"),
+                        (F.col("t3") - F.col("t2")).alias("lat_us"),
+                    ),
+                )
+            ).alias("x")
         )
-    )
-    lat = t2.select(
-        F.lit("view_to_click").alias("transition"),
-        (
-            F.unix_micros("first_click") - F.unix_micros("first_view")
-        ).alias("lat_us"),
-    ).unionByName(
-        t3.select(
-            F.lit("click_to_purchase").alias("transition"),
-            (
-                F.unix_micros("first_purchase") - F.unix_micros("first_click")
-            ).alias("lat_us"),
-        )
+        .select("x.transition", "x.lat_us")
+        .filter(F.col("lat_us").isNotNull())
     )
     w_rk = Window.partitionBy("transition").orderBy("lat_us")
     w_n = Window.partitionBy("transition")
@@ -3406,6 +3438,10 @@ def ext_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output is a 9-cell grid."""
     from .scale_ops import ext_demand_xyz, ext_part_pareto
 
+    # NOTE (r10): pinning this part-sized frame with localCheckpoint was
+    # measured SLOWER (1.79 -> 2.35 s isolated min-of-5): the double
+    # consumption is two cheap part-key aggregates, and the checkpoint's
+    # materialization barrier costs more than the recompute. Left unpinned.
     abc = ext_part_pareto(spark, sf_dir).select("l_partkey", "abc_class", "cents")
     xyz = ext_demand_xyz(spark, sf_dir).select(
         F.col("l_partkey"), "xyz_class"
@@ -3805,14 +3841,19 @@ def ext_two_sample_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
         )
     )
+    # r10: the value grid feeds three consumers (totals, local cumsums,
+    # bucket offsets) — pinned so the orders-customer join+aggregate runs
+    # once, not once per consumer (plan audit: orders and customer were
+    # each scanned per consumer)
     grid = vals.groupBy("cents").agg(
         F.count(F.when(F.col("seg") == KS_SEG_A, 1)).cast("bigint").alias("c1"),
         F.count(F.when(F.col("seg") == KS_SEG_B, 1)).cast("bigint").alias("c2"),
-    ).withColumn("bucket", (F.col("cents") / EQ_BUCKET).cast("bigint"))
+    ).withColumn("bucket", (F.col("cents") / EQ_BUCKET).cast("bigint")
+    ).localCheckpoint(eager=False)
     tot = grid.agg(
         F.sum("c1").cast("bigint").alias("n1"),
         F.sum("c2").cast("bigint").alias("n2"),
-    )
+    ).localCheckpoint(eager=False)  # 1 row; reused by the scalar reports
     # two-level prefix scan: bucket-local cumsums + bucket offsets
     w_local = Window.partitionBy("bucket").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, 0
@@ -3928,14 +3969,19 @@ def ext_rank_effect_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
         )
     )
+    # r10: the value grid feeds three consumers (totals, local cumsums,
+    # bucket offsets) — pinned so the orders-customer join+aggregate runs
+    # once, not once per consumer (plan audit: orders and customer were
+    # each scanned per consumer)
     grid = vals.groupBy("cents").agg(
         F.count(F.when(F.col("seg") == KS_SEG_A, 1)).cast("bigint").alias("c1"),
         F.count(F.when(F.col("seg") == KS_SEG_B, 1)).cast("bigint").alias("c2"),
-    ).withColumn("bucket", (F.col("cents") / EQ_BUCKET).cast("bigint"))
+    ).withColumn("bucket", (F.col("cents") / EQ_BUCKET).cast("bigint")
+    ).localCheckpoint(eager=False)
     tot = grid.agg(
         F.sum("c1").cast("bigint").alias("n1"),
         F.sum("c2").cast("bigint").alias("n2"),
-    )
+    ).localCheckpoint(eager=False)  # 1 row; reused by the scalar reports
     # two-level EXCLUSIVE prefix scan (bucket-local + bucket offsets)
     w_local = Window.partitionBy("bucket").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, -1

@@ -2120,41 +2120,52 @@ def ext_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (epoch_us / unix_micros); rates are ratios of exact integers,
     dround(6).
 
-    Scale shape: three conditional-MIN aggregates all keyed on user_id
-    — the first shuffle establishes the partitioning and every later
-    stage (step joins, survivor filters) reuses it; survivor sets only
-    shrink. The event_type filters push to each scan."""
+    Scale shape (r10 single-shuffle rewrite): ONE scan of the three
+    event types and ONE user_id-keyed Exchange; the three step times are
+    stacked conditional-MIN windows over that same partitioning
+    (unordered frames — no per-window sort), each conditioned on the
+    previous step's windowed value, then a per-user collapse and a
+    scalar report. The prior shape ran three filtered scans + three
+    user-keyed shuffles + two step joins (plan audit: 6 events scans);
+    now the corpus is read once and partitioned once (guide §2.4: window
+    functions partitioned like the preceding shuffle need no second
+    Exchange)."""
     ev = load(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
     win_us = FUNNEL_WINDOW_DAYS * 86400000000
-    s0 = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min(us).alias("t0"))
-    )
-    s1 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s0, "user_id")
-        .filter((us > F.col("t0")) & (us <= F.col("t0") + win_us))
-        .groupBy("user_id", "t0")
-        .agg(F.min(us).alias("t1"))
-    )
-    s2 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s1, "user_id")
-        .filter((us > F.col("t1")) & (us <= F.col("t0") + win_us))
-        .groupBy("user_id")
-        .agg(F.min(us).alias("t2"))
-    )
+    ev3 = ev.filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    ).select("user_id", "event_type", F.unix_micros(F.col("ts")).alias("us"))
+    w_u = Window.partitionBy("user_id")
+    t0 = F.min(
+        F.when(F.col("event_type") == "signup", F.col("us"))
+    ).over(w_u)
+    staged = ev3.withColumn("t0", t0).filter(F.col("t0").isNotNull())
+    t1 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("us") > F.col("t0"))
+            & (F.col("us") <= F.col("t0") + win_us),
+            F.col("us"),
+        )
+    ).over(w_u)
+    staged = staged.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("us") > F.col("t1"))
+            & (F.col("us") <= F.col("t0") + win_us),
+            F.col("us"),
+        )
+    ).over(w_u)
     depth = (
-        s0.join(s1.select("user_id", F.lit(1).alias("d2")), "user_id", "left")
-        .join(s2.select("user_id", F.lit(1).alias("d3")), "user_id", "left")
-        .select(
-            "user_id",
-            F.when(F.col("d3").isNotNull(), 3)
-            .when(F.col("d2").isNotNull(), 2)
-            .otherwise(1)
-            .alias("depth"),
+        staged.withColumn("t2", t2)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("t2").isNotNull(), 3)
+                .when(F.col("t1").isNotNull(), 2)
+                .otherwise(1)
+            ).alias("depth")
         )
     )
     d2 = F.sum(F.when(F.col("depth") >= 2, 1).otherwise(0))

@@ -3201,29 +3201,43 @@ def ext_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: pure distinct counting.
 
-    Scale shape: one (lhs)-keyed COUNT DISTINCT aggregate per candidate
-    (map-side partial distinct), each collapsing to determinant
-    cardinality before the scalar verdict; candidates union onto a
-    5-row report. Cited parity anchor: /root/reference/models
-    (beyond-reference surface)."""
+    Scale shape (r10 single-scan rewrite): ONE part scan explodes each
+    row into its 5 (candidate, lhs-value, rhs-value) probes (values
+    stringified — injective for these string/int columns), one
+    (candidate, lhs)-keyed COUNT DISTINCT aggregate, one candidate-keyed
+    scalar fold to the 5-row report — the prior per-candidate loop
+    scanned part 5 times and unioned 5 two-level aggregates (plan
+    audit: 5 scans / 10 Exchanges). Cited parity anchor:
+    /root/reference/models (beyond-reference surface)."""
     pt = load(spark, sf_dir, "part")
-    outs = []
-    for lhs, rhs in FD_CANDIDATES:
-        g = pt.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
-        viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
-        outs.append(
-            g.agg(
-                F.lit(lhs).alias("lhs"),
-                F.lit(rhs).alias("rhs"),
-                F.count(F.lit(1)).cast("bigint").alias("n_lhs_values"),
-                viol.cast("bigint").alias("n_violating"),
-                F.when(viol == 0, 1).otherwise(0).cast("int").alias("fd_holds"),
+    probes = pt.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{lhs}|{rhs}").alias("cand"),
+                        F.col(lhs).cast("string").alias("lv"),
+                        F.col(rhs).cast("string").alias("rv"),
+                    )
+                    for lhs, rhs in FD_CANDIDATES
+                ]
             )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("lhs", "rhs")
+        ).alias("x")
+    ).select("x.cand", "x.lv", "x.rv")
+    g = probes.groupBy("cand", "lv").agg(F.countDistinct("rv").alias("nd"))
+    viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    rep = g.groupBy("cand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lhs_values"),
+        viol.cast("bigint").alias("n_violating"),
+        F.when(viol == 0, 1).otherwise(0).cast("int").alias("fd_holds"),
+    )
+    return rep.select(
+        F.split("cand", "\\|").getItem(0).alias("lhs"),
+        F.split("cand", "\\|").getItem(1).alias("rhs"),
+        "n_lhs_values",
+        "n_violating",
+        "fd_holds",
+    ).orderBy("lhs", "rhs")
 
 
 # ---------------------------------------------------------------------------
@@ -6471,21 +6485,28 @@ def ext_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unroll DL identically to the oracle, via Spark expr on the same SQL
     for name, fn in _pacf_dl_steps():
         row = row.withColumn(name, F.expr(fn(None)))
-    outs = []
-    for k in range(1, PACF_MAX_LAG + 1):
-        outs.append(
-            row.select(
+    # r10: emit the per-lag rows by exploding an array of structs over the
+    # single recursion row — the prior per-lag unionByName planned the whole
+    # orders-scan + month-window subtree once PER LAG (6 scans of orders)
+    report = F.array(
+        *[
+            F.struct(
                 F.lit(k).alias("lag"),
                 F.col(f"r{k}").alias("acf"),
                 F.col(f"f{k}{k}").alias("pacf"),
             )
+            for k in range(1, PACF_MAX_LAG + 1)
+        ]
+    )
+    return (
+        row.select(F.explode(report).alias("x"))
+        .select(
+            F.col("x.lag").alias("lag"),
+            F.round("x.acf", 6).alias("acf"),
+            F.round("x.pacf", 6).alias("pacf"),
         )
-    out = outs[0]
-    for o_df in outs[1:]:
-        out = out.unionByName(o_df)
-    return out.select(
-        "lag", F.round("acf", 6).alias("acf"), F.round("pacf", 6).alias("pacf")
-    ).orderBy("lag")
+        .orderBy("lag")
+    )
 
 
 ext_pacf.__doc__ = ext_pacf.__doc__.replace("{PACF_MAX_LAG}", str(PACF_MAX_LAG))
@@ -6833,33 +6854,38 @@ def ext_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate combines exact integers through an identical expression
     tree.
 
-    Scale shape: two year-filtered distinct collapses (filters pushed
-    to the scan), one partkey-keyed intersection join, scalar output.
-    Cited parity anchor: /root/reference/models (beyond-reference
-    surface)."""
+    Scale shape (r10 single-scan rewrite): ONE lineitem pass folds to a
+    per-partkey sighting bitmap (map-side-combined max of two year
+    flags — the partkey shuffle carries 2 small ints, guide §2.3), then
+    one scalar aggregate reads n1/n2/m/observed off the bitmap — the
+    prior shape re-scanned lineitem per sighting set (two distincts,
+    their counts, the intersection join and the global distinct: 5
+    scans, 3 shuffles). Cited parity anchor: /root/reference/models
+    (beyond-reference surface)."""
     li = load(spark, sf_dir, "lineitem")
     yr = F.year("l_shipdate")
-    s1 = li.filter(yr == CR_Y1).select("l_partkey").distinct()
-    s2 = li.filter(yr == CR_Y2).select("l_partkey").distinct()
-    n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
-    n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
-    m = s1.join(s2, "l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("m")
-    )
-    obs = li.agg(F.countDistinct("l_partkey").cast("bigint").alias("observed_total"))
-    est = (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0) - 1.0
-    return (
-        n1.crossJoin(F.broadcast(n2))
-        .crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(obs))
-        .select(
-            F.col("n1").alias("n_year1"),
-            F.col("n2").alias("n_year2"),
-            F.col("m").alias("n_both"),
-            "observed_total",
-            F.round(est, 6).alias("chapman_estimate"),
-            F.round(est / F.col("observed_total"), 6).alias("coverage_ratio"),
+    sightings = (
+        li.select("l_partkey", yr.alias("y"))
+        .groupBy("l_partkey")
+        .agg(
+            F.max(F.when(F.col("y") == CR_Y1, 1).otherwise(0)).alias("in1"),
+            F.max(F.when(F.col("y") == CR_Y2, 1).otherwise(0)).alias("in2"),
         )
+    )
+    one = sightings.agg(
+        F.sum("in1").cast("bigint").alias("n1"),
+        F.sum("in2").cast("bigint").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("observed_total"),
+    )
+    est = (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0) - 1.0
+    return one.select(
+        F.col("n1").alias("n_year1"),
+        F.col("n2").alias("n_year2"),
+        F.col("m").alias("n_both"),
+        "observed_total",
+        F.round(est, 6).alias("chapman_estimate"),
+        F.round(est / F.col("observed_total"), 6).alias("coverage_ratio"),
     )
 
 
@@ -7993,12 +8019,15 @@ def ext_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v"),
     )
     w = Window.partitionBy("arm").orderBy("v")
+    # r10: pin the two reused frames — `ranked` feeds both union branches of
+    # the pad and `q` feeds both arm projections; unpinned, the plan replayed
+    # the orders scan + per-arm rank window once per consumer (4 scans)
     ranked = arms.select(
         "arm",
         "v",
         F.row_number().over(w).alias("rk"),
         F.count(F.lit(1)).over(Window.partitionBy("arm")).alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     pad = ranked.unionByName(
         ranked.filter(F.col("rk") == F.col("n")).select(
             "arm", "v", (F.col("rk") + 1).alias("rk"), "n"
@@ -8017,7 +8046,7 @@ def ext_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
         band(10).alias("p10"),
         band(50).alias("p50"),
         band(90).alias("p90"),
-    )
+    ).localCheckpoint(eager=False)  # 2 rows; feeds both arm projections
     a = q.filter(F.col("arm") == 0).select(
         F.col("n_orders").alias("n_arm0"),
         F.col("p10").alias("p10_arm0"),

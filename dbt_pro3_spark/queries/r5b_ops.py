@@ -126,7 +126,12 @@ def ext_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.datediff(F.col("ts").cast("date"), F.lit(FDR_EPOCH)), F.lit(7)).alias("dow"),
         "value",
     )
-    g = ev.agg(F.round(F.avg("value"), 6).alias("mu_all"))
+    # r10: the 1-row global mean feeds the variance pass AND the z grid —
+    # pinned so its fact scan runs once (plan audit: events 4x -> 3, the
+    # two-pass-variance floor: mean pass, moment pass, cell pass)
+    g = ev.agg(F.round(F.avg("value"), 6).alias("mu_all")).localCheckpoint(
+        eager=False
+    )
     dev = ev.crossJoin(F.broadcast(g))
     gv = dev.agg(
         F.round(F.avg(F.pow(F.col("value") - F.col("mu_all"), 2)), 6).alias("var_all")

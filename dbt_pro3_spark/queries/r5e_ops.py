@@ -225,10 +225,13 @@ def ext_fit_lognormal(spark: SparkSession, sf_dir: str) -> DataFrame:
     /root/reference/models (beyond-reference surface)."""
     ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
     lx = ev.select("event_type", F.log("value").alias("l"))
+    # r10: the per-type log-mean (rows == groups) is pinned — its fact
+    # scan replayed inside the second-moment pass (plan audit: 3 fact
+    # passes is the floor: mean, moment, quantile audit)
     mu = lx.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.avg("l"), 6).alias("mu_log"),
-    )
+    ).localCheckpoint(eager=False)
     d = F.col("l") - F.col("mu_log")
     sg = (
         lx.join(F.broadcast(mu), "event_type")

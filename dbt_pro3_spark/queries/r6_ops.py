@@ -431,24 +431,28 @@ def ext_pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = state.withColumns(
             {f"p_{t}": F.col(f"q_{t}") / norm for t in BT_TYPES}
         ).drop(*[f"q_{t}" for t in BT_TYPES])
-    rows = [
-        state.select(
-            F.lit(t).alias("event_type"),
-            F.col(f"w_{t}").alias("wins"),
-            sum(
-                (F.col(n_of(t, u)) for u in BT_TYPES if u != t),
-                F.lit(0),
+    # r10: emit the 5 report rows by exploding an array of structs over the
+    # single state row — the prior 5-way unionByName planned the whole
+    # events-scan + user-pivot + MM-iteration subtree once PER BRANCH
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("event_type"),
+                F.col(f"w_{t}").alias("wins"),
+                sum(
+                    (F.col(n_of(t, u)) for u in BT_TYPES if u != t),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_comparisons"),
+                F.round(F.col(f"p_{t}"), 6).alias("strength"),
             )
-            .cast("bigint")
-            .alias("n_comparisons"),
-            F.round(F.col(f"p_{t}"), 6).alias("strength"),
-        )
-        for t in BT_TYPES
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+            for t in BT_TYPES
+        ]
+    )
+    return state.select(F.explode(report).alias("r")).select(
+        "r.event_type", "r.wins", "r.n_comparisons", "r.strength"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -618,13 +622,20 @@ def ext_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned once, projected to 2 columns); the H arithmetic runs on ONE
     wide row."""
     ev = load(spark, sf_dir, "events").select("event_type", _cents().alias("cents"))
-    g = ev.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    # r10: events is scanned ONCE — the (type, cents) grid is pinned and the
+    # global cents grid collapses out of it (sum of per-type counts per cell
+    # ≡ the global cell count) instead of a second corpus aggregate; g stays
+    # unpinned (its two consumers replay only a grid-sized fold over the
+    # pinned t — no corpus scan). Plan audit: 3 events scans -> 1.
+    t = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t")
+    ).localCheckpoint(eager=False)
+    g = t.groupBy("cents").agg(
+        F.sum("n_t").cast("bigint").alias("n_all")
+    )
     wg = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
     gc = g.withColumn(
         "below_all", F.coalesce(F.sum("n_all").over(wg), F.lit(0)).cast("bigint")
-    )
-    t = ev.groupBy("event_type", "cents").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_t")
     )
     pg = (
         t.join(gc, "cents")
@@ -762,15 +773,18 @@ def ext_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_type", _cents().alias("cents")
     )
+    # r10: events is scanned ONCE (same rationale as ext_cochran_q — user
+    # list from the aggregate, reused small frames pinned; was 4 scans)
     tot = ev.groupBy("user_id", "event_type").agg(
         F.sum("cents").cast("bigint").alias("t")
-    )
-    users = ev.select("user_id").distinct()
+    ).localCheckpoint(eager=False)
+    users = tot.select("user_id").distinct()
     types = spark.createDataFrame([(t,) for t in FK_TYPES], ["event_type"])
     grid = (
         users.crossJoin(F.broadcast(types))
         .join(tot, ["user_id", "event_type"], "left")
         .select("user_id", "event_type", F.coalesce("t", F.lit(0)).alias("t"))
+        .localCheckpoint(eager=False)  # feeds the median pass AND rate
     )
     w = Window.partitionBy("event_type").orderBy("t", "user_id")
     wn = Window.partitionBy("event_type")
@@ -1058,9 +1072,13 @@ def ext_pinball_grid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y")
         )
     )
+    # r10: the month grid feeds three consumers (slope-range scalars, the
+    # candidate fan-out, the month count) — pinned so the orders scan +
+    # month aggregate runs once, not once per consumer (plan audit: orders
+    # scanned 5x -> 1)
     m = mrev.select(
         F.row_number().over(Window.orderBy("mth")).cast("bigint").alias("x"), "y"
-    )
+    ).localCheckpoint(eager=False)
     st = m.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.greatest(
@@ -1196,15 +1214,22 @@ def ext_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         _cents().alias("cents"),
     )
+    # r10: events is scanned ONCE (ext_cochran_q's rewrite): the day and
+    # type lists collapse out of the (d, type) aggregate (a day/type appears
+    # in daily0 iff it has any event — identical sets), and the grid-sized
+    # reused frames are pinned so the threshold window, the exceedance
+    # join and the a/b self-join below don't each replay the corpus
+    # aggregate (plan audit: 12 events scans -> 1)
     daily0 = ev.groupBy("d", "event_type").agg(
         F.sum("cents").cast("bigint").alias("t")
-    )
-    days = ev.select("d").distinct()
-    types = ev.select("event_type").distinct()
+    ).localCheckpoint(eager=False)
+    days = daily0.select("d").distinct()
+    types = daily0.select("event_type").distinct()
     daily = (
         days.crossJoin(F.broadcast(types))
         .join(daily0, ["d", "event_type"], "left")
         .select("d", "event_type", F.coalesce("t", F.lit(0)).alias("t"))
+        .localCheckpoint(eager=False)  # feeds the rank window AND ex
     )
     w = Window.partitionBy("event_type").orderBy("t", "d")
     wn = Window.partitionBy("event_type")
@@ -1225,7 +1250,7 @@ def ext_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "thr",
         F.when(F.col("t") > F.col("thr"), 1).otherwise(0).alias("exceed"),
-    )
+    ).localCheckpoint(eager=False)  # grid-sized; feeds BOTH sides of a⋈b
     a = ex.select(
         "d",
         F.col("event_type").alias("type_a"),
@@ -1478,7 +1503,14 @@ def ext_embed_cka_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("j")
         .agg(F.sum("x").cast("bigint").alias("s"))
     )
-    nrow = arrq.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # r10: nrow feeds the centered cells AND the final report, and `cells`
+    # (the d^2 = 4096-row centered Gram) feeds dsz, the fold and the report
+    # — unpinned, every consumer replayed the whole corpus Gram pass (plan
+    # audit: embeddings scanned 13x; pinned it is 3x — Gram, column sums,
+    # count — and the heavy d^2 aggregate runs exactly once)
+    nrow = arrq.agg(F.count(F.lit(1)).cast("bigint").alias("n")).localCheckpoint(
+        eager=False
+    )
     cells = (
         gram.crossJoin(F.broadcast(nrow))
         .join(F.broadcast(sums.select(F.col("j").alias("j_"), F.col("s").alias("sj"))), F.col("j") == F.col("j_"))
@@ -1490,8 +1522,11 @@ def ext_embed_cka_views(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("c"),
         )
+        .localCheckpoint(eager=False)
     )
-    dsz = cells.agg((F.max("j") + 1).cast("bigint").alias("d"))
+    dsz = cells.agg((F.max("j") + 1).cast("bigint").alias("d")).localCheckpoint(
+        eager=False
+    )
     cd = cells.crossJoin(F.broadcast(dsz))
     half = F.floor(F.col("d") / 2)
 
@@ -1615,15 +1650,21 @@ def ext_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_type", _cents().alias("cents")
     )
+    # r10: events is scanned ONCE — the user list collapses out of the
+    # (user, type) aggregate (same set: a user appears in tot iff they have
+    # any event) instead of a second distinct over the corpus, and the small
+    # reused frames are pinned so the grid/rate fan-outs below don't replay
+    # the corpus aggregate per consumer (plan audit: 8 events scans -> 1)
     tot = ev.groupBy("user_id", "event_type").agg(
         F.sum("cents").cast("bigint").alias("t")
-    )
-    users = ev.select("user_id").distinct()
+    ).localCheckpoint(eager=False)
+    users = tot.select("user_id").distinct()
     types = spark.createDataFrame([(t,) for t in CQ_TYPES], ["event_type"])
     grid = (
         users.crossJoin(F.broadcast(types))
         .join(tot, ["user_id", "event_type"], "left")
         .select("user_id", "event_type", F.coalesce("t", F.lit(0)).alias("t"))
+        .localCheckpoint(eager=False)  # feeds the median pass AND rate
     )
     w = Window.partitionBy("event_type").orderBy("t", "user_id")
     wn = Window.partitionBy("event_type")
@@ -1645,7 +1686,7 @@ def ext_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.when(2 * F.col("t") > F.col("med_x2"), 1).otherwise(0).alias("r"),
-    )
+    ).localCheckpoint(eager=False)  # feeds the column AND row aggregates
     cols = rate.agg(
         *[
             F.sum(F.when(F.col("event_type") == t_, F.col("r")).otherwise(0))
@@ -1874,10 +1915,13 @@ def ext_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
+    # r10: the 10-bin aggregate feeds FOUR consumers (the cumulative pass →
+    # both interval sides, the minimax bin list, the final join) — pinned so
+    # the corpus collapse runs once (plan audit: events scanned 4x -> 1)
     b = ev.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("pos"),
-    )
+    ).localCheckpoint(eager=False)
     wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     c = b.select(
         "bin",

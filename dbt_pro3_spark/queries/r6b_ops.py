@@ -666,15 +666,21 @@ def ext_fit_negbinom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("date").alias("d")
     )
+    # r10: events is scanned ONCE (ext_cochran_q's rewrite) — the user and
+    # day lists collapse out of the (user, day) aggregate (identical sets:
+    # a user/day appears in perday iff it has any event), and the reused
+    # frames are pinned so the moment fold and the pmf histogram below
+    # don't each replay the corpus aggregate (plan audit: 6 events -> 1)
     perday = ev.groupBy("user_id", "d").agg(
         F.count(F.lit(1)).cast("bigint").alias("k")
-    )
-    users = ev.select("user_id").distinct()
-    days = ev.select("d").distinct()
+    ).localCheckpoint(eager=False)
+    users = perday.select("user_id").distinct()
+    days = perday.select("d").distinct()
     grid = (
         users.crossJoin(F.broadcast(days))
         .join(perday, ["user_id", "d"], "left")
         .select(F.coalesce("k", F.lit(0)).alias("k"))
+        .localCheckpoint(eager=False)  # feeds the moments AND the histogram
     )
     s = grid.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -957,8 +963,15 @@ def sink_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one narrow projection written four ways (each write is
     the normal parallel parquet path; codec choice is metadata), four
-    footer-only reads for counts + one columnar aggregate each."""
+    footer-only reads for counts + one columnar aggregate each. The four
+    codec roundtrips are INDEPENDENT jobs, so they run from a small
+    driver thread pool (guide-standard job overlap: the next codec's
+    write back-fills executors freed by the previous one's straggler
+    tail — r10, measured ~1.7x on the whole key at sf0.1); each thread
+    touches only its own codec's scratch directory and the result dict
+    is keyed by codec, so the overlap cannot change any output value."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     from .core_scan import SCRATCH
 
@@ -970,10 +983,9 @@ def sink_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(
         SCRATCH, os.path.basename(sf_dir.rstrip("/")), "codec_roundtrip"
     )
-    src_sum = li.agg(F.sum("cents").cast("bigint").alias("s")).collect()[0]["s"]
-    sizes = {}
-    stats = {}
-    for codec in CODECS:
+
+    def roundtrip(codec: str) -> tuple[str, int, tuple]:
+        spark.sparkContext.setJobDescription(f"codec_roundtrip: {codec}")
         path = os.path.join(base, codec)
         (
             li.write.mode("overwrite")
@@ -990,8 +1002,13 @@ def sink_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("cents").cast("bigint").alias("s"),
         ).collect()[0]
-        sizes[codec] = size
-        stats[codec] = (row["n"], row["s"])
+        return codec, size, (row["n"], row["s"])
+
+    src_sum = li.agg(F.sum("cents").cast("bigint").alias("s")).collect()[0]["s"]
+    with ThreadPoolExecutor(max_workers=len(CODECS)) as pool:
+        done = list(pool.map(roundtrip, CODECS))
+    sizes = {codec: size for codec, size, _ in done}
+    stats = {codec: st for codec, _, st in done}
     # smaller_than_uncompressed is strict (<): true at every swept SF
     # (0.001/0.01/0.1, where lineitem compresses well). CAVEAT if a smaller
     # SF is ever added: snappy/gzip framing overhead on a near-empty file
@@ -1747,11 +1764,15 @@ def ext_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.col("ts").cast("date").alias("d"), "event_type", _cents().alias("cents")
     )
+    # r10: events is scanned ONCE (ext_cochran_q's rewrite) — day/type
+    # lists collapse out of the (d, type) aggregate (identical sets), and
+    # the aggregate is pinned so the grid join doesn't replay it (plan
+    # audit: 3 events scans -> 1)
     agg = ev.groupBy("d", "event_type").agg(
         F.sum("cents").cast("bigint").alias("t")
-    )
-    days = ev.select("d").distinct()
-    types = ev.select("event_type").distinct()
+    ).localCheckpoint(eager=False)
+    days = agg.select("d").distinct()
+    types = agg.select("event_type").distinct()
     daily = (
         days.crossJoin(F.broadcast(types))
         .join(agg, ["d", "event_type"], "left")

@@ -2773,7 +2773,13 @@ def ext_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = docs.select(
         F.col("lang").alias("y"), tx.lang_id(F.col("text")).alias("p")
     )
-    cells = pred.groupBy("y", "p").agg(F.count(F.lit(1)).alias("n"))
+    # r10: the confusion cells (<= classes^2 rows) feed FIVE consumers
+    # (both class-list branches, the diagonal, the row and column
+    # marginals) — pinned so the corpus lang-id pass runs once, not five
+    # times (plan audit: documents scanned 5x -> 1)
+    cells = pred.groupBy("y", "p").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False)
     classes = (
         cells.select(F.col("y").alias("c"))
         .union(cells.select(F.col("p").alias("c")))
@@ -4256,9 +4262,16 @@ def ext_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", F.to_date("o_orderdate").alias("od"),
         cents_col.alias("cents"),
     )
+    # r10: firsts (customer-grain) feeds the join AND the cohort sizes —
+    # pinned so the per-customer MIN aggregate runs once; cohort sizes
+    # collapse out of firsts directly (every customer appears in `joined`
+    # with exactly one cohort, so countDistinct(custkey) per cohort there
+    # IS the count of firsts rows per cohort) instead of replaying the
+    # fact join (plan audit: orders scanned 4x -> 2: once into firsts,
+    # once for the age projection)
     firsts = cents.groupBy("o_custkey").agg(
         F.trunc(F.min("od"), "month").alias("cohort_month")
-    )
+    ).localCheckpoint(eager=False)
     joined = cents.join(firsts, "o_custkey").select(
         "o_custkey", "cohort_month",
         (
@@ -4267,8 +4280,8 @@ def ext_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("age_m"),
         "cents",
     )
-    sizes = joined.groupBy("cohort_month").agg(
-        F.countDistinct("o_custkey").cast("bigint").alias("n_customers")
+    sizes = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
     )
     by_age = joined.groupBy("cohort_month", "age_m").agg(
         F.sum("cents").cast("bigint").alias("rev_cents")
@@ -5416,9 +5429,13 @@ def ext_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = marked.withColumn("session_id", F.sum("is_start").over(w_run))
+    # r10: pin the session spans (feed both union branches of the boundary
+    # stream) and the boundary stream itself (feeds the local cumsum AND the
+    # per-day subtotals) — unpinned, each consumer replayed the full events
+    # scan + sessionization windows (plan audit: 4 events scans -> 1)
     spans = sess.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts")
-    )
+    ).localCheckpoint(eager=False)
     bounds = (
         spans.select("user_id", "session_id", F.col("s_ts").alias("ts"),
                      F.lit(1).alias("delta"))
@@ -5427,6 +5444,7 @@ def ext_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.lit(-1).alias("delta"))
         )
         .withColumn("d", F.to_date("ts"))
+        .localCheckpoint(eager=False)
     )
     w_local = (
         Window.partitionBy("d")

@@ -260,7 +260,10 @@ _CEILINGS_TIER3 = {
     "ext_class_centroid_sim": 4,
     "ext_cohens_kappa": 4,
     "ext_cohort_ltv": 5,
-    "ext_contract_enforce": 5,
+    # r10: single-scan rewrite — one scalar aggregate (one Exchange)
+    # exploded to the 5-row report, replacing 5 unioned scalar aggregates
+    # (5 scans / 5 Exchanges)
+    "ext_contract_enforce": 1,
     "ext_conv_sample_build": 1,
     "ext_corpus_manifest": 1,
     "ext_cramer_von_mises": 6,
