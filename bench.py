@@ -425,6 +425,8 @@ def main() -> None:
     queries = all_queries()
 
     def run(name: str) -> float:
+        # guide §1.5: label every job so the SQL/Stages UI maps back to keys
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()

@@ -61,6 +61,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     failures = 0
+    n_checked = 0
+    first_fail = None
 
     if not prefixes:
         edf = mod.entry(spark)
@@ -79,6 +81,7 @@ def main() -> int:
     for name in sorted(qs):
         if prefixes and not any(name.startswith(p) for p in prefixes):
             continue
+        n_checked += 1
         try:
             sdf = qs[name](spark, SF_CORRECTNESS)
             scols = sdf.columns
@@ -86,6 +89,8 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             failures += 1
+            if first_fail is None:
+                first_fail = name
             continue
         if name not in osql:
             print(f"{name}: rows-only, {len(srows)} rows")
@@ -97,6 +102,8 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}")
             failures += 1
+            if first_fail is None:
+                first_fail = name
             continue
         ok_cols = sorted(scols) == sorted(dcols)
         si = [scols.index(c) for c in sorted(scols)]
@@ -116,6 +123,8 @@ def main() -> int:
         print(f"{name}: {status} cols_match={ok_cols} rows spark={len(s)} duck={len(d)}")
         if not ok_vals:
             failures += 1
+            if first_fail is None:
+                first_fail = name
             if not ok_cols:
                 print(f"  spark cols: {sorted(scols)}\n  duck  cols: {sorted(dcols)}")
             for ra, rb in zip(s, d):
@@ -124,6 +133,21 @@ def main() -> int:
                     break
 
     spark.stop()
+    # machine-parseable summary (VERDICT r9 item 7): one JSON line ahead of
+    # the human RESULT line, so future judges / the round-start guard can
+    # consume pass/fail counts without scraping per-key lines
+    import json as _json
+
+    print(
+        _json.dumps(
+            {
+                "driver_sim": True,
+                "n_checked": n_checked,
+                "n_fail": failures,
+                "first_fail": first_fail,
+            }
+        )
+    )
     print("RESULT:", "PASS" if failures == 0 else f"FAIL ({failures})")
     return 1 if failures else 0
 
