@@ -427,6 +427,10 @@ def ext_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = docs.select("doc_id", toks.alias("l"), F.size(toks).alias("n")).filter(
         F.col("n") >= DECON_N
     )
+    # r10: the distinct gram stream feeds THREE consumers (the benchmark
+    # side, the per-doc totals, the contamination join) — pinned so the
+    # tokenize + explode + distinct pass over the corpus runs once, not
+    # three times (plan audit: documents scanned 3x -> 1)
     grams = (
         sized.withColumn(
             "i", F.explode(F.sequence(F.lit(1), F.col("n") - (DECON_N - 1)))
@@ -436,6 +440,7 @@ def ext_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(F.col("l"), F.col("i"), DECON_N), " ").alias("gram"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
     train = grams.filter(F.col("doc_id") % 97 != 0)

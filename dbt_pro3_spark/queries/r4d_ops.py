@@ -1026,13 +1026,20 @@ def ext_events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed hours — widen to decimal beyond. Cited parity anchor:
     /root/reference/models (beyond-reference surface)."""
     ev = load(spark, sf_dir, "events")
+    # r10: events is scanned ONCE — the cell grid is pinned (it feeds the
+    # per-type totals AND the burst filter), and the observed-hour count
+    # collapses out of it (an (date, hour) pair is observed iff some cell
+    # has it — identical sets) instead of a second corpus distinct (plan
+    # audit: 3 events scans -> 1)
     cell = ev.groupBy(
         "event_type",
         F.to_date("ts").alias("event_date"),
         F.hour("ts").alias("event_hour"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events")).localCheckpoint(
+        eager=False
+    )
     win = (
-        ev.select(F.to_date("ts").alias("d"), F.hour("ts").alias("h"))
+        cell.select("event_date", "event_hour")
         .distinct()
         .agg(F.count(F.lit(1)).cast("bigint").alias("hours"))
     )

@@ -402,10 +402,14 @@ def _spark_cv_pts(spark: SparkSession, sf_dir: str):
         "dim",
         F.floor(F.col("x") * CV_SCALE).cast("bigint").alias("q"),
     )
+    # r10: the 640-cell centroid grid is consumed 2-4x per caller (own-
+    # centroid join, between-cluster pass, both sides of the pairwise
+    # centroid-distance join) — pinned so the corpus posexplode+aggregate
+    # runs once per key, not once per consumer
     cent = pts.groupBy(F.col("label").alias("lc"), "dim").agg(
         F.sum("q").cast("bigint").alias("s"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     return pts, cent
 
 
@@ -579,9 +583,12 @@ def ext_cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     grids. Cited parity anchor: /root/reference/models
     (beyond-reference surface)."""
     pts, cent = _spark_cv_pts(spark, sf_dir)
-    gcent = pts.groupBy("dim").agg(
-        F.sum("q").cast("bigint").alias("sg"),
-        F.count(F.lit(1)).cast("bigint").alias("ng"),
+    # r10: the global per-dim centroid collapses out of the pinned cent
+    # grid (sums of per-label integer sums ≡ the global sums — exact),
+    # replacing another corpus posexplode pass
+    gcent = cent.groupBy("dim").agg(
+        F.sum("s").cast("bigint").alias("sg"),
+        F.sum("n").cast("bigint").alias("ng"),
     )
     mu = F.col("s").cast("double") / F.col("n")
     diff_own = F.col("q").cast("double") - mu
@@ -2097,6 +2104,9 @@ def ext_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. Cited parity anchor: /root/reference/models
     (beyond-reference surface)."""
     o = load(spark, sf_dir, "orders")
+    # r10: the month grid feeds the max-month scalar AND the windowed dot
+    # product — pinned so the orders scan + month aggregate runs once (plan
+    # audit: orders scanned 3x -> 1; mx replays only the pinned grid)
     m = o.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon")
     ).agg(
@@ -2105,7 +2115,7 @@ def ext_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("y")
-    )
+    ).localCheckpoint(eager=False)
     mx = m.agg(F.max("mon").alias("maxmon"))
     idx = (
         m.crossJoin(F.broadcast(mx))

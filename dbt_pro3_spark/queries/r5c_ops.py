@@ -278,6 +278,10 @@ def ext_stat_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ia").cast("bigint").alias("ca"),
             F.sum("ib").cast("bigint").alias("cb"),
         )
+        # r10: the bounded grid feeds the totals scalar, the transport fold
+        # and the report — pinned so the corpus collapse runs once (plan
+        # audit: 3 events scans -> 1; the _spark_grid discipline)
+        .localCheckpoint(eager=False)
     )
     w = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
     cum = cells.select(

@@ -110,14 +110,18 @@ def ext_pr_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid (the ext_eval_auc discipline); the fold runs
     over the per-type grid array (~18k doubles), never the corpus."""
     ev = load(spark, sf_dir, "events").select("event_type", _cents().alias("cents"))
-    g = ev.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    # r10: events is scanned ONCE (the ext_kruskal_wallis rewrite) — the
+    # (type, cents) grid is pinned, and the global cents grid collapses out
+    # of it (sum of per-type counts per cell ≡ the global cell count)
+    # instead of a second corpus aggregate (plan audit: 3 events scans -> 1)
+    t = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t")
+    ).localCheckpoint(eager=False)
+    g = t.groupBy("cents").agg(F.sum("n_t").cast("bigint").alias("n_all"))
     wg = Window.orderBy(F.desc("cents")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     gc = g.select("cents", F.sum("n_all").over(wg).cast("bigint").alias("cum_all"))
-    t = ev.groupBy("event_type", "cents").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_t")
-    )
     wt = (
         Window.partitionBy("event_type")
         .orderBy(F.desc("cents"))

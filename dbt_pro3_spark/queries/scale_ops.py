@@ -2464,10 +2464,14 @@ def ext_privacy_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # r10: the deleted-order key-list feeds BOTH its audit row and the
+    # lineitem cascade probe — pinned so the orders⋈forget semi-join runs
+    # once (forget stays unpinned: its replay is one cheap dimension
+    # filter, and chaining two pins measured slower than one)
     forget = cust.filter(F.col("c_custkey") % ERASE_MOD == 0).select("c_custkey")
     del_orders = orders.join(
         F.broadcast(forget), orders.o_custkey == forget.c_custkey, "left_semi"
-    ).select("o_orderkey")
+    ).select("o_orderkey").localCheckpoint(eager=False)
     del_li = li.join(
         F.broadcast(del_orders), li.l_orderkey == del_orders.o_orderkey, "left_semi"
     )
@@ -3844,10 +3848,14 @@ def ext_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
     ).cast("bigint")
+    # r10: the (nation, supplier) revenue grid feeds the per-nation total
+    # AND the share fold — pinned so the lineitem⋈supplier aggregate runs
+    # once (plan audit: lineitem and supplier each scanned 2x -> 1)
     rev = (
         li.join(sup, li.l_suppkey == sup.s_suppkey)
         .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
         .agg(F.sum(cents).alias("cents"))
+        .localCheckpoint(eager=False)
     )
     tot = rev.groupBy("nationkey").agg(F.sum("cents").alias("tot_cents"))
     share = F.col("cents") * 1.0 / F.col("tot_cents")
