@@ -484,7 +484,13 @@ def main() -> None:
     envelope_sec = round(sum(env[k] for k in enveloped), 3)
     ratios = {k: v / env[k] for k, v in enveloped.items() if env[k] > 0}
     worst_key = max(ratios, key=ratios.get) if ratios else None
-    detail = {"detail": times, "sf": sf}
+    # Record the core count: the driver re-runs this bench at a reduced
+    # SPARK_GRAFT_CPUS and its artifact can end up committed over the
+    # builder's 32-core run (happened in r10) — the stable-23 envelope gate
+    # reads this field to avoid judging an 8-core run against 32-core
+    # envelopes. Written AFTER the timed region; no effect on any timing.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    detail = {"detail": times, "sf": sf, "cpus": cpus}
     # tests point this at a scratch file so their 2-key contract run can't
     # clobber the last FULL sf0.1 artifact (which the stable-23 regression
     # gate and post-hoc analysis read)

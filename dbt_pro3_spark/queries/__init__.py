@@ -232,6 +232,25 @@ _R5_RESAMPLE: list[str] = []
 # with the rest; the ANN triad re-entered the window in round 7 when it
 # gained real oracles (_R5_RESAMPLE).
 _DRIVER_VERIFIED = {
+    # r10 window (CORRECTNESS_r10.json — 50/50 hash-green fold-in)
+    "agg_bitmask_or", "agg_corr_regression", "agg_grouping_id",
+    "agg_grouping_sets", "agg_max_by", "agg_mode_moments",
+    "ext_agg_skew_twophase", "ext_ccnet_bucket", "ext_cdc_apply",
+    "ext_data_shard", "ext_dedup_minhash_est", "ext_embed_norm_stats",
+    "ext_graph_triangles", "ext_outlier_mad", "ext_privacy_kanon",
+    "ext_quality_quantile_cut", "ext_store_time_travel",
+    "ext_text_bigram_lm", "ext_text_line_dedup", "ext_text_prefix_dup",
+    "ext_text_tfidf", "ext_text_winnowing", "ext_text_zipf",
+    "ext_time_interpolate", "ext_variant_json", "join_bucketed_colocate",
+    "join_null_safe_eq", "join_range_interval", "q_disjunctive_pred",
+    "q_dominant_supplier", "q_dormant_rich_customers",
+    "q_forecast_revenue", "q_large_orders", "q_late_shipment_priority",
+    "q_local_supplier_volume", "q_min_cost_supplier",
+    "q_nation_trade_volume", "q_only_late_supplier", "q_part_value_share",
+    "q_product_profit", "q_promo_revenue", "q_regional_share",
+    "q_returned_item_ranking", "q_shipping_priority",
+    "q_small_qty_revenue", "q_supplier_part_count", "q_top_supplier",
+    "src_xml_parse", "win_moving_avg_rows", "win_time_range_rolling",
     # r09 window (CORRECTNESS_r09.json — 50/50 hash-green fold-in)
     "agg_histogram", "agg_string_concat_ordered", "expr_try_arithmetic",
     "ext_attr_markov_removal", "ext_calibration_temperature",

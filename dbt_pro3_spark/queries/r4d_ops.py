@@ -3172,6 +3172,13 @@ def ext_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ext_fd_discovery — functional-dependency discovery over part attributes
 # ---------------------------------------------------------------------------
 
+# Constraint (ADVICE r10): the single-scan probe encodes each candidate as
+# a 'lhs|rhs' string and casts the probed VALUES to string for
+# countDistinct, so candidates must keep cast-to-string injective column
+# types (string/int — NOT float/decimal, where distinct values can share a
+# string form) and '|'-free column names. All current candidates satisfy
+# both; revisit the probe's struct-grouping alternative before adding one
+# that doesn't.
 FD_CANDIDATES = [
     ("p_partkey", "p_name"),
     ("p_name", "p_brand"),

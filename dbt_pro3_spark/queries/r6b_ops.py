@@ -985,6 +985,11 @@ def sink_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def roundtrip(codec: str) -> tuple[str, int, tuple]:
+        # Job descriptions are JVM-thread-local; without PySpark's
+        # pinned-thread mode (PYSPARK_PIN_THREAD=true, the default since
+        # 3.2) concurrent workers can bleed descriptions across the four
+        # codec jobs (ADVICE r10). UI attribution only — results are keyed
+        # by codec and unaffected.
         spark.sparkContext.setJobDescription(f"codec_roundtrip: {codec}")
         path = os.path.join(base, codec)
         (

@@ -42,6 +42,17 @@ def get_spark(app_name: str = "dbt-pro3-spark") -> SparkSession:
         # accumulate dead persisted blocks: localCheckpoint()/persist()
         # blocks are only freed by the ContextCleaner when a JVM GC collects
         # the RDD reference, and the cleaner's own periodic System.gc()
+        #
+        # Cluster caveat (ADVICE r10): the query functions' reuse pins are
+        # localCheckpoint(eager=False) — lineage-truncating, unreplicated
+        # blocks. On local[N] (this engine's deployment) executor loss is
+        # process death, so nothing is lost; on a multi-executor cluster
+        # with dynamic allocation, losing an executor mid-query makes a
+        # pinned frame unrecoverable (the query fails and must be re-run
+        # rather than recomputing the lost partitions from lineage). If
+        # this engine is ever deployed multi-executor, swap the pins to
+        # reliable checkpoint() on HDFS-class storage or accept re-run
+        # semantics; the pin SITES are all grep-able as localCheckpoint.
         # defaults to 30min — longer than a whole bench pass. Measured here
         # (r10): repeated runs of checkpoint-heavy keys degrade within a
         # session (ext_graph_kcore 5.6 -> 11.5 s over 6 runs) while the

@@ -62,6 +62,7 @@ def main() -> int:
 
     failures = 0
     n_checked = 0
+    n_oracle_checked = 0
     first_fail = None
 
     if not prefixes:
@@ -95,6 +96,7 @@ def main() -> int:
         if name not in osql:
             print(f"{name}: rows-only, {len(srows)} rows")
             continue
+        n_oracle_checked += 1
         try:
             res = con.execute(osql[name])
             dcols = [d[0] for d in res.description]
@@ -143,6 +145,10 @@ def main() -> int:
             {
                 "driver_sim": True,
                 "n_checked": n_checked,
+                # ADVICE r10: rows-only keys have no oracle comparison —
+                # report the oracle-verified count separately so consumers
+                # don't read rows-only keys as oracle-verified.
+                "n_oracle_checked": n_oracle_checked,
                 "n_fail": failures,
                 "first_fail": first_fail,
             }

@@ -32,7 +32,7 @@ def test_bench_final_line_compact_and_parseable(spark, monkeypatch, tmp_path):
     assert len(lines) >= 2
     detail = json.loads(lines[0])
     summary = json.loads(lines[-1])
-    assert set(detail) == {"detail", "sf"}
+    assert set(detail) == {"detail", "sf", "cpus"}
     assert set(detail["detail"]) == {"agg_count_star", "sort_limit_topk"}
     for field in (
         "metric", "value", "unit", "sf", "n_keys", "envelope_sec",
@@ -77,6 +77,15 @@ def test_bench_stable23_within_envelope():
     times = detail.get("detail", {})
     if detail.get("sf") != 0.1 or len(times) < len(bench.STABLE23):
         pytest.skip("bench_detail.json is not a full sf0.1 artifact")
+    # The driver also runs the bench at a reduced core count and its
+    # artifact can land in the tree (r10: its 8-core run tripped this gate
+    # via ext_text_fingerprint's documented 2x core-scaling). The envelopes
+    # are 32-core numbers; judge only 32-core artifacts. Pre-r11 artifacts
+    # carry no cpus field — treat those as 32-core (the historical default).
+    if detail.get("cpus") not in (None, 32):
+        pytest.skip(
+            f"bench_detail.json is a {detail['cpus']}-core run; envelopes are 32-core"
+        )
     bad = {
         k: round(times[k] / env[k], 2)
         for k in bench.STABLE23
