@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..ext import text as tx
-from ..sources.readers import load
+from ..sources.readers import load, spread
 from . import dround, register
 from .llm_ops import _TOKS_SQL, _md5_32, _spark_md5_32
 
@@ -402,7 +402,11 @@ def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
     )
-    blocks = base.withColumn(
+    # spread() before the replicate fan-out: the md5-per-(row, block) work
+    # below is the key's dominant cost and otherwise runs inside the
+    # single-task scan stage of a one-file corpus (§2.5); the point branch
+    # keeps the unspread base (cheap aggregate, no fan-out)
+    blocks = spread(base).withColumn(
         "blk", F.explode(F.sequence(F.lit(0), F.lit(BOOT_R // 4 - 1)))
     ).select(
         "segment", "cents", "blk",

@@ -2275,7 +2275,15 @@ def ext_seq_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("part"),
             F.col("o_orderdate").alias("d"),
         )
-        .repartition("cust")  # one shuffle serves the agg AND the join
+        # One shuffle serves the agg AND the join. The partition count is
+        # EXPLICIT (slots, scale-adaptive) so AQE's byte-based coalescing
+        # cannot fold it down: the downstream per-customer pair fan-out
+        # multiplies each input row ~40x, so sizing this exchange by its
+        # input bytes serializes the join stage (§2.5 — partition by the
+        # work produced, not the bytes carried).
+        .repartition(
+            spark.sparkContext.defaultParallelism, "cust"
+        )
         .groupBy("cust", "part")
         .agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
         .localCheckpoint(eager=False)  # both sides of the sequence join
@@ -7918,28 +7926,57 @@ def ext_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     h1 = _spark_md5_32(
         F.concat(F.lit("perm1:"), F.col("o_custkey").cast("string"))
     )
-    panel = panel.withColumn("_h0", h0).withColumn("_h1", h1)
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    aggs = [
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(dec(F.col("d"))).alias("obs"),
-    ]
-    for k in range(PERM_K):
-        h = F.col("_h0") if k < 32 else F.col("_h1")
-        sign = F.when(
-            F.shiftright(h, k % 32).bitwiseAND(F.lit(1)) == 0, F.col("d")
-        ).otherwise(-F.col("d"))
-        aggs.append(F.sum(dec(sign)).alias(f"z{k}"))
-    s = panel.agg(*aggs)
-    extreme = None
-    for k in range(PERM_K):
-        t = F.when(F.abs(F.col(f"z{k}")) >= F.abs(F.col("obs")), 1).otherwise(0)
-        extreme = t if extreme is None else extreme + t
-    return s.select(
-        F.col("n").alias("n_customers"),
-        F.col("obs").cast("bigint").alias("observed_sum_cents"),
-        extreme.cast("bigint").alias("n_extreme"),
-        F.round(extreme * 1.0 / PERM_K, 6).alias("p_value_est"),
+    # The replicates ride ONE exploded aggregate keyed by replicate id
+    # instead of a {PERM_K}+2-column wide aggregate: the wide form's
+    # per-invocation analysis/optimization of the 66-expression decimal
+    # tree cost ~1.8 s of pure driver time (profile_key: build 1.7-2.5 s,
+    # exec 0.7 s) — §7.3 "very large plans spend minutes in planning".
+    # k = -1 carries the unsigned (observed) sum; the md5 draws are
+    # computed once per customer row BEFORE the explode, exactly as the
+    # wide form evaluated them. Every permuted sum is the identical exact
+    # decimal(38,0) regardless of grouping, so results are bit-equal.
+    exp_ = (
+        panel.withColumn("_h0", h0)
+        .withColumn("_h1", h1)
+        .select(
+            "d",
+            "_h0",
+            "_h1",
+            F.explode(F.sequence(F.lit(-1), F.lit(PERM_K - 1))).alias("k"),
+        )
+    )
+    # shiftright with a COLUMN shift amount needs the SQL form (the PySpark
+    # helper only takes an int literal); for k = -1 the branch below never
+    # reads the bit, and Java's shift semantics make it well-defined anyway
+    bit = F.expr("shiftright(CASE WHEN k < 32 THEN _h0 ELSE _h1 END, k % 32) & 1")
+    sd = F.when((F.col("k") == -1) | (bit == 0), F.col("d")).otherwise(
+        -F.col("d")
+    )
+    z = exp_.groupBy("k").agg(
+        F.sum(sd.cast("decimal(38,0)")).alias("z"),
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+    )
+    w_all = Window.partitionBy()  # 65 rows — a scalar-sized frame
+    zz = z.withColumn(
+        "obs", F.max(F.when(F.col("k") == -1, F.col("z"))).over(w_all)
+    )
+    return (
+        zz.filter(F.col("k") >= 0)
+        .agg(
+            F.max("nn").alias("n"),  # panel size (identical in every group)
+            F.max("obs").alias("obs"),
+            F.sum(
+                F.when(F.abs(F.col("z")) >= F.abs(F.col("obs")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+        .select(
+            F.col("n").alias("n_customers"),
+            F.col("obs").cast("bigint").alias("observed_sum_cents"),
+            F.col("n_extreme"),
+            F.round(F.col("n_extreme") * 1.0 / PERM_K, 6).alias("p_value_est"),
+        )
     )
 
 

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..ext import dedup as ded
 from ..ext import similarity as sim
 from ..ext import text as tx
-from ..sources.readers import load
+from ..sources.readers import load, spread
 from . import dround, register
 from .llm_ops import _TOKS_SQL, _md5_32, _spark_md5_32
 
@@ -845,7 +845,13 @@ def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, lambda: load(spark, sf_dir, "embeddings"), k=16
     )
     books = pqm.medoid_codebooks(emb, "embedding", m=8, ks=16, seeds=seeds)
-    coded = pqm.encode(emb, books, "embedding")
+    # spread() the encode input: the per-row argmin over 128 subspace
+    # distance folds runs as INTERPRETED higher-order functions (no
+    # codegen for lambda expressions), the heaviest per-row work in the
+    # key, and otherwise lives in the single-task scan stage of a
+    # one-file corpus (§2.5). with_norm's light-arithmetic counter-rule
+    # (similarity.py) does not apply at this expression weight.
+    coded = pqm.encode(spread(emb), books, "embedding")
     # Stage the decoded vectors: without this, Catalyst inlines the whole
     # encode->decode expression tree (128 subspace-distance folds + the
     # lookup) into EVERY downstream norm/cosine fold term (the element_at
