@@ -287,12 +287,24 @@ def ext_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
     )
-    e0 = adj.select(
-        F.col("node").alias("u"),
-        F.explode(F.filter("nbrs", lambda n: n > F.col("node"))).alias("v"),
-    )
-    nonedge = cand.join(
-        e0, (cand.a == e0.u) & (cand.b == e0.v), "left_anti"
+    # Edge screen WITHOUT materializing the edge list: (a, b) with a < b
+    # is an edge iff b ∈ nbrs(a) (adj is symmetric), so join the wedge
+    # pairs to the per-node neighbor ARRAYS once on a and test membership
+    # in-row. The previous two-key anti join against the exploded (u, v)
+    # list rebuilt+broadcast ~1.2M edge rows per invocation — the key's
+    # single largest stage (profiled 1.9-3.8 s of its 2.5-6 s) — where
+    # the array side is only |nodes| rows (§2.3 "shuffle keys and
+    # metadata instead of payloads"; here: don't explode at all). Every
+    # cand.a is a node of adj by construction (it appears in some capped
+    # neighborhood, and adjacency is symmetric), so the inner join drops
+    # nothing the anti join kept.
+    nonedge = (
+        cand.join(
+            adj.select(F.col("node").alias("a"), F.col("nbrs").alias("_na")),
+            "a",
+        )
+        .filter(~F.array_contains("_na", F.col("b")))
+        .drop("_na")
     )
     return (
         nonedge.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "deg_a"), "a")
@@ -3467,9 +3479,18 @@ def ext_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # Explicit slot-count repartition on the cogroup key: the cogroup's
+    # own exchange is AQE-coalesced by BYTES (a few MB here), which packed
+    # all 256 Python bucket-calls onto a couple of tasks; pre-partitioning
+    # with a user-specified count satisfies the cogroup's required
+    # distribution (no extra exchange in the plan) and keeps the pandas
+    # work on all slots (§2.5; measured 2.2 -> 1.2 s at sf0.1 in the
+    # minPartitionSize A/B that located this).
+    slots = spark.sparkContext.defaultParallelism
     out = (
-        o.groupBy("bucket")
-        .cogroup(e.groupBy("bucket"))
+        o.repartition(slots, "bucket")
+        .groupBy("bucket")
+        .cogroup(e.repartition(slots, "bucket").groupBy("bucket"))
         .applyInPandas(
             reconcile,
             schema=(

@@ -1773,7 +1773,10 @@ def ext_embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel"),
             F.lit(0.0).alias("ms"),
         )
-        .localCheckpoint()
+        # lazy: each round's winner-collect materializes it anyway —
+        # eager=True paid one extra job per round (20 serial jobs for 10
+        # rounds on a 2k-row frame; job latency, not data, is the cost)
+        .localCheckpoint(eager=False)
     )
     out = []
     for r in range(1, MMR_K + 1):
@@ -1786,7 +1789,11 @@ def ext_embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out.append((r, win.vec_id, win.rel, round(win.ms, 6), round(win.score, 6)))
         if r < MMR_K:
-            wv = F.array(*[F.lit(float(x)) for x in win._v])
+            # one parsed literal instead of 64 per-element lit() py4j
+            # round trips per round; repr() round-trips doubles exactly
+            wv = F.expr(
+                "array(" + ", ".join(f"{float(x)!r}D" for x in win._v) + ")"
+            )
             wn = F.lit(float(win._norm))
             cand = (
                 cand.filter(F.col("vec_id") != win.vec_id)
@@ -1802,7 +1809,7 @@ def ext_embed_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ),
                     ).alias("ms"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
     return spark.createDataFrame(
         out,
@@ -2532,6 +2539,9 @@ def ext_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.join(h1.withColumnRenamed("s", "hs1"), "c")
         .groupBy("p")
         .agg(F.sum(_dec(F.col("hs1"))).cast("decimal(38,0)").alias("s"))
+        # 2 consumers (the authority union branch AND h2's join): without
+        # the pin the whole a1 -> h1 -> a2 round chain replays twice
+        .localCheckpoint(eager=False)
     )
     h2 = (
         edges.join(a2.withColumnRenamed("s", "as2"), "p")

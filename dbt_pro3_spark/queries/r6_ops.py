@@ -2740,24 +2740,29 @@ def ext_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide = wide.withColumn(f"d_{i}", tot.cast("bigint"))
     wide = wide.localCheckpoint(eager=False)
 
-    mulc = lambda a, b: a * b  # noqa: E731
-    subc = lambda a, b: (a - b) if b is not None else a  # noqa: E731
-    addc = lambda a, b: a + b  # noqa: E731
+    # Determinants built as SQL STRINGS through the same _det4 template
+    # the oracle uses (bit-identical fixed-order arithmetic) and parsed
+    # once: Column-operator construction of the five 4x4 cofactor trees
+    # cost ~1 s of py4j round trips per invocation (see
+    # ext_attr_markov_removal, same fix, r11).
+    mul_s, sub_s, add_s = _ma_sql_ops()
     m = [
         [
-            (F.col(f"d_{i}").cast("double") - F.col(f"c_{i}_{j}"))
-            if i == j
-            else (F.lit(0.0) - F.col(f"c_{i}_{j}"))
+            (
+                f"(CAST(d_{i} AS DOUBLE) - c_{i}_{j})"
+                if i == j
+                else f"(0.0D - c_{i}_{j})"
+            )
             for j in ts_
         ]
         for i in ts_
     ]
-    rhs = [F.col(f"d_{i}").cast("double") for i in ts_]
-    det = _det4(m, mulc, subc, addc)
+    rhs = [f"CAST(d_{i} AS DOUBLE)" for i in ts_]
+    det = _det4(m, mul_s, sub_s, add_s)
     rows = []
     for jidx, jname in enumerate(ts_):
         mj = [[rhs[r] if c == jidx else m[r][c] for c in range(4)] for r in range(4)]
-        detj = _det4(mj, mulc, subc, addc)
+        detj = _det4(mj, mul_s, sub_s, add_s)
         rows.append(
             wide.select(
                 F.lit(jname).alias("state"),
@@ -2767,7 +2772,9 @@ def ext_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.col(f"d_{jname}"),
                     6,
                 ).alias("p_direct"),
-                F.round(detj / det, 6).alias("expected_steps"),
+                F.round(F.expr(f"({detj}) / ({det})"), 6).alias(
+                    "expected_steps"
+                ),
             )
         )
     out = rows[0]

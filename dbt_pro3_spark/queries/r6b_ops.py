@@ -373,16 +373,23 @@ def ext_attr_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide = wide.withColumn(f"d_{i}", tot.cast("bigint"))
     wide = wide.localCheckpoint(eager=False)
 
-    mulc = lambda a, b: a * b  # noqa: E731
-    subc = lambda a, b: (a - b) if b is not None else a  # noqa: E731
-    addc = lambda a, b: a + b  # noqa: E731
+    # The five Cramer solves are built as SQL STRINGS and parsed once:
+    # constructing the determinant trees out of Column operators cost
+    # ~1.5-2 s of py4j round trips per invocation (profile_key r11:
+    # build 2.3-2.5 s vs 0.03 s exec). The oracle twin below already
+    # generates the IDENTICAL fixed-order expansion as text through the
+    # same _det3/_det4 templates, so the parsed expressions are the same
+    # arithmetic node for node — values are bit-identical.
+    from .r6_ops import _ma_sql_ops
+
+    mul_s, sub_s, add_s = _ma_sql_ops()
 
     def msub(chs):
         return [
             [
-                (F.col(f"d_{i}").cast("double") - F.col(f"c_{i}_{j}"))
+                f"(CAST(d_{i} AS DOUBLE) - c_{i}_{j})"
                 if i == j
-                else (F.lit(0.0) - F.col(f"c_{i}_{j}"))
+                else f"(0.0D - c_{i}_{j})"
                 for j in chs
             ]
             for i in chs
@@ -390,38 +397,35 @@ def ext_attr_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def solve(chs, det_fn):
         m = msub(chs)
-        rhs = [F.col(f"c_{i}_{AR_CONV}").cast("double") for i in chs]
-        det = det_fn(m, mulc, subc, addc)
+        rhs = [f"CAST(c_{i}_{AR_CONV} AS DOUBLE)" for i in chs]
+        det = det_fn(m, mul_s, sub_s, add_s)
         hs = {}
         for jidx, jname in enumerate(chs):
             mj = [
                 [rhs[r] if c == jidx else m[r][c] for c in range(len(chs))]
                 for r in range(len(chs))
             ]
-            hs[jname] = det_fn(mj, mulc, subc, addc) / det
+            hs[jname] = f"(({det_fn(mj, mul_s, sub_s, add_s)}) / ({det}))"
         return hs
 
     h4 = solve(AR_CH, _det4)
-    nu = None
-    for s in AR_CH + [AR_CONV]:
-        c = F.col(f"st_{s}")
-        nu = c if nu is None else nu + c
-    nu = nu.cast("double")
-    base_p = None
-    for s in AR_CH:
-        term = (F.col(f"st_{s}") / nu) * h4[s]
-        base_p = term if base_p is None else base_p + term
-    base_p = base_p + F.col(f"st_{AR_CONV}") / nu
-
-    p_rm_cols = {}
+    nu_s = (
+        "CAST(" + " + ".join(f"st_{s}" for s in AR_CH + [AR_CONV]) + " AS DOUBLE)"
+    )
+    base_p_s = (
+        "("
+        + " + ".join(f"(st_{s} / {nu_s}) * {h4[s]}" for s in AR_CH)
+        + f" + st_{AR_CONV} / {nu_s})"
+    )
+    p_rm_s = {}
     for c in AR_CH:
         rest = [s for s in AR_CH if s != c]
         h3 = solve(rest, _det3)
-        p_rm = None
-        for s in rest:
-            term = (F.col(f"st_{s}") / nu) * h3[s]
-            p_rm = term if p_rm is None else p_rm + term
-        p_rm_cols[c] = p_rm + F.col(f"st_{AR_CONV}") / nu
+        p_rm_s[c] = (
+            "("
+            + " + ".join(f"(st_{s} / {nu_s}) * {h3[s]}" for s in rest)
+            + f" + st_{AR_CONV} / {nu_s})"
+        )
 
     # Stage the five Cramer scalars into ONE materialized row before the
     # per-channel union: inlining them into every output column of every
@@ -430,9 +434,9 @@ def ext_attr_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path (measured 10.7s -> ~1s with this checkpoint).
     mid = wide.select(
         *[F.col(f"st_{s}") for s in AR_CH],
-        nu.alias("nu"),
-        base_p.alias("base_p"),
-        *[p_rm_cols[c].alias(f"prm_{c}") for c in AR_CH],
+        F.expr(nu_s).alias("nu"),
+        F.expr(base_p_s).alias("base_p"),
+        *[F.expr(p_rm_s[c]).alias(f"prm_{c}") for c in AR_CH],
     ).localCheckpoint(eager=False)
 
     re_exprs = {

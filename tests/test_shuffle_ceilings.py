@@ -84,7 +84,7 @@ _CEILINGS = {
     "ext_assoc_rules": 6,
     "ext_attr_markov_removal": 0,
     "ext_basket_pairs": 5,
-    "ext_bootstrap_ci": 3,
+    "ext_bootstrap_ci": 4,  # +1 in r11: spread() before the md5 fan-out
     "ext_brand_customer_overlap": 5,
     "ext_cluster_silhouette": 5,
     "ext_cogroup_reconcile": 3,
@@ -126,7 +126,7 @@ _CEILINGS = {
     "ext_nb_langid": 14,
     "ext_pacf": 12,
     "ext_partition_skew_report": 3,
-    "ext_permutation_test": 2,
+    "ext_permutation_test": 3,  # r11: exploded replicate agg (tiny) replaced the 66-col wide agg
     "ext_pref_bradley_terry": 10,
     "ext_price_dispersion": 1,
     "ext_price_elasticity": 3,
