@@ -6616,6 +6616,12 @@ def ext_brand_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .select(F.col("o_custkey").alias("cust"), "brand")
+        # Explicit slot-count cust partitioning: it satisfies the
+        # distinct's (cust, brand) clustering (no extra exchange), the
+        # checkpoint inherits it, and the pair join below reuses it —
+        # byte-based AQE coalescing otherwise serialized the
+        # brands-per-customer² fan-out (§2.5, the seq_basket_pairs fix).
+        .repartition(spark.sparkContext.defaultParallelism, "cust")
         .distinct()
         .localCheckpoint(eager=False)  # sizes + both pair sides
     )
