@@ -86,7 +86,7 @@ _CEILINGS = {
     "ext_basket_pairs": 5,
     "ext_bootstrap_ci": 4,  # +1 in r11: spread() before the md5 fan-out
     "ext_brand_customer_overlap": 5,
-    "ext_cluster_silhouette": 5,
+    "ext_cluster_silhouette": 4,
     "ext_cogroup_reconcile": 3,
     "ext_conformal_interval": 5,
     "ext_cramers_v": 4,
@@ -106,7 +106,7 @@ _CEILINGS = {
     "ext_embed_knn_classify": 3,
     "ext_embed_mmr_select": 1,
     "ext_embed_reciprocal_nn": 2,
-    "ext_exact_quantiles_twopass": 10,
+    "ext_exact_quantiles_twopass": 3,
     "ext_fk_discovery": 27,
     "ext_graph_bfs_reach": 9,
     "ext_graph_hits": 14,
@@ -124,14 +124,14 @@ _CEILINGS = {
     "ext_markov_absorption": 0,
     "ext_mcnemar_test": 13,
     "ext_nb_langid": 14,
-    "ext_pacf": 12,
+    "ext_pacf": 2,
     "ext_partition_skew_report": 3,
     "ext_permutation_test": 3,  # r11: exploded replicate agg (tiny) replaced the 66-col wide agg
-    "ext_pref_bradley_terry": 10,
+    "ext_pref_bradley_terry": 2,
     "ext_price_dispersion": 1,
     "ext_price_elasticity": 3,
     "ext_price_volume_mix": 5,
-    "ext_qte": 4,
+    "ext_qte": 0,
     "ext_retrieval_ndcg": 5,
     "ext_seq_basket_pairs": 3,
     "ext_shift_share": 5,
@@ -156,20 +156,20 @@ _CEILINGS_TIER2 = {
     "ext_attr_shapley": 3,
     "ext_burrows_delta": 5,
     "ext_calibration_temperature": 1,
-    "ext_cluster_validity": 12,
-    "ext_cochran_q": 12,
+    "ext_cluster_validity": 9,
+    "ext_cochran_q": 3,
     "ext_curation_pipeline": 3,
     "ext_dedup_semantic": 2,
     "ext_design_effect": 1,
-    "ext_embed_cka_views": 16,
+    "ext_embed_cka_views": 1,
     "ext_embed_matryoshka_audit": 5,
     "ext_embed_outlier_knn": 1,
     "ext_eval_cv_auc": 1,
     "ext_eval_lift": 2,
     "ext_exact_quantiles_grouped": 7,
     "ext_feature_mi": 4,
-    "ext_fit_negbinom": 8,
-    "ext_fleiss_kappa": 6,
+    "ext_fit_negbinom": 2,
+    "ext_fleiss_kappa": 3,
     "ext_forecast_reconcile": 9,
     "ext_gini_feature_importance": 4,
     "ext_granger_causality": 2,
@@ -178,17 +178,17 @@ _CEILINGS_TIER2 = {
     "ext_ipf_raking": 1,
     "ext_jl_projection": 4,
     "ext_jonckheere_trend": 4,
-    "ext_kruskal_wallis": 7,
+    "ext_kruskal_wallis": 6,
     "ext_levene_bf": 4,
     "ext_linkage_patterns": 2,
     "ext_mann_kendall": 4,
     "ext_metric_cuped": 3,
     "ext_neyman_allocation": 2,
     "ext_part_vintage_revenue": 3,
-    "ext_peak_concurrency": 7,
+    "ext_peak_concurrency": 3,
     "ext_privacy_t_closeness": 6,
     "ext_qq_points": 4,
-    "ext_rank_effect_stats": 8,
+    "ext_rank_effect_stats": 4,
     "ext_recursive_hierarchy": 1,
     "ext_rerank_rrf": 5,
     "ext_retrieval_mrr": 4,
@@ -201,16 +201,16 @@ _CEILINGS_TIER2 = {
     "ext_sketch_kmv_setops": 7,
     "ext_source_js_divergence": 3,
     "ext_source_overlap": 3,
-    "ext_tail_dependence": 15,
+    "ext_tail_dependence": 3,
     "ext_text_collocations": 4,
-    "ext_text_decontaminate": 5,
+    "ext_text_decontaminate": 3,
     "ext_text_dup_span_remove": 2,
     "ext_text_heaps_law": 6,
     "ext_text_rake": 3,
     "ext_text_vocab_coverage": 3,
     "ext_theil_decomposition": 4,
     "ext_ts_rolling_corr": 2,
-    "ext_two_sample_ks": 10,
+    "ext_two_sample_ks": 4,
     "ext_udtf_installments": 2,
     "ext_weighted_quantiles": 5,
     "ext_wilcoxon_signed_rank": 4,
@@ -238,7 +238,7 @@ _CEILINGS_TIER3 = {
     "ext_activity_heatmap": 1,
     "ext_adstock_transform": 2,
     "ext_agg_skew_twophase": 2,
-    "ext_anderson_darling_2s": 6,
+    "ext_anderson_darling_2s": 3,
     "ext_anomaly_rolling_z": 2,
     "ext_anova_quantity": 2,
     "ext_arrow_length_hist": 2,
@@ -248,25 +248,25 @@ _CEILINGS_TIER3 = {
     "ext_bcg_matrix": 2,
     "ext_benford_digits": 2,
     "ext_bizday_lag": 2,
-    "ext_capture_recapture": 9,
+    "ext_capture_recapture": 2,
     "ext_causal_ipw_ate": 2,
     "ext_causal_poststrat_ate": 3,
     "ext_ccnet_bucket": 5,
     "ext_cdc_apply": 1,
-    "ext_changepoint_binseg": 6,
+    "ext_changepoint_binseg": 3,
     "ext_changepoint_cusum": 4,
     "ext_chi2_gof": 4,
     "ext_chi2_independence": 3,
     "ext_class_centroid_sim": 4,
     "ext_cohens_kappa": 4,
-    "ext_cohort_ltv": 5,
+    "ext_cohort_ltv": 3,
     # r10: single-scan rewrite — one scalar aggregate (one Exchange)
     # exploded to the 5-row report, replacing 5 unioned scalar aggregates
     # (5 scans / 5 Exchanges)
     "ext_contract_enforce": 1,
     "ext_conv_sample_build": 1,
     "ext_corpus_manifest": 1,
-    "ext_cramer_von_mises": 6,
+    "ext_cramer_von_mises": 3,
     "ext_customer_rfm": 4,
     "ext_data_epoch_order": 1,
     "ext_data_shard": 1,
@@ -288,32 +288,32 @@ _CEILINGS_TIER3 = {
     "ext_eoq": 3,
     "ext_eval_auc": 2,
     "ext_eval_calibration": 2,
-    "ext_eval_confusion": 8,
+    "ext_eval_confusion": 3,
     "ext_eval_pass_at_k": 1,
     "ext_eval_qini_uplift": 2,
     "ext_eval_threshold_sweep": 2,
     "ext_event_transition": 5,
-    "ext_events_burst_hours": 6,
+    "ext_events_burst_hours": 4,
     "ext_evt_gumbel": 3,
-    "ext_fd_discovery": 15,
-    "ext_fdr_bh": 5,
+    "ext_fd_discovery": 4,
+    "ext_fdr_bh": 3,
     "ext_feature_woe_iv": 2,
-    "ext_fit_lognormal": 3,
+    "ext_fit_lognormal": 2,
     "ext_forecast_backtest": 3,
     "ext_forecast_mase": 2,
     "ext_friedman_test": 6,
-    "ext_funnel_latency": 5,
+    "ext_funnel_latency": 2,
     "ext_good_turing": 6,
     "ext_gower_topk": 1,
     "ext_graph_assortativity": 4,
     "ext_grid_density_clusters": 1,
     "ext_hist2d_qty_discount": 2,
     "ext_hmm_viterbi": 4,
-    "ext_holt_linear": 4,
+    "ext_holt_linear": 3,
     "ext_holt_winters": 2,
     "ext_incremental_agg_maintain": 2,
     "ext_interval_overlap_join": 1,
-    "ext_isotonic_calibration": 6,
+    "ext_isotonic_calibration": 4,
     "ext_jackknife_ratio": 4,
     "ext_json_extract": 1,
     "ext_kalman_filter": 2,
@@ -326,25 +326,25 @@ _CEILINGS_TIER3 = {
     "ext_littles_law": 3,
     "ext_lorenz_points": 4,
     "ext_markov_entropy_rate": 4,
-    "ext_max_drawdown": 4,
+    "ext_max_drawdown": 3,
     "ext_mediation_sobel": 2,
     "ext_metric_delta_ratio": 2,
     "ext_mixture_temperature": 1,
     "ext_mm_aspect_bucket": 3,
     "ext_mm_video_neardup": 3,
     "ext_moments_profile": 1,
-    "ext_mood_median": 12,
+    "ext_mood_median": 6,
     "ext_new_vs_returning": 3,
     "ext_ohlc_weekly": 3,
     "ext_order_cycle_time": 3,
-    "ext_outlier_mad": 3,
+    "ext_outlier_mad": 0,
     "ext_overdispersion_check": 5,
     "ext_page_trend": 6,
     "ext_pandas_trimmed_mean": 1,
     "ext_part_pareto": 4,
     "ext_partial_corr": 2,
-    "ext_pinball_grid_fit": 9,
-    "ext_pr_average_precision": 6,
+    "ext_pinball_grid_fit": 5,
+    "ext_pr_average_precision": 4,
     "ext_price_indices": 2,
     "ext_privacy_erasure": 6,
     "ext_privacy_l_diversity": 2,
@@ -382,14 +382,14 @@ _CEILINGS_TIER3 = {
     "ext_spend_gini": 2,
     "ext_split_order_screen": 3,
     "ext_sprt_sequential": 2,
-    "ext_stat_wasserstein_1d": 6,
+    "ext_stat_wasserstein_1d": 3,
     "ext_stickiness_dau_mau": 6,
-    "ext_supplier_hhi": 5,
+    "ext_supplier_hhi": 3,
     "ext_survival_km": 5,
     "ext_table_diff": 3,
     "ext_table_fingerprint": 2,
     "ext_tail_index_hill": 1,
-    "ext_target_encode_loo": 2,
+    "ext_target_encode_loo": 1,
     "ext_text_bigram_kn": 4,
     "ext_text_bigram_lm": 4,
     "ext_text_burstiness": 3,
@@ -421,7 +421,7 @@ _CEILINGS_TIER3 = {
     "ext_user_streaks": 2,
     "ext_value_band_migration": 3,
     "ext_win_rolling_median": 1,
-    "ext_window_funnel": 7,
+    "ext_window_funnel": 2,
     "ext_window_tumbling": 1,
     "flagship_exec_summary": 4,
     "join_full_outer": 2,
