@@ -225,7 +225,12 @@ def ext_text_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = LM_N
     docs = load(spark, sf_dir, "documents")
     toks = tx.tokens(F.col("text"))
-    sized = docs.select(
+    # spread() before the tokenize+gram-hash explode: the md5-per-gram
+    # pass is the key's heaviest per-row work and otherwise runs in the
+    # one-task scan stage of a one-file corpus (§2.5)
+    from ..sources.readers import spread
+
+    sized = spread(docs.select("doc_id", "text")).select(
         "doc_id", toks.alias("l"), F.size(toks).cast("bigint").alias("n_tokens")
     )
     grams = (
@@ -242,16 +247,23 @@ def ext_text_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
-    dupg = (
-        grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("g")
-    )
-    spans = grams.join(dupg, "g").select(
-        "doc_id",
-        F.col("i").cast("bigint").alias("s"),
-        (F.col("i") + (n - 1)).cast("bigint").alias("e"),
+    # Cross-document duplicate test WITHOUT replaying the gram pass: a
+    # gram spans >= 2 distinct docs iff min(doc_id) < max(doc_id) within
+    # its gram group, so the dup decision rides ONE g-keyed window
+    # (unordered frame, no sort) instead of the aggregate + self-join
+    # that computed the tokenize+md5 explode twice — the same rewrite
+    # ext_text_dup_ngram_spans got in r10 (§2.4: two operations keyed the
+    # same way share one exchange).
+    w_g = Window.partitionBy("g")
+    spans = (
+        grams.withColumn("_dmin", F.min("doc_id").over(w_g))
+        .withColumn("_dmax", F.max("doc_id").over(w_g))
+        .filter(F.col("_dmin") < F.col("_dmax"))
+        .select(
+            "doc_id",
+            F.col("i").cast("bigint").alias("s"),
+            (F.col("i") + (n - 1)).cast("bigint").alias("e"),
+        )
     )
     w_prev = (
         Window.partitionBy("doc_id")
